@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+One place to own the configuration that matters at scale: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow on (pandas
+UDF batches), UTC session timezone (so results compare bit-for-bit with a
+UTC-naive oracle such as DuckDB), and shuffle parallelism sized to the
+machine instead of Spark's legacy default of 200.
+
+On a real cluster the same builder is used; only ``master`` and the
+memory/instance settings change. Everything else (AQE, Arrow, timezone,
+broadcast threshold) is cluster-size independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle parallelism: on local[N] one JVM does everything, so ~cores is
+# right. On a cluster this should be ~2-3x total executor cores; AQE's
+# coalescePartitions then shrinks small stages automatically, so we set the
+# *initial* number generously and let AQE adapt downward.
+_DEFAULT_SHUFFLE_PARTITIONS = str(max(os.cpu_count() or 8, 8))
+
+
+def get_spark(
+    app_name: str = "data_pipeline_rsna_spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]);
+    pass an explicit cluster master in production.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: re-plan with runtime statistics ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        # --- python interop: Arrow batches for pandas UDFs / toPandas ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # image-sized rows (1 MiB+ binary payloads) need small Arrow
+        # batches or an executor python worker holds k*row_size in RAM
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # --- determinism for differential testing ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- local mode: keep the UI off for headless runs ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,50 @@
+"""Loading helpers for the driver-provided star schema.
+
+Parquet is the engine's canonical storage: columnar, min/max-pruned,
+predicate-pushdown-capable. ``load`` reads one table; ``load_all``
+returns the dict most operators take. No caching here — callers decide
+what to cache (a 100 TB fact table must never be blanket-cached; small
+dimensions benefit from it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Tables small enough to broadcast at any scale factor: the TPC-H dims
+# region/nation are bounded by the world's geography, not by SF.
+BROADCASTABLE_DIMS = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
