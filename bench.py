@@ -22,6 +22,10 @@ from data_pipeline_rsna_spark.session import get_spark  # noqa: E402
 # operator family. Updated as families land.
 HEADLINE = [
     "labels_ingest",
+    "three_way_lookup_join",
+    "pricing_summary",
+    "window_topk_per_group",
+    "deterministic_split",
 ]
 
 

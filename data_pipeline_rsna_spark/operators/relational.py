@@ -1,0 +1,184 @@
+"""Relational kernel: the reference's dataflow operators as DataFrame ops.
+
+Each function is one operator family from SURVEY.md §2.1, expressed so
+Catalyst owns the physical plan (pushdown, join strategy, AQE). Nothing
+here uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# O9 — deterministic train/val split
+# ---------------------------------------------------------------------------
+
+
+def deterministic_split(
+    df: DataFrame,
+    order_col: str,
+    train_frac: float = 0.8,
+    bug_compat_off_by_one: bool = False,
+) -> DataFrame:
+    """Reference ``split_images`` (generate_images_from_dicom.py:54-104):
+    first ``round(N*frac)`` rows in a deterministic order → 'train',
+    rest → 'val'. The reference's listing order becomes an explicit
+    ``ORDER BY order_col``; ``randomSplit`` is rejected as
+    nondeterministic. ``bug_compat_off_by_one`` reproduces the
+    reference's ``index < training_size - 1`` (one row short, ``:78``).
+
+    Scale note: ``row_number`` over a global order is a single-partition
+    sort — fine for a per-dataset split decision (one pass, then the
+    column is materialized), but at 100 TB prefer ``hash_split``, which
+    is embarrassingly parallel and stable under re-partitioning.
+    """
+    w = Window.orderBy(order_col)
+    cutoff = F.round(F.count("*").over(Window.partitionBy()) * train_frac)
+    if bug_compat_off_by_one:
+        cutoff = cutoff - 1
+    return df.withColumn(
+        "split",
+        F.when(F.row_number().over(w) <= cutoff, "train").otherwise("val"),
+    )
+
+
+def hash_split(df: DataFrame, key_col: str, train_frac: float = 0.8) -> DataFrame:
+    """Scale-path split: stable per-key hash bucket. No global sort, no
+    shuffle at all (narrow transformation); survives any repartitioning
+    because it depends only on the key value."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(100))
+    return df.withColumn(
+        "split",
+        F.when(bucket < int(train_frac * 100), "train").otherwise("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O24 — CASE-WHEN dispatch on id suffix
+# ---------------------------------------------------------------------------
+
+# suffix digit → augmentation-stage directory (images_to_tfrecord.py:186-200);
+# the reference's else-branch maps everything unmatched to the stage-7 dir.
+SUFFIX_DISPATCH = {
+    "1": "shift_image",
+    "2": "shift_bbox",
+    "3": "scale_bbox",
+    "4": "scale_image",
+    "5": "scale_shift_bbox",
+    "6": "shift_image_shift_bbox",
+}
+SUFFIX_DEFAULT = "scale_image_scale_shift_bbox"
+
+
+def dispatch_on_suffix(id_col: Column) -> Column:
+    """images_to_tfrecord.py:186-200 endswith-chain as one CASE expression."""
+    expr: Column | None = None
+    for suffix, stage in SUFFIX_DISPATCH.items():
+        cond = id_col.endswith(suffix)
+        expr = F.when(cond, stage) if expr is None else expr.when(cond, stage)
+    assert expr is not None
+    return expr.otherwise(SUFFIX_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# O28/O29 — validity filter + coordinate normalization
+# ---------------------------------------------------------------------------
+
+
+def box_valid(width_px: int, height_px: int) -> Column:
+    """images_to_tfrecord.py:113-120: drop degenerate or out-of-bounds
+    boxes. Kept as a Column predicate so Catalyst can push it into scans."""
+    return (
+        (F.col("width") > 0)
+        & (F.col("height") > 0)
+        & (F.col("x") + F.col("width") <= width_px)
+        & (F.col("y") + F.col("height") <= height_px)
+    )
+
+
+def normalize_boxes(boxes: DataFrame, width_px: int, height_px: int) -> DataFrame:
+    """images_to_tfrecord.py:121-124: absolute [x,y,w,h] → normalized
+    [xmin,xmax,ymin,ymax] ∈ [0,1]. Rounded to 9 places so downstream
+    differential checks are bit-stable across engines."""
+    return boxes.select(
+        *boxes.columns,
+        F.round(F.col("x") / width_px, 9).alias("xmin"),
+        F.round((F.col("x") + F.col("width")) / width_px, 9).alias("xmax"),
+        F.round(F.col("y") / height_px, 9).alias("ymin"),
+        F.round((F.col("y") + F.col("height")) / height_px, 9).alias("ymax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O19/O21 — augmentation fan-out + id synthesis + stage union
+# ---------------------------------------------------------------------------
+
+
+def fanout(df: DataFrame, id_col: str, op: str, k: int, stage: int) -> DataFrame:
+    """One augmentation stage's fan-out: each input row → k variants with
+    synthetic id ``{id}-{op}-{i}-{stage}`` (generate_images_from_dicom.py:300).
+
+    ``explode(sequence())`` is a narrow transformation — fan-out happens
+    inside each task with no shuffle, which is what makes 190× write
+    amplification feasible at scale (the reference re-reads its input 7
+    times instead; SURVEY.md §4)."""
+    return df.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("variant_i"),
+    ).withColumn(
+        "image_id",
+        F.concat_ws(
+            "-", F.col(id_col).cast("string"), F.lit(op), F.col("variant_i"),
+            F.lit(str(stage)),
+        ),
+    )
+
+
+def union_stages(stages: list[DataFrame]) -> DataFrame:
+    """O21: reference accumulates per-stage dicts; the engine unions by
+    name so column order can't silently misalign."""
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# O41 — range filter + coalesce + keep-first dedup (label-map categories)
+# ---------------------------------------------------------------------------
+
+
+def categories_from_label_map(
+    label_map: DataFrame, max_num_classes: int, use_display_name: bool = True
+) -> DataFrame:
+    """label_map_util.py:64-110: keep 0 < id <= N, pick display_name when
+    non-empty else name, first occurrence per id wins (``pos`` is the
+    stable input order column the caller provides)."""
+    name = (
+        F.coalesce(F.nullif(F.col("display_name"), F.lit("")), F.col("name"))
+        if use_display_name
+        else F.col("name")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        label_map.filter((F.col("id") > 0) & (F.col("id") <= max_num_classes))
+        .withColumn("category_name", name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "category_name")
+    )
+
+
+def fill_id_gaps(ids: DataFrame, id_col: str, domain_max: int) -> DataFrame:
+    """label_map_util.py:157-172: densify an id domain 0..max, naming the
+    holes ``class_<id>``. Anti-join against a generated range — the range
+    side is tiny and broadcast, so this never shuffles the data side."""
+    spark = ids.sparkSession
+    domain = spark.range(0, domain_max + 1).select(
+        F.col("id").cast("int").alias(id_col)
+    )
+    missing = domain.join(ids, id_col, "left_anti").select(
+        id_col, F.concat(F.lit("class_"), F.col(id_col)).alias("name")
+    )
+    return ids.unionByName(missing)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from . import tables
 from .operators import labels as labels_ops
+from .operators import relational as rel
 
 
 @dataclass
@@ -149,3 +150,547 @@ def q_labels_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_boxes",
         _box_sig().alias("box_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational kernel — SURVEY.md §2.1 [Q] operators over the star schema.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "deterministic_split",
+    oracle="""
+    WITH numbered AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM orders
+    )
+    SELECT CASE WHEN rn <= round(n * 0.8) THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM numbered
+    GROUP BY 1
+    """,
+    doc="O9 split_images (generate_images_from_dicom.py:54-104): "
+    "deterministic 80/20 split by global order, intended semantics "
+    "(off-by-one of :78 behind a flag).",
+    tags=("core",),
+)
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey")
+    split = rel.deterministic_split(orders, "o_orderkey", 0.8)
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "semi_join_annotations",
+    oracle="""
+    SELECT s.s_nationkey AS nation_key, count(*) AS n_suppliers
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND l.l_quantity > 45
+    )
+    GROUP BY s.s_nationkey
+    """,
+    doc="O11 val-side annotation semi-join (generate_images_from_dicom.py:84-85): "
+    "left_semi keeps suppliers having a qualifying fact row, without "
+    "duplicating them (a join would).",
+    tags=("core",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = tables.load(spark, sf_dir, "supplier")
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+        .groupBy(F.col("s_nationkey").alias("nation_key"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+@register(
+    "anti_join_gaps",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="O43 gap-detection primitive: left_anti join (customers with no "
+    "orders), the distributed form of label_map_util.py:168-172's "
+    "missing-id scan.",
+    tags=("core",),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "suffix_dispatch",
+    oracle="""
+    SELECT CASE
+             WHEN CAST(o_orderkey AS VARCHAR) LIKE '%1' THEN 'shift_image'
+             WHEN CAST(o_orderkey AS VARCHAR) LIKE '%2' THEN 'shift_bbox'
+             WHEN CAST(o_orderkey AS VARCHAR) LIKE '%3' THEN 'scale_bbox'
+             WHEN CAST(o_orderkey AS VARCHAR) LIKE '%4' THEN 'scale_image'
+             WHEN CAST(o_orderkey AS VARCHAR) LIKE '%5' THEN 'scale_shift_bbox'
+             WHEN CAST(o_orderkey AS VARCHAR) LIKE '%6' THEN 'shift_image_shift_bbox'
+             ELSE 'scale_image_scale_shift_bbox'
+           END AS stage_dir,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="O24 suffix dispatch (images_to_tfrecord.py:186-200): endswith "
+    "CASE chain mapping id suffix to augmentation-stage directory.",
+    tags=("core",),
+)
+def q_suffix_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            rel.dispatch_on_suffix(F.col("o_orderkey").cast("string")).alias(
+                "stage_dir"
+            )
+        )
+        .groupBy("stage_dir")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "three_way_lookup_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    doc="O26 per-record 3-way lookup join (images_to_tfrecord.py:242-247) "
+    "generalized: fact x fact x dim x broadcast dim. Catalyst/AQE picks "
+    "broadcast for nation; the orders/customer joins shuffle on their keys.",
+    tags=("core", "headline"),
+)
+def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_BOXES_FROM_LINEITEM_SQL = f"""
+    SELECT patient_id, x, y, width, height,
+           row_number() OVER (PARTITION BY patient_id ORDER BY x, y, width, height) AS box_id
+    FROM ({_LABELS_FROM_LINEITEM_SQL})
+    WHERE CAST(target AS INTEGER) <> 0
+"""
+
+
+def _boxes_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive boxes (one row per box) with a stable per-patient box_id."""
+    from pyspark.sql import Window
+
+    labels = labels_ops.typed_labels(_lineitem_as_raw_labels(spark, sf_dir))
+    w = Window.partitionBy("patient_id").orderBy("x", "y", "width", "height")
+    return labels_ops.positive_boxes(labels).withColumn(
+        "box_id", F.row_number().over(w)
+    )
+
+
+@register(
+    "validity_filter",
+    oracle=f"""
+    SELECT count(*) FILTER (WHERE width > 0 AND height > 0
+                              AND x + width <= 900 AND y + height <= 900) AS n_kept,
+           count(*) FILTER (WHERE NOT (width > 0 AND height > 0
+                              AND x + width <= 900 AND y + height <= 900)) AS n_skipped
+    FROM ({_BOXES_FROM_LINEITEM_SQL})
+    """,
+    doc="O28 validity filter with skip accounting (images_to_tfrecord.py:"
+    "113-120,260-261): degenerate/out-of-bounds boxes dropped and counted.",
+    tags=("core",),
+)
+def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    boxes = _boxes_from_lineitem(spark, sf_dir)
+    valid = rel.box_valid(900, 900)
+    return boxes.agg(
+        F.sum(valid.cast("long")).alias("n_kept"),
+        F.sum((~valid).cast("long")).alias("n_skipped"),
+    )
+
+
+@register(
+    "normalize_coords",
+    oracle=f"""
+    SELECT patient_id, box_id,
+           round(x / 900.0, 9) AS xmin,
+           round((x + width) / 900.0, 9) AS xmax,
+           round(y / 900.0, 9) AS ymin,
+           round((y + height) / 900.0, 9) AS ymax
+    FROM ({_BOXES_FROM_LINEITEM_SQL})
+    WHERE width > 0 AND height > 0 AND x + width <= 900 AND y + height <= 900
+    """,
+    doc="O29 coordinate normalization (images_to_tfrecord.py:121-124): "
+    "absolute px -> [0,1] floats, applied after the O28 validity filter.",
+    tags=("core",),
+)
+def q_normalize_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    boxes = _boxes_from_lineitem(spark, sf_dir).filter(rel.box_valid(900, 900))
+    return rel.normalize_boxes(boxes, 900, 900).select(
+        "patient_id", "box_id", "xmin", "xmax", "ymin", "ymax"
+    )
+
+
+@register(
+    "dim_lookup_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="O30 dimension lookup (images_to_tfrecord.py:126-128) as broadcast "
+    "joins: both dims ship to every task; the fact table never shuffles "
+    "for the join (only for the final small agg).",
+    tags=("core",),
+)
+def q_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "label_map_checks",
+    oracle="""
+    WITH label_map AS (
+        SELECT n_nationkey AS id, n_name AS name FROM nation
+    )
+    SELECT count(*) FILTER (WHERE id < 0 OR (id = 0 AND name <> 'background')) AS n_violations,
+           max(id) AS max_id,
+           count(*) AS n_entries
+    FROM label_map
+    """,
+    doc="O38+O40 label-map validation & max-id aggregation "
+    "(label_map_util.py:24-36,54-61) as one validation query.",
+    tags=("core",),
+)
+def q_label_map_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    )
+    violation = (F.col("id") < 0) | (
+        (F.col("id") == 0) & (F.col("name") != "background")
+    )
+    return lm.agg(
+        F.sum(violation.cast("long")).alias("n_violations"),
+        F.max("id").alias("max_id"),
+        F.count("*").alias("n_entries"),
+    )
+
+
+@register(
+    "categories_range_dedup",
+    oracle="""
+    WITH label_map AS (
+        SELECT p_size AS id, p_name AS name,
+               CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_brand END AS display_name,
+               p_partkey AS pos
+        FROM part
+    ),
+    ranked AS (
+        SELECT id,
+               COALESCE(NULLIF(display_name, ''), name) AS category_name,
+               row_number() OVER (PARTITION BY id ORDER BY pos) AS rn
+        FROM label_map
+        WHERE id > 0 AND id <= 30
+    )
+    SELECT id, category_name FROM ranked WHERE rn = 1
+    """,
+    doc="O41 convert_label_map_to_categories (label_map_util.py:64-110): "
+    "range filter + display-name coalesce + keep-first-per-id dedup.",
+    tags=("core",),
+)
+def q_categories_range_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables.load(spark, sf_dir, "part")
+    lm = part.select(
+        F.col("p_size").alias("id"),
+        F.col("p_name").alias("name"),
+        F.when(F.col("p_partkey") % 3 == 0, None)
+        .otherwise(F.col("p_brand"))
+        .alias("display_name"),
+        F.col("p_partkey").alias("pos"),
+    )
+    return rel.categories_from_label_map(lm, max_num_classes=30)
+
+
+@register(
+    "gap_fill_dense_domain",
+    oracle="""
+    WITH existing AS (
+        SELECT n_nationkey AS id, n_name AS name
+        FROM nation WHERE n_nationkey % 4 <> 0
+    )
+    SELECT id, name FROM existing
+    UNION ALL
+    SELECT g.id, 'class_' || g.id AS name
+    FROM (SELECT CAST(unnest(generate_series(0, 24)) AS INTEGER) AS id) g
+    WHERE g.id NOT IN (SELECT id FROM existing)
+    """,
+    doc="O43 dense-domain gap fill (label_map_util.py:157-172): synthesize "
+    "class_<id> rows for missing ids via generated-range anti-join.",
+    tags=("core",),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = tables.load(spark, sf_dir, "nation")
+    existing = nation.filter(F.col("n_nationkey") % 4 != 0).select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    )
+    return rel.fill_id_gaps(existing, "id", domain_max=24)
+
+
+@register(
+    "augmentation_fanout",
+    oracle="""
+    WITH src AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0),
+    variants AS (
+        SELECT CAST(o_orderkey AS VARCHAR) || '-shift-' || i || '-1' AS image_id,
+               i AS variant_i
+        FROM src CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+    )
+    SELECT variant_i, count(*) AS n,
+           count(DISTINCT image_id) AS n_distinct,
+           min(image_id) AS first_id,
+           max(image_id) AS last_id
+    FROM variants
+    GROUP BY variant_i
+    """,
+    doc="O19 augmentation fan-out x5 with synthetic-id construction "
+    "(generate_images_from_dicom.py:282-314): explode(sequence()) is a "
+    "narrow op - no shuffle for a 190x fan-out at scale.",
+    tags=("core",),
+)
+def q_augmentation_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey")
+    )
+    fanned = rel.fanout(src, "o_orderkey", "shift", k=5, stage=1)
+    return fanned.groupBy("variant_i").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("image_id").alias("n_distinct"),
+        F.min("image_id").alias("first_id"),
+        F.max("image_id").alias("last_id"),
+    )
+
+
+@register(
+    "union_stage_outputs",
+    oracle="""
+    SELECT stage, count(*) AS n FROM (
+        SELECT 'stage1' AS stage, o_orderkey AS id FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'stage2' AS stage, o_orderkey AS id FROM orders WHERE o_totalprice > 100000
+    )
+    GROUP BY stage
+    """,
+    doc="O21 union of stage outputs (generate_images_from_dicom.py:278-279 "
+    "onward): unionByName of branch DataFrames.",
+    tags=("core",),
+)
+def q_union_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    s1 = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("stage1").alias("stage"), F.col("o_orderkey").alias("id")
+    )
+    s2 = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.lit("stage2").alias("stage"), F.col("o_orderkey").alias("id")
+    )
+    return rel.union_stages([s1, s2]).groupBy("stage").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="X8 relational kernel: TPC-H Q1-shaped pricing summary - the "
+    "groupBy/multi-agg the reference entirely lacks. Partial aggregation "
+    "(map-side combine) + 4-group output: shuffle is O(groups), not O(rows).",
+    tags=("core", "headline"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rank
+        FROM orders
+    )
+    SELECT o_orderpriority, rank, o_orderkey, totalprice
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="X8 top-k per group: the window-function surface (row_number over "
+    "partitioned desc order) the reference lacks. Scale note: partial "
+    "top-k pushdown (AQE) keeps the shuffle k-bounded per partition.",
+    tags=("core",),
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            "rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "rollup_aggregation",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="X8 grouping-sets surface: ROLLUP over two dims (reference has "
+    "none; SURVEY.md join-inventory note).",
+    tags=("core",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "set_operations",
+    oracle="""
+    SELECT 'both_statuses' AS op, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_f' AS op, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="X8 set operations (INTERSECT/EXCEPT) - absent from the reference, "
+    "required by the relational kernel mandate.",
+    tags=("core",),
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_cust.intersect(o_cust).agg(F.count("*").alias("n")).select(
+        F.lit("both_statuses").alias("op"), "n"
+    )
+    only_f = (
+        f_cust.subtract(o_cust)  # EXCEPT (set semantics), not exceptAll
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("only_f").alias("op"), "n")
+    )
+    return both.unionByName(only_f)

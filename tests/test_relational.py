@@ -1,0 +1,104 @@
+"""Unit tests for the relational kernel (SURVEY.md §5.2 goldens)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.operators import relational as rel
+
+
+def test_deterministic_split_golden(spark):
+    # FIXTURES.md F8: N=10 => round(8.0)=8 train, 2 val (intended semantics);
+    # bug-compat mode reproduces the reference's 7/3 (off-by-one, :78).
+    df = spark.range(10).select(F.col("id"))
+    got = {
+        r.split: r.n
+        for r in rel.deterministic_split(df, "id").groupBy("split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert got == {"train": 8, "val": 2}
+    compat = {
+        r.split: r.n
+        for r in rel.deterministic_split(df, "id", bug_compat_off_by_one=True)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert compat == {"train": 7, "val": 3}
+
+
+def test_hash_split_stable_and_roughly_80_20(spark):
+    df = spark.range(10000)
+    split1 = rel.hash_split(df, "id").groupBy("split").count().collect()
+    got = {r.split: r["count"] for r in split1}
+    assert 0.75 < got["train"] / 10000 < 0.85
+    # stability: same key -> same split under repartitioning
+    re = rel.hash_split(df.repartition(7), "id").groupBy("split").count()
+    assert {r.split: r["count"] for r in re.collect()} == got
+
+
+def test_dispatch_on_suffix(spark):
+    df = spark.createDataFrame(
+        [("a-shift-0-1",), ("b-scale-3-4",), ("c-x-1-9",)], "id string"
+    )
+    got = {
+        r.id: r.stage
+        for r in df.select(
+            "id", rel.dispatch_on_suffix(F.col("id")).alias("stage")
+        ).collect()
+    }
+    assert got == {
+        "a-shift-0-1": "shift_image",
+        "b-scale-3-4": "scale_image",
+        "c-x-1-9": "scale_image_scale_shift_bbox",  # else-branch
+    }
+
+
+def test_validity_and_normalize_golden(spark):
+    # FIXTURES.md F8: one degenerate box, one out-of-bounds, one valid.
+    df = spark.createDataFrame(
+        [("p1", 10, 20, 0, 5), ("p2", 1000, 10, 50, 50), ("p3", 100, 200, 300, 400)],
+        "patient_id string, x int, y int, width int, height int",
+    )
+    kept = df.filter(rel.box_valid(1024, 1024))
+    assert [r.patient_id for r in kept.collect()] == ["p3"]
+    norm = rel.normalize_boxes(kept, 1024, 1024).collect()[0]
+    assert (norm.xmin, norm.xmax) == (round(100 / 1024, 9), round(400 / 1024, 9))
+    assert (norm.ymin, norm.ymax) == (round(200 / 1024, 9), round(600 / 1024, 9))
+
+
+def test_fanout_ids(spark):
+    df = spark.createDataFrame([("p1",)], "pid string")
+    rows = rel.fanout(df, "pid", "shift", k=3, stage=2).collect()
+    assert sorted(r.image_id for r in rows) == [
+        "p1-shift-0-2",
+        "p1-shift-1-2",
+        "p1-shift-2-2",
+    ]
+
+
+def test_fill_id_gaps(spark):
+    existing = spark.createDataFrame(
+        [(1, "one"), (3, "three")], "id int, name string"
+    )
+    got = {r.id: r.name for r in rel.fill_id_gaps(existing, "id", 4).collect()}
+    assert got == {0: "class_0", 1: "one", 2: "class_2", 3: "three", 4: "class_4"}
+
+
+def test_categories_from_label_map(spark):
+    lm = spark.createDataFrame(
+        [
+            (1, "n1", "display1", 10),
+            (1, "n1b", "late-dup", 20),  # dropped: first-per-id wins
+            (2, "n2", "", 30),  # empty display -> name
+            (0, "bg", "bg", 40),  # id 0 excluded
+            (99, "big", "big", 50),  # > max excluded
+        ],
+        "id int, name string, display_name string, pos int",
+    )
+    got = {
+        r.id: r.category_name
+        for r in rel.categories_from_label_map(lm, 10).collect()
+    }
+    assert got == {1: "display1", 2: "n2"}
