@@ -26,6 +26,11 @@ HEADLINE = [
     "pricing_summary",
     "window_topk_per_group",
     "deterministic_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "similarity_topk_cosine",
+    "events_hourly_agg",
 ]
 
 

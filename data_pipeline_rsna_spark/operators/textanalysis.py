@@ -1,0 +1,125 @@
+"""Text analysis operators (SURVEY.md §2.3 X4): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in column expressions (JVM-side, codegen'd) — no
+Python UDFs anywhere in this module. Each helper returns a Column so the
+operators compose into single-pass projections: one scan computes every
+text feature, which is the shape you want when the corpus is 100 TB
+(feature extraction is scan-bound; never rescan per feature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# Stopword profiles for the language-ID heuristic. Tiny on purpose: the
+# profile ships as literals inside the expression (broadcast-free).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "los", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+# Deterministic arg-max priority when scores tie (incl. all-zero).
+LANG_PRIORITY = ("en", "es", "de", "fr")
+
+
+def whitespace_tokens(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def ws_token_count(text_col: str = "text") -> Column:
+    return F.size(whitespace_tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer — the cheap
+    proxy for 'how many LLM tokens is this document'."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0
+        )
+    )
+
+
+def avg_token_length(text_col: str = "text") -> Column:
+    ws = whitespace_tokens(text_col)
+    total = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.round(total / F.size(ws), 6)
+
+
+def type_token_ratio(text_col: str = "text") -> Column:
+    """Lexical diversity: distinct/total tokens ∈ (0,1]."""
+    ws = whitespace_tokens(text_col)
+    return F.round(F.size(F.array_distinct(ws)) / F.size(ws), 6)
+
+
+def stopword_ratio(text_col: str = "text",
+                   stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
+    ws = whitespace_tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
+    return F.round(hits / F.size(ws), 6)
+
+
+def lang_score(text_col: str, lang: str) -> Column:
+    """# tokens matching the language's stopword profile."""
+    ws = whitespace_tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in LANG_PROFILES[lang]])
+    return F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
+
+
+def predicted_lang(text_col: str = "text") -> Column:
+    """Arg-max over profile scores with fixed priority tie-break."""
+    scores = {lang: lang_score(text_col, lang) for lang in LANG_PRIORITY}
+    expr = None
+    for i, lang in enumerate(LANG_PRIORITY):
+        cond = None
+        for other in LANG_PRIORITY[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else cond & c
+        if cond is None:  # last language: unconditional fallback
+            return expr.otherwise(lang)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    raise AssertionError("unreachable")
+
+
+def content_fingerprint(text_col: str = "text") -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set. Two documents with the same bag of words collide — the
+    'shuffled paraphrase' dedup key."""
+    ws = whitespace_tokens(text_col)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
+
+
+def min_shingle_fingerprint(text_col: str = "text", n: int = 3) -> Column:
+    """Winnowing-style fingerprint: lexicographic min of md5 over word
+    n-gram shingles (a 1-hash MinHash). Stable under local edits that
+    don't touch the minimal shingle."""
+    from .dedup import shingles_col
+
+    return F.array_min(
+        F.transform(shingles_col(text_col, n), lambda s: F.md5(s))
+    )
+
+
+def text_features(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The single-pass feature projection: every X4 feature at once."""
+    return docs.select(
+        id_col,
+        ws_token_count(text_col).alias("n_ws_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        avg_token_length(text_col).alias("avg_token_len"),
+        type_token_ratio(text_col).alias("ttr"),
+        stopword_ratio(text_col).alias("en_stopword_ratio"),
+        predicted_lang(text_col).alias("predicted_lang"),
+        content_fingerprint(text_col).alias("content_fp"),
+        min_shingle_fingerprint(text_col).alias("winnow_fp"),
+    )

@@ -694,3 +694,498 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("only_f").alias("op"), "n")
     )
     return both.unionByName(only_f)
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — deduplication family over `documents`.
+#
+# The driver corpus is all-distinct, so each query plants duplicates
+# deterministically: exact copies of every doc_id % 10 == 0 (id+200000) and
+# near copies (first token dropped) of every doc_id % 10 == 5 (id+100000).
+# Finding exactly the planted pairs is the check.
+# ---------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           substr(text, position(' ' IN text) + 1) AS text
+    FROM documents WHERE doc_id % 10 = 5
+"""
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+    FROM (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        FROM ({_CORPUS_SQL})
+    )
+    WHERE len(ws) >= 3
+"""
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_id
+    FROM ({_CORPUS_SQL})
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+    doc="X1 exact dedup by content hash (generalizes the sha256 record "
+    "keying of images_to_tfrecord.py:96-101): hash groupBy, min-id keeper. "
+    "Shuffles 16-byte hashes, not documents - scale-free.",
+    tags=("dedup", "headline"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.exact_dedup_groups(corpus).filter(F.col("n_copies") > 1)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    mh AS (
+        SELECT doc_id, s.i AS i, min(md5(s.i || '|' || shingle)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    doc="X2 MinHash(12 hashes) + LSH(6 bands x 2 rows) near-dup candidate "
+    "pairs. Portable md5-min sketch: bit-identical in any engine. The "
+    "pair join is bucket-local - cost tracks true near-dups, never n^2.",
+    tags=("dedup", "headline"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.minhash_lsh_candidates(
+        corpus, num_hashes=12, rows_per_band=2, shingle_n=3
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    votes AS (
+        SELECT doc_id, j.j AS j,
+               sum(CASE WHEN substr(md5(shingle), j.j + 1, 1) >= '8'
+                        THEN 1 ELSE -1 END) AS v
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+        GROUP BY doc_id, j.j
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc="X2 SimHash(32-bit over 3-gram shingles) near-dup pairs, Hamming "
+    "<= 3. Spark side uses pigeonhole blocking (4 blocks of 8 bits) to "
+    "avoid the crossJoin; the oracle brute-forces - answers must agree, "
+    "which also proves blocking loses no pairs.",
+    tags=("dedup",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, shared,
+           round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+    """,
+    doc="X2 exact n-gram Jaccard near-dup pairs (threshold 0.5) via "
+    "shingle inverted-index join - the exactness oracle for MinHash/"
+    "SimHash, itself n^2-free. Skew note: cap shingle document-frequency "
+    "at scale.",
+    tags=("dedup",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(corpus, shingle_n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis over `documents`.
+# ---------------------------------------------------------------------------
+
+_WS_DOCS_SQL = """
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws, lower(text) AS lt
+    FROM documents
+"""
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(ws) AS n_ws_tokens,
+           len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           round(list_sum(list_transform(ws, t -> len(t))) / len(ws), 6) AS avg_token_len
+    FROM ({_WS_DOCS_SQL})
+    """,
+    doc="X4 token counting: whitespace tokens + BPE-ish regex pre-tokens "
+    "+ mean token length, one scan, all JVM-side expressions.",
+    tags=("text",),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.ws_token_count().alias("n_ws_tokens"),
+        tx.bpe_ish_token_count().alias("n_bpe_tokens"),
+        tx.avg_token_length().alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(len(list_distinct(ws)) / len(ws), 6) AS ttr,
+           round(len(list_filter(ws, t -> list_contains(
+                     ['the','a','and','of','to','in','is'], t))) / len(ws), 6)
+               AS en_stopword_ratio,
+           CASE WHEN len(ws) >= 50
+                 AND len(list_distinct(ws)) / len(ws) >= 0.2
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM ({_WS_DOCS_SQL})
+    """,
+    doc="X4 quality scoring: type-token ratio + stopword ratio + a "
+    "keep/flag bucket - the LLM-corpus filtering primitive.",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    keep = (tx.ws_token_count() >= 50) & (tx.type_token_ratio() >= 0.2)
+    return docs.select(
+        "doc_id",
+        tx.type_token_ratio().alias("ttr"),
+        tx.stopword_ratio().alias("en_stopword_ratio"),
+        F.when(keep, "keep").otherwise("flag").alias("quality_bucket"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(ws, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en_score,
+               len(list_filter(ws, t -> list_contains(['el','la','de','los','que','y'], t))) AS es_score,
+               len(list_filter(ws, t -> list_contains(['der','die','das','und','ist'], t))) AS de_score,
+               len(list_filter(ws, t -> list_contains(['le','la','les','et','est'], t))) AS fr_score
+        FROM ({_WS_DOCS_SQL})
+    )
+    SELECT doc_id, en_score, es_score, de_score, fr_score,
+           CASE
+             WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score THEN 'en'
+             WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+             WHEN de_score >= fr_score THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scored
+    """,
+    doc="X4 language-ID heuristic: stopword-profile scores with "
+    "deterministic arg-max. Profiles are expression literals - no "
+    "broadcast, no UDF.",
+    tags=("text",),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.lang_score("text", "en").alias("en_score"),
+        tx.lang_score("text", "es").alias("es_score"),
+        tx.lang_score("text", "de").alias("de_score"),
+        tx.lang_score("text", "fr").alias("fr_score"),
+        tx.predicted_lang().alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS content_fp,
+           list_min(list_transform(
+               list_distinct(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+2], ' '))),
+               s -> md5(s))) AS winnow_fp
+    FROM ({_WS_DOCS_SQL})
+    WHERE len(ws) >= 3
+    """,
+    doc="X4 document fingerprinting: order-insensitive bag-of-words md5 "
+    "+ winnowing-style min-shingle-hash (1-hash MinHash).",
+    tags=("text",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    docs = tables.load(spark, sf_dir, "documents").filter(
+        tx.ws_token_count() >= 3
+    )
+    return docs.select(
+        "doc_id",
+        tx.content_fingerprint().alias("content_fp"),
+        tx.min_shingle_fingerprint().alias("winnow_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search over `embeddings`.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+        FROM q CROSS JOIN c
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    doc="X3 exact top-k cosine similarity search: broadcast query batch "
+    "x one corpus scan, zip_with/aggregate dot products (JVM-side, no "
+    "UDF), deterministic tie-break. The brute-force baseline every ANN "
+    "method is measured against.",
+    tags=("similarity", "headline"),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=None,  # k-means cell assignment is not SQL-expressible
+    doc="X3 IVF approximate nearest neighbor: k-means(nlist=16) cells, "
+    "probe nprobe=4 per query, exact cosine within probed cells. The "
+    "scale path: cluster-partitioned storage prunes (nlist-nprobe)/nlist "
+    "of the corpus per probe. Recall vs brute force asserted in tests.",
+    tags=("similarity",),
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = sim.build_ivf(emb, nlist=16)
+    return sim.ivf_topk(index, queries, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# X5/X6 — windowed event analytics over `events` (batch + streaming twin).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_agg",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="X5 tumbling 1-hour window aggregation per event type "
+    "(window start exported as epoch seconds).",
+    tags=("events", "headline"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.hourly_type_agg(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT * FROM flagged ORDER BY user_id, event_id)
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           max(session_id) AS n_sessions,
+           max(n_events) AS max_session_events,
+           sum(n_events) AS n_events
+    FROM per_session GROUP BY user_id
+    """,
+    doc="X5 gap-based sessionization (30-min gap) via lag+cumsum windows; "
+    "per-user session profile.",
+    tags=("events",),
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.session_stats(tables.load(spark, sf_dir, "events"), 1800)
+
+
+@register(
+    "events_user_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="X5 pivot: per-user event-type count matrix with explicit pivot "
+    "values (static schema, one shuffle).",
+    tags=("events",),
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.user_type_pivot(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_value_ranking",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, event_id,
+               round(value, 2) AS value,
+               row_number() OVER w AS rank,
+               round(lag(value) OVER w, 2) AS prev_value
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    )
+    SELECT event_type, rank, event_id, value, prev_value
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="X5 ranking windows: top-5 by value per event type with lag to "
+    "the previous value.",
+    tags=("events",),
+)
+def q_events_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.top_events_per_type(tables.load(spark, sf_dir, "events"), 5)
+
+
+@register(
+    "events_hourly_streaming",
+    oracle=None,  # streaming execution; batch twin is the [Q] oracle above
+    doc="X6 Structured Streaming twin of events_hourly_agg: file-source "
+    "replay -> watermark -> tumbling window -> memory sink. Stream-batch "
+    "equivalence asserted in tests/test_streaming.py.",
+    tags=("events", "streaming"),
+)
+def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    return es.run_bounded(es.hourly_type_agg_stream(stream))

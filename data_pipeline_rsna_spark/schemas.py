@@ -157,6 +157,22 @@ LINEITEM = T.StructType(
     ]
 )
 
+# The driver's events parquet stores ts as TIMESTAMP(NANOS), which Spark's
+# parquet reader only accepts as a long (spark.sql.legacy.parquet.nanosAsLong).
+# Loaders read this raw shape then convert ns → microsecond TimestampType,
+# the same truncation DuckDB applies internally — so differential checks on
+# time arithmetic stay exact.
+EVENTS_RAW_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),  # ns since epoch
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),

@@ -1,0 +1,99 @@
+"""Structured Streaming event aggregation (SURVEY.md §2.3 X6).
+
+Design: the batch query in ``operators/events.py`` is the semantic
+oracle; the streaming query must produce the same rows when the stream
+is a bounded replay of the same data (asserted in
+``tests/test_streaming.py``). Late data is handled with a watermark; for
+production sinks use ``append`` mode (only finalized windows emit) —
+the bounded-replay harness uses ``complete`` mode so a single replay
+batch emits every window without waiting for the watermark to advance
+past it.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS_RAW_NANOS
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; the testdata
+    events table is a single parquet file. Stage it (once) into a tmp
+    directory keyed by scale factor."""
+    src = pathlib.Path(sf_dir) / "events.parquet"
+    key = sf_dir.strip("/").replace("/", "_")
+    dst_dir = pathlib.Path("/tmp/spark_graft_streams") / key
+    dst = dst_dir / "events.parquet"
+    if not dst.exists() or dst.stat().st_mtime < src.stat().st_mtime:
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        if src.is_dir():
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+    return str(dst_dir)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet. Schema is declared
+    (streaming sources never infer); ts arrives as parquet TIMESTAMP
+    (NANOS) → read as long, convert to microsecond timestamps (same
+    convention as tables._load_events). In production this is a Kafka
+    source; the transformation DAG is source-agnostic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_NANOS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(_staged_events_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def hourly_type_agg_stream(events: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators.events.hourly_type_agg``: tumbling
+    1-hour windows per event type, late rows beyond the watermark
+    dropped. State per key = one (window, type) row — bounded by
+    watermark horizon, not stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation over its bounded source to
+    completion via a memory sink; return the materialized result."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    # materialize before the memory sink table goes away
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    return result

@@ -1,0 +1,66 @@
+"""Dedup family: planted-duplicate goldens + blocking-completeness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "quick brown fox jumps over the lazy dog near the river bank"),  # near dup (first tok dropped)
+    (4, "completely different words about spark query engines and shuffles today"),
+    (5, "another unrelated document mentioning joins aggregates and window functions"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).filter(F.col("n_copies") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == 2 and groups[0].keeper_id == 1
+    kept = dedup.exact_dedup(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_finds_planted_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in pairs  # exact dups always collide on every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup found
+    assert not any({a, b} == {4, 5} for a, b in pairs)  # unrelated not paired
+
+
+def test_simhash_blocking_equals_bruteforce(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    blocked = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert blocked == brute  # pigeonhole blocking loses no pairs
+    assert blocked[(1, 2)] == 0  # exact dup -> identical signature
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc3 = doc1 minus first token: shares all but one 3-gram shingle
+    assert pairs[(1, 3)] > 0.8
+    assert all({a, b} != {4, 5} for a, b in pairs)

@@ -1,0 +1,43 @@
+"""Similarity search: exactness of brute force, recall of IVF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark import tables
+from data_pipeline_rsna_spark.operators import similarity as sim
+
+
+def test_cosine_topk_identical_vector(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),  # identical direction to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.cosine_topk(emb, q, k=3).collect()
+    by_rank = {r.rank: r for r in got}
+    assert by_rank[1].neighbor_id == 1 and by_rank[1].cosine == 1.0
+    assert by_rank[2].neighbor_id == 3  # cos 45deg
+    assert by_rank[3].neighbor_id == 2 and by_rank[3].cosine == 0.0
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim.cosine_topk(emb, queries, k=10)
+    index = sim.build_ivf(emb, nlist=16)
+    approx = sim.ivf_topk(index, queries, k=10, nprobe=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    # nprobe=4/16 cells; random 64-d embeddings cluster weakly, so demand
+    # a loose-but-meaningful floor
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"

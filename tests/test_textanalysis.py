@@ -1,0 +1,49 @@
+"""Text analysis goldens."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_rsna_spark.operators import textanalysis as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox and the lazy dog"),
+            (2, "el la de los que y el la de los"),
+            (3, "a a a a"),
+            (4, "x1 hello-world 42"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_counts(docs):
+    rows = {r.doc_id: r for r in tx.text_features(docs).collect()}
+    assert rows[1].n_ws_tokens == 8
+    # "x1 hello-world 42" -> x,1,hello,-,world,42
+    assert rows[4].n_bpe_tokens == 6
+    assert rows[3].ttr == 0.25  # one type, four tokens
+
+
+def test_stopword_and_lang(docs):
+    rows = {r.doc_id: r for r in tx.text_features(docs).collect()}
+    # doc1: 'the','and','the' are en stopwords -> 3/8
+    assert rows[1].en_stopword_ratio == round(3 / 8, 6)
+    assert rows[1].predicted_lang == "en"
+    assert rows[2].predicted_lang == "es"
+    assert rows[3].predicted_lang == "en"  # all-zero scores -> priority order
+
+
+def test_fingerprints_order_insensitive(spark):
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.text_features(a).collect()}
+    # same bag of words -> same content fingerprint
+    assert rows[1].content_fp == rows[2].content_fp
+    # different shingles -> (almost surely) different winnow fingerprint
+    assert rows[1].winnow_fp != rows[2].winnow_fp
