@@ -1,0 +1,184 @@
+"""The 7-stage augmentation DAG (O19 + O20 + O21), Spark-first.
+
+Reference shape (``generate_images_from_dicom.py:282-561``): seven
+sequential loops, each re-listing and re-decoding every DICOM, each
+producing k variants + k flipped variants per eligible image with
+synthetic ids ``{pid}-{op}-{i}-{stage}``. Eligibility: stages 1 and 4
+take every image; stages 2, 3, 5, 6, 7 take positive (box-bearing)
+patients only (``:331,372,449,492,533``).
+
+Engine shape: ONE lazy DAG. The source is scanned once (and should be
+cached by the caller when the pixel path runs); each stage is an
+``explode(sequence())`` fan-out (narrow — no shuffle) plus column
+arithmetic for the box geometry; stages are ``unionByName``-ed. The 7×
+rescan anti-pattern of the reference (SURVEY.md §4) disappears by
+construction.
+
+Stage table (k, positives-only, op-chain):
+
+  1: k=5,  all,  shift_image
+  2: k=25, pos,  shift_bbox
+  3: k=25, pos,  scale_bbox
+  4: k=5,  all,  scale_image
+  5: k=25, pos,  scale_bbox -> shift_bbox
+  6: k=5,  pos,  shift_image -> shift_bbox
+  7: k=5,  pos,  scale_image -> scale_bbox -> shift_bbox
+
+(Stage-4 vs stage-7 zoom factors differ ×10 in the reference — quirk
+§2.2-4; the engine uses one factor parameter per stage.) Collision
+dropping inside shift_bbox (O16) is modeled separately
+(``geometry.collision_pairs``); the DAG translates boxes without the
+drop — the §2.2-5 clipping quirk is likewise not replicated.
+
+Fan-out invariants (asserted by the ``augmentation_dag_counts`` query
+and the reference's own printouts, SURVEY.md §5.5): a negative patient
+yields 2·(5+5) = 20 variants, a positive 2·(5+25+25+5+25+5+5) = 190.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import geometry as geo
+
+
+@dataclass(frozen=True)
+class Stage:
+    stage: int
+    op: str
+    k: int
+    positives_only: bool
+
+
+STAGES: tuple[Stage, ...] = (
+    Stage(1, "shift_image", 5, False),
+    Stage(2, "shift_bbox", 25, True),
+    Stage(3, "scale_bbox", 25, True),
+    Stage(4, "scale_image", 5, False),
+    Stage(5, "scale_shift_bbox", 25, True),
+    Stage(6, "shift_image_shift_bbox", 5, True),
+    Stage(7, "scale_image_scale_shift_bbox", 5, True),
+)
+
+
+def _rand_int(*cols: Column, lo: int, hi: int, salt: str) -> Column:
+    """Deterministic pseudo-random int in [lo, hi], keyed on the given
+    columns — the engine's seeded-RNG convention for column expressions
+    (pixel kernels use image_kernels.seeded_rng with the same keying)."""
+    h = F.abs(F.xxhash64(F.lit(salt), *cols))
+    return (h % (hi - lo + 1) + lo).cast("int")
+
+
+def _apply_op_chain(df: DataFrame, stage: Stage, image_w: int,
+                    image_h: int) -> DataFrame:
+    """Apply the stage's box-geometry chain. Pixel halves are applied by
+    multimodal.apply_kernel when the pipeline carries pixels."""
+    out = df
+    key = [F.col("patient_id"), F.col("variant_i"), F.lit(stage.stage)]
+    chain = stage.op.split("_")
+    # interpret the op name the way the reference's function chain does
+    ops: list[str] = []
+    if stage.op == "shift_image":
+        ops = ["shift"]
+    elif stage.op == "shift_bbox":
+        ops = ["shift"]
+    elif stage.op == "scale_bbox":
+        ops = ["zoom"]
+    elif stage.op == "scale_image":
+        ops = ["affine"]
+    elif stage.op == "scale_shift_bbox":
+        ops = ["zoom", "shift"]
+    elif stage.op == "shift_image_shift_bbox":
+        ops = ["shift", "shift"]
+    elif stage.op == "scale_image_scale_shift_bbox":
+        ops = ["affine", "zoom", "shift"]
+    else:  # pragma: no cover
+        raise ValueError(f"unknown op {stage.op!r} ({chain})")
+    for step, op in enumerate(ops):
+        salt = f"{stage.op}:{step}"
+        x, y, w, h = (F.col(c) for c in ("x", "y", "width", "height"))
+        if op == "shift":
+            rx = _rand_int(*key, lo=-50, hi=50, salt=salt + ":x")
+            ry = _rand_int(*key, lo=-50, hi=50, salt=salt + ":y")
+            nx, ny = geo.shift_box(x, y, rx, ry)
+            out = out.withColumns({"x": nx, "y": ny})
+        elif op == "zoom":
+            rf = 1.0 + _rand_int(*key, lo=-8, hi=8, salt=salt) * 0.03125
+            nx, ny, nw, nh = geo.scale_bbox_recenter(x, y, w, h, rf)
+            out = out.withColumns(
+                {"x": nx, "y": ny, "width": nw, "height": nh}
+            )
+        elif op == "affine":
+            rf = 1.0 + _rand_int(*key, lo=-2, hi=2, salt=salt) * 0.03125
+            nx, ny, nw, nh = geo.scale_image_box_affine(
+                x, y, w, h, rf, image_w, image_h
+            )
+            out = out.withColumns(
+                {"x": nx, "y": ny, "width": nw, "height": nh}
+            )
+    return out
+
+
+def augment(patients: DataFrame, boxes: DataFrame, image_w: int = 1024,
+            image_h: int = 1024,
+            stages: tuple[Stage, ...] = STAGES) -> DataFrame:
+    """Run the full DAG over (patient_id, target) + per-box rows.
+
+    Returns one row per generated *box instance* for positives and one
+    row per generated image for box-less negatives, with: image_id,
+    patient_id, stage, op, variant_i, flipped, and transformed box
+    coords (null for negatives).
+    """
+    has_boxes = boxes.select("patient_id").distinct()
+    branches: list[DataFrame] = []
+    for st in stages:
+        src = patients.join(has_boxes, "patient_id", "left_semi") if st.positives_only else patients
+        fanned = (
+            src.select(
+                "patient_id",
+                F.explode(F.sequence(F.lit(0), F.lit(st.k - 1))).alias(
+                    "variant_i"
+                ),
+            )
+            .select(
+                "patient_id",
+                "variant_i",
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("flipped"),
+            )
+        )
+        with_boxes = fanned.join(boxes, "patient_id", "left")
+        transformed = _apply_op_chain(with_boxes, st, image_w, image_h)
+        flipped_x = F.when(
+            F.col("flipped") == 1,
+            geo.flip_box_x(F.col("x"), F.col("width"), image_w),
+        ).otherwise(F.col("x"))
+        branches.append(
+            transformed.withColumn("x", flipped_x).select(
+                F.concat_ws(
+                    "-",
+                    F.col("patient_id"),
+                    F.lit(st.op),
+                    F.when(F.col("flipped") == 1, F.lit("fl")).otherwise(
+                        F.lit("o")
+                    ),
+                    F.col("variant_i"),
+                    F.lit(str(st.stage)),
+                ).alias("image_id"),
+                "patient_id",
+                F.lit(st.stage).alias("stage"),
+                F.lit(st.op).alias("op"),
+                "variant_i",
+                "flipped",
+                "x",
+                "y",
+                "width",
+                "height",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

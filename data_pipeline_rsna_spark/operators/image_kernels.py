@@ -1,0 +1,113 @@
+"""Pixel kernels: the numpy halves of the augmentation operators.
+
+Plain-numpy implementations of the reference's pixel transforms
+(``generate_images_from_dicom.py``): exact integer translate with
+zero-fill (O14, ``:116-127``), horizontal flip (O15, ``:137``),
+cut-paste of a box region (O16, ``:155-165``), zoom of a region or the
+whole frame with center pad-or-crop (O17/O18, ``:191,211-243``).
+
+Divergence ledger (documented, intended-semantics):
+- The reference's ``ndimage.shift``/``ndimage.zoom`` are spline
+  interpolators; this engine translates exactly (slicing) and zooms by
+  nearest-neighbor index mapping. Geometry is identical; interpolated
+  gray values at non-integer grid points are not. scipy is not a
+  dependency of this engine.
+- All randomness is seeded per (image_id, variant) via
+  ``seeded_rng`` — the reference's unseeded ``random.*``
+  (``:117-118,148-153``) is nondeterministic and untestable.
+
+These functions run inside Arrow-batched pandas UDFs / mapInPandas
+(``multimodal.py``); they never touch Spark APIs themselves, so they are
+unit-testable without a session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def seeded_rng(image_id: str, variant: int, op: str) -> np.random.Generator:
+    """Deterministic per-(id, variant, op) generator: the engine's RNG
+    convention (SURVEY.md §7 ground rules)."""
+    key = f"{image_id}|{op}|{variant}".encode()
+    seed = int.from_bytes(hashlib.sha256(key).digest()[:8], "big")
+    return np.random.default_rng(seed)
+
+
+def shift_image(arr: np.ndarray, rx: int, ry: int) -> np.ndarray:
+    """Exact translate by (rx, ry) with zero fill. rx shifts columns
+    (x-axis), ry shifts rows (y-axis) — the reference's convention."""
+    out = np.zeros_like(arr)
+    h, w = arr.shape[:2]
+    src_y = slice(max(0, -ry), min(h, h - ry))
+    src_x = slice(max(0, -rx), min(w, w - rx))
+    dst_y = slice(max(0, ry), min(h, h + ry))
+    dst_x = slice(max(0, rx), min(w, w + rx))
+    out[dst_y, dst_x] = arr[src_y, src_x]
+    return out
+
+
+def flip_image(arr: np.ndarray) -> np.ndarray:
+    return np.fliplr(arr)
+
+
+def zoom_nearest(arr: np.ndarray, rf: float) -> np.ndarray:
+    """Nearest-neighbor zoom to (round(h*rf), round(w*rf))."""
+    h, w = arr.shape[:2]
+    nh, nw = max(1, round(h * rf)), max(1, round(w * rf))
+    yi = np.minimum((np.arange(nh) / rf).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(nw) / rf).astype(np.int64), w - 1)
+    return arr[np.ix_(yi, xi)]
+
+
+def scale_image(arr: np.ndarray, rf: float) -> np.ndarray:
+    """Whole-image zoom, then center pad (shrink) or center crop (grow)
+    back to the original dims — reference ``:219-243``."""
+    h, w = arr.shape[:2]
+    z = zoom_nearest(arr, rf)
+    zh, zw = z.shape[:2]
+    out = np.zeros_like(arr)
+    if zh <= h:
+        oy, ox = (h - zh) // 2, (w - zw) // 2
+        out[oy : oy + zh, ox : ox + zw] = z
+    else:
+        cy, cx = (zh - h) // 2, (zw - w) // 2
+        out[:, :] = z[cy : cy + h, cx : cx + w]
+    return out
+
+
+def cut_paste_box(arr: np.ndarray, box: tuple[int, int, int, int],
+                  rx: int, ry: int) -> np.ndarray:
+    """O16 pixel half: cut the box region (zeroing the source) and paste
+    it at the shifted location, clipped to the frame."""
+    x, y, w, h = box
+    H, W = arr.shape[:2]
+    region = arr[y : y + h, x : x + w].copy()
+    out = arr.copy()
+    out[y : y + h, x : x + w] = 0
+    nx, ny = x + rx, y + ry
+    px0, py0 = max(0, nx), max(0, ny)
+    px1, py1 = min(W, nx + w), min(H, ny + h)
+    if px1 > px0 and py1 > py0:
+        out[py0:py1, px0:px1] = region[
+            py0 - ny : py1 - ny, px0 - nx : px1 - nx
+        ]
+    return out
+
+
+def zoom_box_region(arr: np.ndarray, box: tuple[int, int, int, int],
+                    rf: float) -> np.ndarray:
+    """O17 pixel half: zoom the box's cutout and re-center it about the
+    box center, clamped to the frame (reference ``:191-204``)."""
+    x, y, w, h = box
+    H, W = arr.shape[:2]
+    z = zoom_nearest(arr[y : y + h, x : x + w], rf)
+    nh, nw = z.shape[:2]
+    nx = max(0, int(x + w / 2 - nw / 2))
+    ny = max(0, int(y + h / 2 - nh / 2))
+    out = arr.copy()
+    px1, py1 = min(W, nx + nw), min(H, ny + nh)
+    out[ny:py1, nx:px1] = z[: py1 - ny, : px1 - nx]
+    return out

@@ -1189,3 +1189,241 @@ def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = es.read_events_stream(spark, sf_dir)
     return es.run_bounded(es.hourly_type_agg_stream(stream))
+
+
+# ---------------------------------------------------------------------------
+# O14-O18 box geometry (SQL halves) + O16 collision theta-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "box_geometry_transforms",
+    oracle=f"""
+    WITH boxes AS ({_BOXES_FROM_LINEITEM_SQL}),
+    params AS (
+        SELECT patient_id, box_id, x, y, width, height,
+               (box_id % 21) - 10 AS rx,
+               (box_id % 15) - 7 AS ry,
+               1.0 + ((box_id % 5) - 2) * 0.03125 AS rf
+        FROM boxes
+    )
+    SELECT patient_id, box_id,
+           x + rx AS shift_x,
+           y + ry AS shift_y,
+           1024 - x - width AS flip_x,
+           CAST(round(rf * (x - 512.0) + 512.0) AS INTEGER) AS affine_x,
+           CAST(round(rf * (y - 512.0) + 512.0) AS INTEGER) AS affine_y,
+           CAST(round(rf * width) AS INTEGER) AS affine_w,
+           CAST(round(rf * height) AS INTEGER) AS affine_h,
+           GREATEST(0, CAST(trunc(x + width/2.0 - round(width*rf)/2.0) AS INTEGER)) AS zoom_x,
+           GREATEST(0, CAST(trunc(y + height/2.0 - round(height*rf)/2.0) AS INTEGER)) AS zoom_y
+    FROM params
+    """,
+    doc="O14/O15/O17/O18 box arithmetic (generate_images_from_dicom.py:"
+    "124-125,135,193-206,245-250): shift, horizontal flip, whole-image "
+    "affine about center, per-box zoom recenter+clamp - all pure Column "
+    "expressions, deterministic offsets keyed on box_id.",
+    tags=("geometry",),
+)
+def q_box_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import geometry as geo
+
+    boxes = _boxes_from_lineitem(spark, sf_dir)
+    rx = (F.col("box_id") % 21 - 10).cast("int")
+    ry = (F.col("box_id") % 15 - 7).cast("int")
+    rf = 1.0 + ((F.col("box_id") % 5) - 2) * 0.03125
+    x, y, w, h = F.col("x"), F.col("y"), F.col("width"), F.col("height")
+    sx, sy = geo.shift_box(x, y, rx, ry)
+    ax, ay, aw, ah = geo.scale_image_box_affine(x, y, w, h, rf, 1024, 1024)
+    zx, zy, _, _ = geo.scale_bbox_recenter(x, y, w, h, rf)
+    return boxes.select(
+        "patient_id",
+        "box_id",
+        sx.alias("shift_x"),
+        sy.alias("shift_y"),
+        geo.flip_box_x(x, w, 1024).alias("flip_x"),
+        ax.alias("affine_x"),
+        ay.alias("affine_y"),
+        aw.alias("affine_w"),
+        ah.alias("affine_h"),
+        zx.alias("zoom_x"),
+        zy.alias("zoom_y"),
+    )
+
+
+@register(
+    "box_collision_join",
+    oracle=f"""
+    WITH boxes AS ({_BOXES_FROM_LINEITEM_SQL})
+    SELECT a.patient_id AS patient_id, a.box_id AS box_a, b.box_id AS box_b
+    FROM boxes a
+    JOIN boxes b ON a.patient_id = b.patient_id AND a.box_id <> b.box_id
+    WHERE (b.x <= a.x AND a.x < b.x + b.width
+           AND b.y <= a.y AND a.y < b.y + b.height)
+       OR (b.x <= a.x + a.width AND a.x + a.width < b.x + b.width
+           AND b.y <= a.y AND a.y < b.y + b.height)
+       OR (b.x <= a.x AND a.x < b.x + b.width
+           AND b.y <= a.y + a.height AND a.y + a.height < b.y + b.height)
+       OR (b.x <= a.x + a.width AND a.x + a.width < b.x + b.width
+           AND b.y <= a.y + a.height AND a.y + a.height < b.y + b.height)
+    """,
+    doc="O16 collision predicate (generate_images_from_dicom.py:144-145,"
+    "158-163) as a within-patient self theta-join: corner-in-rectangle "
+    "test. Equi-join on patient_id bounds the quadratic blow-up to "
+    "per-patient box counts.",
+    tags=("geometry",),
+)
+def q_box_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import geometry as geo
+
+    boxes = _boxes_from_lineitem(spark, sf_dir)
+    return geo.collision_pairs(boxes, "patient_id")
+
+
+# ---------------------------------------------------------------------------
+# X7 — multimodal columns: pandas-UDF pixel pipeline with a closed-form
+# oracle (pixel[i] = (img_id*31 + i*7) % 256, so DuckDB recomputes the
+# statistics the Python workers produce — the UDF plumbing is value-checked,
+# not just rows-counted).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_pixel_stats",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 31 + i.i * 7) % 256 AS v
+        FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+    )
+    SELECT img_id,
+           sum(v) AS sum_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="X7 multimodal pipeline: binary pixel column + metadata -> "
+    "mapInPandas feature extraction (Arrow batches, numpy inside). The "
+    "deterministic synthetic corpus makes the Python-worker path "
+    "value-checkable against SQL.",
+    tags=("multimodal",),
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    return mm.pixel_stats(mm.synth_images(spark, n=200, height=16, width=16))
+
+
+@register(
+    "multimodal_augmented_stats",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 31 + i.i * 7) % 256 AS v
+        FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+    )
+    SELECT img_id,
+           sum(v) AS sum_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="X7+O15 flip-involution through the full UDF pipeline: "
+    "flip(flip(img)) must reproduce every source pixel, so stats after a "
+    "double flip equal the closed-form oracle of the source corpus - an "
+    "end-to-end value check on kernel application.",
+    tags=("multimodal",),
+)
+def q_multimodal_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images(spark, n=200, height=16, width=16)
+    flipped_twice = mm.apply_kernel(mm.apply_kernel(imgs, "flip"), "flip")
+    return mm.pixel_stats(flipped_twice)
+
+
+# ---------------------------------------------------------------------------
+# O19/O20/O21 — the full 7-stage augmentation DAG; O33 — sharded sink.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "augmentation_dag_counts",
+    oracle=f"""
+    WITH labels AS ({_LABELS_FROM_LINEITEM_SQL}),
+    patients AS (
+        SELECT patient_id, max(target) AS target FROM labels GROUP BY patient_id
+    ),
+    nb AS (
+        SELECT patient_id, count(*) AS n_boxes
+        FROM labels WHERE CAST(target AS INTEGER) <> 0 GROUP BY patient_id
+    ),
+    eligible AS (
+        SELECT p.patient_id, s.stage, s.k, COALESCE(nb.n_boxes, 1) AS rows_per_img
+        FROM patients p
+        CROSS JOIN (VALUES (1,5,0),(2,25,1),(3,25,1),(4,5,0),(5,25,1),(6,5,1),(7,5,1))
+             AS s(stage, k, pos_only)
+        LEFT JOIN nb ON nb.patient_id = p.patient_id
+        WHERE s.pos_only = 0 OR CAST(p.target AS INTEGER) <> 0
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_patients,
+           CAST(sum(k) * 2 AS BIGINT) AS n_images,
+           CAST(sum(k * rows_per_img) * 2 AS BIGINT) AS n_rows
+    FROM eligible GROUP BY stage
+    """,
+    doc="O19+O20+O21 full 7-stage augmentation DAG as ONE lazy plan "
+    "(vs the reference's 7 rescans, generate_images_from_dicom.py:"
+    "282-561): per-stage patient eligibility, explode fan-out x flip "
+    "twin, synthetic ids, unionByName. Checked invariants: 20 variants "
+    "per negative / 190 per positive, id uniqueness, box-row fan-out.",
+    tags=("core", "headline"),
+)
+def q_augmentation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import augmentation as aug
+
+    labels = labels_ops.typed_labels(_lineitem_as_raw_labels(spark, sf_dir))
+    patients = labels_ops.captions_per_patient(labels)
+    boxes = labels_ops.positive_boxes(labels).select(
+        "patient_id", "x", "y", "width", "height"
+    )
+    out = aug.augment(patients, boxes)
+    return out.groupBy("stage").agg(
+        F.countDistinct("patient_id").alias("n_patients"),
+        F.countDistinct("image_id").alias("n_images"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "shard_assignment",
+    oracle="""
+    WITH numbered AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        FROM orders
+    )
+    SELECT CAST(rn % 32 AS INTEGER) AS shard,
+           count(*) AS n,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM numbered GROUP BY 1
+    """,
+    doc="O33 round-robin shard assignment (images_to_tfrecord.py:252: "
+    "idx % num_shards, 32 val shards): faithful modulo-of-global-index "
+    "semantics; hash_shards is the scale path.",
+    tags=("core",),
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sinks import sharded
+
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey")
+    return sharded.roundrobin_shards(orders, "o_orderkey", 32).groupBy(
+        "shard"
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

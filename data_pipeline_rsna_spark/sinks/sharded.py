@@ -1,0 +1,41 @@
+"""Sharded sinks (SURVEY.md O33).
+
+The reference writes records round-robin across N open writers
+(``images_to_tfrecord.py:228-231,252``: shard = idx % num_shards, 256
+train / 32 val). In Spark the same outcome is a repartition + per-
+partition file write; two strategies:
+
+- ``roundrobin_shards``: faithful semantics — a global row index modulo
+  N. Needs a total order (single-partition window), so it's the
+  small-metadata path, not the 100 TB path.
+- ``hash_shards`` / ``write_sharded``: the scale path — hash-partition
+  (or Spark's own round-robin ``repartition(n)``) and write; shard
+  membership is not idx-deterministic but shard *balance* and count are,
+  which is all the sink contract requires (SURVEY.md: exact
+  shard-assignment parity is a non-goal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roundrobin_shards(df: DataFrame, order_col: str, num_shards: int) -> DataFrame:
+    """Faithful O33: shard = (rank in global order) % num_shards."""
+    rn = F.row_number().over(Window.orderBy(order_col)) - 1
+    return df.withColumn("shard", F.pmod(rn, F.lit(num_shards)).cast("int"))
+
+
+def hash_shards(df: DataFrame, key_col: str, num_shards: int) -> DataFrame:
+    """Scale path: stable per-key shard, no global sort, no shuffle."""
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards)).cast("int")
+    )
+
+
+def write_sharded(df: DataFrame, path: str, num_shards: int,
+                  fmt: str = "parquet") -> None:
+    """Materialize as exactly num_shards files. ``repartition(n)`` is
+    Spark's round-robin exchange — balanced shards without a sort."""
+    df.repartition(num_shards).write.mode("overwrite").format(fmt).save(path)

@@ -1,0 +1,175 @@
+"""TFRecord sink without TensorFlow (SURVEY.md O31/O33/O35).
+
+Both layers of the format are public specifications:
+
+- **tf.train.Example** is a protobuf message; the wire format is the
+  standard protobuf encoding (varints + length-delimited fields). The
+  reference builds these with TF helper constructors
+  (``dataset_util.py:21-38``, ``images_to_tfrecord.py:135-169``); here
+  they are encoded directly.
+- **TFRecord framing** is ``uint64 length | uint32 masked_crc(length) |
+  payload | uint32 masked_crc(payload)`` with CRC32C and the mask
+  ``((crc >> 15) | (crc << 17)) + 0xa282ead8``.
+
+In production, prefer the ``spark-tensorflow-connector`` format provider
+when its jar is on the classpath; this module is the dependency-free
+fallback and the byte-level ground truth for tests.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterable
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli), table-driven
+# ---------------------------------------------------------------------------
+
+_CRC32C_POLY = 0x82F63B78
+_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire encoding for tf.train.Example
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _bytes_list(values: Iterable[bytes]) -> bytes:
+    # BytesList { repeated bytes value = 1; }
+    return b"".join(_len_delim(1, v) for v in values)
+
+
+def _int64_list(values: Iterable[int]) -> bytes:
+    # Int64List { repeated int64 value = 1 [packed=true]; }
+    packed = b"".join(_varint(v & 0xFFFFFFFFFFFFFFFF) for v in values)
+    return _len_delim(1, packed)
+
+
+def _float_list(values: Iterable[float]) -> bytes:
+    # FloatList { repeated float value = 1 [packed=true]; }
+    packed = b"".join(struct.pack("<f", v) for v in values)
+    return _len_delim(1, packed)
+
+
+def encode_feature(value: list) -> bytes:
+    """Feature { oneof: BytesList=1, FloatList=2, Int64List=3 } — the
+    dataset_util.py:21-38 constructors, chosen by element type."""
+    if not value:
+        return _len_delim(3, _int64_list([]))
+    v0 = value[0]
+    if isinstance(v0, bytes):
+        return _len_delim(1, _bytes_list(value))
+    if isinstance(v0, str):
+        return _len_delim(1, _bytes_list([s.encode("utf8") for s in value]))
+    if isinstance(v0, float):
+        return _len_delim(2, _float_list(value))
+    if isinstance(v0, int):
+        return _len_delim(3, _int64_list(value))
+    raise TypeError(f"unsupported feature element type {type(v0).__name__}")
+
+
+def encode_example(features: dict[str, list]) -> bytes:
+    """Example { Features features = 1 }; Features { map<string,Feature>
+    features = 1 }. Map entries are encoded as repeated (key=1, value=2)
+    submessages, sorted by key for deterministic output."""
+    entries = b""
+    for name in sorted(features):
+        entry = _len_delim(1, name.encode("utf8")) + _len_delim(
+            2, encode_feature(features[name])
+        )
+        entries += _len_delim(1, entry)
+    return _len_delim(1, entries)
+
+
+# ---------------------------------------------------------------------------
+# TFRecord framing + partition writer
+# ---------------------------------------------------------------------------
+
+
+def frame_record(payload: bytes) -> bytes:
+    header = struct.pack("<Q", len(payload))
+    return (
+        header
+        + struct.pack("<I", _masked_crc(header))
+        + payload
+        + struct.pack("<I", _masked_crc(payload))
+    )
+
+
+def read_tfrecords(path: str) -> list[bytes]:
+    """Frame-level reader (verifies CRCs) — the test-side ground truth."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                return out
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            assert hcrc == _masked_crc(header), "corrupt length crc"
+            payload = f.read(length)
+            (pcrc,) = struct.unpack("<I", f.read(4))
+            assert pcrc == _masked_crc(payload), "corrupt payload crc"
+            out.append(payload)
+
+
+def write_tfrecord_shards(df, out_dir: str, num_shards: int,
+                          to_features) -> None:
+    """O33: ``df.repartition(n)`` then one ``-%05d-of-%05d.tfrecord`` file
+    per partition (the reference's shard filename pattern,
+    images_to_tfrecord.py:229). ``to_features(row) -> dict[str, list]``
+    maps a row to its Example feature dict. Runs on executors via
+    foreachPartition — no driver materialization."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(
+            out_dir, f"data-{pid:05d}-of-{num_shards:05d}.tfrecord"
+        )
+        with open(fname, "wb") as f:
+            for row in it:
+                f.write(frame_record(encode_example(to_features(row))))
+
+    df.repartition(num_shards).foreachPartition(write_partition)
