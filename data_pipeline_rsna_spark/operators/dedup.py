@@ -52,9 +52,19 @@ def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
 
 def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3) -> DataFrame:
-    """One row per (doc, distinct shingle). The inverted-index base."""
+    """One row per (doc, distinct shingle). The inverted-index base.
+
+    Repartitions by ``id_col`` first: shingling + per-shingle hashing is
+    the CPU-bound hot path, and a small parquet (or a coalesced upstream)
+    can arrive in far fewer partitions than cores. Hash-partitioning on
+    the doc id spreads that work AND already satisfies the
+    ``groupBy(id_col)`` distribution every consumer needs, so Catalyst
+    plans no second exchange — the shuffle count is unchanged, it just
+    moves before the expensive projection."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.filter(F.size(tokens_col(text_col)) >= n)
+        docs.repartition(n_parts, id_col)
+        .filter(F.size(tokens_col(text_col)) >= n)
         .select(id_col, F.explode(shingles_col(text_col, n)).alias("shingle"))
     )
 
@@ -98,36 +108,51 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 12,
                        shingle_n: int = 3) -> DataFrame:
-    """(doc, i, minhash_i) for i in 0..H-1: min over shingles of
-    md5(i || '|' || shingle). The explode×H blow-up stays inside tasks
-    (narrow) until the groupBy, which shuffles (doc, i) pairs — H·|docs|
-    rows of ~50 bytes, independent of document length."""
+    """Wide-form signatures: (doc, mh0..mh{H-1}), mh_i = min over shingles
+    of md5(i || '|' || shingle).
+
+    One ``groupBy(doc)`` carrying H min-aggregations — NOT an explode to
+    (doc, i) rows. The H mins partial-aggregate map-side (hash-agg
+    combine), so the single shuffle moves exactly |docs| rows of H×32-hex
+    strings regardless of document length or H. (The earlier narrow form
+    shuffled H·|shingles| rows and needed a second shuffle to band — 3×
+    slower at sf0.1.)"""
     sh = exploded_shingles(docs, id_col, text_col, shingle_n)
-    hashed = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        "shingle",
-    ).select(
-        id_col,
-        "i",
-        F.md5(F.concat_ws("|", F.col("i").cast("string"), F.col("shingle"))).alias("h"),
-    )
-    return hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
-                     rows_per_band: int = 2) -> DataFrame:
-    """Fold (doc, i, mh) into (doc, band, band_hash). Docs agreeing on ALL
-    rows of a band share a band_hash → candidate pair."""
-    return (
-        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(F.sort_array(F.collect_list(F.struct("i", "mh"))).mh, "|")
-            ).alias("band_hash")
-        )
+                     num_hashes: int = 12, rows_per_band: int = 2) -> DataFrame:
+    """(doc, band, band_hash) from wide signatures. Docs agreeing on ALL
+    rows of a band share a band_hash → candidate pair. Pure narrow ops:
+    band hashes are column expressions, the unpivot is an explode."""
+    n_bands = num_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    return signatures.select(
+        id_col, F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.band_hash")
 
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
@@ -140,8 +165,14 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     bands = lsh_band_buckets(
         minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n),
         id_col,
+        num_hashes,
         rows_per_band,
     )
+    # self-join: without materialization BOTH sides recompute the whole
+    # corpus→shingle→signature pipeline. The band table is tiny (n_docs ×
+    # n_bands × 32-hex) so persist it — MEMORY_AND_DISK spills rather than
+    # OOMs at scale
+    bands = bands.persist()
     a = bands.select(
         F.col(id_col).alias("doc_a"), "band", "band_hash"
     )
@@ -176,24 +207,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     sh = exploded_shingles(docs, id_col, text_col, shingle_n).withColumn(
         "h", F.md5("shingle")
     )
-    votes = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        "h",
-    ).select(
-        id_col,
-        "j",
-        F.when(F.substring("h", F.col("j") + 1, 1) >= "8", 1)
-        .otherwise(-1)
-        .alias("vote"),
-    )
-    bit = (F.sum("vote") > 0).cast("long")
-    per_bit = votes.groupBy(id_col, "j").agg(bit.alias("bit"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("j")).cast("long")).alias(
-            "simhash"
-        )
-    )
+    # One groupBy(doc) with 32 vote-sum aggregations (map-side partial
+    # agg) instead of a 32× row explode + two shuffles: the single
+    # shuffle moves |docs| rows of 32 ints, independent of doc length.
+    vote_j = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = sh.groupBy(id_col).agg(*vote_j)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = (F.col(f"v{j}") > 0).cast("long") * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return votes.select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -222,7 +250,7 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
             / F.pow(F.lit(2.0), F.col("blk") * block_bits).cast("long")
         ).cast("long")
         % (1 << block_bits),
-    )
+    ).persist()  # self-join below would otherwise recompute the signature
     a = blocks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
         "blk", "blk_val",
@@ -258,7 +286,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     docs contributes k² join rows, so ubiquitous shingles are the skew
     risk — at scale, drop shingles with document frequency above a cap
     (they contribute near-zero Jaccard evidence anyway)."""
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n)
+    # shingle rows feed the self-join twice plus the sizes agg — persist
+    # one copy instead of shingling the corpus three times
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -88,14 +88,24 @@ def patient_annotations(labels: DataFrame) -> DataFrame:
     """The full ``create_maps`` product as one DataFrame: every patient,
     its target, its box count and boxes (empty array when negative —
     mirroring the defaultdict behavior of reference ``:16`` without the
-    silent-empty-entry quirk of SURVEY.md §2.2(9))."""
-    boxes = boxes_per_patient(labels)
-    captions = captions_per_patient(labels)
-    return captions.join(boxes, "patient_id", "left").select(
+    silent-empty-entry quirk of SURVEY.md §2.2(9)).
+
+    Fused single-pass form: one scan + ONE shuffle on patient_id computes
+    both aggregations — ``collect_list`` drops nulls, so gating the box
+    behind the positives predicate (O3) makes the separate boxes/captions
+    branches (two scans, two shuffles, a join) unnecessary. This is also
+    exactly how the reference builds both maps in one loop
+    (generate_images_from_dicom.py:24-35)."""
+    box_if_positive = F.when(
+        F.col("target").cast("int") != 0,
+        F.array("x", "y", "width", "height"),
+    )
+    return labels.groupBy("patient_id").agg(
+        F.max("target").alias("target"),
+        F.sort_array(F.collect_list(box_if_positive)).alias("boxes"),
+    ).select(
         "patient_id",
         "target",
-        F.coalesce(F.size("boxes"), F.lit(0)).alias("n_boxes"),
-        F.coalesce(
-            "boxes", F.lit([]).cast("array<array<int>>")
-        ).alias("boxes"),
+        F.size("boxes").alias("n_boxes"),
+        "boxes",
     )

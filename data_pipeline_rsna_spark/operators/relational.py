@@ -15,6 +15,53 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def global_row_number(
+    df: DataFrame, order_col: str, out_col: str = "rn", partitions: int | None = None
+) -> DataFrame:
+    """Scalable deterministic global 1-based rank by ``order_col``.
+
+    A bare ``row_number().over(Window.orderBy(c))`` collapses the whole
+    dataset into ONE task (Spark's WindowExec warns about exactly this) —
+    correct at test scale, fatal at 100 TB. This is the two-phase form:
+
+    1. range-partition + sort within partitions on ``order_col`` (a
+       parallel total order: every value in partition i ≤ partition i+1),
+    2. per-partition local ``row_number``,
+    3. add each partition's start offset, computed from the tiny
+       (#partitions rows) per-partition counts and broadcast back.
+
+    Exact sampling boundaries of the range partitioner don't affect the
+    result — the rank depends only on the total order, which any boundary
+    placement preserves. ``order_col`` must be unique for a stable rank.
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    part = (
+        df.repartitionByRange(int(n), F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("_pid").orderBy(order_col)
+    ranked = part.withColumn("_local_rn", F.row_number().over(local_w))
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # offsets = exclusive prefix sum over the #partitions-row counts table
+    # (metadata, not data): a triangular self-join on this tiny table
+    # beats a global window, which would drag the plan through a
+    # single-partition WindowExec
+    earlier = counts.select(
+        F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2")
+    )
+    offsets = (
+        counts.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_offset"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("int"))
+        .drop("_pid", "_local_rn", "_offset")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     order_col: str,
@@ -28,18 +75,23 @@ def deterministic_split(
     nondeterministic. ``bug_compat_off_by_one`` reproduces the
     reference's ``index < training_size - 1`` (one row short, ``:78``).
 
-    Scale note: ``row_number`` over a global order is a single-partition
-    sort — fine for a per-dataset split decision (one pass, then the
-    column is materialized), but at 100 TB prefer ``hash_split``, which
-    is embarrassingly parallel and stable under re-partitioning.
+    Uses the parallel ``global_row_number`` (no single-partition sort);
+    at 100 TB prefer ``hash_split``, which needs no shuffle at all and is
+    stable under re-partitioning.
     """
-    w = Window.orderBy(order_col)
-    cutoff = F.round(F.count("*").over(Window.partitionBy()) * train_frac)
+    cutoff_df = df.agg(
+        F.round(F.count("*") * train_frac).cast("int").alias("_cutoff")
+    )
     if bug_compat_off_by_one:
-        cutoff = cutoff - 1
-    return df.withColumn(
-        "split",
-        F.when(F.row_number().over(w) <= cutoff, "train").otherwise("val"),
+        cutoff_df = cutoff_df.select((F.col("_cutoff") - 1).alias("_cutoff"))
+    ranked = global_row_number(df, order_col, "_rn")
+    return (
+        ranked.join(F.broadcast(cutoff_df))
+        .withColumn(
+            "split",
+            F.when(F.col("_rn") <= F.col("_cutoff"), "train").otherwise("val"),
+        )
+        .drop("_rn", "_cutoff")
     )
 
 

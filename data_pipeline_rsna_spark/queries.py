@@ -728,15 +728,25 @@ _SHINGLES_SQL = f"""
 
 
 def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one scan, not a 3-branch union of the same parquet: each row emits
+    # itself plus (for 1-in-10 ids) a planted exact or near duplicate —
+    # explode is narrow, so the plant costs zero extra I/O and no shuffle
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 200000).alias("doc_id"), F.col("text")),
+        F.struct(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        ),
     )
-    near = docs.filter(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    keep = F.filter(
+        variants,
+        lambda v, i: (i == 0)
+        | ((i == 1) & (F.col("doc_id") % 10 == 0))
+        | ((i == 2) & (F.col("doc_id") % 10 == 5)),
     )
-    return docs.unionByName(exact).unionByName(near)
+    return docs.select(F.explode(keep).alias("v")).select("v.doc_id", "v.text")
 
 
 @register(

@@ -17,14 +17,20 @@ partition file write; two strategies:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.relational import global_row_number
 
 
 def roundrobin_shards(df: DataFrame, order_col: str, num_shards: int) -> DataFrame:
-    """Faithful O33: shard = (rank in global order) % num_shards."""
-    rn = F.row_number().over(Window.orderBy(order_col)) - 1
-    return df.withColumn("shard", F.pmod(rn, F.lit(num_shards)).cast("int"))
+    """Faithful O33: shard = (rank in global order) % num_shards.
+    Rank comes from the parallel two-phase ``global_row_number`` — no
+    single-partition WindowExec."""
+    ranked = global_row_number(df, order_col, "_rn")
+    return ranked.withColumn(
+        "shard", F.pmod(F.col("_rn") - 1, F.lit(num_shards)).cast("int")
+    ).drop("_rn")
 
 
 def hash_shards(df: DataFrame, key_col: str, num_shards: int) -> DataFrame:
