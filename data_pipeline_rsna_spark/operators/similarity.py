@@ -92,6 +92,103 @@ def cosine_topk(
     )
 
 
+def srp_sign_vectors(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes for signed-random-
+    projection LSH: sign(h, j) = +1 iff the first hex digit of
+    md5("h|j") >= '8'. Using md5 parity instead of a seeded RNG makes the
+    hyperplanes reproducible in ANY engine with md5 — the same trick the
+    portable MinHash/SimHash sketches use (dedup.py) — so a DuckDB oracle
+    can re-derive identical signatures."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{h}|{j}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for j in range(dim)
+        ]
+        for h in range(n_bits)
+    ]
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (X2e).
+
+    Scale path for "are these two vectors the same item": an SRP
+    signature (n_bits sign bits of deterministic ±1 hyperplane dots) is
+    computed JVM-side per row; candidate pairs come from a pigeonhole
+    block join (any pair within ``max_hamming`` flipped bits agrees on
+    one of ``max_hamming+1`` signature blocks), then candidates are
+    verified with the exact cosine — blocking affects cost, never
+    results. Cost is candidate-bound like the MinHash path, not O(n²).
+
+    Returns (doc_a, doc_b, cosine) with cosine >= threshold, doc_a < doc_b.
+    """
+    signs = srp_sign_vectors(n_bits, dim)
+    ve = as_double_array(vec_col)
+    bit_cols = [
+        (
+            dot(ve, F.array(*[F.lit(s) for s in signs[h]])) > 0
+        ).cast("long")
+        for h in range(n_bits)
+    ]
+    n_blocks = max_hamming + 1
+    bits_per_block = n_bits // n_blocks
+    block_vals = [
+        sum(
+            bit_cols[b * bits_per_block + r] * (1 << r)
+            for r in range(bits_per_block)
+        )
+        for b in range(n_blocks)
+    ]
+    sig = corpus.select(
+        F.col(id_col),
+        ve.alias("_ve"),
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("blk"), block_vals[b].alias("blk_val"))
+                for b in range(n_blocks)
+            ]
+        ).alias("_blocks"),
+    ).withColumn("_norm", l2_norm(F.col("_ve")))
+    blocks = sig.select(
+        id_col, "_ve", "_norm", F.explode("_blocks").alias("bb")
+    ).select(id_col, "_ve", "_norm", "bb.blk", "bb.blk_val")
+    blocks = blocks.persist()  # self-join below: materialize once
+    a = blocks.select(
+        F.col(id_col).alias("doc_a"), F.col("_ve").alias("_va"),
+        F.col("_norm").alias("_na"), "blk", "blk_val",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("doc_b"), F.col("_ve").alias("_vb"),
+        F.col("_norm").alias("_nb"), "blk", "blk_val",
+    )
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_va", "_vb", "_na", "_nb")
+        .distinct()
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 @dataclass
 class IvfIndex:
     """IVF index state: the corpus with a ``cluster`` column + centroids."""

@@ -1437,3 +1437,97 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X2e — embedding-cosine near-duplicate detection (SRP-LSH + exact verify)
+# ---------------------------------------------------------------------------
+
+from .operators.similarity import srp_sign_vectors as _srp_signs  # noqa: E402
+
+_SRP_BITS, _SRP_DIM, _SRP_BLOCKS = 16, 64, 4
+_SIGNS = _srp_signs(_SRP_BITS, _SRP_DIM)
+
+
+def _srp_sql_blocks() -> str:
+    """blk0..blk3 expressions: 4 bits each from ±1-hyperplane dot signs."""
+    bits_per = _SRP_BITS // _SRP_BLOCKS
+    blocks = []
+    for b in range(_SRP_BLOCKS):
+        terms = []
+        for r in range(bits_per):
+            h = b * bits_per + r
+            arr = "[" + ", ".join(str(s) for s in _SIGNS[h]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(ve, {arr}) > 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+            )
+        blocks.append(" + ".join(terms) + f" AS blk{b}")
+    return ",\n           ".join(blocks)
+
+
+_VECTOR_CORPUS_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, list_concat([ve[1] + 0.05], ve[2:])
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+    WHERE vec_id % 10 = 0
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS ({_VECTOR_CORPUS_SQL}),
+    sig AS (
+        SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS norm,
+           {{blocks}}
+        FROM corpus
+    ),
+    blocks AS (
+        SELECT vec_id, ve, norm, blk,
+               CASE blk WHEN 0 THEN blk0 WHEN 1 THEN blk1
+                        WHEN 2 THEN blk2 ELSE blk3 END AS blk_val
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM blocks a
+        JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
+                     AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               round(list_dot_product(ca.ve, cb.ve) / (ca.norm * cb.norm), 6)
+                   AS cosine
+        FROM cand
+        JOIN sig ca ON ca.vec_id = doc_a
+        JOIN sig cb ON cb.vec_id = doc_b
+    )
+    SELECT doc_a, doc_b, cosine FROM verified WHERE cosine >= 0.995
+    """.format(blocks=_srp_sql_blocks()),
+    doc="X2e embedding-cosine near-dup: 16-bit signed-random-projection "
+    "signatures (deterministic md5-parity Rademacher hyperplanes, "
+    "portable across engines), pigeonhole block join (max hamming 3 -> "
+    "4 blocks), exact cosine verification at 0.995. Candidate-bound cost "
+    "like MinHash-LSH, never O(n^2); blocking affects cost, not results.",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.05)),
+            F.slice("embedding", 2, _SRP_DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return sim.embedding_neardup_pairs(
+        corpus, threshold=0.995, n_bits=_SRP_BITS, max_hamming=3,
+        dim=_SRP_DIM,
+    )

@@ -41,3 +41,21 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # nprobe=4/16 cells; random 64-d embeddings cluster weakly, so demand
     # a loose-but-meaningful floor
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_embedding_neardup_finds_planted(spark):
+    import math
+
+    base = [[math.cos(i * 0.37 + d) for d in range(8)] for i in range(20)]
+    norm = [[x / math.sqrt(sum(v * v for v in row)) for x in row] for row in base]
+    rows = [(i, norm[i]) for i in range(20)]
+    # plant: id 100+i = id i with a tiny first-coordinate nudge
+    rows += [(100 + i, [norm[i][0] + 0.02] + norm[i][1:]) for i in (3, 7)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sim.embedding_neardup_pairs(
+        emb, threshold=0.995, n_bits=16, max_hamming=3, dim=8
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (3, 103) in pairs and (7, 107) in pairs
+    for r in got:
+        assert r.cosine >= 0.995
