@@ -1531,3 +1531,110 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=0.995, n_bits=_SRP_BITS, max_hamming=3,
         dim=_SRP_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# O36 / O25 / O12+O23 — examples-list scan, metadata projection, JSON sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "examples_list_tokens",
+    oracle="""
+    SELECT split_part(trim(o_orderkey || '  ' || o_orderpriority), ' ', 1)
+               AS example_id,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="O36 examples-list text scan (dataset_util.py:41-56): lines -> "
+    "first whitespace token. Line content synthesized from orders "
+    "(id + space + noise) so the token-extraction semantics are "
+    "oracle-checked; the file-based reader is sources.readers."
+    "read_examples_list, unit-tested on real text files.",
+    tags=("core",),
+)
+def q_examples_list_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import readers
+
+    orders = tables.load(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(
+            "  ", F.col("o_orderkey").cast("string"), F.col("o_orderpriority")
+        ).alias("value")
+    )
+    return (
+        lines.select(readers.first_token("value").alias("example_id"))
+        .groupBy("example_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "image_metadata_projection",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           1024 AS height, 1024 AS width,
+           'train_images/' || o_orderkey || '.png' AS file_name
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="O25 derived image-metadata projection (images_to_tfrecord.py:"
+    "201): constant dims + synthesized file path per id. Pure narrow "
+    "projection; Catalyst folds the constants.",
+    tags=("core",),
+)
+def q_image_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.lit(1024).alias("height"),
+        F.lit(1024).alias("width"),
+        F.concat(
+            F.lit("train_images/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(".png"),
+        ).alias("file_name"),
+    )
+
+
+@register(
+    "json_sink_roundtrip",
+    oracle="""
+    WITH ann AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS patient_id, o_orderpriority
+        FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderpriority AS priority, count(*) AS n,
+           min(patient_id) AS min_id
+    FROM ann GROUP BY 1
+    """,
+    doc="O12+O23 JSON sink + scan: writes line-delimited annotation JSON "
+    "(df.write.json, overwrite), reads it back with the explicit schema, "
+    "aggregates. The oracle aggregates the same rows directly, so any "
+    "write/read corruption or schema drift fails the value hash.",
+    tags=("core", "sink"),
+)
+def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sinks import json_sink
+    from pyspark.sql import types as T
+
+    orders = tables.load(spark, sf_dir, "orders")
+    ann = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_custkey").cast("string").alias("patient_id"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/ann"
+    json_sink.write_json(ann, path, num_files=4)
+    schema = T.StructType(
+        [
+            T.StructField("patient_id", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"), F.min("patient_id").alias("min_id")
+    )

@@ -1,0 +1,107 @@
+"""Source readers: file-based roundtrips for O1, O12+O23, O36, O37, O42."""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.sinks import json_sink
+from data_pipeline_rsna_spark.sources import readers
+
+
+def test_labels_csv_reader(spark, tmp_path):
+    p = tmp_path / "labels.csv"
+    p.write_text(
+        "patientId,x,y,width,height,Target\n"
+        "p1,10.7,20.2,30.0,40.9,1\n"
+        "p2,,,,,0\n"
+    )
+    df = readers.read_labels_csv(spark, str(p))
+    rows = {r.patientId: r for r in df.collect()}
+    assert rows["p1"].x == "10.7" and rows["p1"].Target == "1"
+    assert rows["p2"].x is None
+
+
+def test_json_sink_scan_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("p1", [[1, 2, 3, 4], [5, 6, 7, 8]]), ("p2", [])],
+        readers.BOX_ANNOTATIONS_SCHEMA,
+    )
+    out = str(tmp_path / "boxes")
+    json_sink.write_json(df, out, num_files=1)
+    back = readers.read_box_annotations_json(spark, out)
+    got = {r.patient_id: r.boxes for r in back.collect()}
+    assert got == {"p1": [[1, 2, 3, 4], [5, 6, 7, 8]], "p2": []}
+
+
+def test_json_map_document(spark, tmp_path):
+    import json
+
+    df = spark.createDataFrame([("p1", "1"), ("p2", "0")], "k string, v string")
+    out = tmp_path / "map.json"
+    json_sink.write_json_map_document(df, "k", "v", str(out))
+    assert json.loads(out.read_text()) == {"p1": "1", "p2": "0"}
+
+
+def test_examples_list_reader(spark, tmp_path):
+    p = tmp_path / "examples.txt"
+    p.write_text("img001 extra tokens here\nimg002\n   \nimg003 1\n")
+    ids = [r.example_id for r in readers.read_examples_list(spark, str(p)).collect()]
+    assert sorted(ids) == ["img001", "img002", "img003"]
+
+
+VOC_XML = textwrap.dedent(
+    """\
+    <annotation>
+      <filename>img1.png</filename>
+      <size><width>1024</width><height>768</height><depth>1</depth></size>
+      <object>
+        <name>pneumonia</name>
+        <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>110</xmax><ymax>220</ymax></bndbox>
+      </object>
+      <object>
+        <name>pneumonia</name>
+        <bndbox><xmin>5</xmin><ymin>6</ymin><xmax>7</xmax><ymax>8</ymax></bndbox>
+      </object>
+    </annotation>
+    """
+)
+
+
+def test_recursive_xml_parse_repeated_objects():
+    d = readers.recursive_parse_xml(VOC_XML)["annotation"]
+    assert d["filename"] == "img1.png"
+    assert len(d["object"]) == 2  # repeated tags -> list (dataset_util.py:74-78)
+    assert d["size"]["width"] == "1024"  # single tags stay scalar
+
+
+def test_parse_voc_annotations_df(spark):
+    no_obj = "<annotation><filename>img2.png</filename><size><width>10</width><height>10</height></size></annotation>"
+    df = spark.createDataFrame([(VOC_XML,), (no_obj,)], "xml string")
+    got = {r.filename: r for r in readers.parse_voc_annotations(df).collect()}
+    assert got["img1.png"].width == 1024
+    assert [o.xmin for o in got["img1.png"].objects] == [10, 5]
+    assert got["img2.png"].objects == []
+
+
+LABEL_MAP_TEXT = """
+item {
+  name: "/m/01g317"
+  id: 1
+  display_name: "pneumonia"
+}
+item {
+  id: 2
+  name: "background-ish"
+}
+"""
+
+
+def test_label_map_reader(spark, tmp_path):
+    p = tmp_path / "label_map.pbtxt"
+    p.write_text(LABEL_MAP_TEXT)
+    df = readers.read_label_map(spark, str(p))
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].display_name == "pneumonia" and rows[1].pos == 0
+    assert rows[2].name == "background-ish" and rows[2].display_name is None
