@@ -1638,3 +1638,92 @@ def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").alias("n"), F.min("patient_id").alias("min_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 extensions — session windows (batch [Q] + streaming twin) and a
+# custom stateful operator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_agg",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         < 1800000000
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="X6 session-window aggregation, batch semantics: Spark's native "
+    "session_window (merging gap-based sessions, end = last event + "
+    "gap). Oracle derives identical sessions with lag/cumsum. A session "
+    "splits when the gap is >= 30 min (session_window intervals are "
+    "end-exclusive).",
+    tags=("events",),
+)
+def q_events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    return es.session_agg_batch(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_streaming",
+    oracle=None,  # streaming execution; events_session_agg is the [Q] twin
+    doc="X6 Structured Streaming session windows: file-source replay -> "
+    "watermark -> session_window -> memory sink. Stream-batch "
+    "equivalence asserted in tests/test_streaming.py.",
+    tags=("events", "streaming"),
+)
+def q_events_session_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    return es.run_bounded(es.session_agg_stream(stream))
+
+
+@register(
+    "events_stateful_running_totals",
+    oracle=None,  # applyInPandasWithState custom operator; batch-equivalence
+    # asserted in tests/test_streaming.py
+    doc="X6 custom stateful operator (applyInPandasWithState): per-user "
+    "running totals kept in explicit group state across micro-batches. "
+    "The escape hatch for stateful logic built-in aggregations can't "
+    "express; deliberately verifiable against groupBy().agg().",
+    tags=("events", "streaming"),
+)
+def q_events_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    out = es.run_bounded(es.user_running_totals_stream(stream), mode="update")
+    # update-mode emits one row per user per micro-batch; the final state
+    # per user is the row with the max n_events
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("sum_value", F.round("sum_value", 2))
+    )

@@ -97,3 +97,85 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     out = spark.table(name)
     result = spark.createDataFrame(out.collect(), out.schema)
     return result
+
+
+def session_agg_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation (X6): events of a user merge into one
+    session while consecutive gaps stay under ``gap``. ``session_window``
+    is Spark's native merging-window state machine — state per key is one
+    open session, closed (and emitted, in append mode) once the watermark
+    passes session_end. The same expression runs in BATCH mode too, which
+    is what the stream-batch equivalence test exploits: one definition,
+    two execution models."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """The batch twin of ``session_agg_stream`` — identical expression,
+    no watermark (bounded input needs none)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (X6):
+    per-user running (n_events, sum_value) maintained in explicit group
+    state across micro-batches, one output row per user per batch.
+
+    This is the escape hatch for stateful logic ``groupBy().agg()``
+    can't express (the built-ins cover this particular aggregate — it is
+    deliberately simple so the batch twin can verify the state plumbing
+    bit-for-bit). State is (count:long, sum:double); timeouts are off,
+    so state lives for the stream's lifetime — bounded by |users|, not
+    stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
