@@ -2,14 +2,20 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is timed as a full
-materialization (count + write-discard via noop-like collect of agg), not
-just plan construction.
+materialization to a noop sink (never driver collect).
+
+Protocol matches BASELINE.md's DuckDB baseline measurement ("warm cache,
+median of N"): one untimed warmup run per query — which also pays Spark's
+one-time plan codegen, the cost a long-running session amortizes — then
+the median of ``BENCH_RUNS`` timed runs. ``BENCH_RUNS=1 BENCH_WARMUP=0``
+reproduces single-shot cold timings.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,16 +49,26 @@ def main() -> None:
     # query, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+
+    def run_once(spec) -> float:
+        t0 = time.time()
+        df = spec.spark_fn(spark, sf_dir)
+        # force full materialization of every column without driver collect
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        t0 = time.time()
-        df = spec.spark_fn(spark, sf_dir)
-        # force full materialization of every column without driver collect
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        for _ in range(warmup):
+            run_once(spec)
+        timings[name] = round(
+            statistics.median(run_once(spec) for _ in range(runs)), 3
+        )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

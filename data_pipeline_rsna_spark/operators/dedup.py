@@ -118,13 +118,23 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     shuffled H·|shingles| rows and needed a second shuffle to band — 3×
     slower at sf0.1.)"""
     sh = exploded_shingles(docs, id_col, text_col, shingle_n)
+    # one md5 yields FOUR independent 32-bit hashes (8-hex-char slices of
+    # the 128-bit digest) — so H hashes cost ceil(H/4) md5 calls per
+    # shingle, not H, and the min-comparisons run on 8-char strings.
+    # Portable: substring(md5(x), 1+8k, 8) is identical SQL everywhere.
+    n_seeds = (num_hashes + 3) // 4
+    seeds = [
+        F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"_d{s}")
+        for s in range(n_seeds)
+    ]
+    hashed = sh.select(id_col, *seeds)
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(
-            f"mh{i}"
-        )
+        F.min(
+            F.substring(F.col(f"_d{i // 4}"), 1 + 8 * (i % 4), 8)
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
@@ -168,20 +178,31 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
         num_hashes,
         rows_per_band,
     )
-    # self-join: without materialization BOTH sides recompute the whole
-    # corpus→shingle→signature pipeline. The band table is tiny (n_docs ×
-    # n_bands × 32-hex) so persist it — MEMORY_AND_DISK spills rather than
-    # OOMs at scale
-    bands = bands.persist()
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), "band", "band_hash"
+    # bucket-collect instead of a self-join: group each (band, band_hash)
+    # bucket, emit its member pairs with a narrow combination expansion.
+    # One shuffle of the tiny band table; no second evaluation of the
+    # signature pipeline, no broadcast, no dedup pass (a doc appears once
+    # per band, so bucket pairs are already unique). Bucket sizes track
+    # true near-dup group sizes — the k² pair fan-out per bucket is the
+    # LSH output itself, not an artifact.
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), "band", "band_hash"
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )

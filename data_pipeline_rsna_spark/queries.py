@@ -776,7 +776,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
     mh AS (
-        SELECT doc_id, s.i AS i, min(md5(s.i || '|' || shingle)) AS mh
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
         FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
         GROUP BY doc_id, s.i
     ),
