@@ -1,0 +1,120 @@
+"""Temporal join operators Spark has no native primitive for (X8+).
+
+- **as-of join** (``asof_join``): for every left row, the latest right
+  row with ``right.ts <= left.ts`` per key. Implemented as the
+  union-tag + running-last-value composition: one shuffle on the key,
+  one ordered window pass — the classic distributed formulation (no
+  per-key loops, no theta join). Equivalent to DuckDB/kdb ASOF JOIN,
+  which is exactly what the differential oracle uses.
+
+- **range join** (``range_join_bucketed``): point-in-interval equi-key
+  join without the naive theta-join plan (which Spark executes as a
+  key-equi join + post-filter fine, but engines without that fall back
+  to BNLJ). Buckets the time axis: an interval is exploded onto the
+  buckets it covers, a point carries its single bucket, and the join
+  runs on (key, bucket) followed by the exact containment predicate.
+  Join fan-out is interval_span/bucket per interval — bounded and
+  chosen, instead of |points|·|intervals| per key.
+
+Both are pure DataFrame compositions: Catalyst sees ordinary shuffles,
+windows and equi-joins, so AQE skew handling and partial aggregation
+apply as usual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: latest right values with right.ts <= left.ts.
+
+    Right rows sort before left rows at equal timestamps (ties match,
+    per the usual backward as-of semantics). Left rows with no earlier
+    right row keep nulls. Cost: one hash shuffle on ``key`` + one sort
+    per partition — independent of how many right rows precede each
+    left row (the window carries only the last value forward).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*lcols).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+          for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            l_tagged.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "_is_left",
+        "_lrow",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join of points into half-open intervals [start, end) that
+    share ``key``, via time-axis bucketing.
+
+    A point lives in exactly one bucket, so each qualifying
+    (point, interval) pair is produced exactly once — no dedup pass.
+    Choose ``bucket_seconds`` near the typical interval span: fan-out
+    per interval is ceil(span/bucket)+1 rows.
+    """
+    p_bucket = (F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast("long")
+    p = points.withColumn("_bucket", p_bucket)
+    s = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+    e = (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long")
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(s, e))
+    )
+    cond = (
+        (F.col(f"p.{key}") == F.col(f"i.{key}"))
+        & (F.col(f"p._bucket") == F.col(f"i._bucket"))
+        & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_col}"))
+        & (F.col(f"p.{point_ts}") < F.col(f"i.{end_col}"))
+    )
+    out_cols = [F.col(f"p.{c}") for c in points.columns] + [
+        F.col(f"i.{c}") for c in intervals.columns if c != key
+    ]
+    return p.alias("p").join(iv.alias("i"), cond).select(*out_cols)

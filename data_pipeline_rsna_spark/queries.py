@@ -1729,3 +1729,101 @@ def q_events_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFr
         .drop("_rn")
         .withColumn("sum_value", F.round("sum_value", 2))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins — as-of join and bucketed range join (operators Spark
+# has no native primitive for; operators/temporal.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS event_id,
+           c.user_id AS user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           round(COALESCE(p.value, -1.0), 2) AS last_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join (backward): every click gets the user's latest "
+    "purchase value at-or-before its timestamp. Union-tag + running "
+    "last_value composition - ONE shuffle on user_id, one window pass; "
+    "never a per-key loop or theta join. Oracle: DuckDB's native ASOF "
+    "LEFT JOIN.",
+    tags=("temporal", "join"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import temporal
+
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = temporal.asof_join(
+        clicks, purch, key="user_id", value_cols=["purchase_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.round(F.coalesce("purchase_value_asof", F.lit(-1.0)), 2).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+@register(
+    "range_join_attribution",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    windows AS (
+        SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+               ts + INTERVAL 2 HOUR AS end_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id, w.purchase_id AS purchase_id,
+           c.user_id AS user_id
+    FROM clicks c
+    JOIN windows w ON c.user_id = w.user_id
+                  AND c.ts >= w.start_ts AND c.ts < w.end_ts
+    """,
+    doc="Range join (point-in-interval, equi-key): attribute clicks to "
+    "2-hour post-purchase windows. Bucketed implementation: intervals "
+    "explode onto covering 1h buckets, points carry one bucket, join on "
+    "(key,bucket) + exact containment - fan-out is span/bucket per "
+    "interval, never |points|x|intervals|. Oracle: plain theta join.",
+    tags=("temporal", "join"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import temporal
+
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id"), "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    joined = temporal.range_join_bucketed(
+        clicks, windows, key="user_id", bucket_seconds=3600
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"), "purchase_id", "user_id"
+    )
