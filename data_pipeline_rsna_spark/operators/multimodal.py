@@ -184,3 +184,186 @@ def apply_kernel(images: DataFrame, op: str, variant: int = 0,
             )
 
     return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize (explicit-target variant of the zoom kernel)
+# ---------------------------------------------------------------------------
+
+
+def resize(images: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Nearest-neighbor resize of every image to (out_h, out_w) — the
+    standard normalization step before batching multimodal training
+    data. Index mapping is exact integer arithmetic (no interpolation
+    library), deterministic across platforms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                ys = (np.arange(out_h) * r.height) // out_h
+                xs = (np.arange(out_w) * r.width) // out_w
+                res = arr[np.ix_(ys, xs)]
+                out.append(
+                    (r.img_id, np.ascontiguousarray(res).tobytes(), r.dtype,
+                     out_h, out_w)
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video columns: frame sampling
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = (
+    "vid_id long, frames binary, dtype string, n_frames int, "
+    "height int, width int"
+)
+FRAME_SCHEMA = (
+    "vid_id long, frame_idx int, pixels binary, dtype string, "
+    "height int, width int"
+)
+
+
+def synth_videos(spark: SparkSession, n: int = 60, n_frames: int = 12,
+                 height: int = 8, width: int = 8) -> DataFrame:
+    """Deterministic synthetic videos: frame f, pixel j of video v is
+    ``(v*131 + f*17 + j*7) % 256`` (uint8). The "codec" is raw
+    frame-concatenation — a real pipeline swaps in an ffmpeg decode
+    stub here; everything downstream (frame addressing, sampling,
+    per-frame ops) is codec-agnostic."""
+    npx = height * width
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid in pdf["id"].to_numpy():
+                f = np.arange(n_frames, dtype=np.int64)[:, None]
+                j = np.arange(npx, dtype=np.int64)[None, :]
+                px = (int(vid) * 131 + f * 17 + j * 7) % 256
+                rows.append(
+                    (int(vid), px.astype(np.uint8).tobytes(), "uint8",
+                     n_frames, height, width)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["vid_id", "frames", "dtype", "n_frames", "height",
+                         "width"],
+            )
+
+    return spark.range(n).mapInPandas(gen, VIDEO_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, stride: int = 3) -> DataFrame:
+    """Every ``stride``-th frame of each video as its own row — the
+    frame-sampling stage of a video training pipeline. Pure offset
+    slicing into the binary payload (one row in, n_frames/stride rows
+    out, all inside the Arrow batch; no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                frame_bytes = r.height * r.width * np.dtype(r.dtype).itemsize
+                for f in range(0, r.n_frames, stride):
+                    chunk = r.frames[f * frame_bytes:(f + 1) * frame_bytes]
+                    out.append(
+                        (r.vid_id, f, chunk, r.dtype, r.height, r.width)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["vid_id", "frame_idx", "pixels", "dtype", "height",
+                         "width"],
+            )
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame statistics (sum/min/max) — closed-form checkable
+    against the synthetic corpus."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype))
+                out.append(
+                    (r.vid_id, r.frame_idx, int(arr.sum(dtype=np.int64)),
+                     int(arr.min()), int(arr.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["vid_id", "frame_idx", "sum_px", "min_px", "max_px"],
+            )
+
+    return frames.mapInPandas(
+        stats, "vid_id long, frame_idx int, sum_px long, min_px int, max_px int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio columns: waveform features
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = "clip_id long, samples binary, dtype string, n_samples int"
+
+
+def synth_audio(spark: SparkSession, n: int = 100,
+                n_samples: int = 2000) -> DataFrame:
+    """Deterministic int16 "waveforms": sample i of clip c is
+    ``((c*17 + i*13) % 2048) - 1024``. Stands in for a real audio
+    decode (soundfile/librosa stub) with exactly the same binary+
+    metadata column shape."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid in pdf["id"].to_numpy():
+                i = np.arange(n_samples, dtype=np.int64)
+                s = ((int(cid) * 17 + i * 13) % 2048) - 1024
+                rows.append(
+                    (int(cid), s.astype(np.int16).tobytes(), "int16",
+                     n_samples)
+                )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "samples", "dtype", "n_samples"]
+            )
+
+    return spark.range(n).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """Integer-exact waveform features: total energy (Σ s², int64) and
+    zero-crossing count (sign flips between consecutive samples; zero
+    counts as non-negative). Integer outputs keep the differential
+    oracle exact — float features (RMS, dB) are one `sqrt`/`log` away
+    downstream."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                s = np.frombuffer(r.samples, dtype=np.dtype(r.dtype)).astype(
+                    np.int64
+                )
+                energy = int((s * s).sum())
+                nonneg = s >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                out.append((r.clip_id, energy, zc, r.n_samples))
+            yield pd.DataFrame(
+                out,
+                columns=["clip_id", "energy", "zero_crossings", "n_samples"],
+            )
+
+    return clips.mapInPandas(
+        feats,
+        "clip_id long, energy long, zero_crossings long, n_samples int",
+    )

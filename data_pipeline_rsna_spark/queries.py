@@ -1827,3 +1827,72 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("event_id").alias("click_id"), "purchase_id", "user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 extensions — video frame sampling and audio features over synthetic
+# multimodal corpora (closed-form pixels/samples -> exact SQL oracles).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT v.vid_id AS vid_id, f.frame_idx AS frame_idx,
+           sum((v.vid_id * 131 + f.frame_idx * 17 + j.j * 7) % 256)
+               AS sum_px,
+           min((v.vid_id * 131 + f.frame_idx * 17 + j.j * 7) % 256)
+               AS min_px,
+           max((v.vid_id * 131 + f.frame_idx * 17 + j.j * 7) % 256)
+               AS max_px
+    FROM (SELECT unnest(generate_series(0, 59)) AS vid_id) v
+    CROSS JOIN (SELECT unnest(generate_series(0, 11, 3)) AS frame_idx) f
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+    GROUP BY 1, 2
+    """,
+    doc="X7 video frame sampling: binary frame-concatenated videos -> "
+    "every 3rd frame sliced out by offset arithmetic inside mapInPandas "
+    "(no codec, no shuffle) -> per-frame stats. The synthetic corpus is "
+    "closed-form, so DuckDB recomputes every sampled frame's stats from "
+    "the formula - the whole binary/Arrow path is value-checked.",
+    tags=("multimodal",),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    videos = mm.synth_videos(spark, n=60, n_frames=12, height=8, width=8)
+    return mm.frame_stats(mm.sample_frames(videos, stride=3))
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH samples AS (
+        SELECT c.clip_id AS clip_id, i.i AS i,
+               ((c.clip_id * 17 + i.i * 13) % 2048) - 1024 AS s
+        FROM (SELECT unnest(generate_series(0, 99)) AS clip_id) c
+        CROSS JOIN (SELECT unnest(generate_series(0, 1999)) AS i) i
+    )
+    , lagged AS (
+        SELECT clip_id, i, s,
+               lag(s) OVER (PARTITION BY clip_id ORDER BY i) AS prev_s
+        FROM samples
+    )
+    SELECT clip_id,
+           sum(s * s) AS energy,
+           sum(CASE WHEN prev_s IS NOT NULL AND (s >= 0) <> (prev_s >= 0)
+               THEN 1 ELSE 0 END) AS zero_crossings,
+           2000 AS n_samples
+    FROM lagged
+    GROUP BY clip_id
+    """,
+    doc="X7 audio columns: int16 waveforms as binary + metadata; "
+    "integer-exact features (energy = sum of squares, zero-crossing "
+    "count) computed in Arrow batches and value-checked against the "
+    "closed-form synthetic waveform recomputed in SQL.",
+    tags=("multimodal",),
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    return mm.audio_features(mm.synth_audio(spark, n=100, n_samples=2000))

@@ -71,3 +71,45 @@ def test_seeded_rng_deterministic():
     c = ik.seeded_rng("p1", 4, "shift").integers(0, 1 << 30, size=5)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_resize_nearest_exact(spark):
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+    import numpy as np
+
+    imgs = mm.synth_images(spark, n=3, height=16, width=16)
+    small = mm.resize(imgs, 8, 8).collect()
+    assert all(r.height == 8 and r.width == 8 for r in small)
+    r0 = next(r for r in small if r.img_id == 0)
+    arr = np.frombuffer(r0.pixels, dtype=np.uint8).reshape(8, 8)
+    # nearest-neighbor with 2x downscale picks every other row/col
+    full = (0 * 31 + np.arange(256, dtype=np.int64) * 7) % 256
+    full = full.reshape(16, 16).astype(np.uint8)
+    assert (arr == full[::2, ::2]).all()
+
+
+def test_frame_sampling_offsets(spark):
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+    import numpy as np
+
+    vids = mm.synth_videos(spark, n=2, n_frames=6, height=4, width=4)
+    frames = mm.sample_frames(vids, stride=2).collect()
+    assert sorted({r.frame_idx for r in frames}) == [0, 2, 4]
+    r = next(x for x in frames if x.vid_id == 1 and x.frame_idx == 2)
+    j = np.arange(16, dtype=np.int64)
+    want = ((1 * 131 + 2 * 17 + j * 7) % 256).astype(np.uint8)
+    assert (np.frombuffer(r.pixels, dtype=np.uint8) == want).all()
+
+
+def test_audio_features_known_values(spark):
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+    import numpy as np
+
+    feats = {r.clip_id: r for r in
+             mm.audio_features(mm.synth_audio(spark, n=2, n_samples=100)).collect()}
+    for cid in (0, 1):
+        i = np.arange(100, dtype=np.int64)
+        s = ((cid * 17 + i * 13) % 2048) - 1024
+        nonneg = s >= 0
+        assert feats[cid].energy == int((s * s).sum())
+        assert feats[cid].zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())
