@@ -234,3 +234,44 @@ def fill_id_gaps(ids: DataFrame, id_col: str, domain_max: int) -> DataFrame:
         id_col, F.concat(F.lit("class_"), F.col(id_col)).alias("name")
     )
     return ids.unionByName(missing)
+
+
+# ---------------------------------------------------------------------------
+# Skew handling — salted two-stage aggregation
+# ---------------------------------------------------------------------------
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys.
+
+    ``aggs`` maps output column → (input column, fn) where fn ∈
+    {sum, count, min, max}: the decomposable aggregates. Stage 1 groups
+    by (key, salt) — the hot key's rows spread over ``n_salt`` reducers;
+    stage 2 merges the ≤ n_salt partials per key (count merges by SUM).
+
+    When to use: low-cardinality or Zipf-skewed keys where one reducer
+    would own most rows. Spark's map-side partial aggregation already
+    fixes most of this for aggregations (AQE skew handling fixes joins);
+    the explicit salt is for the remaining case — partial agg disabled
+    (e.g. collect_list) or extreme single-key concentration.
+    """
+    # any salt distribution works — decomposable aggregates make the
+    # RESULT salt-invariant; the salt only spreads the hot key's rows
+    salt = (F.rand(seed=7) * n_salt).cast("int")
+    stage1_aggs = []
+    for out, (col, fn) in aggs.items():
+        f = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[fn]
+        stage1_aggs.append(f(col).alias(f"_p_{out}"))
+    stage1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(
+        *stage1_aggs
+    )
+    stage2_aggs = []
+    for out, (col, fn) in aggs.items():
+        merge = F.sum if fn in ("sum", "count") else {"min": F.min, "max": F.max}[fn]
+        stage2_aggs.append(merge(f"_p_{out}").alias(out))
+    return stage1.groupBy(*key_cols).agg(*stage2_aggs)

@@ -1896,3 +1896,146 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as mm
 
     return mm.audio_features(mm.synth_audio(spark, n=100, n_samples=2000))
+
+
+# ---------------------------------------------------------------------------
+# X8 extensions — cube/grouping sets, skew-salted aggregation, exact
+# percentiles, scalar function library.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_aggregation",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="X8 CUBE aggregation (all 4 grouping-set combinations in one "
+    "pass): Spark plans a single Expand + aggregation - one shuffle "
+    "for every subtotal level, not one job per level.",
+    tags=("relational",),
+)
+def q_cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "skew_salted_aggregation",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew handling: l_returnflag has 3 distinct values over the "
+    "whole fact table - the textbook hot-key aggregation. Salted "
+    "two-stage form: stage 1 groups by (key, salt16) spreading each "
+    "hot key over 16 reducers, stage 2 merges <=16 partials per key. "
+    "Oracle is the plain GROUP BY - identical results by construction "
+    "(decomposable aggregates).",
+    tags=("relational", "skew"),
+)
+def q_skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = rel.salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("l_returnflag", "count"),
+            "revenue_raw": ("l_extendedprice", "sum"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("returnflag"),
+        "n",
+        F.round("revenue_raw", 2).alias("revenue"),
+        "min_qty",
+        "max_qty",
+    )
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolation percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont semantics). At 100 TB swap in "
+    "approx_percentile (t-digest sketch, mergeable, single pass) - "
+    "declared here so the exact/approx pair share one call site.",
+    tags=("relational",),
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "scalar_function_kernel",
+    oracle="""
+    SELECT regexp_replace(o_orderpriority || '.dcm', '\\.dcm$', '')
+               AS priority_id,
+           o_orderkey || '-shift-' || (o_orderkey % 5) || '-1' AS variant_id,
+           trunc(CAST(o_totalprice AS DOUBLE) / 100.0)::INTEGER AS price_bucket,
+           md5(o_orderpriority || '|' || o_orderkey) AS content_key,
+           length(o_orderpriority) AS priority_len
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+    doc="Scalar function library (SURVEY.md scalar inventory, "
+    "functions/scalars.py): suffix strip, variant-id synthesis, "
+    "int(float()) truncation, content hashing - all JVM built-ins "
+    "inside one codegen stage, no UDFs.",
+    tags=("functions",),
+)
+def q_scalar_function_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import scalars as sc
+
+    orders = tables.load(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        sc.strip_suffix(
+            F.concat(F.col("o_orderpriority"), F.lit(".dcm"))
+        ).alias("priority_id"),
+        sc.synth_variant_id(
+            F.col("o_orderkey"), "shift", F.col("o_orderkey") % 5, 1
+        ).alias("variant_id"),
+        sc.int_of_float(F.col("o_totalprice") / 100.0).alias("price_bucket"),
+        F.md5(
+            F.concat_ws(
+                "|", "o_orderpriority", F.col("o_orderkey").cast("string")
+            )
+        ).alias("content_key"),
+        F.length("o_orderpriority").alias("priority_len"),
+    )

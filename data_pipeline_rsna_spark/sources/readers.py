@@ -223,3 +223,33 @@ def read_label_map(spark: SparkSession, path: str) -> DataFrame:
         ],
         LABEL_MAP_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# O44 — composed label-map loaders (without the reference's TypeError)
+# ---------------------------------------------------------------------------
+
+
+def create_categories_from_labelmap(
+    spark: SparkSession, path: str, use_display_name: bool = True
+) -> DataFrame:
+    """O44 = O42 ∘ O40 ∘ O41 (label_map_util.py:177-194): load the label
+    map, take max id as the class count, convert to categories."""
+    from ..operators.relational import categories_from_label_map
+
+    lm = read_label_map(spark, path)
+    max_id = lm.agg(F.max("id")).collect()[0][0] or 0  # O40, dimension-sized
+    return categories_from_label_map(lm, max_id, use_display_name)
+
+
+def create_category_index_from_labelmap(
+    spark: SparkSession, path: str, use_display_name: bool = True
+) -> dict[int, dict]:
+    """O44 second composition (label_map_util.py:197-210). The reference
+    calls a zero-arg function with one argument and would TypeError
+    (SURVEY.md §2.2(8)); this is the evidently-intended behavior:
+    categories keyed by id, driver-side (dimension table)."""
+    cats = create_categories_from_labelmap(spark, path, use_display_name)
+    return {
+        r.id: {"id": r.id, "name": r.category_name} for r in cats.collect()
+    }
