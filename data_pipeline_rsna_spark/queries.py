@@ -2039,3 +2039,91 @@ def q_scalar_function_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_key"),
         F.length("o_orderpriority").alias("priority_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O31 — nested training-record assembly (the tf.Example row shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nested_record_assembly",
+    oracle="""
+    WITH labels AS ({labels}),
+    boxes AS (
+        SELECT patient_id, x, y, width, height
+        FROM labels
+        WHERE CAST(target AS INTEGER) <> 0
+          AND width > 0 AND height > 0
+          AND x + width <= 1024 AND y + height <= 1024
+    )
+    SELECT patient_id AS image_id,
+           1024 AS height, 1024 AS width,
+           patient_id || '.png' AS file_name,
+           count(*) AS n_boxes,
+           string_agg(CAST(CAST(x AS BIGINT) * 1000000 // 1024 AS VARCHAR),
+                      ';' ORDER BY x, y, width, height) AS xmins_u,
+           string_agg(CAST(CAST(x + width AS BIGINT) * 1000000 // 1024
+                           AS VARCHAR),
+                      ';' ORDER BY x, y, width, height) AS xmaxs_u,
+           string_agg(CAST(CAST(y AS BIGINT) * 1000000 // 1024 AS VARCHAR),
+                      ';' ORDER BY x, y, width, height) AS ymins_u,
+           string_agg('pneumonia', ';') AS class_names,
+           string_agg(CAST(width * height AS VARCHAR), ';'
+                      ORDER BY x, y, width, height) AS areas
+    FROM boxes
+    GROUP BY patient_id
+    """.format(labels=_LABELS_FROM_LINEITEM_SQL),
+    doc="O31 nested-record assembly (images_to_tfrecord.py:135-169): per "
+    "image, scalars + parallel per-box arrays (normalized coords, class "
+    "names, areas) - the tf.Example shape as one groupBy with multiple "
+    "sorted collect_lists. Normalized coords exported as exact integer "
+    "micro-units (x*1e6 DIV 1024) so the differential hash never "
+    "depends on float-to-string formatting. Includes the O28 validity "
+    "filter upstream; float normalization itself is covered by "
+    "normalize_coords.",
+    tags=("core",),
+)
+def q_nested_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _lineitem_as_raw_labels(spark, sf_dir)
+    labels = labels_ops.typed_labels(raw)
+    boxes = labels.filter(
+        (F.col("target").cast("int") != 0) & rel.box_valid(1024, 1024)
+    )
+    x, y, w, h = (F.col(c).cast("long") for c in ("x", "y", "width", "height"))
+    units = boxes.select(
+        "patient_id",
+        "x", "y", "width", "height",
+        (x * 1_000_000 / 1024).cast("long").alias("xmin_u"),
+        ((x + w) * 1_000_000 / 1024).cast("long").alias("xmax_u"),
+        (y * 1_000_000 / 1024).cast("long").alias("ymin_u"),
+        (F.col("width") * F.col("height")).alias("area"),
+    )
+    sort_key = F.struct("x", "y", "width", "height")
+
+    def agg_str(col: str) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(sort_key.alias("k"), F.col(col).alias("v"))
+                    )
+                ),
+                lambda s: s.v.cast("string"),
+            ),
+            ";",
+        )
+
+    return units.groupBy(F.col("patient_id").alias("image_id")).agg(
+        F.lit(1024).alias("height"),
+        F.lit(1024).alias("width"),
+        F.concat(F.col("patient_id"), F.lit(".png")).alias("file_name"),
+        F.count("*").alias("n_boxes"),
+        agg_str("xmin_u").alias("xmins_u"),
+        agg_str("xmax_u").alias("xmaxs_u"),
+        agg_str("ymin_u").alias("ymins_u"),
+        F.array_join(
+            F.transform(F.collect_list(F.lit("pneumonia")), lambda s: s), ";"
+        ).alias("class_names"),
+        agg_str("area").alias("areas"),
+    )

@@ -51,3 +51,41 @@ def test_dedup_exact_shuffles_hashes_not_documents(spark, sf_dir):
     # one aggregation shuffle; no join machinery at all
     assert rep.n_sort_merge_joins == 0
     assert rep.n_broadcast_hash_joins == 0
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key pre-co-locates them: the
+    sort-merge join runs with ZERO exchanges. This is the 100 TB recipe
+    for repeated fact-fact joins (bucket once at ingest, join for free
+    forever after)."""
+    from data_pipeline_rsna_spark import tables
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{tmp_path}/wh'"
+    )
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable("buckdemo.orders_b"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").saveAsTable("buckdemo.lineitem_b"))
+    a = spark.table("buckdemo.orders_b")
+    b = spark.table("buckdemo.lineitem_b")
+    # disable broadcast so the join strategy must be sort-merge
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        rep = audit.plan_report(joined)
+        assert rep.n_sort_merge_joins >= 1, rep.text
+        # the join itself must not shuffle; only the final tiny groupBy may
+        assert rep.n_shuffle_exchanges <= 1, rep.text
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")
