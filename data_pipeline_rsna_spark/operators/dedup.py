@@ -335,3 +335,79 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# X2d — near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Cluster candidate pairs into duplicate groups: connected
+    components by iterative min-label propagation.
+
+    Each round every node adopts the minimum label in its neighborhood;
+    convergence takes O(component diameter) rounds — near-dup clusters
+    are shallow (stars/cliques), so a handful. Each round is one
+    self-contained shuffle-join + aggregate; labels are
+    ``localCheckpoint``-ed so the plan doesn't grow with iterations
+    (the standard Spark iterative-algorithm pattern).
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    sym = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionByName(
+        edges.selectExpr(f"{dst} AS u", f"{src} AS v")
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", **lsh_kwargs) -> DataFrame:
+    """End-to-end near-dup grouping: MinHash-LSH candidates → connected
+    components → one row per clustered doc with its component id and the
+    deterministic keeper (min id in component)."""
+    pairs = minhash_lsh_candidates(docs, id_col, text_col, **lsh_kwargs)
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comps.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_keeper"),
+        )
+    )

@@ -2127,3 +2127,61 @@ def q_nested_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("class_names"),
         agg_str("area").alias("areas"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X2d — near-dup clustering (connected components over LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH shingles AS ({{shingles}}),
+    mh AS (
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id <> b.doc_id
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM pairs),
+    reach AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT p.v, r.label FROM r JOIN pairs p ON p.u = r.node
+        )
+        SELECT node, min(label) AS component FROM r GROUP BY node
+    ),
+    sized AS (
+        SELECT component, count(*) AS cluster_size FROM reach GROUP BY 1
+    )
+    SELECT r.node AS doc_id, r.component AS component,
+           s.cluster_size AS cluster_size,
+           r.node = r.component AS is_keeper
+    FROM reach r JOIN sized s USING (component)
+    """.format(shingles=_SHINGLES_SQL),
+    doc="X2d near-dup clustering: MinHash-LSH candidate pairs -> "
+    "connected components by iterative min-label propagation "
+    "(localCheckpoint per round so the plan stays flat; O(diameter) "
+    "rounds, each one shuffle-join+agg) -> deterministic keeper per "
+    "cluster. Oracle recomputes components with a recursive CTE "
+    "(min reachable id over the symmetrized candidate graph).",
+    tags=("dedup",),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.dedup_clusters(_planted_corpus(spark, sf_dir))

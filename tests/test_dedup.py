@@ -64,3 +64,29 @@ def test_ngram_jaccard(docs):
     # doc3 = doc1 minus first token: shares all but one 3-gram shingle
     assert pairs[(1, 3)] > 0.8
     assert all({a, b} != {4, 5} for a, b in pairs)
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3) + disjoint pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comps = {
+        r.node: r.component
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_planted(spark):
+    rows = [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(8)]
+    # 100/101 share almost-identical long text with 0 and with each other
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [(100, base), (101, base + " extra"), (102, base + " more words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.dedup_clusters(docs)
+    got = {r.doc_id: (r.component, r.is_keeper) for r in out.collect()}
+    # the three near-identical docs form one cluster with keeper 100
+    assert got[100] == (100, True)
+    assert got[101][0] == 100 and not got[101][1]
+    assert got[102][0] == 100 and not got[102][1]
