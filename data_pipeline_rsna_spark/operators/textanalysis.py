@@ -123,3 +123,42 @@ def text_features(docs: DataFrame, id_col: str = "doc_id",
         content_fingerprint(text_col).alias("content_fp"),
         min_shingle_fingerprint(text_col).alias("winnow_fp"),
     )
+
+
+def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3):
+    """X4: top-k distinguishing terms per document by TF-IDF.
+
+    tf = in-document term count; idf = ln(N / df) over distinct-document
+    frequency. Three aggregations and a window top-k — every step is a
+    built-in over the exploded token inverted index; the idf table is
+    term-cardinality-sized and broadcast back. Ties break by term so the
+    ranking is total and engine-independent.
+    """
+    from pyspark.sql import Window
+
+    tokens = docs.select(
+        id_col, F.explode(whitespace_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    n_docs = docs.count()  # dimension-sized driver scalar (job metadata)
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tokens.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = df_.select(
+        "term",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tfidf")
+    )

@@ -2185,3 +2185,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     return dedup.dedup_clusters(_planted_corpus(spark, sf_dir))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM tokens WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6),
+                     6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+    """,
+    doc="X4 TF-IDF top-3 distinguishing terms per document: exploded "
+    "token inverted index, tf and distinct-doc df aggregations, "
+    "broadcast idf join, windowed top-k with total tie-break.",
+    tags=("text",),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ta.tfidf_top_terms(docs, k=3)

@@ -89,3 +89,22 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
         spark.sql("DROP DATABASE IF EXISTS buckdemo")
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter must prune
+    at the file index (PartitionFilters), reading only matching
+    directories — the storage-level analogue of predicate pushdown."""
+    from data_pipeline_rsna_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    rep = audit.plan_report(back)
+    assert "event_type" in rep.text and "PartitionFilters" in rep.text
+    pf = [ln for ln in rep.text.splitlines() if "PartitionFilters" in ln]
+    assert any("event_type" in ln for ln in pf), pf
+    n_click = back.count()
+    n_all = ev.filter(F.col("event_type") == "click").count()
+    assert n_click == n_all

@@ -55,3 +55,42 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir):
         r.user_id: (r.n_events, round(r.sum_value, 4)) for r in batch.collect()
     }
     assert final == want
+
+
+def test_stateful_totals_across_multiple_microbatches(spark, sf_dir, tmp_path):
+    """Split the events into 3 files and feed them one per micro-batch:
+    the applyInPandasWithState operator must carry state ACROSS batches
+    (final totals equal the batch aggregate, and users appearing in
+    several batches emit strictly increasing running counts)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.schemas import EVENTS_RAW_NANOS
+
+    src = str(tmp_path / "events_chunks")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(EVENTS_RAW_NANOS).parquet(
+        f"{sf_dir}/events.parquet"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    got = es.run_bounded(es.user_running_totals_stream(stream), mode="update")
+    rows = got.collect()
+    # more output rows than users => some users emitted in >1 micro-batch
+    n_users = len({r.user_id for r in rows})
+    assert len(rows) > n_users, "expected multiple micro-batches"
+    final = {}
+    for r in rows:
+        prev = final.get(r.user_id, 0)
+        if r.n_events >= prev:
+            final[r.user_id] = r.n_events
+    batch = {
+        r.user_id: r.n
+        for r in tables.load(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == batch
