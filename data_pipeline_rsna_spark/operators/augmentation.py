@@ -132,24 +132,31 @@ def augment(patients: DataFrame, boxes: DataFrame, image_w: int = 1024,
     patient_id, stage, op, variant_i, flipped, and transformed box
     coords (null for negatives).
     """
-    has_boxes = boxes.select("patient_id").distinct()
+    # join BEFORE the fan-out: the per-patient boxes join shuffles
+    # |patients|+|boxes| rows once, and every stage's ×2k explode is a
+    # narrow op on top of it. (Joining after the explode — the naive
+    # order — shuffles the fanned rows separately per stage: 7 shuffles
+    # of up to 50× the data. With the join hoisted, all 7 branches share
+    # one identical join subtree and Spark's ReuseExchange materializes
+    # it once.)
+    base = patients.join(boxes, "patient_id", "left").withColumn(
+        "_has_box", F.col("x").isNotNull()
+    )
     branches: list[DataFrame] = []
     for st in stages:
-        src = patients.join(has_boxes, "patient_id", "left_semi") if st.positives_only else patients
-        fanned = (
+        src = base.filter(F.col("_has_box")) if st.positives_only else base
+        with_boxes = (
             src.select(
-                "patient_id",
+                "*",
                 F.explode(F.sequence(F.lit(0), F.lit(st.k - 1))).alias(
                     "variant_i"
                 ),
             )
             .select(
-                "patient_id",
-                "variant_i",
+                "*",
                 F.explode(F.array(F.lit(0), F.lit(1))).alias("flipped"),
             )
         )
-        with_boxes = fanned.join(boxes, "patient_id", "left")
         transformed = _apply_op_chain(with_boxes, st, image_w, image_h)
         flipped_x = F.when(
             F.col("flipped") == 1,

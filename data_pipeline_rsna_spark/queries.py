@@ -2223,3 +2223,63 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     return ta.tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: ORDER BY ... LIMIT plans as TakeOrderedAndProject "
+    "- each partition keeps its local top-10, the driver merges k*P "
+    "rows. Never a full global sort; the only safe 'global ORDER BY' "
+    "at 100 TB.",
+    tags=("relational",),
+)
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(10)
+    )
+
+
+@register(
+    "full_outer_join_recon",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS custkey, count(*) AS n_orders
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ),
+    b AS (
+        SELECT o_custkey AS custkey, count(*) AS n_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+           COALESCE(a.n_orders, 0) AS open_orders,
+           COALESCE(b.n_f, 0) AS finished_orders
+    FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+    """,
+    doc="Full-outer join reconciliation (the join type the reference "
+    "never needed): customers with open and/or finished orders, nulls "
+    "coalesced. Completes the join-type surface: inner/semi/anti/left/"
+    "broadcast dim/theta/asof/range + full outer.",
+    tags=("relational",),
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(F.count("*").alias("n_orders"))
+    b = orders.filter(F.col("o_orderstatus") == "F").groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(F.count("*").alias("n_f"))
+    return a.join(b, "custkey", "full_outer").select(
+        "custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("open_orders"),
+        F.coalesce("n_f", F.lit(0)).alias("finished_orders"),
+    )

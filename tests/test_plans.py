@@ -108,3 +108,9 @@ def test_partitioned_sink_enables_partition_pruning(spark, sf_dir, tmp_path):
     n_click = back.count()
     n_all = ev.filter(F.col("event_type") == "click").count()
     assert n_click == n_all
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    df = REGISTRY["global_topk_orders"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    assert "TakeOrderedAndProject" in rep.text, rep.text
