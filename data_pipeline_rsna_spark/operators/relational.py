@@ -34,15 +34,7 @@ def global_row_number(
     result — the rank depends only on the total order, which any boundary
     placement preserves. ``order_col`` must be unique for a stable rank.
     """
-    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    part = (
-        df.repartitionByRange(int(n), F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local_w = Window.partitionBy("_pid").orderBy(order_col)
-    ranked = part.withColumn("_local_rn", F.row_number().over(local_w))
-    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    ranked, counts = _ranked_with_partition_counts(df, order_col, partitions)
     # offsets = exclusive prefix sum over the #partitions-row counts table
     # (metadata, not data): a triangular self-join on this tiny table
     # beats a global window, which would drag the plan through a
@@ -62,6 +54,23 @@ def global_row_number(
     )
 
 
+def _ranked_with_partition_counts(
+    df: DataFrame, order_col: str, partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the two-phase rank: range-partitioned locally-ranked
+    rows plus the tiny per-partition counts table."""
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    part = (
+        df.repartitionByRange(int(n), F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("_pid").orderBy(order_col)
+    ranked = part.withColumn("_local_rn", F.row_number().over(local_w))
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    return ranked, counts
+
+
 def deterministic_split(
     df: DataFrame,
     order_col: str,
@@ -75,23 +84,36 @@ def deterministic_split(
     nondeterministic. ``bug_compat_off_by_one`` reproduces the
     reference's ``index < training_size - 1`` (one row short, ``:78``).
 
-    Uses the parallel ``global_row_number`` (no single-partition sort);
-    at 100 TB prefer ``hash_split``, which needs no shuffle at all and is
-    stable under re-partitioning.
+    Uses the parallel two-phase rank (no single-partition sort); the
+    row-count cutoff is derived from the rank's own per-partition counts
+    metadata — no extra scan of the data. At 100 TB prefer
+    ``hash_split``, which needs no shuffle at all and is stable under
+    re-partitioning.
     """
-    cutoff_df = df.agg(
-        F.round(F.count("*") * train_frac).cast("int").alias("_cutoff")
+    ranked, counts = _ranked_with_partition_counts(df, order_col)
+    earlier = counts.select(
+        F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2")
     )
+    offsets = (
+        counts.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_offset"))
+    )
+    cutoff = F.round(F.sum("_cnt") * train_frac).cast("int")
     if bug_compat_off_by_one:
-        cutoff_df = cutoff_df.select((F.col("_cutoff") - 1).alias("_cutoff"))
-    ranked = global_row_number(df, order_col, "_rn")
+        cutoff = cutoff - 1
+    cutoff_df = counts.agg(cutoff.alias("_cutoff"))
     return (
-        ranked.join(F.broadcast(cutoff_df))
+        ranked.join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(cutoff_df))
         .withColumn(
             "split",
-            F.when(F.col("_rn") <= F.col("_cutoff"), "train").otherwise("val"),
+            F.when(
+                F.col("_local_rn") + F.col("_offset") <= F.col("_cutoff"),
+                "train",
+            ).otherwise("val"),
         )
-        .drop("_rn", "_cutoff")
+        .drop("_pid", "_local_rn", "_offset", "_cutoff")
     )
 
 
