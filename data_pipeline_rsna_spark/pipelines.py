@@ -1,0 +1,135 @@
+"""End-to-end RSNA pipeline: the reference's two drivers as ONE lazy job.
+
+Reference EP1 (``generate_images_from_dicom.py:255-581``) and EP2
+(``images_to_tfrecord.py:214-261``) run as separate processes with a
+JSON-file handoff and 7 full input rescans. Here the whole thing is one
+DataFrame DAG: labels ingest → deterministic split → 7-stage
+augmentation fan-out → validity filter → coordinate normalization →
+nested record assembly → sharded TFRecord sink. The JSON handoff
+disappears (it existed only because the scripts were separate
+processes; ``sinks/json_sink.py`` still writes the annotation files for
+byte-shape compatibility when asked).
+
+Pixels: when a binary image corpus rides along, ``multimodal`` kernels
+apply the same augmentation ops per synthetic id; this driver function
+runs geometry-only (the testdata has no DICOMs), which exercises every
+relational stage of both reference scripts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import augmentation as aug
+from .operators import labels as labels_ops
+from .operators import relational as rel
+from .sinks import tfrecord as tfr
+
+
+@dataclass
+class PipelineResult:
+    train_records: int
+    val_records: int
+    skipped_boxes: int
+    out_dir: str
+
+
+def run_rsna_pipeline(
+    spark: SparkSession,
+    raw_labels: DataFrame,
+    out_dir: str,
+    train_shards: int = 256,
+    val_shards: int = 32,
+    image_w: int = 1024,
+    image_h: int = 1024,
+) -> PipelineResult:
+    """EP1+EP2 end to end over a raw labels table (the CSV shape of O1).
+
+    Returns record counts (the reference's printed invariants,
+    SURVEY.md §5.5) and writes ``train/`` and ``val/`` TFRecord shard
+    directories (256/32, images_to_tfrecord.py:279,285).
+    """
+    labels = labels_ops.typed_labels(raw_labels)
+
+    # EP1: per-patient annotations + deterministic split
+    patients = labels_ops.captions_per_patient(labels)
+    boxes = labels_ops.positive_boxes(labels).select(
+        "patient_id", "x", "y", "width", "height"
+    )
+    split = rel.deterministic_split(patients, "patient_id")
+
+    # EP1: the 7-stage augmentation DAG (geometry path)
+    augmented = aug.augment(
+        patients.select("patient_id", "target"), boxes, image_w, image_h
+    )
+
+    # EP2: validity filter (skip-counted) + normalization + assembly.
+    # The reference skips invalid BOXES, never images
+    # (images_to_tfrecord.py:113-120: `continue` inside the box loop) —
+    # an image whose boxes all fail validity still writes an example
+    # with empty box lists. One conditional-collect pass preserves that:
+    # collect_list drops the null struct of masked-out boxes, so every
+    # image keeps exactly its valid boxes (possibly none).
+    with_split = augmented.join(
+        split.select("patient_id", "split"), "patient_id"
+    )
+    boxed = with_split.filter(F.col("x").isNotNull())
+    skipped = boxed.count() - boxed.filter(
+        rel.box_valid(image_w, image_h)
+    ).count()
+
+    mask = F.col("x").isNotNull() & rel.box_valid(image_w, image_h)
+    x, y, w, h = (F.col(c) for c in ("x", "y", "width", "height"))
+    box_struct = F.when(
+        mask,
+        F.struct(
+            F.struct("x", "y", "width", "height").alias("k"),
+            F.round(x / image_w, 9).alias("xmin"),
+            F.round((x + w) / image_w, 9).alias("xmax"),
+            F.round(y / image_h, 9).alias("ymin"),
+            F.round((y + h) / image_h, 9).alias("ymax"),
+        ),
+    )
+    collected = with_split.groupBy("image_id").agg(
+        F.first("patient_id").alias("patient_id"),
+        F.first("split").alias("split"),
+        F.sort_array(F.collect_list(box_struct)).alias("_boxes"),
+    )
+
+    def arr(field: str) -> F.Column:
+        return F.transform(F.col("_boxes"), lambda b: b[field])
+
+    records = collected.select(
+        "image_id",
+        "patient_id",
+        "split",
+        arr("xmin").alias("xmins"),
+        arr("xmax").alias("xmaxs"),
+        arr("ymin").alias("ymins"),
+        arr("ymax").alias("ymaxs"),
+        F.size("_boxes").alias("n_boxes"),
+    )
+
+    def to_features(row) -> dict[str, list]:
+        return {
+            "image/source_id": [row.image_id.encode()],
+            "image/height": [1024],
+            "image/width": [1024],
+            "image/object/bbox/xmin": list(row.xmins),
+            "image/object/bbox/xmax": list(row.xmaxs),
+            "image/object/bbox/ymin": list(row.ymins),
+            "image/object/bbox/ymax": list(row.ymaxs),
+            "image/object/class/label": [1] * row.n_boxes,
+        }
+
+    train = records.filter(F.col("split") == "train")
+    val = records.filter(F.col("split") == "val")
+    n_train, n_val = train.count(), val.count()
+    tfr.write_tfrecord_shards(
+        train, f"{out_dir}/train", train_shards, to_features
+    )
+    tfr.write_tfrecord_shards(val, f"{out_dir}/val", val_shards, to_features)
+    return PipelineResult(n_train, n_val, skipped, out_dir)

@@ -2283,3 +2283,78 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("open_orders"),
         F.coalesce("n_f", F.lit(0)).alias("finished_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EP1+EP2 — the full reference pipeline end-to-end (pipelines.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rsna_pipeline_counts",
+    oracle=f"""
+    WITH labels AS ({_LABELS_FROM_LINEITEM_SQL}),
+    sub AS (
+        SELECT * FROM labels WHERE CAST(patient_id AS BIGINT) % 101 = 0
+    ),
+    patients AS (
+        SELECT patient_id, max(target) AS target FROM sub GROUP BY 1
+    ),
+    split AS (
+        SELECT patient_id, target,
+               CASE WHEN row_number() OVER (ORDER BY patient_id)
+                         <= round(count(*) OVER () * 0.8)
+                    THEN 'train' ELSE 'val' END AS split
+        FROM patients
+    )
+    SELECT split,
+           count(*) AS n_patients,
+           CAST(sum(CASE WHEN CAST(target AS INTEGER) <> 0
+                    THEN 190 ELSE 20 END) AS BIGINT) AS n_images
+    FROM split
+    GROUP BY split
+    """,
+    doc="EP1+EP2 end-to-end (pipelines.py::run_rsna_pipeline): labels "
+    "ingest -> deterministic split -> 7-stage augmentation -> validity "
+    "+ normalization -> nested assembly -> sharded TFRecord sink (real "
+    "files, CRC-framed, written to /tmp). Returned counts must equal "
+    "the reference's own fan-out accounting (20 images/negative, "
+    "190/positive, 80/20 split) recomputed in SQL. Subsampled 1:101 so "
+    "the gate stays fast.",
+    tags=("core", "pipeline"),
+)
+def q_rsna_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .pipelines import run_rsna_pipeline
+    from .sinks import tfrecord as tfr
+
+    raw = _lineitem_as_raw_labels(spark, sf_dir).filter(
+        F.col("patientId").cast("bigint") % 101 == 0
+    )
+    out = tempfile.mkdtemp(prefix="rsna_e2e_")
+    res = run_rsna_pipeline(spark, raw, out, train_shards=4, val_shards=2)
+    # count back what the sink actually wrote - the result reflects files
+    # on disk, not just the pre-sink DataFrame
+    import glob as _glob
+
+    n_train = sum(
+        len(tfr.read_tfrecords(f))
+        for f in _glob.glob(f"{out}/train/*.tfrecord")
+    )
+    n_val = sum(
+        len(tfr.read_tfrecords(f)) for f in _glob.glob(f"{out}/val/*.tfrecord")
+    )
+    labels = _lineitem_as_raw_labels(spark, sf_dir).filter(
+        F.col("patientId").cast("bigint") % 101 == 0
+    )
+    typed = labels_ops.typed_labels(labels)
+    patients = labels_ops.captions_per_patient(typed)
+    split = rel.deterministic_split(patients, "patient_id")
+    per_split = split.groupBy("split").agg(
+        F.count("*").alias("n_patients")
+    )
+    written = spark.createDataFrame(
+        [("train", n_train), ("val", n_val)], "split string, n_images long"
+    )
+    return per_split.join(written, "split")
