@@ -2358,3 +2358,20 @@ def q_rsna_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("train", n_train), ("val", n_val)], "split string, n_images long"
     )
     return per_split.join(written, "split")
+
+
+@register(
+    "events_attribution_streaming",
+    oracle=None,  # stream-stream join; range_join_attribution is the [Q] twin
+    doc="X6 stream-stream interval join: watermarked clicks x watermarked "
+    "purchases, joined on user + 2h time bound. The time bound sizes the "
+    "state store (watermark+interval horizon per side, then eviction). "
+    "Equivalence with the batch range join asserted in "
+    "tests/test_streaming.py.",
+    tags=("events", "streaming"),
+)
+def q_events_attribution_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    return es.run_bounded(es.attribution_join_stream(stream), mode="append")

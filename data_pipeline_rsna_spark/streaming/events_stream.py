@@ -179,3 +179,47 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_join_stream(events: DataFrame,
+                            watermark: str = "4 hours") -> DataFrame:
+    """Stream-stream interval join (X6): attribute click events to any
+    purchase of the same user in the preceding 2 hours — the streaming
+    twin of the batch range join (queries.range_join_attribution).
+
+    Both sides are watermarked and the join condition bounds purchase_ts
+    relative to click_ts, so Spark can size the state store: each side
+    retains only rows inside watermark + interval horizon, then evicts.
+    Unbounded-state stream joins (no time bound) are rejected by the
+    engine — the time bound IS the scalability contract.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            click_ts >= purchase_ts AND
+            click_ts < purchase_ts + INTERVAL 2 HOURS
+            """
+        ),
+    ).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id")
+    )

@@ -102,3 +102,19 @@ def test_categories_from_label_map(spark):
         for r in rel.categories_from_label_map(lm, 10).collect()
     }
     assert got == {1: "display1", 2: "n2"}
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """Sketch path for 100 TB COUNT(DISTINCT): HLL++ must land within its
+    configured relative error of the exact answer (exact stays the
+    oracle; the sketch is the scale substitute)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+
+    orders = tables.load(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd

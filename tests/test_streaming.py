@@ -94,3 +94,14 @@ def test_stateful_totals_across_multiple_microbatches(spark, sf_dir, tmp_path):
         .groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert final == batch
+
+
+def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
+    from data_pipeline_rsna_spark.queries import REGISTRY
+
+    batch = REGISTRY["range_join_attribution"].spark_fn(spark, sf_dir)
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    stream = es.read_events_stream(spark, sf_dir)
+    got_df = es.run_bounded(es.attribution_join_stream(stream), mode="append")
+    got = {(r.click_id, r.purchase_id) for r in got_df.collect()}
+    assert got == want and len(got) > 0
