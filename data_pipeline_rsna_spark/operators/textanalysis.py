@@ -162,3 +162,35 @@ def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tfidf")
     )
+
+
+def pack_sequences(docs, capacity: int = 2048, n_shards: int = 32,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Sequence packing for training-data assembly: assign documents to
+    fixed-capacity token bins ("which context window does this document
+    ride in").
+
+    Deterministic shard-parallel first-fit: documents hash to
+    ``n_shards`` independent shards; within a shard they pack in id
+    order by running token count, a new bin starting whenever the
+    cumulative count crosses a capacity boundary (documents never
+    split; a bin may overflow by at most one document, the standard
+    greedy-packing contract). Each shard's window is independent — no
+    global sort, parallelism = n_shards; at scale raise n_shards to
+    taste since bins are shard-local anyway.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col,
+        (F.col(id_col) % n_shards).alias("shard"),
+        ws_token_count(text_col).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / capacity).cast("int").alias("bin"),
+    )

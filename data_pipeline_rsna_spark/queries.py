@@ -2375,3 +2375,37 @@ def q_events_attribution_streaming(spark: SparkSession, sf_dir: str) -> DataFram
 
     stream = es.read_events_stream(spark, sf_dir)
     return es.run_bounded(es.attribution_join_stream(stream), mode="append")
+
+
+@register(
+    "text_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 32 AS shard,
+               length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS INTEGER) AS bin
+    FROM packed
+    """,
+    doc="LLM training-data sequence packing: documents -> fixed-capacity "
+    "(2048-token) bins, shard-parallel deterministic first-fit (32 "
+    "independent shard windows, no global sort). Whitespace token "
+    "counts; bins are shard-local so parallelism scales with n_shards.",
+    tags=("text",),
+)
+def q_text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ta.pack_sequences(docs, capacity=2048, n_shards=32)

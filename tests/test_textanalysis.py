@@ -47,3 +47,23 @@ def test_fingerprints_order_insensitive(spark):
     assert rows[1].content_fp == rows[2].content_fp
     # different shingles -> (almost surely) different winnow fingerprint
     assert rows[1].winnow_fp != rows[2].winnow_fp
+
+
+def test_sequence_packing_bin_contract(spark):
+    # 40 docs with deterministic token counts across 4 shards
+    rows = [(i, " ".join(["tok"] * (37 + (i * 13) % 150))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = tx.pack_sequences(docs, capacity=256, n_shards=4).collect()
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault((r.shard, r.bin), []).append(r)
+    for (shard, b), members in by_bin.items():
+        members.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in members)
+        # greedy contract: without its last (overflow) doc the bin is
+        # strictly under capacity; bins are dense per shard from 0
+        assert total - members[-1].n_tokens < 256, (shard, b, total)
+    shards = {s for s, _ in by_bin}
+    for s in shards:
+        bins = sorted(b for sh, b in by_bin if sh == s)
+        assert bins == list(range(len(bins)))
