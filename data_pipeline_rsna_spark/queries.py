@@ -2409,3 +2409,95 @@ def q_text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     return ta.pack_sequences(docs, capacity=2048, n_shards=32)
+
+
+@register(
+    "ntile_quantile_binning",
+    oracle="""
+    SELECT bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile(8) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    """,
+    doc="Quantile binning via ntile per priority group (keyed window - "
+    "never a global sort): equal-frequency buckets for stratified "
+    "sampling / feature bucketization. Deterministic tie-break on the "
+    "key.",
+    tags=("relational",),
+)
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "fuzzy_string_match",
+    oracle="""
+    WITH dims AS (SELECT DISTINCT o_orderpriority AS name FROM orders),
+    noisy AS (
+        SELECT DISTINCT
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN substring(o_orderpriority, 1,
+                                   length(o_orderpriority) - 1)
+                    ELSE o_orderpriority || 'X' END AS noisy_name
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT n.noisy_name, d.name,
+           levenshtein(n.noisy_name, d.name) AS dist
+    FROM noisy n JOIN dims d
+      ON levenshtein(n.noisy_name, d.name) <= 1
+    """,
+    doc="Fuzzy dimension matching: noisy keys joined to a (broadcast) "
+    "dimension by Levenshtein distance <= 1. The dim side is tiny, so "
+    "the theta join is a broadcast nested loop over |noisy| x |dim| - "
+    "the right plan when one side is dimension-sized; for fuzzy "
+    "fact-fact matching use the n-gram inverted index (dedup.py) "
+    "instead.",
+    tags=("functions",),
+)
+def q_fuzzy_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    dims = orders.select(
+        F.col("o_orderpriority").alias("name")
+    ).distinct()
+    noisy = (
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.expr(
+                    "substring(o_orderpriority, 1,"
+                    " length(o_orderpriority) - 1)"
+                ),
+            )
+            .otherwise(F.concat(F.col("o_orderpriority"), F.lit("X")))
+            .alias("noisy_name")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("noisy_name"), F.col("name"))
+    return noisy.join(F.broadcast(dims), dist <= 1).select(
+        "noisy_name", "name", dist.alias("dist")
+    )
