@@ -105,3 +105,21 @@ def test_label_map_reader(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].display_name == "pneumonia" and rows[1].pos == 0
     assert rows[2].name == "background-ish" and rows[2].display_name is None
+
+
+def test_robust_csv_quarantines_malformed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "labels.csv"
+    # LABELS_CSV is all-string, so a malformed row = wrong column count
+    p.write_text(
+        "patientId,x,y,width,height,Target\n"
+        "p1,1.0,2.0,3.0,4.0,1\n"
+        'p2,unclosed "quote,oops\n'
+        "p3,5.0,6.0,7.0,8.0,0\n"
+    )
+    df = readers.read_labels_csv_robust(spark, str(p)).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.patientId for r in good.collect()) == ["p1", "p3"]
+    assert bad.count() == 1  # quarantined, not dropped, not fatal

@@ -105,3 +105,69 @@ def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
     got_df = es.run_bounded(es.attribution_join_stream(stream), mode="append")
     got = {(r.click_id, r.purchase_id) for r in got_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_recovery_no_loss_no_dup(spark, sf_dir, tmp_path):
+    """Kill a checkpointed stream mid-input, restart it from the same
+    checkpoint: the resumed query must process exactly the remaining
+    files - final windowed aggregates equal the batch answer (no loss,
+    no double-count)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.operators import events as ev
+    from data_pipeline_rsna_spark.schemas import EVENTS_RAW_NANOS
+
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "chunks")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "ckpt_recovery_out"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(EVENTS_RAW_NANOS).parquet(
+        f"{sf_dir}/events.parquet"
+    ).repartition(4).write.mode("overwrite").parquet(staging)
+    parts = sorted(glob.glob(f"{staging}/part-*.parquet"))
+    os.makedirs(src, exist_ok=True)
+    for p in parts[:2]:  # first half visible before the "crash"
+        shutil.copy(p, src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_RAW_NANOS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+        agg = es.hourly_type_agg_stream(stream)
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(out_name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()  # drain the first half
+    q.stop()  # "crash"
+    for p in parts[2:]:  # second half arrives while the query is down
+        shutil.copy(p, src)
+    q2 = start()  # resume from the checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.table(out_name).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in ev.hourly_type_agg(
+            tables.load(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want
