@@ -297,3 +297,52 @@ def salted_aggregate(
         merge = F.sum if fn in ("sum", "count") else {"min": F.min, "max": F.max}[fn]
         stage2_aggs.append(merge(f"_p_{out}").alias(out))
     return stage1.groupBy(*key_cols).agg(*stage2_aggs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: salt the skewed side
+    (random 0..n_salt-1 per row), replicate ``other`` once per salt
+    value, join on (key, salt). A hot key's rows land on ``n_salt``
+    reducers instead of one, at the cost of an ``n_salt``× blow-up of
+    the other side — use when the other side is small-ish but past the
+    broadcast threshold, or when AQE's skew splitting can't kick in
+    (e.g. the skewed side feeds from a cached/exchange-free plan).
+    Result is row-identical to the plain join for any salt values.
+    """
+    salted = skewed.withColumn("_salt", (F.rand(seed=11) * n_salt).cast("int"))
+    replicated = other.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))),
+    )
+    return salted.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """CDC-style merge: latest version per key wins across base ∪
+    updates (ties go to the updates side). One union + one keyed window
+    — the parquet-native upsert pattern when no table format (Delta/
+    Iceberg) is in play; at scale, partition the rewrite by a date/
+    bucket column so only affected partitions rewrite.
+    """
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

@@ -2501,3 +2501,58 @@ def q_fuzzy_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return noisy.join(F.broadcast(dims), dist <= 1).select(
         "noisy_name", "name", dist.alias("dist")
     )
+
+
+@register(
+    "upsert_snapshot_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, 2 AS version
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC
+        ) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM merged WHERE rn = 1
+    GROUP BY o_orderstatus
+    """,
+    doc="CDC-style snapshot upsert: base union updates, latest version "
+    "per key wins (one keyed window, one shuffle). The parquet-native "
+    "merge pattern; verified by post-merge aggregate.",
+    tags=("relational",),
+)
+def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("version", F.lit(1))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    merged = rel.upsert_snapshot(
+        base, updates, ["o_orderkey"], "version"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        # integer cents: float sums are summation-order-dependent in the
+        # last ulp; exact integates are not
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )

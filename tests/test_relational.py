@@ -118,3 +118,24 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("o_custkey", rsd=0.02)
     ).collect()[0][0]
     assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    # dim keyed on the 3-value returnflag: extreme skew by construction
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "flag_rank", F.length("l_returnflag")
+    )
+    salted = rel.salted_join(li, dim, "l_returnflag", n_salt=8)
+    plain = li.join(dim, "l_returnflag")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("l_returnflag").count().collect()
+    p = plain.groupBy("l_returnflag").count().collect()
+    assert {(r[0], r[1]) for r in s} == {(r[0], r[1]) for r in p}
