@@ -223,3 +223,39 @@ def attribution_join_stream(events: DataFrame,
     ).select(
         "click_id", "purchase_id", F.col("c_user").alias("user_id")
     )
+
+
+def stream_append_cdc_log(stream_df: DataFrame, path: str,
+                          checkpoint: str) -> "object":
+    """CDC-log sink: every micro-batch appends its rows (plus the batch
+    id as the version column) to a parquet log directory. Append-only —
+    no rewrite amplification, safe under retries (Spark's foreachBatch
+    re-runs a failed batch with the same batch_id, and merge-on-read
+    collapses replays since version+key dedupes).
+
+    Returns the StreamingQuery handle."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_version", F.lit(batch_id))
+            .write.mode("append").parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def merge_on_read(spark: SparkSession, path: str, key_cols: list[str],
+                  version_col: str = "_version") -> DataFrame:
+    """The queryable view over a CDC log: latest version per key wins.
+    Compaction = materializing this view and swapping directories; until
+    then reads pay one keyed window over the log."""
+    from ..operators.relational import upsert_snapshot
+
+    log = spark.read.parquet(path)
+    empty = log.limit(0)
+    return upsert_snapshot(empty, log, key_cols, version_col)

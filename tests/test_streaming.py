@@ -171,3 +171,42 @@ def test_checkpoint_recovery_no_loss_no_dup(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_cdc_log_with_merge_on_read(spark, sf_dir, tmp_path):
+    """Stream events into an append-only CDC log via foreachBatch (3
+    micro-batches), then read it back merge-on-read: one row per
+    event_id, latest version wins, contents equal the batch table."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.schemas import EVENTS_RAW_NANOS
+
+    src = str(tmp_path / "chunks")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(EVENTS_RAW_NANOS).parquet(
+        f"{sf_dir}/events.parquet"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("event_id", "user_id", "value")
+    )
+    log_path = str(tmp_path / "cdc_log")
+    q = es.stream_append_cdc_log(
+        stream, log_path, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    view = es.merge_on_read(spark, log_path, ["event_id"])
+    assert view.count() == view.select("event_id").distinct().count()
+    want = tables.load(spark, sf_dir, "events").count()
+    assert view.count() == want
+    # spot-check values survived the roundtrip
+    got_sum = view.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+    want_sum = (
+        tables.load(spark, sf_dir, "events")
+        .agg(F.round(F.sum("value"), 2)).collect()[0][0]
+    )
+    assert got_sum == want_sum
