@@ -367,3 +367,28 @@ def audio_features(clips: DataFrame) -> DataFrame:
         feats,
         "clip_id long, energy long, zero_crossings long, n_samples int",
     )
+
+
+# stage op-name → pixel-kernel sequence, mirroring the geometry chains in
+# augmentation._apply_op_chain (same stage vocabulary)
+STAGE_KERNEL_CHAINS = {
+    "shift_image": ("shift",),
+    "shift_bbox": ("shift",),
+    "scale_bbox": ("scale",),
+    "scale_image": ("scale",),
+    "scale_shift_bbox": ("scale", "shift"),
+    "shift_image_shift_bbox": ("shift", "shift"),
+    "scale_image_scale_shift_bbox": ("scale", "scale", "shift"),
+}
+
+
+def apply_stage_chain(images: DataFrame, stage_op: str,
+                      variant: int = 0) -> DataFrame:
+    """Pixel half of one augmentation stage: the stage's kernel sequence
+    applied in order (each step seeded on (img_id, variant, op, step) via
+    the shared RNG convention, so pixels and box geometry derived from
+    the same keys stay in lock-step)."""
+    out = images
+    for step, op in enumerate(STAGE_KERNEL_CHAINS[stage_op]):
+        out = apply_kernel(out, op, variant=variant * 10 + step)
+    return out

@@ -113,3 +113,30 @@ def test_audio_features_known_values(spark):
         nonneg = s >= 0
         assert feats[cid].energy == int((s * s).sum())
         assert feats[cid].zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())
+
+
+def test_stage_chain_composes_kernels(spark):
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+    import numpy as np
+
+    imgs = mm.synth_images(spark, n=4, height=12, width=12)
+    for stage_op in mm.STAGE_KERNEL_CHAINS:
+        out = mm.apply_stage_chain(imgs, stage_op, variant=1).collect()
+        assert len(out) == 4
+        for r in out:
+            arr = np.frombuffer(r.pixels, dtype=np.uint8)
+            assert arr.size == 12 * 12  # shape preserved through the chain
+
+
+def test_stage_chain_deterministic(spark):
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+
+    imgs = mm.synth_images(spark, n=3, height=8, width=8)
+    a = {r.img_id: r.pixels for r in
+         mm.apply_stage_chain(imgs, "scale_shift_bbox", 2).collect()}
+    b = {r.img_id: r.pixels for r in
+         mm.apply_stage_chain(imgs, "scale_shift_bbox", 2).collect()}
+    c = {r.img_id: r.pixels for r in
+         mm.apply_stage_chain(imgs, "scale_shift_bbox", 3).collect()}
+    assert a == b          # same (id, variant) => identical pixels
+    assert a != c          # different variant => different augmentation
