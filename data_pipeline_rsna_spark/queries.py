@@ -2556,3 +2556,67 @@ def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# The LLM-corpus curation flow as one composed query: quality gate ->
+# exact-dedup keeper -> per-bucket token accounting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_curation_flow",
+    oracle=f"""
+    WITH corpus AS ({{corpus}}),
+    scored AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(text), '\\s+') AS ws
+        FROM corpus
+    ),
+    gated AS (
+        SELECT doc_id, text, len(ws) AS n_tokens
+        FROM scored
+        WHERE len(ws) >= 50
+          AND len(list_distinct(ws)) / len(ws) >= 0.2
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens,
+               count(*) AS n_copies
+        FROM gated
+        GROUP BY md5(text)
+    )
+    SELECT count(*) AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(sum(n_copies - 1) AS BIGINT) AS dup_docs_removed,
+           CAST(min(doc_id) AS BIGINT) AS first_keeper
+    FROM keepers
+    """.format(corpus=_CORPUS_SQL),
+    doc="The full curation flow in one lazy plan: quality gate (length "
+    "+ type-token ratio) -> exact dedup with deterministic min-id "
+    "keeper -> corpus accounting (docs and tokens kept, dups removed). "
+    "Each piece is oracle-checked alone elsewhere; this checks the "
+    "COMPOSITION, which is what a real pipeline ships.",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_corpus_curation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+    from .operators import textanalysis as tx
+
+    corpus = _planted_corpus(spark, sf_dir)
+    gated = corpus.filter(
+        (tx.ws_token_count() >= 50) & (tx.type_token_ratio() >= 0.2)
+    ).select("doc_id", "text", tx.ws_token_count().alias("n_tokens"))
+    keepers = (
+        gated.groupBy(F.md5("text"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    return keepers.agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("dup_docs_removed"),
+        F.min("doc_id").alias("first_keeper"),
+    )

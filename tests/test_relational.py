@@ -139,3 +139,24 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     s = salted.groupBy("l_returnflag").count().collect()
     p = plain.groupBy("l_returnflag").count().collect()
     assert {(r[0], r[1]) for r in s} == {(r[0], r[1]) for r in p}
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    """sampleBy with a seed: per-class fractions land near target and
+    REPLAY exactly (seeded) - the curation primitive for class-balanced
+    subset selection."""
+    from data_pipeline_rsna_spark import tables
+
+    orders = tables.load(spark, sf_dir, "orders")
+    fractions = {"F": 0.5, "O": 0.1, "P": 0.9}
+    a = orders.sampleBy("o_orderstatus", fractions, seed=42)
+    b = orders.sampleBy("o_orderstatus", fractions, seed=42)
+    ka = sorted(r.o_orderkey for r in a.collect())
+    kb = sorted(r.o_orderkey for r in b.collect())
+    assert ka == kb  # seeded => replayable
+    totals = {r[0]: r[1] for r in
+              orders.groupBy("o_orderstatus").count().collect()}
+    got = {r[0]: r[1] for r in a.groupBy("o_orderstatus").count().collect()}
+    for cls, frac in fractions.items():
+        observed = got.get(cls, 0) / totals[cls]
+        assert abs(observed - frac) < 0.15, (cls, observed, frac)
