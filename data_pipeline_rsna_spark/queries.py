@@ -2620,3 +2620,36 @@ def q_corpus_curation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_copies") - 1).cast("long").alias("dup_docs_removed"),
         F.min("doc_id").alias("first_keeper"),
     )
+
+
+@register(
+    "events_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, kind, n FROM wide
+    UNPIVOT (n FOR kind IN (n_click, n_view, n_signup))
+    WHERE n > 0
+    """,
+    doc="X5 unpivot/melt (the reshape inverse of events_user_pivot): "
+    "wide per-user counts back to long (user, kind, n) rows via the "
+    "native unpivot - a narrow Expand, no shuffle beyond the upstream "
+    "aggregate.",
+    tags=("events",),
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("n_signup"),
+    )
+    return wide.unpivot(
+        "user_id", ["n_click", "n_view", "n_signup"], "kind", "n"
+    ).filter(F.col("n") > 0)
