@@ -392,3 +392,48 @@ def apply_stage_chain(images: DataFrame, stage_op: str,
     for step, op in enumerate(STAGE_KERNEL_CHAINS[stage_op]):
         out = apply_kernel(out, op, variant=variant * 10 + step)
     return out
+
+
+# ---------------------------------------------------------------------------
+# image tiling (ViT-style patch extraction)
+# ---------------------------------------------------------------------------
+
+PATCH_SCHEMA = (
+    "img_id long, patch_row int, patch_col int, pixels binary, "
+    "dtype string, height int, width int"
+)
+
+
+def tile_patches(images: DataFrame, patch: int = 8) -> DataFrame:
+    """Split each image into non-overlapping patch×patch tiles, one row
+    per tile — the vision-transformer data-prep step. Pure ndarray
+    reshaping inside the Arrow batch (fan-out (H/p)·(W/p) per image, no
+    shuffle); images must be divisible by ``patch`` (normalize with
+    ``resize`` first)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                assert r.height % patch == 0 and r.width % patch == 0
+                for pr in range(r.height // patch):
+                    for pc in range(r.width // patch):
+                        tile = arr[
+                            pr * patch:(pr + 1) * patch,
+                            pc * patch:(pc + 1) * patch,
+                        ]
+                        out.append(
+                            (r.img_id, pr, pc,
+                             np.ascontiguousarray(tile).tobytes(),
+                             r.dtype, patch, patch)
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=["img_id", "patch_row", "patch_col", "pixels",
+                         "dtype", "height", "width"],
+            )
+
+    return images.mapInPandas(run, PATCH_SCHEMA)

@@ -346,3 +346,24 @@ def upsert_snapshot(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def incremental_agg_merge(
+    old_agg: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for decomposable aggregates: merge a
+    materialized per-key aggregate with freshly-aggregated delta rows
+    instead of recomputing over all history. new = old ⊎ agg(delta),
+    where ⊎ sums the partial columns (counts merge as sums). Cost is
+    O(|delta| + |keys touched|) — the pattern that keeps daily 100 TB
+    aggregation jobs incremental rather than full-recompute.
+    """
+    merged = old_agg.withColumn("_src", F.lit(0)).unionByName(
+        delta.withColumn("_src", F.lit(1))
+    )
+    return merged.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

@@ -2653,3 +2653,157 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "user_id", ["n_click", "n_view", "n_signup"], "kind", "n"
     ).filter(F.col("n") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance, window-function breadth, histograms.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental view maintenance: aggregate 'history' (orderkey % 5 "
+    "!= 0), separately aggregate the 'delta' (% 5 = 0), merge partials "
+    "(decomposable sums/counts). Oracle recomputes from scratch - the "
+    "merge must be indistinguishable from full recomputation.",
+    tags=("relational", "pipeline"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").alias("n"), F.sum(cents).alias("total_cents")
+        )
+
+    history = agg(orders.filter(F.col("o_orderkey") % 5 != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % 5 == 0))
+    return rel.incremental_agg_merge(
+        history, delta, ["priority"], ["n", "total_cents"]
+    )
+
+
+@register(
+    "window_function_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lead(o_orderkey) OVER w AS next_key,
+           CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT)
+               AS min_price_cents
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Window-function breadth beyond row_number/lag: percent_rank, "
+    "cume_dist, lead, first_value over keyed ordered windows - all one "
+    "shuffle on the partition key.",
+    tags=("relational",),
+)
+def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.round(F.first("o_totalprice").over(w) * 100)
+        .cast("long")
+        .alias("min_price_cents"),
+    )
+
+
+@register(
+    "equal_width_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Equal-width histogram: closed-form bucket = floor(v/width), one "
+    "aggregation, no sort - the profile/EDA primitive at any scale "
+    "(ntile_quantile_binning is the equal-frequency twin).",
+    tags=("relational",),
+)
+def q_equal_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).cast("long").alias("n_finished"),
+        )
+    )
+
+
+@register(
+    "multimodal_patch_tiling",
+    oracle="""
+    SELECT v.img_id AS img_id, pr.pr AS patch_row, pc.pc AS patch_col,
+           sum((v.img_id * 31 +
+                ((pr.pr * 8 + j.j // 8) * 16 + pc.pc * 8 + j.j % 8) * 7)
+               % 256) AS sum_px
+    FROM (SELECT unnest(generate_series(0, 49)) AS img_id) v
+    CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS pr) pr
+    CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS pc) pc
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+    GROUP BY 1, 2, 3
+    """,
+    doc="X7 ViT-style patch tiling: 16x16 synthetic images -> four 8x8 "
+    "tiles each, one row per tile, sliced inside Arrow batches (narrow "
+    "fan-out). Per-tile pixel sums are value-checked against the "
+    "closed-form pixel formula re-indexed through the tile layout in "
+    "SQL.",
+    tags=("multimodal",),
+)
+def q_multimodal_patch_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images(spark, n=50, height=16, width=16)
+    patches = mm.tile_patches(imgs, patch=8)
+
+    import pandas as pd  # noqa: F401
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype))
+                out.append(
+                    (r.img_id, r.patch_row, r.patch_col,
+                     int(arr.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "patch_row", "patch_col", "sum_px"]
+            )
+
+    return patches.mapInPandas(
+        stats, "img_id long, patch_row int, patch_col int, sum_px long"
+    )

@@ -140,3 +140,23 @@ def test_stage_chain_deterministic(spark):
          mm.apply_stage_chain(imgs, "scale_shift_bbox", 3).collect()}
     assert a == b          # same (id, variant) => identical pixels
     assert a != c          # different variant => different augmentation
+
+
+def test_tile_patches_reassemble(spark):
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+    import numpy as np
+
+    imgs = mm.synth_images(spark, n=2, height=16, width=16)
+    orig = {r.img_id: np.frombuffer(r.pixels, dtype=np.uint8).reshape(16, 16)
+            for r in imgs.collect()}
+    tiles = mm.tile_patches(imgs, patch=8).collect()
+    assert len(tiles) == 2 * 4
+    rebuilt = {i: np.zeros((16, 16), dtype=np.uint8) for i in orig}
+    for t in tiles:
+        arr = np.frombuffer(t.pixels, dtype=np.uint8).reshape(8, 8)
+        rebuilt[t.img_id][
+            t.patch_row * 8:(t.patch_row + 1) * 8,
+            t.patch_col * 8:(t.patch_col + 1) * 8,
+        ] = arr
+    for i in orig:
+        assert (rebuilt[i] == orig[i]).all()  # lossless tiling
