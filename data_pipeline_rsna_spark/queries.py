@@ -2807,3 +2807,154 @@ def q_multimodal_patch_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patches.mapInPandas(
         stats, "img_id long, patch_row int, patch_col int, sum_px long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Advanced text curation: PII redaction, repetition detection,
+# sub-document dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+    WITH noisy AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+?1?[- ]?555[- ][0-9]{4}', '<PHONE>', 'g') AS redacted,
+           length(text) - length(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '', 'g')) AS email_chars_removed
+    FROM noisy
+    """,
+    doc="PII scrubbing: synthesize emails/phones into documents, redact "
+    "with anchored regexes (regexp_replace is JVM-side codegen; the "
+    "same patterns run identically in the oracle). The compliance "
+    "primitive every training corpus needs before release.",
+    tags=("text",),
+)
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?1?[- ]?555[- ][0-9]{4}"
+    return noisy.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("redacted"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), email_re, ""))
+        ).alias("email_chars_removed"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH shingles AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '\\s+') AS ws
+        FROM ({{corpus}})
+    )
+    SELECT doc_id,
+           len(ws) - 2 AS n_shingles,
+           round(1.0 - len(list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in generate_series(1, len(ws) - 2)]
+           )) / (len(ws) - 2), 6) AS repetition_ratio
+    FROM shingles
+    WHERE len(ws) >= 3
+    """.format(corpus=_CORPUS_SQL),
+    doc="Repetition detection: 1 - distinct/total 3-gram shingles. High "
+    "values flag degenerate (looping) documents - a standard LLM "
+    "corpus-quality gate alongside the TTR/stopword filters.",
+    tags=("text",),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles_col, tokens_col
+
+    corpus = _planted_corpus(spark, sf_dir)
+    ws = tokens_col("text")
+    all_shingles = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i + 1, 3)
+        ),
+    )
+    return corpus.filter(F.size(ws) >= 3).select(
+        "doc_id",
+        (F.size(ws) - 2).alias("n_shingles"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(all_shingles))
+            / (F.size(ws) - 2).cast("double"),
+            6,
+        ).alias("repetition_ratio"),
+    )
+
+
+@register(
+    "dedup_sentence_level",
+    oracle=f"""
+    WITH sentences AS (
+        SELECT doc_id, trim(s.sent) AS sent
+        FROM ({{corpus}})
+        CROSS JOIN unnest(string_split(text, '.')) AS s(sent)
+        WHERE trim(s.sent) <> ''
+    )
+    SELECT md5(sent) AS sent_hash,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM sentences
+    GROUP BY md5(sent)
+    HAVING count(DISTINCT doc_id) > 1
+    """.format(corpus=_CORPUS_SQL),
+    doc="Sub-document dedup: explode documents into sentences, find "
+    "sentences shared across documents (boilerplate/quote detection). "
+    "The shuffle carries 16-byte hashes; removal is a left_anti join "
+    "back on (doc_id, sent_hash).",
+    tags=("text", "dedup"),
+)
+def q_dedup_sentence_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_corpus(spark, sf_dir)
+    sentences = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\.")).alias("sent"),
+    ).select("doc_id", F.trim(F.col("sent")).alias("sent")).filter(
+        F.col("sent") != ""
+    )
+    return (
+        sentences.groupBy(F.md5("sent").alias("sent_hash"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
