@@ -29,14 +29,22 @@ def hourly_type_agg(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # average exported as exact integer micro-units: decimal
+            # rounding of a quotient can land on a .5 tie, where Spark
+            # (BigDecimal HALF_UP on the shortest repr) and other engines
+            # (raw-double arithmetic) disagree; integer cents*1e4 DIV n
+            # is bit-identical everywhere
+            F.expr(
+                "CAST(round(sum(value) * 100) AS BIGINT) * 10000"
+                " DIV count(*)"
+            ).alias("avg_micro"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
-            "avg_value",
+            "avg_micro",
         )
     )
 

@@ -1091,7 +1091,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n,
            round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value
+           CAST(round(sum(value) * 100) AS BIGINT) * 10000 // count(*) AS avg_micro
     FROM events
     GROUP BY 1, 2
     """,

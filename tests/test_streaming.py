@@ -9,7 +9,7 @@ from data_pipeline_rsna_spark.streaming import events_stream as es
 
 def _key(rows):
     return sorted(
-        (r.window_start, r.event_type, r.n, r.sum_value, r.avg_value)
+        (r.window_start, r.event_type, r.n, r.sum_value, r.avg_micro)
         for r in rows
     )
 
