@@ -115,3 +115,59 @@ def top_events_per_type(events: DataFrame, k: int = 5) -> DataFrame:
             "prev_value",
         )
     )
+
+
+def gap_fill_locf(
+    obs: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Hypertable-style daily gap fill with LOCF (last observation
+    carried forward): densify each key's observed [first_day, last_day]
+    span to one row per calendar day, carrying the day's last value
+    across the gap days.
+
+    Single-exchange plan: one explicit hash repartition on ``key``
+    satisfies every downstream requirement — the per-(key, day) dedup
+    window (subset clustering), the per-key lead() window, and the
+    explode are all partition-local. No dense-calendar cross join and no
+    driver-side min/max collect: each key's gap days are generated from
+    its own rows via ``sequence(day, next_day - 1)``, so output volume
+    is bounded by (keys x span days) regardless of event count, and a
+    key's state never leaves its task (skew = one user's history).
+
+    Value exported as integer cents and day as epoch days, so the
+    differential hash never depends on float/date-to-string formatting.
+    """
+    df = obs.repartition(F.col(key))
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    w_day = Window.partitionBy(key, "day").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    daily = (
+        df.withColumn("day", day)
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select(key, "day", value_col)
+    )
+    w_seq = Window.partitionBy(key).orderBy("day")
+    seq = daily.withColumn("next_day", F.lead("day").over(w_seq))
+    filled = seq.select(
+        key,
+        F.col("day").alias("obs_day"),
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.coalesce(F.date_sub("next_day", 1), F.col("day")),
+            )
+        ).alias("gen_day"),
+        value_col,
+    )
+    return filled.select(
+        key,
+        F.datediff("gen_day", F.lit("1970-01-01")).alias("epoch_day"),
+        (F.col("gen_day") == F.col("obs_day")).cast("int").alias("is_observed"),
+        F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("value_cents"),
+    )

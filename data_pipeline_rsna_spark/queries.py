@@ -1116,6 +1116,55 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (SELECT user_id, day, value FROM obs WHERE rn = 1),
+    seq AS (
+        SELECT user_id, day, value,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        FROM daily
+    ),
+    filled AS (
+        SELECT user_id, day,
+               unnest(generate_series(
+                   day, COALESCE(next_day - 1, day), INTERVAL 1 DAY
+               ))::DATE AS gen_day,
+               value
+        FROM seq
+    )
+    SELECT user_id,
+           (gen_day - DATE '1970-01-01') AS epoch_day,
+           CAST(gen_day = day AS INTEGER) AS is_observed,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM filled
+    """,
+    doc="X5+ hypertable-style daily LOCF gap fill per user over purchase "
+    "events: densify each user's observed span to one row per day, "
+    "carrying the day's last value across gaps. Single-exchange plan — "
+    "gap days are generated from each key's own rows (sequence to the "
+    "lead day), never from a dense-calendar cross join.",
+    tags=("events",),
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    purchases = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return ev.gap_fill_locf(purchases)
+
+
+@register(
     "events_sessionization",
     oracle="""
     WITH flagged AS (

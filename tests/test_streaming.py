@@ -210,3 +210,33 @@ def test_streaming_cdc_log_with_merge_on_read(spark, sf_dir, tmp_path):
         .agg(F.round(F.sum("value"), 2)).collect()[0][0]
     )
     assert got_sum == want_sum
+
+
+def test_gap_fill_locf_handcrafted(spark):
+    """Known gaps: obs on days 1, 4 (two events — later wins), and 6.
+    Expect days 1-3 carrying v1, days 4-5 carrying the day-4 LAST value,
+    day 6 observed, nothing past the last observation."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.00),
+        (2, "2024-01-04 09:00:00", 7, 2.00),
+        (3, "2024-01-04 18:00:00", 7, 3.00),  # later same day -> wins
+        (4, "2024-01-06 00:00:00", 7, 4.00),
+        (5, "2024-01-02 12:00:00", 8, 9.00),  # single-obs user: one row
+    ]
+    obs = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    got = sorted(
+        (r.user_id, r.epoch_day, r.is_observed, r.value_cents)
+        for r in ev.gap_fill_locf(obs).collect()
+    )
+    d = 19723  # epoch day of 2024-01-01
+    assert got == [
+        (7, d + 0, 1, 100),
+        (7, d + 1, 0, 100),
+        (7, d + 2, 0, 100),
+        (7, d + 3, 1, 300),
+        (7, d + 4, 0, 300),
+        (7, d + 5, 1, 400),
+        (8, d + 1, 1, 900),
+    ]
