@@ -367,3 +367,67 @@ def incremental_agg_merge(
     return merged.groupBy(*key_cols).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum of ``value_col`` in ``order_col`` order,
+    WITHOUT a ``Window.partitionBy(key)`` — which at scale pins each
+    group onto one task (fatal when ``key`` is low-cardinality, e.g.
+    a handful of languages over billions of documents).
+
+    Grouped two-phase form (the keyed generalization of
+    ``global_row_number``):
+
+    1. range-partition on ``(key, order_col)`` — a parallel per-group
+       total order: within a key, every value in physical partition i
+       precedes partition i+1, and one group spans MANY partitions,
+    2. local running sum per ``(key, partition)`` slice — each task
+       holds only its slice of a group, never the whole group,
+    3. per-slice subtotals form a tiny (#partitions × #keys rows)
+       metadata table; a per-key triangular join computes each slice's
+       exclusive prefix offset, broadcast back and added to the local
+       running sum.
+
+    ``order_col`` must be unique per key for a deterministic result
+    (pass a composite/tie-broken column otherwise).
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    part = (
+        df.repartitionByRange(int(n), F.col(key), F.col(order_col))
+        .sortWithinPartitions(key, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = (
+        Window.partitionBy("_pid", key)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_cum", F.sum(value_col).over(local_w))
+    subtotals = local.groupBy("_pid", key).agg(
+        F.sum(value_col).alias("_sub")
+    )
+    earlier = subtotals.select(
+        F.col("_pid").alias("_pid2"), F.col(key).alias("_key2"),
+        F.col("_sub").alias("_sub2"),
+    )
+    offsets = (
+        subtotals.join(
+            earlier,
+            (F.col("_key2") == F.col(key)) & (F.col("_pid2") < F.col("_pid")),
+            "left",
+        )
+        .groupBy("_pid", key)
+        .agg(F.coalesce(F.sum("_sub2"), F.lit(0)).alias("_offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", key])
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum", "_offset")
+    )

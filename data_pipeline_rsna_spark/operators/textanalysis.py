@@ -194,3 +194,42 @@ def pack_sequences(docs, capacity: int = 2048, n_shards: int = 32,
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / capacity).cast("int").alias("bin"),
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language token-budget quota sampling: take documents in a
+    seeded-shuffle priority order (md5 of the id — uniform, deterministic,
+    bit-identical across engines) until each language's cumulative token
+    count reaches ``budget_tokens``; the document that crosses the budget
+    is kept (budget is a floor on coverage, not a cap).
+
+    The running count uses ``relational.grouped_running_sum`` — the
+    grouped two-phase prefix sum — NOT ``Window.partitionBy(lang)``,
+    which would pin each language onto a single task: with a handful of
+    languages over billions of documents that window is the textbook
+    low-cardinality skew trap.
+    """
+    from . import relational as rel
+
+    pri = F.concat(F.md5(F.col(id_col).cast("string")),
+                   F.col(id_col).cast("string"))
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(id_col),
+        ws_token_count(text_col).cast("bigint").alias("n_tokens"),
+        pri.alias("_pri"),
+    )
+    cum = rel.grouped_running_sum(
+        toks, key="lang", order_col="_pri", value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+    return (
+        cum.filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select("lang", id_col, "n_tokens", "cum_tokens")
+    )

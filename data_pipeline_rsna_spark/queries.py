@@ -922,6 +922,43 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_budget_sample",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR) AS pri
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY pri
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM toks
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 2000
+    """,
+    doc="X4+ training-corpus quota sampling: per-language document "
+    "selection in seeded-shuffle order (md5 priority) until a token "
+    "budget is covered. Runs on the grouped two-phase prefix sum "
+    "(range partition on (lang, priority) + per-slice subtotals + "
+    "broadcast offsets), never a partitionBy(lang) window — a handful "
+    "of languages over billions of docs would pin each language to one "
+    "task.",
+    tags=("text",),
+)
+def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return tx.token_budget_sample(docs, budget_tokens=2000)
+
+
+@register(
     "text_quality_score",
     oracle=f"""
     SELECT doc_id,

@@ -160,3 +160,35 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     for cls, frac in fractions.items():
         observed = got.get(cls, 0) / totals[cls]
         assert abs(observed - frac) < 0.15, (cls, observed, frac)
+
+
+def test_grouped_running_sum_matches_window(spark):
+    """The grouped two-phase prefix sum must equal the naive
+    Window.partitionBy(key) cumulative sum — on a frame spread across
+    many more range partitions than keys, so slices really split."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    rng = random.Random(7)
+    rows = [(f"k{i % 3}", i, rng.randint(1, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "key string, ord long, v long")
+    got = {
+        (r.key, r.ord): r.cum
+        for r in rel.grouped_running_sum(
+            df, "key", "ord", "v", partitions=16
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.key, r.ord): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
