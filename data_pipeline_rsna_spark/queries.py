@@ -1299,6 +1299,30 @@ def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es.run_bounded(es.hourly_type_agg_stream(stream))
 
 
+@register(
+    "events_dedup_streaming",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="X6 streaming exact dedup under at-least-once delivery: the "
+    "source replays EVERY event twice across two micro-batches; "
+    "watermarked dropDuplicates(event_id) must collapse the double "
+    "feed back to the plain per-type aggregate over the original table "
+    "— which is exactly what the DuckDB oracle computes, so this "
+    "streaming query is fully hash-checked, not rows-only.",
+    tags=("events", "streaming"),
+)
+def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream_duplicated(spark, sf_dir)
+    return es.run_bounded(es.dedup_counts_stream(stream))
+
+
 # ---------------------------------------------------------------------------
 # O14-O18 box geometry (SQL halves) + O16 collision theta-join.
 # ---------------------------------------------------------------------------

@@ -267,3 +267,49 @@ def merge_on_read(spark: SparkSession, path: str, key_cols: list[str],
     log = spark.read.parquet(path)
     empty = log.limit(0)
     return upsert_snapshot(empty, log, key_cols, version_col)
+
+
+def _staged_events_dup_dir(sf_dir: str) -> str:
+    """Stage TWO copies of the events parquet into one source directory:
+    with maxFilesPerTrigger=1 the stream replays every event twice across
+    two micro-batches — the adversarial input for cross-batch dedup."""
+    src = pathlib.Path(_staged_events_dir(sf_dir)) / "events.parquet"
+    dst_dir = pathlib.Path(str(src.parent) + "_dup")
+    for name in ("copy_a.parquet", "copy_b.parquet"):
+        dst = dst_dir / name
+        if not dst.exists() or dst.stat().st_mtime < src.stat().st_mtime:
+            dst_dir.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(src, dst)
+    return str(dst_dir)
+
+
+def read_events_stream_duplicated(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Events stream where every event arrives twice, in two separate
+    micro-batches (one file per trigger)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_events_dup_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def dedup_counts_stream(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup (X6 twin of X1): drop re-delivered events by
+    event_id, then aggregate per type. ``dropDuplicates`` keeps one state
+    entry per id seen within the watermark horizon — the watermark is
+    what BOUNDS that state at 100 TB/day; without it the id set grows
+    forever. Dedup state lives on the shuffle partitioning of event_id,
+    the downstream agg on event_type — Spark inserts the two stateful
+    exchanges; both are key-partitioned and skew-free."""
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -240,3 +240,26 @@ def test_gap_fill_locf_handcrafted(spark):
         (7, d + 5, 1, 400),
         (8, d + 1, 1, 900),
     ]
+
+
+def test_stream_dedup_collapses_at_least_once_delivery(spark, sf_dir):
+    """The duplicated source replays every event twice; without dedup the
+    counts double (proving the harness is adversarial), with watermarked
+    dropDuplicates they equal the batch aggregate over the original."""
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r.event_type, r.n)
+        for r in tables.load(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    dup = es.read_events_stream_duplicated(spark, sf_dir)
+    naive = es.run_bounded(
+        dup.groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    assert {(r.event_type, r.n) for r in naive.collect()} == {
+        (t, 2 * n) for t, n in batch
+    }
+    deduped = es.run_bounded(es.dedup_counts_stream(
+        es.read_events_stream_duplicated(spark, sf_dir)))
+    assert {(r.event_type, r.n) for r in deduped.collect()} == batch
