@@ -74,3 +74,27 @@ def seeded_uniform(*key_cols: Column | str, salt: str = "") -> Column:
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     h = F.xxhash64(*cols, F.lit(salt))
     return F.pmod(h, F.lit(2_147_483_647)).cast("double") / 2_147_483_647.0
+
+
+def _spread_bits16(c: Column) -> Column:
+    """Spread a 16-bit value's bits into the even bit positions of a
+    32-bit lane (the classic mask-shift 'Part1By1' sequence). All
+    bitwise JVM built-ins — stays in whole-stage codegen."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def zorder_key2(x: Column, y: Column) -> Column:
+    """Morton / Z-order key of two 16-bit dimensions: interleaved bits,
+    so keys close in z-order are close in BOTH dimensions. Sorting or
+    range-partitioning files by this key gives multi-dimensional data
+    skipping: a predicate on either dimension prunes contiguous key
+    ranges (the mechanism behind Delta/Iceberg Z-ordering), where a
+    lexicographic (x, y) layout prunes only on the leading column.
+    Inputs must already be in [0, 65535] — scale/clamp first."""
+    return _spread_bits16(x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits16(y.cast("long")), 1)
+    )

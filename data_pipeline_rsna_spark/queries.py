@@ -1323,6 +1323,67 @@ def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es.run_bounded(es.dedup_counts_stream(stream))
 
 
+@register(
+    "zorder_layout_stats",
+    oracle="""
+    WITH pts AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_partkey * 131) % 65536 AS x,
+               (l_suppkey * 7919) % 65536 AS y
+        FROM lineitem
+    ),
+    spread AS (
+        SELECT x, y,
+               ((((((x | (x << 8)) & 16711935)
+                 | (((x | (x << 8)) & 16711935) << 4)) & 252645135)
+                 | ((((((x | (x << 8)) & 16711935)
+                 | (((x | (x << 8)) & 16711935) << 4)) & 252645135)) << 2))
+                 & 858993459) AS sx2,
+               ((((((y | (y << 8)) & 16711935)
+                 | (((y | (y << 8)) & 16711935) << 4)) & 252645135)
+                 | ((((((y | (y << 8)) & 16711935)
+                 | (((y | (y << 8)) & 16711935) << 4)) & 252645135)) << 2))
+                 & 858993459) AS sy2
+        FROM pts
+    ),
+    z AS (
+        SELECT x, y,
+               ((sx2 | (sx2 << 1)) & 1431655765)
+             | (((sy2 | (sy2 << 1)) & 1431655765) << 1) AS zkey
+        FROM spread
+    )
+    SELECT zkey // 67108864 AS bucket,
+           count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z
+    GROUP BY 1
+    """,
+    doc="Data-layout operator: Morton/Z-order key (bit interleave of two "
+    "16-bit dims) and per-bucket extent stats — the min/max bounds a "
+    "layout-aware reader uses for multi-dimensional file skipping. "
+    "Bit-exact across engines (pure integer mask-shift arithmetic).",
+    tags=("layout",),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import scalars as sc
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        ((F.col("l_partkey") * 131) % 65536).alias("x"),
+        ((F.col("l_suppkey") * 7919) % 65536).alias("y"),
+    )
+    z = pts.withColumn("zkey", sc.zorder_key2(F.col("x"), F.col("y")))
+    return (
+        z.groupBy(F.expr("zkey DIV 67108864").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O14-O18 box geometry (SQL halves) + O16 collision theta-join.
 # ---------------------------------------------------------------------------

@@ -76,3 +76,38 @@ def test_composed_labelmap_loaders(spark, tmp_path):
     assert cats == {1: "Alpha", 2: "b"}  # keep-first, display_name coalesce
     idx = readers.create_category_index_from_labelmap(spark, str(p))
     assert idx[1] == {"id": 1, "name": "Alpha"}
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """Chunk a z-sorted layout into 'files' and check min/max skipping:
+    a narrow band predicate on EITHER dimension must touch far fewer
+    chunks than under a lexicographic layout keyed on the other dim."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark.functions import scalars as sc
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(4096)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.withColumn("z", sc.zorder_key2(F.col("x"), F.col("y"))).collect()
+
+    def chunks_touched(order_key, band_dim):
+        srt = sorted(rows, key=order_key)
+        chunks = [srt[i : i + 64] for i in range(0, len(srt), 64)]
+        lo, hi = 30000, 30000 + 6554  # a 10%-wide band
+        return sum(
+            1
+            for c in chunks
+            if max(getattr(r, band_dim) for r in c) >= lo
+            and min(getattr(r, band_dim) for r in c) <= hi
+        )
+
+    z_x = chunks_touched(lambda r: r.z, "x")
+    z_y = chunks_touched(lambda r: r.z, "y")
+    # lexicographic on (y, x): x is the trailing dim -> no x pruning
+    lex_x = chunks_touched(lambda r: (r.y, r.x), "x")
+    assert lex_x > 60  # nearly every chunk touched
+    assert z_x < lex_x / 2 and z_y < lex_x / 2
+    assert z_x < 30 and z_y < 30
