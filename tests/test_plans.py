@@ -114,3 +114,40 @@ def test_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
     df = REGISTRY["global_topk_orders"].spark_fn(spark, sf_dir)
     rep = audit.plan_report(df)
     assert "TakeOrderedAndProject" in rep.text, rep.text
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: a selective filter on the build side
+    of a shuffle join must inject a bloom_filter_agg subquery and a
+    might_contain predicate on the fact scan — the mechanism that, at
+    100 TB, drops most fact rows BEFORE the join shuffle instead of
+    after it. The scan-size threshold is lowered because testdata is
+    tiny; the default (10 GB) engages it exactly where it matters."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = tables.load(spark, sf_dir, "lineitem")
+        orders = tables.load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -192,3 +192,30 @@ def test_grouped_running_sum_matches_window(spark):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
+    """percentile_approx (the scale path — mergeable sketch, no global
+    sort) must land within the documented accuracy of the exact
+    percentile at every probed quantile."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    acc = 1000  # relative rank error <= 1/acc
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", qs, acc).alias("approx"),
+        F.expr(
+            f"percentile(l_extendedprice, array({','.join(map(str, qs))}))"
+        ).alias("exact"),
+        F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    ).collect()[0]
+    spread = row.hi - row.lo
+    for a, e in zip(row.approx, row.exact):
+        # rank-error guarantee translated loosely to value space: the
+        # approx value must sit inside a narrow value band around exact
+        assert abs(a - e) <= 0.05 * spread, (a, e)

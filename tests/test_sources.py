@@ -123,3 +123,30 @@ def test_robust_csv_quarantines_malformed(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert sorted(r.patientId for r in good.collect()) == ["p1", "p3"]
     assert bad.count() == 1  # quarantined, not dropped, not fatal
+
+
+def test_orc_sink_source_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second columnar format the engine reads/writes (same
+    DataFrameReader/Writer surface as parquet). Roundtrip must preserve
+    schema, row count, and exact aggregate values."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == li.schema
+    key = lambda df: sorted(  # noqa: E731
+        (r.l_returnflag, r.n, r.q)
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+        )
+        .collect()
+    )
+    assert key(back) == key(li)
