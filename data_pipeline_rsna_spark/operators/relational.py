@@ -431,3 +431,24 @@ def grouped_running_sum(
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int, salt: str = "cv"
+) -> DataFrame:
+    """K-fold cross-validation fold assignment: a pure narrow
+    transformation (no shuffle, no global state) that hashes the key to
+    a fold in [0, k). Like ``hash_split`` it is stable under any
+    repartitioning and any subset of the data — a key's fold never
+    changes — which is what makes held-out folds trustworthy across
+    pipeline re-runs. md5-derived (not xxhash) so the assignment is
+    bit-reproducible in any engine, and salted so independent CV
+    experiments decorrelate."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return df.withColumn("fold", (h % k).cast("int"))

@@ -1324,6 +1324,35 @@ def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kfold_split_assignment",
+    oracle="""
+    SELECT (('0x' || substr(md5('cv|' || CAST(o_custkey AS VARCHAR)), 1, 8))
+                ::UBIGINT % 5)::INTEGER AS fold,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_price_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="O9+ k-fold cross-validation assignment: md5-derived fold per "
+    "CUSTOMER (grouping key, not row key — a customer's orders never "
+    "straddle folds, the leakage-safe grain), as a narrow no-shuffle "
+    "transformation stable under repartitioning and subsetting.",
+    tags=("relational",),
+)
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    folded = rel.kfold_assign(orders, "o_custkey", k=5)
+    return folded.groupBy("fold").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.expr("CAST(round(sum(o_totalprice) * 100) AS BIGINT)").alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+@register(
     "zorder_layout_stats",
     oracle="""
     WITH pts AS (

@@ -219,3 +219,32 @@ def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
         # rank-error guarantee translated loosely to value space: the
         # approx value must sit inside a narrow value band around exact
         assert abs(a - e) <= 0.05 * spread, (a, e)
+
+
+def test_kfold_assignment_stable_and_balanced(spark, sf_dir):
+    """A key's fold must survive repartitioning AND subsetting (no
+    leakage across re-runs); folds must be roughly balanced."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    orders = tables.load(spark, sf_dir, "orders")
+    a = {
+        r.o_custkey: r.fold
+        for r in rel.kfold_assign(orders, "o_custkey", 5)
+        .select("o_custkey", "fold").distinct().collect()
+    }
+    subset = orders.filter(F.col("o_orderkey") % 3 == 0).repartition(7)
+    b = {
+        r.o_custkey: r.fold
+        for r in rel.kfold_assign(subset, "o_custkey", 5)
+        .select("o_custkey", "fold").distinct().collect()
+    }
+    assert all(a[k] == v for k, v in b.items())  # subset-stable
+    counts = [0] * 5
+    for f in a.values():
+        counts[f] += 1
+    expected = len(a) / 5
+    # binomial noise at sf0.001 is ±3σ ≈ ±15 of 30; bound loosely
+    assert all(0.5 * expected < c < 1.5 * expected for c in counts), counts
