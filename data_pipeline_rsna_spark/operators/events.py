@@ -171,3 +171,47 @@ def gap_fill_locf(
         (F.col("gen_day") == F.col("obs_day")).cast("int").alias("is_observed"),
         F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("value_cents"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered same-day funnel analysis: for each (user, day), the
+    furthest step of ``steps`` reached as an in-order (not necessarily
+    adjacent) subsequence of that day's events; output = user-days per
+    furthest step.
+
+    One shuffle (groupBy user_id, day): the per-user-day history
+    collapses to an ordered type string via sorted collect_list — ties
+    broken by event_id so the sequence is deterministic — and the
+    subsequence check is a regex over that string (JVM-side, no UDF).
+    State per task is one user-day's events; the funnel aggregate
+    itself is a #steps-row table."""
+    seq = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                "|",
+            ).alias("seq")
+        )
+    )
+    furthest = F.lit(0)
+    for i in range(len(steps)):
+        pattern = ".*".join(steps[: i + 1])
+        furthest = F.when(F.col("seq").rlike(pattern), i + 1).otherwise(
+            furthest
+        )
+    return (
+        seq.select(furthest.alias("furthest_step"))
+        .groupBy("furthest_step")
+        .agg(F.count("*").alias("n_user_days"))
+    )

@@ -1202,6 +1202,37 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_steps",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               string_agg(event_type, '|' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT CASE
+            WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+            WHEN regexp_matches(seq, 'view.*click') THEN 2
+            WHEN regexp_matches(seq, 'view') THEN 1
+            ELSE 0 END AS furthest_step
+        FROM seq
+    )
+    SELECT furthest_step, count(*) AS n_user_days FROM f GROUP BY 1
+    """,
+    doc="X5+ ordered same-day funnel: furthest view->click->purchase "
+    "subsequence step per (user, day) — ties broken by event_id for a "
+    "deterministic sequence — user-days per step. One shuffle; the "
+    "subsequence check is a JVM regex over the ordered type string, "
+    "no UDF.",
+    tags=("events",),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.funnel_steps(tables.load(spark, sf_dir, "events"))
+
+
+@register(
     "events_sessionization",
     oracle="""
     WITH flagged AS (

@@ -263,3 +263,34 @@ def test_stream_dedup_collapses_at_least_once_delivery(spark, sf_dir):
     deduped = es.run_bounded(es.dedup_counts_stream(
         es.read_events_stream_duplicated(spark, sf_dir)))
     assert {(r.event_type, r.n) for r in deduped.collect()} == batch
+
+
+def test_funnel_requires_in_order_subsequence(spark):
+    """purchase BEFORE click must not count as the full funnel; order
+    across days must not leak (the funnel is same-day)."""
+    rows = [
+        # user 1 day 1: full funnel in order
+        (1, "2024-01-01 09:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:00:00", 1, "click", 0.0),
+        (3, "2024-01-01 11:00:00", 1, "purchase", 0.0),
+        # user 2 day 1: purchase precedes click -> stops at step 2
+        (4, "2024-01-01 09:00:00", 2, "view", 0.0),
+        (5, "2024-01-01 09:30:00", 2, "purchase", 0.0),
+        (6, "2024-01-01 10:00:00", 2, "click", 0.0),
+        # user 3: steps spread over two days -> neither day completes
+        (7, "2024-01-01 09:00:00", 3, "view", 0.0),
+        (8, "2024-01-02 09:00:00", 3, "click", 0.0),
+        # user 4 day 1: no view at all -> step 0
+        (9, "2024-01-01 09:00:00", 4, "error", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+                 "event_type", "value")
+    got = {
+        r.furthest_step: r.n_user_days
+        for r in ev.funnel_steps(events).collect()
+    }
+    # day1: u1->3, u2->2, u3->1, u4->0 ; day2: u3 click-only->0
+    assert got == {3: 1, 2: 1, 1: 1, 0: 2}
