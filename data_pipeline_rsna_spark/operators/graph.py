@@ -1,0 +1,71 @@
+"""Graph analytics over relational edge tables.
+
+PageRank here is deliberately INTEGER arithmetic: every step is bigint
+sum / integer division, so the result is bit-identical in any engine —
+float PageRank depends on summation order, which no distributed engine
+guarantees. Rank unit: 1e6 micro-rank per node at iteration 0;
+damping 0.85 applied as ``(850 * x) DIV 1000``.
+
+Reference parity note: the reference repo has no graph operator; this
+extends the engine's curation surface (link-graph dedup, domain
+authority for corpus weighting) per SURVEY.md §2.3's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_UNIT = 1_000_000
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_millis: int = 850,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-rank units.
+
+    ``new_rank(v) = (1000 - damping_millis) * RANK_UNIT DIV 1000
+                    + damping_millis * sum(rank(u) DIV deg(u)) DIV 1000``
+    over in-neighbors u. Callers must pass a graph where EVERY node has
+    at least one out-edge and one in-edge (e.g. a bidirectionalized
+    edge list); dangling-node mass redistribution is deliberately out
+    of scope for the exact-parity variant.
+
+    Execution: the per-iteration step is join(ranks, edges on src) →
+    groupBy(dst) → sum — the Pregel message pattern, two shuffles per
+    iteration. Edges are pre-joined with out-degree, repartitioned on
+    src ONCE and persisted, so every iteration's join reuses that
+    layout and only the (node, rank) table (|V| rows, two columns)
+    moves per round. The lineage is cut with localCheckpoint each
+    round — without it the plan doubles per iteration and the driver,
+    not the data, becomes the bottleneck.
+    """
+    base = (1000 - damping_millis) * RANK_UNIT // 1000
+    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    ed = (
+        edges.join(deg, src)
+        .repartition(F.col(src))
+        .persist()
+    )
+    nodes = edges.select(F.col(src).alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(RANK_UNIT).cast("bigint"))
+    for _ in range(iterations):
+        contribs = ed.join(
+            ranks.withColumnRenamed("node", src), src
+        ).select(
+            F.col(dst).alias("node"),
+            F.expr("rank DIV _deg").alias("_c"),
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.lit(base)
+                + F.expr(f"{damping_millis} * sum(_c) DIV 1000")
+            ).alias("rank")
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    ed.unpersist()
+    return ranks

@@ -1354,6 +1354,63 @@ def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es.run_bounded(es.dedup_counts_stream(stream))
 
 
+_PAGERANK_STEP_SQL = """
+    SELECT e.dst AS node,
+           150000 + (850 * sum(r.rank // d.d)) // 1000 AS rank
+    FROM {prev} r
+    JOIN edges e ON e.src = r.node
+    JOIN deg d ON d.src = r.node
+    GROUP BY 1
+"""
+
+
+@register(
+    "graph_pagerank_integer",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+               's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+    r1 AS ({_PAGERANK_STEP_SQL.format(prev="r0")}),
+    r2 AS ({_PAGERANK_STEP_SQL.format(prev="r1")}),
+    r3 AS ({_PAGERANK_STEP_SQL.format(prev="r2")})
+    SELECT node, rank FROM r3
+    """,
+    doc="Graph analytics: 3-iteration PageRank over the bidirectional "
+    "customer-supplier trade graph, in exact integer micro-rank units "
+    "(bigint sums + integer division only) so the iterative result is "
+    "bit-identical across engines — float PageRank depends on "
+    "summation order, which no distributed engine guarantees. The "
+    "oracle unrolls the iterations as chained CTEs.",
+    tags=("graph",),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as g
+
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return g.pagerank_integer(edges, iterations=3)
+
+
 @register(
     "kfold_split_assignment",
     oracle="""

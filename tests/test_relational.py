@@ -248,3 +248,19 @@ def test_kfold_assignment_stable_and_balanced(spark, sf_dir):
     expected = len(a) / 5
     # binomial noise at sf0.001 is ±3σ ≈ ±15 of 30; bound loosely
     assert all(0.5 * expected < c < 1.5 * expected for c in counts), counts
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """On a bidirectional star, the hub must collect the highest rank;
+    leaves are symmetric so their ranks must be identical."""
+    from data_pipeline_rsna_spark.operators import graph as g
+
+    leaves = [f"l{i}" for i in range(6)]
+    pairs = [("hub", leaf) for leaf in leaves]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in
+             g.pagerank_integer(edges, iterations=4).collect()}
+    assert ranks["hub"] > max(ranks[leaf] for leaf in leaves)
+    assert len({ranks[leaf] for leaf in leaves}) == 1  # exact symmetry
