@@ -452,3 +452,95 @@ def kfold_assign(
         16, 10,
     ).cast("bigint")
     return df.withColumn("fold", (h % k).cast("int"))
+
+
+def data_quality_summary(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Constraint-validation suite (the dbt-tests / Deequ shape): each
+    check is one declarative aggregate; the result is a tiny
+    (check_name, n_violations) table a pipeline gates on.
+
+    Scale shape: the row-local checks (nulls, ranges, duplicates) are
+    single-shuffle aggregates; the referential checks are anti-joins
+    that broadcast when the parent side is dim-sized and shuffle-join
+    otherwise — Catalyst's choice, not ours. All checks share scans
+    where possible but remain independent aggregates, so a failed check
+    can be re-run alone.
+    """
+    dup_keys = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    orphan_li = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    )
+    orphan_orders = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == customer.c_custkey,
+        "left_anti",
+    )
+    ship_before_order = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
+
+    def _check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        _check("null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        _check(
+            "nonpositive_quantity",
+            lineitem.filter(F.col("l_quantity") <= 0),
+        ),
+        _check(
+            "negative_totalprice", orders.filter(F.col("o_totalprice") < 0)
+        ),
+        _check("duplicate_lineitem_key", dup_keys),
+        _check("orphan_lineitem", orphan_li),
+        _check("orphan_order_customer", orphan_orders),
+        _check("ship_before_order", ship_before_order),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table: each key
+    becomes 'added' (new only), 'removed' (old only), 'changed' (both,
+    any compare column differs) or 'unchanged' — the change-data-feed a
+    downstream incremental consumer reads instead of re-scanning the
+    table.
+
+    One full-outer shuffle join on the key; the comparison is a struct
+    equality (null-safe <=> per column) so adding compare columns never
+    adds shuffles. At 100 TB both snapshots are bucketed on the key at
+    write time and the join is exchange-free.
+    """
+    o = old.select(
+        F.col(key), F.struct(*compare_cols).alias("_old_vals")
+    )
+    n = new.select(
+        F.col(key), F.struct(*compare_cols).alias("_new_vals")
+    )
+    joined = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_old_vals").isNull(), "added")
+        .when(F.col("_new_vals").isNull(), "removed")
+        .when(F.col("_old_vals").eqNullSafe(F.col("_new_vals")), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(F.col(key), status.alias("diff_status"))

@@ -1354,6 +1354,100 @@ def q_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es.run_bounded(es.dedup_counts_stream(stream))
 
 
+@register(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+                   AS cents,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.cents = n.cents
+                     AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+                    ELSE 'changed' END AS diff_status
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT diff_status, count(*) AS n_keys FROM d GROUP BY 1
+    """,
+    doc="Change-data-feed between two table snapshots: full-outer join "
+    "on the key, struct-equality comparison -> added/removed/changed/"
+    "unchanged per key (aggregated to counts here). Snapshots are "
+    "deterministic arithmetic slices of orders so both engines build "
+    "identical inputs.",
+    tags=("relational",),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", cents.alias("cents"), "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, cents + 500)
+        .otherwise(cents)
+        .alias("cents"),
+        "o_orderstatus",
+    )
+    d = rel.snapshot_diff(old, new, "o_orderkey", ["cents", "o_orderstatus"])
+    return d.groupBy("diff_status").agg(F.count("*").alias("n_keys"))
+
+
+@register(
+    "data_quality_summary",
+    oracle="""
+    SELECT 'null_custkey' AS check_name,
+           count(*) AS n_violations FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'nonpositive_quantity', count(*) FROM lineitem
+    WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'negative_totalprice', count(*) FROM orders
+    WHERE o_totalprice < 0
+    UNION ALL
+    SELECT 'duplicate_lineitem_key', count(*) FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY 1, 2 HAVING count(*) > 1
+    )
+    UNION ALL
+    SELECT 'orphan_lineitem', count(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orphan_order_customer', count(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'ship_before_order', count(*)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate < o_orderdate
+    """,
+    doc="Pipeline-gate constraint validation (dbt-tests/Deequ shape): "
+    "null / range / uniqueness / referential-integrity / temporal-order "
+    "checks as independent declarative aggregates unioned into one "
+    "(check_name, n_violations) table.",
+    tags=("relational",),
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.data_quality_summary(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "customer"),
+    )
+
+
 _PAGERANK_STEP_SQL = """
     SELECT e.dst AS node,
            150000 + (850 * sum(r.rank // d.d)) // 1000 AS rank

@@ -264,3 +264,17 @@ def test_pagerank_hub_outranks_leaves(spark):
              g.pagerank_integer(edges, iterations=4).collect()}
     assert ranks["hub"] > max(ranks[leaf] for leaf in leaves)
     assert len({ranks[leaf] for leaf in leaves}) == 1  # exact symmetry
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    """NULL -> NULL must read as unchanged (eqNullSafe), NULL -> value
+    as changed; added/removed classified by side presence."""
+    old = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "x")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "b"), (4, "y")], "k int, v string"
+    )
+    got = {r.k: r.diff_status
+           for r in rel.snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
