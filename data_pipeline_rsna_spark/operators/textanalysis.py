@@ -10,7 +10,7 @@ text feature, which is the shape you want when the corpus is 100 TB
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
@@ -232,4 +232,38 @@ def token_budget_sample(
     return (
         cum.filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
         .select("lang", id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def bigram_next_token_table(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bigram statistics → argmax next-token table: for every
+    leading token whose best bigram occurs ≥ ``min_count`` times, the
+    most frequent following token (ties broken lexicographically so the
+    table is deterministic).
+
+    Shape: explode adjacent token pairs (narrow — ``transform`` over
+    the token array with index), ONE shuffle to count (w1, w2) with
+    map-side combine collapsing repeats before the wire, then the
+    argmax window on w1 — vocabulary-cardinality keys, no skew beyond
+    stopwords, which is exactly what map-side combine absorbs."""
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(slice(split(lower({text_col}), '\\\\s+'), 1, "
+                f"size(split(lower({text_col}), '\\\\s+')) - 1), "
+                "(t, i) -> struct(t AS w1, "
+                f"split(lower({text_col}), '\\\\s+')[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n") >= min_count))
+        .select("w1", F.col("w2").alias("top_next"), F.col("n").alias("n_occurrences"))
     )

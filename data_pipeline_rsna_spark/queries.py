@@ -959,6 +959,43 @@ def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_next_token",
+    oracle="""
+    WITH ws AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM ws
+    ),
+    counts AS (
+        SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+        FROM bg GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT w1, w2, n,
+               row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2)
+                   AS rn
+        FROM counts
+    )
+    SELECT w1, w2 AS top_next, n AS n_occurrences
+    FROM ranked WHERE rn = 1 AND n >= 5
+    """,
+    doc="X4+ corpus bigram statistics: deterministic argmax next-token "
+    "table (most frequent follower per leading token, ties broken "
+    "lexicographically, min support 5). Narrow pair explode + one "
+    "counted shuffle with map-side combine + vocab-keyed argmax "
+    "window.",
+    tags=("text",),
+)
+def q_text_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    return tx.bigram_next_token_table(
+        tables.load(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+@register(
     "text_quality_score",
     oracle=f"""
     SELECT doc_id,
@@ -2391,6 +2428,55 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "winsorized_outlier_clip",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag AS returnflag,
+           count(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_low,
+           count(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_high,
+           CAST(round(sum(
+               CASE WHEN l_extendedprice < lo THEN lo
+                    WHEN l_extendedprice > hi THEN hi
+                    ELSE l_extendedprice END) * 100) AS BIGINT)
+               AS winsorized_cents
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY 1
+    """,
+    doc="Per-group winsorization: clamp values to the group's rounded "
+    "[p05, p95] band (outlier clipping before training-statistics "
+    "export). Two passes: a group-percentile aggregate (dim-sized -> "
+    "broadcast back) then one clamped re-aggregate; at 100 TB the "
+    "first pass swaps to approx_percentile with no shape change.",
+    tags=("relational",),
+)
+def q_winsorized_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    return j.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias(
+            "n_clipped_low"
+        ),
+        F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias(
+            "n_clipped_high"
+        ),
+        F.expr(
+            "CAST(round(sum(CASE WHEN l_extendedprice < lo THEN lo "
+            "WHEN l_extendedprice > hi THEN hi "
+            "ELSE l_extendedprice END) * 100) AS BIGINT)"
+        ).alias("winsorized_cents"),
     )
 
 
