@@ -215,3 +215,29 @@ def funnel_steps(
         .groupBy("furthest_step")
         .agg(F.count("*").alias("n_user_days"))
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first active
+    day (the cohort), counted distinct on each later day-offset. The
+    canonical growth-analytics rollup.
+
+    Two shuffles, both high-cardinality: a per-user min-day aggregate
+    (map-side combine collapses each user's events to one row before
+    the wire), broadcast-free join back on user_id — same key, AQE
+    plans it off the existing partitioning — then the (cohort, offset)
+    cell aggregate with a distinct-user count. Cohort×offset cells are
+    date-bounded (days²/2), so the output is tiny at any scale."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    activity = events.select("user_id", day.alias("epoch_day")).distinct()
+    first = activity.groupBy("user_id").agg(
+        F.min("epoch_day").alias("cohort_day")
+    )
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("epoch_day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

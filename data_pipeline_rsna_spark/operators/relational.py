@@ -544,3 +544,29 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return joined.select(F.col(key), status.alias("diff_status"))
+
+
+def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """2-D skyline: rows not STRICTLY dominated in both dimensions
+    (no other row has x' > x AND y' > y). Multi-objective selection —
+    e.g. quality-vs-cost corpus pruning — without the O(n²) dominance
+    self-join: classic sweep as relational ops.
+
+    Shape: collapse to the per-x max of y (one shuffle, map-side
+    combined), then a running max over x-descending tells each x the
+    best y among strictly-greater x; a row survives iff its y is not
+    beaten by that. The sweep window runs on the DISTINCT-x table —
+    dim-sized after aggregation here; if distinct x is data-sized,
+    replace the window with the two-phase range-partitioned running
+    max (same construction as ``global_row_number``).
+    """
+    per_x = df.groupBy(x).agg(F.max(y).alias("_ymax"))
+    w = Window.orderBy(F.col(x).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sweep = per_x.withColumn("_sgm", F.max("_ymax").over(w)).select(x, "_sgm")
+    return (
+        df.join(sweep, x)
+        .filter(F.col("_sgm").isNull() | (F.col("_sgm") <= F.col(y)))
+        .drop("_sgm")
+    )

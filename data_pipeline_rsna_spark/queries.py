@@ -1270,6 +1270,36 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') AS epoch_day
+        FROM events
+    ),
+    first AS (
+        SELECT user_id, min(epoch_day) AS cohort_day
+        FROM activity GROUP BY 1
+    )
+    SELECT f.cohort_day,
+           a.epoch_day - f.cohort_day AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="X5+ cohort retention triangle: users bucketed by first active "
+    "day, distinct-counted per later day offset. Per-user min-day "
+    "aggregate (map-side combined) joined back on the same key, then "
+    "the date-bounded (cohort, offset) cell aggregate.",
+    tags=("events",),
+)
+def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.cohort_retention(tables.load(spark, sf_dir, "events"))
+
+
+@register(
     "events_sessionization",
     oracle="""
     WITH flagged AS (
@@ -1442,6 +1472,49 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = rel.snapshot_diff(old, new, "o_orderkey", ["cents", "o_orderstatus"])
     return d.groupBy("diff_status").agg(F.count("*").alias("n_keys"))
+
+
+@register(
+    "pareto_frontier_suppliers",
+    oracle="""
+    WITH sup AS (
+        SELECT l_suppkey,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+               CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem GROUP BY 1
+    ),
+    per_x AS (
+        SELECT total_qty, max(revenue_cents) AS ymax
+        FROM sup GROUP BY 1
+    ),
+    sweep AS (
+        SELECT total_qty,
+               max(ymax) OVER (
+                   ORDER BY total_qty DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS sgm
+        FROM per_x
+    )
+    SELECT s.l_suppkey, s.total_qty, s.revenue_cents
+    FROM sup s JOIN sweep w USING (total_qty)
+    WHERE w.sgm IS NULL OR w.sgm <= s.revenue_cents
+    """,
+    doc="2-D Pareto frontier over per-supplier (volume, revenue): the "
+    "skyline sweep as relational ops (per-x max + descending running "
+    "max) instead of an O(n^2) dominance self-join. Strict dominance "
+    "in both dimensions.",
+    tags=("relational",),
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        F.expr("CAST(round(sum(l_extendedprice) * 100) AS BIGINT)").alias(
+            "revenue_cents"
+        ),
+    )
+    return rel.pareto_frontier_2d(sup, "total_qty", "revenue_cents")
 
 
 @register(

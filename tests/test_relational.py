@@ -278,3 +278,21 @@ def test_snapshot_diff_null_safe_compare(spark):
     got = {r.k: r.diff_status
            for r in rel.snapshot_diff(old, new, "k", ["v"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Sweep-based skyline must equal the O(n^2) dominance definition,
+    including ties on either dimension and duplicate points."""
+    import random
+
+    rng = random.Random(3)
+    pts = [(i, rng.randrange(20), rng.randrange(20)) for i in range(120)]
+    pts += [(200, 5, 5), (201, 5, 5)]  # exact duplicates: neither dominates
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r.id for r in rel.pareto_frontier_2d(df, "x", "y").collect()}
+    want = {
+        i
+        for i, x, y in pts
+        if not any(x2 > x and y2 > y for _, x2, y2 in pts)
+    }
+    assert got == want
