@@ -241,3 +241,70 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def sliding_type_agg(events: DataFrame) -> DataFrame:
+    """Hopping-window aggregation: 1-hour windows sliding every 15
+    minutes, per event type — each event lands in 4 overlapping
+    windows. Spark's `window(ts, '1 hour', '15 minutes')` expands the
+    memberships narrowly (inside the task, before the shuffle), so the
+    shuffle carries 4× the aggregate keys, never 4× the raw events;
+    map-side combine collapses per (window, type) first."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(round(sum(value) * 100) AS BIGINT)").alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def session_concurrency_by_day(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep line: each session
+    span emits +1 at its start and -1 at its end (closed intervals —
+    starts sort before ends at the same microsecond via the 2k / 2k+1
+    key), and the running sum of deltas in key order IS the concurrency
+    curve; max per calendar day of the delta's timestamp.
+
+    The global prefix sum runs on ``relational.grouped_running_sum``
+    with a constant group — one logical sequence spread over many range
+    partitions, the exact skew shape that helper exists for; a naive
+    ``Window.orderBy(k)`` would drag every session through one task.
+    Key ties (two sessions starting the same microsecond) permute only
+    the intra-tie running values; the per-day MAX is invariant because
+    -1s sort after the +1s of the same instant."""
+    from . import relational as rel
+
+    sess = sessionize(events, gap_seconds)
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    starts = spans.select(
+        (F.unix_micros("s") * 2).alias("k"),
+        F.lit(1).alias("delta"),
+        F.col("s").alias("ts"),
+    )
+    ends = spans.select(
+        (F.unix_micros("e") * 2 + 1).alias("k"),
+        F.lit(-1).alias("delta"),
+        F.col("e").alias("ts"),
+    )
+    deltas = starts.unionAll(ends).withColumn("_g", F.lit(1))
+    cum = rel.grouped_running_sum(
+        deltas, "_g", "k", "delta", out_col="concurrency"
+    )
+    return cum.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("epoch_day")
+    ).agg(F.max("concurrency").alias("max_concurrent_sessions"))

@@ -397,12 +397,23 @@ def grouped_running_sum(
 
     ``order_col`` must be unique per key for a deterministic result
     (pass a composite/tie-broken column otherwise).
+
+    The range-partitioned, ``_pid``-stamped rows are materialized ONCE
+    (eager localCheckpoint) before fan-out: the local-sums branch and
+    the subtotal/offsets branch both consume this subtree, and if each
+    execution re-ran the range exchange, its sampled boundaries — which
+    can shift when upstream shuffle read order varies — could assign
+    DIFFERENT ``_pid`` values to the two branches, silently misaligning
+    offsets. Materializing pins one layout for every consumer (same
+    pattern as the iterative localCheckpoint in connected_components);
+    the cost is one extra write of the projected columns.
     """
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     part = (
         df.repartitionByRange(int(n), F.col(key), F.col(order_col))
         .sortWithinPartitions(key, order_col)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local_w = (
         Window.partitionBy("_pid", key)

@@ -1270,6 +1270,89 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_window_agg",
+    oracle="""
+    WITH expanded AS (
+        SELECT event_type, value,
+               unnest(generate_series(
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       - INTERVAL '45 minutes',
+                   time_bucket(INTERVAL '15 minutes', ts),
+                   INTERVAL '15 minutes'
+               )) AS w_start
+        FROM events
+    )
+    SELECT CAST(epoch(w_start) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="X5 hopping windows: 1-hour windows sliding every 15 minutes "
+    "per event type (each event in 4 overlapping windows, expanded "
+    "narrowly pre-shuffle). The oracle expands memberships explicitly "
+    "with generate_series.",
+    tags=("events",),
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.sliding_type_agg(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+        FROM sessions GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT epoch_us(s) * 2 AS k, 1 AS delta, s AS ts FROM spans
+        UNION ALL
+        SELECT epoch_us(e) * 2 + 1 AS k, -1 AS delta, e AS ts FROM spans
+    ),
+    cum AS (
+        SELECT ts,
+               sum(delta) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   AS concurrency
+        FROM deltas
+    )
+    SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS epoch_day,
+           max(concurrency) AS max_concurrent_sessions
+    FROM cum GROUP BY 1
+    """,
+    doc="X5+ peak concurrent sessions per day by sweep line: +1/-1 "
+    "deltas at session span boundaries, global running sum on the "
+    "grouped two-phase prefix sum (constant group spread across range "
+    "partitions — never a single-task Window.orderBy), day-max "
+    "invariant to intra-instant tie order.",
+    tags=("events",),
+)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev
+
+    return ev.session_concurrency_by_day(
+        tables.load(spark, sf_dir, "events")
+    )
+
+
+@register(
     "events_cohort_retention",
     oracle="""
     WITH activity AS (

@@ -294,3 +294,48 @@ def test_funnel_requires_in_order_subsequence(spark):
     }
     # day1: u1->3, u2->2, u3->1, u4->0 ; day2: u3 click-only->0
     assert got == {3: 1, 2: 1, 1: 1, 0: 2}
+
+
+def test_concurrency_sweep_deterministic_across_runs(spark, sf_dir):
+    """Regression: the two-phase prefix sum's range layout is consumed
+    by two plan branches; without pinning one materialized layout the
+    sampled boundaries could differ per branch/run and misalign the
+    offsets (caught live at sf0.01). Re-running must be bit-stable and
+    match a naive single-task global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = tables.load(spark, sf_dir, "events")
+
+    def result():
+        return sorted(
+            (r.epoch_day, r.max_concurrent_sessions)
+            for r in ev.session_concurrency_by_day(events).collect()
+        )
+
+    a, b = result(), result()
+    assert a == b
+    sess = ev.sessionize(events)
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = spans.select(
+        (F.unix_micros("s") * 2).alias("k"),
+        F.lit(1).alias("delta"), F.col("s").alias("ts"),
+    ).unionAll(spans.select(
+        (F.unix_micros("e") * 2 + 1).alias("k"),
+        F.lit(-1).alias("delta"), F.col("e").alias("ts"),
+    ))
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = sorted(
+        (r.epoch_day, r.m)
+        for r in deltas.withColumn("c", F.sum("delta").over(w))
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("epoch_day")
+        )
+        .agg(F.max("c").alias("m"))
+        .collect()
+    )
+    assert a == naive
