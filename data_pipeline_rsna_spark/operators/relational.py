@@ -58,12 +58,20 @@ def _ranked_with_partition_counts(
     df: DataFrame, order_col: str, partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of the two-phase rank: range-partitioned locally-ranked
-    rows plus the tiny per-partition counts table."""
+    rows plus the tiny per-partition counts table.
+
+    Materialized eagerly for the same reason as grouped_running_sum: the
+    ranked rows and the counts/offsets tables are separate consumers of
+    this subtree, and a re-executed range exchange over a shuffle-fed
+    input (e.g. deterministic_split on an aggregated patients table) can
+    sample different boundaries per execution — different ``_pid``
+    assignments would silently corrupt the offset join."""
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     part = (
         df.repartitionByRange(int(n), F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local_w = Window.partitionBy("_pid").orderBy(order_col)
     ranked = part.withColumn("_local_rn", F.row_number().over(local_w))
