@@ -1,0 +1,163 @@
+"""Probabilistic sketches: HyperLogLog distinct counting and Count-Min
+frequency estimation — built from declarative DataFrame ops so the
+sketch STATE (registers) is itself a tiny DataFrame.
+
+Why sketches in this engine: at 100 TB, `count(DISTINCT ...)` and exact
+per-key frequency tables are shuffle-bound on the full key set; a
+sketch's state is O(m) per group regardless of input size, and both
+sketches here are MERGEABLE — the register table of two partitions (or
+two days) combines with ``max`` (HLL) / ``sum`` (CMS), which is exactly
+what Spark's partial aggregation does for free. The shuffle moves at
+most ``groups × m`` register rows, never the key set.
+
+Portability contract (what makes these oracle-checkable bit-for-bit):
+- the hash is md5 of a salted string; register index and remaining
+  value are hex-slices of one digest (one md5 call per row).
+- rho (HLL leading-zero rank) is derived from the minimal binary string
+  (`bin`), identical in Spark and DuckDB: bit_length =
+  length(ltrim(bin(v), '0')).
+- register contents are INTEGERS; the HLL raw-estimate division is the
+  same literal IEEE expression in both engines, floored to milli-units.
+  Terms 2^-rho are accumulated in integer units of 2^-48 (rho clamped
+  at 48) so the register sum is order-independent integer arithmetic,
+  not float summation.
+
+HLL registers: m = 256 (p = 8, first 2 hex chars), standard error
+~1.04/sqrt(256) = 6.5%. CMS: depth 4 (four 8-hex slices of one digest),
+width 512.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256
+HLL_ALPHA = 0.7182725932495458  # 0.7213/(1 + 1.079/256), exact double literal
+HLL_RHO_CAP = 48  # clamp so 2^(48-rho) unit terms stay integer-exact in bigint
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _hll_register_cols(key: F.Column, salt: str) -> tuple[F.Column, F.Column]:
+    """(register index, rho) from one md5 digest of the salted key."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    ridx = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")  # 60 bits
+    # Spark's bin() never emits leading zeros, so its length IS the bit
+    # length. v = 0 (probability 2^-60) yields bin='0' → rho 60 here vs 61
+    # under DuckDB's ltrim form — both clamp to HLL_RHO_CAP downstream.
+    bit_length = F.length(F.bin(v))
+    rho = (F.lit(61) - bit_length).cast("int")  # leading zeros in 60 bits, +1
+    return ridx, rho
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, key_col: str, salt: str = "hll"
+) -> DataFrame:
+    """Per-group HLL register table: (group, register, max rho).
+
+    One shuffle of at most groups×m rows; the per-partition partial max
+    IS the sketch merge, so this scales as a normal two-level aggregate
+    no matter how many input rows feed each group.
+    """
+    ridx, rho = _hll_register_cols(F.col(key_col), salt)
+    return (
+        df.select(F.col(group_col).alias("grp"), ridx.alias("register"), rho.alias("rho"))
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Collapse a register table to per-group estimates.
+
+    Output (all cross-engine exact): registers_used, zero_registers,
+    sum_units (integer sum of 2^(48-min(rho,48)), empties contribute
+    2^48), est_milli = floor(alpha·m²·2^48 / sum_units · 1000) — the
+    raw HLL estimator in milli-units. Small-range (linear counting)
+    correction needs ln(), which is not bit-portable across engines;
+    callers apply it FROM zero_registers (see tests) — the gate-checked
+    columns stay integer/exact.
+    """
+    unit = F.pow(F.lit(2.0), F.lit(HLL_RHO_CAP) - F.least(
+        F.col("max_rho"), F.lit(HLL_RHO_CAP)
+    )).cast("bigint")
+    per_group = registers.groupBy("grp").agg(
+        F.count("*").alias("registers_used"),
+        F.sum(unit).alias("used_units"),
+    )
+    zero_regs = F.lit(HLL_M) - F.col("registers_used")
+    sum_units = (
+        F.col("used_units") + zero_regs.cast("bigint") * F.lit(2**HLL_RHO_CAP)
+    ).cast("double")
+    est_milli = F.floor(
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(2**HLL_RHO_CAP))
+        / sum_units
+        * F.lit(1000.0)
+    ).cast("bigint")
+    return per_group.select(
+        "grp",
+        "registers_used",
+        zero_regs.cast("int").alias("zero_registers"),
+        est_milli.alias("est_milli"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str, salt: str = "hll"
+) -> DataFrame:
+    """groupBy(group).approxDistinct(key) as an HLL register pipeline."""
+    return hll_estimate(hll_registers(df, group_col, key_col, salt))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_cols(key: F.Column, salt: str) -> F.Column:
+    """Array of CMS_DEPTH (row, col) structs from one md5 digest."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (
+                    F.conv(F.substring(h, 1 + 8 * r, 8), 16, 10).cast("bigint")
+                    % CMS_WIDTH
+                ).cast("int").alias("col"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_registers(df: DataFrame, key_col: str, salt: str = "cms") -> DataFrame:
+    """Count-Min register table (row, col, cnt): every input row
+    increments one cell per hash row. depth×width cells total — the
+    groupBy's map-side partial sum merges per-partition sketches, so the
+    shuffle is O(depth·width) regardless of input size."""
+    return (
+        df.select(F.explode(_cms_cols(F.col(key_col), salt)).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame, keys: DataFrame, key_col: str, salt: str = "cms"
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: the min over
+    hash rows of the addressed cells (classic CMS upper bound —
+    est >= true, with overestimate bounded by collisions). The register
+    table is sketch-sized, so the probe join broadcasts."""
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(_cms_cols(F.col(key_col), salt)).alias("rc"),
+    ).select("key", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(registers), ["row", "col"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_count"))
+    )

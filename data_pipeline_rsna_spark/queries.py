@@ -3592,3 +3592,159 @@ def q_dedup_sentence_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent-itemset mining (operators/mining.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pair AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_support
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    sup AS (SELECT item, count(*) AS item_support FROM bi GROUP BY 1),
+    tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi)
+    SELECT item_a, item_b, pair_support,
+           sa.item_support AS support_a,
+           sb.item_support AS support_b,
+           n_baskets,
+           CAST(trunc(pair_support * 1000000.0 / sa.item_support) AS BIGINT)
+               AS confidence_ab_ppm,
+           CAST(trunc(pair_support * 1000000.0 / sb.item_support) AS BIGINT)
+               AS confidence_ba_ppm,
+           CAST(trunc(pair_support * n_baskets * 1000000.0
+                      / (sa.item_support * sb.item_support)) AS BIGINT)
+               AS lift_ppm
+    FROM pair
+    JOIN sup sa ON pair.item_a = sa.item
+    JOIN sup sb ON pair.item_b = sb.item
+    CROSS JOIN tot
+    WHERE pair_support >= 2
+    """,
+    doc="Market-basket association rules over order baskets of part "
+    "brands: pair/item supports, confidence and lift as trunc'd ppm "
+    "integers (exact IEEE arithmetic both engines). One shuffle builds "
+    "baskets, combination explode is bounded by the brand domain, "
+    "supports join back via broadcast — never O(n^2) in baskets.",
+    tags=("mining",),
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mining
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    items = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select("l_orderkey", "p_brand")
+    rules = mining.association_rules(items, "l_orderkey", "p_brand", min_support=2)
+    return rules
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag AS grp,
+               ('0x' || substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 2))
+                   ::UBIGINT::BIGINT AS register,
+               61 - length(ltrim(bin(
+                   ('0x' || substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 3, 15))
+                       ::UBIGINT::BIGINT), '0')) AS rho
+        FROM lineitem
+    ),
+    regs AS (
+        SELECT grp, register, max(rho) AS max_rho FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT grp,
+               count(*) AS registers_used,
+               sum(CAST(power(2.0, 48 - least(max_rho, 48)) AS BIGINT)) AS used_units
+        FROM regs GROUP BY 1
+    )
+    SELECT grp,
+           registers_used,
+           CAST(256 - registers_used AS INTEGER) AS zero_registers,
+           CAST(floor(1.3249790702834051e+19
+                      / CAST(used_units + (256 - registers_used) * 281474976710656
+                             AS DOUBLE)
+                      * 1000.0) AS BIGINT) AS est_milli
+    FROM agg
+    """,
+    doc="HyperLogLog distinct l_partkey per l_returnflag: md5-sliced "
+    "register index + leading-zero rank, per-group max-merged registers "
+    "(the shuffle carries <= groups x 256 rows regardless of input "
+    "size), raw estimate floored to milli-units. 2^-rho terms summed as "
+    "integer 2^-48 units so the result is order-independent and "
+    "bit-identical cross-engine.",
+    tags=("sketch",),
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return sketches.hll_distinct(li, "l_returnflag", "l_partkey").orderBy("grp")
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle="""
+    WITH cells AS (
+        SELECT t.r AS row,
+               ((('0x' || substr(md5('cms|' || event_type), 1 + 8 * t.r, 8))
+                   ::UBIGINT) % 512)::INTEGER AS col
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) t
+    ),
+    regs AS (
+        SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT DISTINCT event_type AS key,
+               t.r AS row,
+               ((('0x' || substr(md5('cms|' || event_type), 1 + 8 * t.r, 8))
+                   ::UBIGINT) % 512)::INTEGER AS col
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) t
+    ),
+    est AS (
+        SELECT key, min(cnt) AS est_count
+        FROM probes JOIN regs USING (row, col)
+        GROUP BY key
+    ),
+    tru AS (
+        SELECT event_type AS key, count(*) AS true_count FROM events GROUP BY 1
+    )
+    SELECT key, true_count, est_count
+    FROM tru JOIN est USING (key)
+    """,
+    doc="Count-Min sketch frequency estimates for every event_type: "
+    "depth-4 x width-512 register table built with one md5 per row "
+    "(four 8-hex slices), map-side-merged partial sketches (shuffle is "
+    "O(depth x width), never O(keys)), probe = min over rows of the "
+    "addressed cells. est_count >= true_count by construction.",
+    tags=("sketch",),
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = tables.load(spark, sf_dir, "events")
+    regs = sketches.cms_registers(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    est = sketches.cms_estimate(regs, keys, "event_type")
+    tru = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("true_count")
+    )
+    return tru.join(est, "key").select("key", "true_count", "est_count")

@@ -1,0 +1,112 @@
+"""Sketch accuracy contracts: HLL estimates within the m=256 error band
+(with Python-side linear-counting correction for the small-range
+regime), CMS point queries as true upper bounds, and mergeability —
+the sketch of a union equals the merge of the sketches."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.operators import mining, sketches
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 3 groups with known distinct cardinalities 50 / 500 / 2000, each
+    # key repeated a deterministic 1-3 times.
+    rows = []
+    for grp, n in (("a", 50), ("b", 500), ("c", 2000)):
+        for k in range(n):
+            for rep in range(1 + (k % 3)):
+                rows.append((grp, f"{grp}-key-{k}"))
+    return spark.createDataFrame(rows, "grp string, key string")
+
+
+def _corrected(row) -> float:
+    """Raw HLL estimate + the standard linear-counting switch, applied
+    from the query's exported integer columns (ln is not bit-portable
+    across engines, so the engine exports zero_registers instead)."""
+    raw = row.est_milli / 1000.0
+    m = sketches.HLL_M
+    if raw <= 2.5 * m and row.zero_registers > 0:
+        return m * math.log(m / row.zero_registers)
+    return raw
+
+
+def test_hll_within_error_band(keyed):
+    out = {r.grp: r for r in sketches.hll_distinct(keyed, "grp", "key").collect()}
+    for grp, n in (("a", 50), ("b", 500), ("c", 2000)):
+        est = _corrected(out[grp])
+        # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma.
+        assert abs(est - n) / n < 0.20, (grp, est, n)
+
+
+def test_hll_insensitive_to_repetition(keyed, spark):
+    """Distinct counting: duplicating every row must not move a register."""
+    doubled = keyed.unionAll(keyed)
+    a = sketches.hll_distinct(keyed, "grp", "key").collect()
+    b = sketches.hll_distinct(doubled, "grp", "key").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hll_merge_is_union(keyed):
+    """max-merging two register tables == the register table of the
+    union (the property that makes per-partition partial agg correct)."""
+    half1 = keyed.filter(F.col("key").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    half2 = keyed.subtract(half1)
+    merged = (
+        sketches.hll_registers(half1, "grp", "key")
+        .unionAll(sketches.hll_registers(half2, "grp", "key"))
+        .groupBy("grp", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = sketches.hll_registers(keyed, "grp", "key")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_upper_bound_and_tightness(keyed):
+    regs = sketches.cms_registers(keyed, "key")
+    keys = keyed.select("key").distinct()
+    est = {r.key: r.est_count for r in
+           sketches.cms_estimate(regs, keys, "key").collect()}
+    true = {r.key: r["count"] for r in keyed.groupBy("key").count().collect()}
+    n_total = sum(true.values())
+    over = 0
+    for k, t in true.items():
+        assert est[k] >= t, k  # CMS never undercounts
+        over += est[k] - t
+    # expected overestimate per key ~ n_total / width; allow 5x slack
+    assert over / len(true) <= 5 * n_total / sketches.CMS_WIDTH
+
+
+def test_association_rules_hand_checked(spark):
+    items = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z"), (4, "x")],
+        "basket long, item string",
+    )
+    rules = {
+        (r.item_a, r.item_b): r
+        for r in mining.association_rules(items, "basket", "item").collect()
+    }
+    xy = rules[("x", "y")]
+    assert (xy.pair_support, xy.support_a, xy.support_b, xy.n_baskets) == (2, 4, 2, 4)
+    assert xy.confidence_ab_ppm == 500_000  # 2/4
+    assert xy.confidence_ba_ppm == 1_000_000  # 2/2
+    assert xy.lift_ppm == 1_000_000  # 2*4/(4*2)
+    xz = rules[("x", "z")]
+    assert (xz.pair_support, xz.lift_ppm) == (1, 1_000_000)  # 1*4/(4*1)
+    assert ("y", "x") not in rules  # unordered, canonical a < b
+
+
+def test_association_rules_min_support(spark):
+    items = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")],
+        "basket long, item string",
+    )
+    rules = mining.association_rules(items, "basket", "item", min_support=2)
+    assert [(r.item_a, r.item_b) for r in rules.collect()] == [("x", "y")]
