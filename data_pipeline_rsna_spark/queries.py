@@ -3748,3 +3748,40 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("true_count")
     )
     return tru.join(est, "key").select("key", "true_count", "est_count")
+
+
+# ---------------------------------------------------------------------------
+# Spatial (operators/spatial.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spatial_radius_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (('0x' || substr(md5('px|' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 100000)::BIGINT AS x,
+               (('0x' || substr(md5('py|' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 100000)::BIGINT AS y
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 1500 * 1500
+    """,
+    doc="All customer-point pairs within radius 1500 (integer "
+    "coordinates md5-derived from the key): grid-cell equi-join over "
+    "the 3x3 neighborhood (cost n x density, never O(n^2)); the oracle "
+    "IS the O(n^2) brute force, so the blocking scheme's completeness "
+    "is what the hash match proves.",
+    tags=("spatial",),
+)
+def q_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import spatial
+
+    cust = tables.load(spark, sf_dir, "customer")
+    pts = spatial.synth_points(cust, "c_custkey")
+    return spatial.radius_join(pts, 1500)
