@@ -308,3 +308,49 @@ def session_concurrency_by_day(
     return cum.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("epoch_day")
     ).agg(F.max("concurrency").alias("max_concurrent_sessions"))
+
+
+def ewma_units(
+    events: DataFrame, lookback: int = 20, scale_bits: int = 20
+) -> DataFrame:
+    """Per-user exponentially-weighted moving sum of event value, with
+    alpha = 1/2 and a bounded lookback, in EXACT integer units.
+
+    The classic float EWMA recurrence is order-sensitive in the last
+    ulp, so cross-engine (and cross-partitioning!) bit-equality is
+    unattainable. This variant is exact: value is fixed-pointed to
+    cents, the weight for an event ``d`` steps back is 2^(scale_bits-d)
+    — an integer for d <= scale_bits — and the window is the last
+    ``lookback`` events, so the weighted sum is pure bigint arithmetic
+    (max ~1e5 cents x 2^20 x 20 terms ~ 2^42, far from overflow).
+    ``ewma_units / 2^scale_bits`` recovers the conventional weighted
+    sum; divide by the per-row weight total for the normalized mean.
+
+    Plan shape: ONE shuffle on user_id serves the ordering and the
+    sliding collect_list frame; the weighted fold is a narrow
+    higher-order-function projection — no UDF, no second exchange.
+    At 100 TB this is the standard keyed-window pattern: per-task state
+    is lookback x row-width for the frame, and skewed users cost
+    lookback, not history length.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(lookback - 1), 0)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    with_lst = events.select(
+        "user_id", "event_id", "ts", cents.alias("cents")
+    ).select(
+        "user_id",
+        "event_id",
+        F.collect_list(F.col("cents")).over(frame).alias("lst"),
+    )
+    n = F.size(F.col("lst"))
+    # element k (oldest-first) is d = n-1-k steps back: weight 2^(S-d)
+    weighted = F.transform(
+        F.col("lst"),
+        lambda x, k: x
+        * F.pow(F.lit(2.0), F.lit(scale_bits + 1) - n + k).cast("bigint"),
+    )
+    total = F.aggregate(
+        weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return with_lst.select("user_id", "event_id", total.alias("ewma_units"))

@@ -589,3 +589,40 @@ def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
         .filter(F.col("_sgm").isNull() | (F.col("_sgm") <= F.col(y)))
         .drop("_sgm")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions_ppm: dict[str, int],
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    md5(salt|key) % 1e6 < fractions_ppm[stratum].
+
+    Unlike ``DataFrame.sampleBy`` (seeded Bernoulli per task — resample
+    on every retry/repartition), this is a pure function of the KEY:
+    stable under re-runs, partitioning, and subsetting, and a key keeps
+    or loses membership atomically across tables sharing the salt —
+    the property that makes downsampled joins consistent. The strata
+    thresholds ride a broadcast dim, so the filter is a narrow map-side
+    operation with full predicate pushdown past it.
+    """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, int(v)) for k, v in fractions_ppm.items()],
+        f"{strata_col} string, _thr_ppm int",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(dim), strata_col)
+        .filter(h % 1_000_000 < F.col("_thr_ppm"))
+        .drop("_thr_ppm")
+    )

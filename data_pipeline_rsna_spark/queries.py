@@ -3785,3 +3785,69 @@ def q_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables.load(spark, sf_dir, "customer")
     pts = spatial.synth_points(cust, "c_custkey")
     return spatial.radius_join(pts, 1500)
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           sum(b.cents * CAST(power(2.0, 20 - (a.rn - b.rn)) AS BIGINT))
+               AS ewma_units
+    FROM v a JOIN v b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+    doc="Per-user EWMA (alpha=1/2, 20-event lookback) in exact integer "
+    "units: cents x 2^(20-d) weights keep the weighted sum pure bigint "
+    "arithmetic — bit-identical under any summation order, unlike the "
+    "float recurrence. One user_id shuffle serves ordering + sliding "
+    "frame; the weighted fold is a narrow higher-order projection.",
+    tags=("events", "temporal"),
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    return ev_ops.ewma_units(ev, lookback=20, scale_bits=20)
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE ('0x' || substr(md5('strat|' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+              ::UBIGINT % 1000000
+          < CASE o_orderstatus
+                WHEN 'O' THEN 100000
+                WHEN 'F' THEN 200000
+                WHEN 'P' THEN 500000
+                ELSE 0 END
+    """,
+    doc="Deterministic stratified sampling of orders by status (10%/20%"
+    "/50%): membership is a pure function of the key (md5 threshold), "
+    "stable under retries/repartitioning/subsets — unlike seeded "
+    "sampleBy. Thresholds ride a broadcast dim; the filter is narrow.",
+    tags=("relational", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    sampled = rel.stratified_sample(
+        orders,
+        "o_orderstatus",
+        "o_orderkey",
+        {"O": 100_000, "F": 200_000, "P": 500_000},
+    )
+    return sampled.select("o_orderkey", "o_orderstatus")
