@@ -354,3 +354,35 @@ def ewma_units(
         weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x
     )
     return with_lst.select("user_id", "event_id", total.alias("ewma_units"))
+
+
+def rolling_median_x2(events: DataFrame, lookback: int = 15) -> DataFrame:
+    """Per-user rolling median of value over the trailing ``lookback``
+    events, exported as 2×median in cents (an INTEGER for both parities
+    — odd frames hit one element, even frames the sum of the two middle
+    elements — so the result is exact cross-engine, no float division).
+
+    Same plan as ewma_units: the user_id shuffle serves ordering and
+    the sliding frame, then a narrow array_sort + element_at
+    projection. A sliding sorted frame at scale stays cheap because the
+    frame is bounded (lookback), independent of user history length.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(lookback - 1), 0)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    with_lst = events.select(
+        "user_id", "event_id", "ts", cents.alias("cents")
+    ).select(
+        "user_id",
+        "event_id",
+        F.array_sort(F.collect_list("cents").over(frame)).alias("srt"),
+    )
+    n = F.size("srt")
+    mid = F.floor((n + 1) / 2).cast("int")  # upper-middle for even n
+    half = F.floor(n / 2).cast("int")
+    odd = 2 * F.element_at("srt", mid)
+    even = F.element_at("srt", half) + F.element_at("srt", half + F.lit(1))
+    med2 = F.when(n % 2 == 1, odd).otherwise(even)
+    return with_lst.select(
+        "user_id", "event_id", med2.cast("bigint").alias("median_x2_cents")
+    )

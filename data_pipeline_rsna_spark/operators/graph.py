@@ -69,3 +69,29 @@ def pagerank_integer(
         ranks = ranks.localCheckpoint(eager=False)
     ed.unpersist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph given as canonical edges (src < dst, no duplicates).
+
+    Enumeration is the standard ordered two-join: (a<b) ⋈ (b<c) ⋈
+    check (a<c) — each triangle is produced exactly once in a<b<c
+    orientation, then exploded to its three corners for the per-node
+    rollup.
+
+    Scale shape: the join fan-out is Σ deg(v)² on the ORDERED graph; at
+    100 TB edge lists the standard mitigation is degree orientation
+    (orient each edge toward the higher-degree endpoint before joining,
+    which bounds wedge counts by arboricity) — same join tree, one
+    extra degree computation; noted rather than implemented because the
+    canonical-order variant is the oracle-checkable one.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

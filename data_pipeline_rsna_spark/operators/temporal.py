@@ -118,3 +118,45 @@ def range_join_bucketed(
         F.col(f"i.{c}") for c in intervals.columns if c != key
     ]
     return p.alias("p").join(iv.alias("i"), cond).select(*out_cols)
+
+
+def time_weighted_sum(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted value integral in EXACT integer units:
+    sum over consecutive event pairs of (Δt in microseconds) × (value
+    in cents), i.e. the step-function integral a monitoring system
+    calls "time-weighted average" before the final division.
+
+    Exported as the raw bigint numerator plus the span, because the
+    division is the only lossy step — callers (and the oracle) divide
+    when they want the average, at whatever precision they choose.
+    Epoch microseconds are bigint on both engines (Spark unix_micros ==
+    DuckDB epoch_us), so every term is exact: Δt ≤ months ~ 1e13 µs ×
+    cents ≤ 1e5 stays far below int64.
+
+    Plan: one shuffle on user_id serves the lead() ordering AND the
+    final per-user aggregate (same clustering); everything between is
+    narrow. The classic at-scale trap — daily TWA over years of data —
+    is the same plan over (user_id, day) after an interval clip.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    us = F.unix_micros(F.col("ts"))
+    seg = events.select(
+        "user_id",
+        us.alias("t_us"),
+        F.lead(us).over(w).alias("next_us"),
+        cents.alias("cents"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("next_us").isNotNull(),
+                    (F.col("next_us") - F.col("t_us")) * F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).alias("twa_num_us_cents"),
+            (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        )
+    )

@@ -3851,3 +3851,130 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"O": 100_000, "F": 200_000, "P": 500_000},
     )
     return sampled.select("o_orderkey", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted integral, rolling median, triangle counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_sum",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN next_us IS NOT NULL
+                         THEN (next_us - t_us) * cents ELSE 0 END)
+                AS BIGINT) AS twa_num_us_cents,
+           max(t_us) - min(t_us) AS span_us
+    FROM seg GROUP BY user_id
+    """,
+    doc="Per-user time-weighted value integral (step-function TWA "
+    "numerator) in exact integer us x cents units: Spark unix_micros == "
+    "DuckDB epoch_us, every term bigint. One user_id shuffle serves the "
+    "lead() ordering and the final aggregate.",
+    tags=("events", "temporal"),
+)
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import temporal
+
+    ev = tables.load(spark, sf_dir, "events")
+    return temporal.time_weighted_sum(ev)
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           CAST(2 * median(b.cents) AS BIGINT) AS median_x2_cents
+    FROM v a JOIN v b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 14 AND a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+    doc="Per-user rolling median over the trailing 15 events, exported "
+    "as 2x median in cents so both frame parities are exact integers "
+    "(odd: middle element doubled; even: sum of the two middles) — no "
+    "float interpolation to diverge cross-engine. Bounded sorted frame: "
+    "cost independent of user history length.",
+    tags=("events", "temporal"),
+)
+def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    return ev_ops.rolling_median_x2(ev, lookback=15)
+
+
+@register(
+    "graph_triangle_counts",
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pair AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_support
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+    edges AS (
+        SELECT item_a AS src, item_b AS dst
+        FROM pair CROSS JOIN tot
+        WHERE pair_support * 50 >= n_baskets
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    """,
+    doc="Per-brand triangle participation in the co-purchase graph "
+    "(edges: brand pairs co-occurring in >= 2% of baskets — a relative "
+    "threshold so the graph is non-trivial at every SF). Ordered "
+    "two-join enumeration produces each triangle once in a<b<c "
+    "orientation; degree orientation is the documented scale path.",
+    tags=("graph", "mining"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as g
+    from .operators import mining
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    items = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select("l_orderkey", "p_brand")
+    b = mining.baskets(items, "l_orderkey", "p_brand")
+    pair = mining.pair_supports(b)
+    total = b.agg(F.count("*").alias("n_baskets"))
+    edges = (
+        pair.crossJoin(F.broadcast(total))
+        .filter(F.col("pair_support") * 50 >= F.col("n_baskets"))
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return g.triangle_counts(edges)

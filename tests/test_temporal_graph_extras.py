@@ -1,0 +1,74 @@
+"""Hand-checked goldens: time-weighted sum, rolling median, triangles."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.operators import events as ev_ops
+from data_pipeline_rsna_spark.operators import graph as g
+from data_pipeline_rsna_spark.operators import temporal
+
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def test_time_weighted_sum_hand_computed(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    df = _ev(spark, [
+        (1, t0, 7, "a", 2.00, "{}"),                               # 200c for 10s
+        (2, t0 + datetime.timedelta(seconds=10), 7, "a", 4.00, "{}"),  # 400c for 5s
+        (3, t0 + datetime.timedelta(seconds=15), 7, "a", 1.00, "{}"),  # last: no segment
+        (4, t0, 9, "b", 10.00, "{}"),                              # single event user
+    ])
+    out = {r.user_id: r for r in temporal.time_weighted_sum(df).collect()}
+    assert out[7].twa_num_us_cents == 10_000_000 * 200 + 5_000_000 * 400
+    assert out[7].span_us == 15_000_000 and out[7].n_events == 3
+    assert out[9].twa_num_us_cents == 0 and out[9].span_us == 0
+
+
+def test_rolling_median_hand_computed(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [5.00, 1.00, 3.00, 9.00]  # cents 500,100,300,900
+    df = _ev(spark, [
+        (i, t0 + datetime.timedelta(seconds=i), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ])
+    out = {r.event_id: r.median_x2_cents
+           for r in ev_ops.rolling_median_x2(df, lookback=3).collect()}
+    assert out[0] == 1000            # [500] -> 2*500
+    assert out[1] == 600             # [100,500] -> 100+500
+    assert out[2] == 600             # [100,300,500] -> 2*300
+    assert out[3] == 600             # frame [100,300,900] -> 2*300
+
+
+def test_triangle_counts_hand_checked(spark):
+    # K4 on {a,b,c,d} plus pendant edge d-e: C(4,3)=4 triangles;
+    # each K4 node in 3, e in none.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = {r.node: r.n_triangles for r in g.triangle_counts(edges).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    total = sum(out.values())
+    assert total == 3 * 4  # 4 triangles x 3 corners
+
+
+def test_triangle_counts_no_false_positives(spark):
+    # cycle of length 4 has no triangles
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    assert g.triangle_counts(edges).count() == 0
