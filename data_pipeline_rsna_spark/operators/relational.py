@@ -565,6 +565,57 @@ def snapshot_diff(
     return joined.select(F.col(key), status.alias("diff_status"))
 
 
+def global_running_max_desc(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Strict-predecessor running max over ``order_col`` DESCENDING,
+    two-phase (no unpartitioned WindowExec): range-partition on the
+    order, local strict-predecessor max per partition, then combine
+    with the broadcast max of all strictly-earlier partitions. The
+    first row in the global order gets NULL (it has no predecessor).
+
+    Assumes ``order_col`` values are distinct (callers aggregate to the
+    per-key grain first), so "predecessor" and "strictly greater" are
+    the same thing across partition boundaries. Eagerly materialized
+    like ``_ranked_with_partition_counts`` — the rows and the
+    per-partition maxima are two consumers of the range exchange, and
+    re-executed boundary sampling must not diverge between them.
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    part = (
+        df.repartitionByRange(int(n), F.col(order_col).desc())
+        .sortWithinPartitions(F.col(order_col).desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn("_lmax", F.max(val_col).over(local_w))
+    pmax = part.groupBy("_pid").agg(F.max(val_col).alias("_pmax"))
+    earlier = pmax.select(
+        F.col("_pid").alias("_pid2"), F.col("_pmax").alias("_pmax2")
+    )
+    prefix = (
+        pmax.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_pmax2").alias("_prefix"))
+    )
+    return (
+        local.join(F.broadcast(prefix), "_pid")
+        # greatest() skips NULLs: NULL only when both sides are (the
+        # global first row), exactly the strict-predecessor semantics.
+        .withColumn(out_col, F.greatest(F.col("_lmax"), F.col("_prefix")))
+        .drop("_pid", "_lmax", "_prefix")
+    )
+
+
 def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """2-D skyline: rows not STRICTLY dominated in both dimensions
     (no other row has x' > x AND y' > y). Multi-objective selection —
@@ -574,16 +625,12 @@ def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     Shape: collapse to the per-x max of y (one shuffle, map-side
     combined), then a running max over x-descending tells each x the
     best y among strictly-greater x; a row survives iff its y is not
-    beaten by that. The sweep window runs on the DISTINCT-x table —
-    dim-sized after aggregation here; if distinct x is data-sized,
-    replace the window with the two-phase range-partitioned running
-    max (same construction as ``global_row_number``).
+    beaten by that. The sweep is the two-phase range-partitioned
+    running max (``global_running_max_desc``) — parallel even when
+    distinct x is data-sized, no single-partition WindowExec.
     """
     per_x = df.groupBy(x).agg(F.max(y).alias("_ymax"))
-    w = Window.orderBy(F.col(x).desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    sweep = per_x.withColumn("_sgm", F.max("_ymax").over(w)).select(x, "_sgm")
+    sweep = global_running_max_desc(per_x, x, "_ymax", "_sgm").select(x, "_sgm")
     return (
         df.join(sweep, x)
         .filter(F.col("_sgm").isNull() | (F.col("_sgm") <= F.col(y)))

@@ -3697,7 +3697,7 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches
 
     li = tables.load(spark, sf_dir, "lineitem")
-    return sketches.hll_distinct(li, "l_returnflag", "l_partkey").orderBy("grp")
+    return sketches.hll_distinct(li, "l_returnflag", "l_partkey")
 
 
 @register(
@@ -3976,5 +3976,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.crossJoin(F.broadcast(total))
         .filter(F.col("pair_support") * 50 >= F.col("n_baskets"))
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        # item-domain-sized (<= brands^2/2 rows): materialize once so the
+        # three triangle-join branches don't each re-derive the whole
+        # basket->pair pipeline (3x the heavy shuffles in the static plan).
+        .localCheckpoint(eager=True)
     )
     return g.triangle_counts(edges)
