@@ -673,3 +673,30 @@ def stratified_sample(
         .filter(h % 1_000_000 < F.col("_thr_ppm"))
         .drop("_thr_ppm")
     )
+
+
+def uniform_k_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = "ks"
+) -> DataFrame:
+    """Fixed-SIZE deterministic uniform sample: the k members of each
+    group with the smallest md5(salt|key) — the hash order is a random
+    permutation as far as any real attribute is concerned, so this is
+    a uniform k-subset, yet fully reproducible (same members on every
+    run/engine) and incremental-friendly: a member only leaves the
+    sample when a smaller-hash member arrives.
+
+    Complements ``stratified_sample`` (fixed FRACTION): quota per group
+    vs rate per group. Plan: one shuffle on the group key, per-group
+    rank over the hash, filter. For pathologically large groups the
+    sort-per-group can be pre-pruned with a coarse hash-prefix filter
+    (keep hashes < t where t conservatively over-covers k, then rank) —
+    the standard sample-and-prune refinement; not needed at dim-sized
+    group counts.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc())
+    return (
+        df.withColumn("_krn", F.row_number().over(w))
+        .filter(F.col("_krn") <= k)
+        .drop("_krn")
+    )

@@ -3982,3 +3982,30 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return g.triangle_counts(edges)
+
+
+@register(
+    "uniform_k_sample",
+    oracle="""
+    SELECT c_nationkey, c_custkey
+    FROM (
+        SELECT c_nationkey, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY md5('ks|' || CAST(c_custkey AS VARCHAR))
+               ) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    """,
+    doc="Fixed-size uniform sample: the 3 customers per nation with the "
+    "smallest md5 — uniform w.r.t. any real attribute, reproducible "
+    "across runs and engines, incremental-friendly (membership only "
+    "changes when a smaller hash arrives). One group-key shuffle.",
+    tags=("relational", "sampling"),
+)
+def q_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    return rel.uniform_k_sample(cust, "c_nationkey", "c_custkey", 3).select(
+        "c_nationkey", "c_custkey"
+    )

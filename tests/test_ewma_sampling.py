@@ -101,3 +101,16 @@ def test_stratified_zero_and_full(strata_df):
         strata_df, "tier", "k", {"hot": 1_000_000, "cold": 1_000_000}
     )
     assert allr.count() == 3000
+
+
+def test_uniform_k_sample_exact_size_and_stability(strata_df):
+    out = rel.uniform_k_sample(strata_df, "tier", "k", 5)
+    sizes = {r.tier: r["count"] for r in out.groupBy("tier").count().collect()}
+    assert sizes == {"hot": 5, "cold": 5}
+    again = rel.uniform_k_sample(strata_df.repartition(13), "tier", "k", 5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_uniform_k_sample_small_group_keeps_all(spark):
+    df = spark.createDataFrame([(1, "g"), (2, "g")], "k long, tier string")
+    assert rel.uniform_k_sample(df, "tier", "k", 5).count() == 2
