@@ -160,3 +160,57 @@ def time_weighted_sum(events: DataFrame) -> DataFrame:
             (F.max("t_us") - F.min("t_us")).alias("span_us"),
         )
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """All pairs of overlapping closed intervals WITHIN each key — the
+    double-booking / conflicting-reservation shape. Returns (key, id_a,
+    id_b, overlap span) with id_a < id_b, span in the start/end units.
+
+    Plan: one equi-join co-partitioned on the key; the per-key pair
+    check is quadratic only in intervals-per-key, which real workloads
+    bound (a customer's concurrent orders, a room's bookings). For
+    UNKEYED interval sets, compose the 1-D analogue of
+    ``spatial.radius_join``: bucket intervals into coarse time cells,
+    equi-join on the cell, de-duplicate pairs spanning multiple cells —
+    same blocking-completeness argument, cells sized to the max
+    interval length. The complementary aggregate (how MANY overlap at
+    once, rather than which pairs) is ``events.session_concurrency_by_
+    day``'s sweep line.
+    """
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    ]
+    a = intervals.select(*cols)
+    b = (
+        intervals.select(*cols)
+        .withColumnRenamed("id", "id_b")
+        .withColumnRenamed("s", "s_b")
+        .withColumnRenamed("e", "e_b")
+    )
+    return (
+        a.join(b, "key")
+        .filter(
+            (F.col("id") < F.col("id_b"))
+            & (F.col("s") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e"))
+        )
+        .select(
+            F.col("key"),
+            F.col("id").alias("id_a"),
+            "id_b",
+            (
+                F.least(F.col("e"), F.col("e_b"))
+                - F.greatest(F.col("s"), F.col("s_b"))
+            ).alias("overlap"),
+        )
+    )

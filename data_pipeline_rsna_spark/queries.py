@@ -4009,3 +4009,49 @@ def q_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.uniform_k_sample(cust, "c_nationkey", "c_custkey", 3).select(
         "c_nationkey", "c_custkey"
     )
+
+
+@register(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey AS id, o_custkey AS key,
+               epoch_us(o_orderdate) AS s,
+               epoch_us(o_orderdate)
+                   + (o_orderkey % 7 + 1) * 86400000000 AS e
+        FROM orders
+    )
+    SELECT a.key AS custkey, a.id AS id_a, b.id AS id_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b ON a.key = b.key AND a.id < b.id
+    WHERE a.s <= b.e AND b.s <= a.e
+    """,
+    doc="Overlapping order windows per customer (order date + 1..7 "
+    "synthetic days): the double-booking detector. Equi-join "
+    "co-partitioned on the customer key, quadratic only in "
+    "intervals-per-key; exact bigint microsecond overlap spans. The "
+    "unkeyed variant is the 1-D grid-cell blocking of "
+    "spatial.radius_join (documented in the operator).",
+    tags=("temporal",),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import temporal
+
+    orders = tables.load(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the cast to
+    # (tz-aware) timestamp preserves the epoch value unix_micros needs.
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    iv = orders.select(
+        F.col("o_orderkey").alias("oid"),
+        F.col("o_custkey").alias("ckey"),
+        us.alias("s_us"),
+        (us + (F.pmod(F.col("o_orderkey"), F.lit(7)) + 1) * F.lit(86_400_000_000))
+        .alias("e_us"),
+    )
+    pairs = temporal.interval_overlap_pairs(iv, "ckey", "oid", "s_us", "e_us")
+    return pairs.select(
+        F.col("key").alias("custkey"),
+        "id_a",
+        "id_b",
+        F.col("overlap").alias("overlap_us"),
+    )

@@ -72,3 +72,24 @@ def test_triangle_counts_no_false_positives(spark):
         "src string, dst string",
     )
     assert g.triangle_counts(edges).count() == 0
+
+
+def test_interval_overlap_hand_checked(spark):
+    iv = spark.createDataFrame(
+        [
+            (1, "c", 0, 10),
+            (2, "c", 10, 20),   # touches 1 at a point (closed: overlap 0)
+            (3, "c", 5, 8),     # inside 1
+            (4, "c", 21, 30),   # disjoint from all
+            (5, "d", 0, 100),   # other key: never pairs with c's
+        ],
+        "id long, key string, s long, e long",
+    )
+    out = {(r.id_a, r.id_b): r.overlap
+           for r in temporal.interval_overlap_pairs(iv, "key", "id", "s", "e").collect()}
+    assert set(out) == {(1, 2), (1, 3)}
+    assert out[(1, 2)] == 0       # closed-interval point touch
+    assert out[(1, 3)] == 3       # 8-5
+    assert (2, 3) not in out      # [10,20] vs [5,8] disjoint
+    assert (1, 4) not in out and (2, 4) not in out
+    assert all(k[0] != 5 and k[1] != 5 for k in out)
