@@ -105,7 +105,13 @@ def association_rules(
     broadcast cross join. Integer/ppm outputs keep the result
     hash-comparable across engines.
     """
-    b = baskets(items, basket_col, item_col)
+    # Three consumers (pair counts, item supports, basket total) branch
+    # off the basket table; persist so one shuffle+collect_set feeds all
+    # three within the query's single action instead of re-deriving the
+    # build per branch. (At cluster scale the same persist holds the
+    # per-basket arrays — ~rows x avg-basket bytes — in executor memory,
+    # spilling to disk if needed; StorageLevel default MEMORY_AND_DISK.)
+    b = baskets(items, basket_col, item_col).persist()
     pair = pair_supports(b, min_support=min_support)
     item = item_supports(b)
     total = b.agg(F.count("*").alias("n_baskets"))
