@@ -4055,3 +4055,130 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("overlap").alias("overlap_us"),
     )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    l0 AS (
+        SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        FROM customer WHERE c_nationkey = 0
+    ),
+    lv AS (
+        SELECT node, 0 AS hop FROM l0
+        UNION ALL
+        SELECT e.dst, 1 FROM l0 JOIN e ON l0.node = e.src
+        UNION ALL
+        SELECT e2.dst, 2
+        FROM l0 JOIN e ON l0.node = e.src
+        JOIN e e2 ON e.dst = e2.src
+        UNION ALL
+        SELECT e3.dst, 3
+        FROM l0 JOIN e ON l0.node = e.src
+        JOIN e e2 ON e.dst = e2.src
+        JOIN e e3 ON e2.dst = e3.src
+    )
+    SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM lv GROUP BY node
+    """,
+    doc="Multi-source BFS over the bidirectionalized customer-supplier "
+    "trade graph from nation-0 customers, min hop distance <= 3. The "
+    "Spark side is the level-synchronous frontier loop (anti-join "
+    "pruning, persisted edge layout, per-round localCheckpoint); the "
+    "oracle is the UNROLLED path-join formulation whose round-k cost "
+    "rescans every length-k path — correct at test scale, and exactly "
+    "the blow-up the frontier algorithm avoids at 100 TB.",
+    tags=("graph",),
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as g
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    sources = cust.filter(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    out = g.bfs_hops(edges, sources, max_hops=3)
+    return out.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+@register(
+    "model_lift_table",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
+                   + o_orderkey % 1000000 AS sk,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY sk) AS rn,
+               count(*) OVER () AS n
+        FROM v
+    )
+    SELECT CAST(((rn - 1) * 10) // n AS INTEGER) AS decile,
+           count(*) AS n_orders,
+           CAST(sum(pos) AS BIGINT) AS positives,
+           CAST(trunc(sum(pos) * 1000000.0 / count(*)) AS BIGINT)
+               AS pos_rate_ppm
+    FROM r GROUP BY 1
+    """,
+    doc="Model-evaluation decile lift table: rank orders by a score "
+    "(total price, tie-broken by key into a UNIQUE bigint sort key), "
+    "cut into 10 equal-width rank deciles, report per-decile size / "
+    "positives / positive-rate ppm. The global rank is the two-phase "
+    "range-partitioned row_number (no single-partition window, unlike "
+    "the oracle's count(*) OVER ()); decile boundaries are "
+    "floor((rn-1)*10/N) in exact integer arithmetic on both engines.",
+    tags=("relational", "ml-eval"),
+)
+def q_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    v = orders.select(
+        (
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)") * F.lit(1_000_000)
+            + F.pmod(F.col("o_orderkey"), F.lit(1_000_000))
+        ).alias("sk"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("pos"),
+    )
+    ranked = rel.global_row_number(v, "sk")
+    total = v.agg(F.count("*").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.floor((F.col("rn") - 1) * 10 / F.col("_n"))
+            .cast("int")
+            .alias("decile"),
+            "pos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("pos").cast("bigint").alias("positives"),
+            F.floor(F.sum("pos") * F.lit(1_000_000.0) / F.count("*"))
+            .cast("bigint")
+            .alias("pos_rate_ppm"),
+        )
+    )

@@ -93,3 +93,36 @@ def test_interval_overlap_hand_checked(spark):
     assert (2, 3) not in out      # [10,20] vs [5,8] disjoint
     assert (1, 4) not in out and (2, 4) not in out
     assert all(k[0] != 5 and k[1] != 5 for k in out)
+
+
+def test_bfs_hops_hand_checked(spark):
+    # path a-b-c-d-e plus isolated f: from {a}, hops a:0 b:1 c:2 d:3;
+    # e beyond max_hops=3 only via d (hop 4) -> excluded.
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.hop for r in g.bfs_hops(edges, srcs, max_hops=3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_min_hop_on_diamond(spark):
+    # a-b, a-c, b-d, c-d: d reachable two ways, hop must be 2 once.
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    rows = g.bfs_hops(edges, srcs, max_hops=3).collect()
+    out = {r.node: r.hop for r in rows}
+    assert len(rows) == 4 and out["d"] == 2
+
+
+def test_bfs_early_termination(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.hop for r in g.bfs_hops(edges, srcs, max_hops=10).collect()}
+    assert out == {"a": 0, "b": 1}
