@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import tables
@@ -4181,4 +4181,134 @@ def q_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pos_rate_ppm"),
         )
+    )
+
+
+@register(
+    "grouping_sets_aggregation",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS (
+        (l_returnflag, l_linestatus),
+        (l_returnflag, CAST(year(l_shipdate) AS INTEGER)),
+        (CAST(year(l_shipdate) AS INTEGER)),
+        ()
+    )
+    """,
+    doc="Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices): "
+    "Spark expands the sets into one Expand + single hash aggregate — "
+    "one shuffle regardless of how many sets, each input row replicated "
+    "only |sets| times map-side. Null group columns mark the "
+    "aggregation level exactly as in the oracle.",
+    tags=("relational",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS (
+            (l_returnflag, l_linestatus),
+            (l_returnflag, CAST(year(l_shipdate) AS INTEGER)),
+            (CAST(year(l_shipdate) AS INTEGER)),
+            ()
+        )
+    """)
+
+
+@register(
+    "events_range_frame_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_sum_cents
+    FROM events
+    """,
+    doc="Time-based sliding aggregate: per-user sum of value over the "
+    "trailing hour via a RANGE frame on epoch microseconds — the frame "
+    "is defined by VALUE distance, not row count, so bursty and sparse "
+    "users get the same semantics. One user_id shuffle; frame state "
+    "bounded by events-per-hour. Exact integer cents.",
+    tags=("events", "temporal"),
+)
+def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .over(w)
+        .cast("bigint")
+        .alias("hour_sum_cents"),
+    )
+
+
+@register(
+    "table_fingerprint",
+    oracle="""
+    SELECT 'lineitem' AS tbl,
+           count(*) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_linenumber AS VARCHAR) || '|' ||
+                   CAST(l_partkey AS VARCHAR) || '|' ||
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+               ), 1, 15))::UBIGINT % 1152921504606846976)
+               % 1152921504606846976 AS BIGINT) AS fingerprint
+    FROM lineitem
+    """,
+    doc="Order-independent table fingerprint: per-row md5 of the "
+    "business key + price folded to 60 bits, summed mod 2^60 — an "
+    "anti-entropy checksum two replicas (or two engines!) can compare "
+    "without any ordering or single-point aggregation; commutative "
+    "sum means map-side partials merge freely. The gate itself proves "
+    "the property: Spark and DuckDB agree bit-for-bit.",
+    tags=("relational", "ops"),
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    row_h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                        F.expr(
+                            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                        ).cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % F.lit(1152921504606846976)
+    )
+    return li.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        # sum in decimal(38,0): row terms are < 2^60, so an int64 sum
+        # overflows after ~8 rows under ANSI mode; decimal mirrors
+        # DuckDB's hugeint accumulator, and the mod folds back to 60 bits
+        (F.sum(row_h.cast("decimal(38,0)")) % F.lit(1152921504606846976))
+        .cast("bigint")
+        .alias("fingerprint"),
     )
