@@ -4312,3 +4312,101 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fingerprint"),
     )
+
+
+@register(
+    "events_median_mad",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT user_id, CAST(2 * median(cents) AS BIGINT) AS median_x2_cents
+        FROM v GROUP BY user_id
+    )
+    SELECT v.user_id,
+           any_value(median_x2_cents) AS median_x2_cents,
+           CAST(2 * median(abs(2 * cents - median_x2_cents)) AS BIGINT)
+               AS mad_x4_cents
+    FROM v JOIN med ON v.user_id = med.user_id
+    GROUP BY v.user_id
+    """,
+    doc="Per-user median + median-absolute-deviation in doubled integer "
+    "units (x2 / x4), exact for both parities — the robust "
+    "location/dispersion pair outlier pipelines gate on. Two "
+    "aggregates over the SAME user_id clustering: the med join is "
+    "co-partitioned, so the whole thing is one data shuffle plus a "
+    "|users|-row join.",
+    tags=("events", "stats"),
+)
+def q_events_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    med = v.groupBy("user_id").agg(
+        F.expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)").alias(
+            "median_x2_cents"
+        )
+    )
+    return (
+        v.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("median_x2_cents")).alias("median_x2_cents"),
+            F.expr(
+                "CAST(2 * percentile(abs(2 * cents - median_x2_cents), 0.5)"
+                " AS BIGINT)"
+            ).alias("mad_x4_cents"),
+        )
+    )
+
+
+@register(
+    "proportion_wilson_bound",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS k
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           CAST(floor(1000000.0 * (
+               (k / CAST(n AS DOUBLE) + 3.8416 / (2.0 * n)
+                - 1.96 * sqrt(
+                    (k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / n
+                    + 3.8416 / (4.0 * n * n))
+               ) / (1.0 + 3.8416 / n))) AS BIGINT) AS wilson_low_ppm
+    FROM agg
+    """,
+    doc="Wilson-score lower confidence bound (z=1.96) for the per-type "
+    "proportion of high-value events, floored to ppm. Every step is an "
+    "IEEE-correctly-rounded op (+,-,*,/,sqrt) evaluated in the same "
+    "literal order on both engines, so the result is bit-identical — "
+    "the disciplined way to ship confidence intervals through a "
+    "cross-engine gate. One shuffle (map-side combined counts).",
+    tags=("stats",),
+)
+def q_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") >= 100.0, 1).otherwise(0)).alias("k"),
+    )
+    p = F.col("k") / F.col("n").cast("double")
+    nn = F.col("n")
+    wilson = (
+        p
+        + F.lit(3.8416) / (F.lit(2.0) * nn)
+        - F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + F.lit(3.8416) / (F.lit(4.0) * nn * nn))
+    ) / (F.lit(1.0) + F.lit(3.8416) / nn)
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        F.floor(F.lit(1000000.0) * wilson).cast("bigint").alias("wilson_low_ppm"),
+    )
