@@ -4410,3 +4410,186 @@ def q_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.floor(F.lit(1000000.0) * wilson).cast("bigint").alias("wilson_low_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-support breadth: the TPC-H-shaped multi-join/correlated-subquery
+# workloads a warehouse engine must run. All money flows through the
+# integer-cents convention (per-row round to cents, bigint sums) so the
+# cross-engine gate is bit-exact regardless of summation order.
+# ---------------------------------------------------------------------------
+
+_REV_CENTS_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+@register(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           sum({_REV_CENTS_SQL}) AS revenue_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: 3-way join (customer filter "
+    "semi-reduces orders, orders x lineitem co-keyed on orderkey), "
+    "per-order revenue in exact integer cents, global top-10. The sort "
+    "is TakeOrderedAndProject — per-partition heaps + driver merge of "
+    "10 rows, never a global sort. Tie-broken on orderkey so LIMIT is "
+    "deterministic cross-engine.",
+    tags=("relational", "tpch"),
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1998-01-01")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "small_order_part_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_small,
+           sum({_REV_CENTS_SQL}) AS revenue_cents
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.3 * avg_qty
+    """,
+    doc="TPC-H Q17-shaped correlated aggregate: lineitems below 30% of "
+    "their part's average quantity. The correlated subquery decorrelates "
+    "to a per-part aggregate joined back on l_partkey — both sides hash "
+    "on the same key, so AQE coalesces it into one co-partitioned "
+    "exchange pair (no broadcast of an SF-scaled per-part table). "
+    "avg(l_quantity) is exact: quantities are integral, sums stay under "
+    "2^53, and the single division is correctly rounded on both engines.",
+    tags=("relational", "tpch"),
+)
+def q_small_order_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.3 * F.col("avg_qty"))
+        .agg(F.count("*").alias("n_small"), F.sum(rev).alias("revenue_cents"))
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13-shaped distribution: orders-per-customer histogram "
+    "including zero-order customers (the LEFT JOIN with the filter IN "
+    "the join condition — pushing it to WHERE would silently drop "
+    "them). Double aggregation: the first groups on the join key the "
+    "shuffle already clustered, the second reduces to at most "
+    "max-orders-per-customer rows.",
+    tags=("relational", "tpch"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "yearly_nation_revenue_growth",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               sum({_REV_CENTS_SQL}) AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY n_name, order_year
+    )
+    SELECT n_name, order_year, revenue_cents,
+           CAST(floor(1000000.0 * (revenue_cents - lag(revenue_cents) OVER w)
+                / lag(revenue_cents) OVER w) AS BIGINT) AS growth_ppm
+    FROM yearly
+    WINDOW w AS (PARTITION BY n_name ORDER BY order_year)
+    """,
+    doc="Period-over-period revenue per supplier nation with year-over-"
+    "year growth in ppm. The lag window runs AFTER aggregation on a "
+    "|nations| x |years| table — partitioned by nation, so no "
+    "single-task window. Growth is floor(1e6*(cur-prev)/prev) through "
+    "the identical IEEE op chain on both engines (bigints convert "
+    "exactly to double below 2^53). nation is broadcast; supplier and "
+    "orders co-partition with lineitem on their keys.",
+    tags=("relational", "window"),
+)
+def q_yearly_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    sup = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    orders = tables.load(spark, sf_dir, "orders")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    yearly = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.sum(rev).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    return (
+        yearly.withColumn("prev_cents", F.lag("revenue_cents").over(w))
+        .withColumn(
+            "growth_ppm",
+            F.expr(
+                "CAST(floor(1000000.0 * (revenue_cents - prev_cents)"
+                " / prev_cents) AS BIGINT)"
+            ),
+        )
+        .select("n_name", "order_year", "revenue_cents", "growth_ppm")
+    )
