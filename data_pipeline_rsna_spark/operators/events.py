@@ -386,3 +386,111 @@ def rolling_median_x2(events: DataFrame, lookback: int = 15) -> DataFrame:
     return with_lst.select(
         "user_id", "event_id", med2.cast("bigint").alias("median_x2_cents")
     )
+
+
+def user_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user. The classic sequence-analytics kernel (login streaks, SLA
+    uptime runs, sensor liveness).
+
+    Island detection is the rank-difference trick: within a user, rank
+    active days ascending; ``epoch_day - rank`` is constant exactly on
+    a consecutive run, so it is the island id — no self-join, no
+    iteration. All windows partition by user_id (high-cardinality), so
+    no single-task window; the whole thing is one user_id shuffle
+    reused by distinct, rank and both aggregates.
+    """
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    active = events.select("user_id", day.alias("epoch_day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("epoch_day")
+    islands = active.withColumn(
+        "island", F.col("epoch_day") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("run_len").alias("n_active_days"),
+    )
+
+
+def state_intervals(events: DataFrame) -> DataFrame:
+    """Run-length collapse of each user's event-type sequence into
+    contiguous state intervals — the SCD2/session-state builder: every
+    maximal run of identical consecutive event_type becomes one row
+    with [start, end] in exact epoch microseconds.
+
+    lag() flags state changes, a running sum of flags numbers the runs
+    (1-based), and a grouped min/max/count collapses each run. Order
+    within a user is tie-broken on event_id so the result is a pure
+    function of the data. One user_id shuffle serves lag, cumsum and
+    the final aggregate (same partitioning key throughout).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = flagged.withColumn("run_seq", F.sum("chg").over(w2))
+    return runs.groupBy("user_id", "run_seq").agg(
+        F.any_value("event_type").alias("event_type"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition table over each user's event-type
+    sequence: counts and ppm row-probabilities for every observed
+    (prev_type, next_type) pair — the input to journey analysis and
+    next-action models.
+
+    Per-user lag (one user_id shuffle, tie-broken on event_id) emits
+    transitions map-side; the pair count groups on a bounded key space
+    (|types|²), and the row-normalizing total joins back on a
+    |types|-row broadcast. ppm = (1e6 * cnt) DIV row_total in pure
+    bigint integer division — exact on both engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("CAST((1000000 * n) DIV row_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

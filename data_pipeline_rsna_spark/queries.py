@@ -4593,3 +4593,114 @@ def q_yearly_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("n_name", "order_year", "revenue_cents", "growth_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed sequence analytics: gaps-and-islands, run-length state intervals,
+# Markov transitions. All three ride ONE user_id shuffle end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_streaks",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, epoch_day,
+               epoch_day - row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_day) AS island
+        FROM active
+    ),
+    runs AS (
+        SELECT user_id, island, count(*) AS run_len
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           max(run_len) AS longest_streak,
+           count(*) AS n_streaks,
+           sum(run_len) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+    doc="Gaps-and-islands longest consecutive-active-day streak per "
+    "user via the rank-difference trick (epoch_day - row_number is "
+    "constant on a consecutive run). No self-join, no iteration; all "
+    "windows keyed on high-cardinality user_id.",
+    tags=("events", "sequence"),
+)
+def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    return ev_ops.user_streaks(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_state_intervals",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, t_us,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_seq
+        FROM flagged
+    )
+    SELECT user_id, run_seq,
+           any_value(event_type) AS event_type,
+           min(t_us) AS start_us,
+           max(t_us) AS end_us,
+           count(*) AS n_events
+    FROM runs GROUP BY user_id, run_seq
+    """,
+    doc="SCD2-style run-length collapse: each maximal run of identical "
+    "consecutive event_type per user becomes one [start_us, end_us] "
+    "interval row (exact epoch micros, Spark unix_micros == DuckDB "
+    "epoch_us). lag flags changes, a keyed running sum numbers runs, "
+    "a grouped min/max collapses them — one user_id shuffle serves "
+    "all three.",
+    tags=("events", "sequence"),
+)
+def q_events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    return ev_ops.state_intervals(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST((1000000 * n) // sum(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS share_ppm
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over per-user event-type "
+    "sequences: per-user lag emits transitions off one keyed shuffle, "
+    "counts group on the bounded |types|^2 key space, and row "
+    "probabilities are exact bigint integer division in ppm.",
+    tags=("events", "sequence"),
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    return ev_ops.transition_matrix(tables.load(spark, sf_dir, "events"))

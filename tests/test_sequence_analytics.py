@@ -1,0 +1,133 @@
+"""Hand-checked goldens: streaks, state intervals, transition matrix."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.operators import events as ev_ops
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def _day(d):
+    return datetime.datetime(2024, 1, d)
+
+
+def test_user_streaks_islands(spark):
+    # user 1: days 1,2,3 then 5,6 -> longest 3, 2 streaks, 5 active days
+    # user 2: day 4 only (two events same day -> distinct collapses)
+    df = _ev(
+        spark,
+        [
+            (1, _day(1), 1, "a", 0.0, "{}"),
+            (2, _day(2), 1, "a", 0.0, "{}"),
+            (3, _day(3), 1, "a", 0.0, "{}"),
+            (4, _day(5), 1, "a", 0.0, "{}"),
+            (5, _day(6), 1, "a", 0.0, "{}"),
+            (6, _day(4), 2, "a", 0.0, "{}"),
+            (7, _day(4), 2, "b", 0.0, "{}"),
+        ],
+    )
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"], r["n_active_days"])
+        for r in ev_ops.user_streaks(df).collect()
+    }
+    assert got == {1: (3, 2, 5), 2: (1, 1, 1)}
+
+
+def test_state_intervals_runs(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # user 7 sequence: a a b a -> runs (a,2) (b,1) (a,1)
+    df = _ev(
+        spark,
+        [
+            (1, ts(0), 7, "a", 0.0, "{}"),
+            (2, ts(10), 7, "a", 0.0, "{}"),
+            (3, ts(20), 7, "b", 0.0, "{}"),
+            (4, ts(30), 7, "a", 0.0, "{}"),
+        ],
+    )
+    rows = sorted(
+        ev_ops.state_intervals(df).collect(), key=lambda r: r["run_seq"]
+    )
+    assert [(r["event_type"], r["n_events"]) for r in rows] == [
+        ("a", 2),
+        ("b", 1),
+        ("a", 1),
+    ]
+    base = int(t0.timestamp()) * 1_000_000
+    assert rows[0]["start_us"] == base
+    assert rows[0]["end_us"] == base + 10_000_000
+    assert rows[1]["start_us"] == rows[1]["end_us"] == base + 20_000_000
+
+
+def test_state_intervals_tie_broken_on_event_id(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    # two events at the SAME timestamp: event_id order decides the runs
+    df = _ev(
+        spark,
+        [
+            (2, t0, 7, "b", 0.0, "{}"),
+            (1, t0, 7, "a", 0.0, "{}"),
+        ],
+    )
+    rows = sorted(
+        ev_ops.state_intervals(df).collect(), key=lambda r: r["run_seq"]
+    )
+    assert [r["event_type"] for r in rows] == ["a", "b"]
+
+
+def test_transition_matrix_counts_and_ppm(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # user 1: a->b, b->a, a->b   user 2: a->c
+    # from 'a': b twice, c once -> 666666 / 333333 ppm
+    df = _ev(
+        spark,
+        [
+            (1, ts(0), 1, "a", 0.0, "{}"),
+            (2, ts(1), 1, "b", 0.0, "{}"),
+            (3, ts(2), 1, "a", 0.0, "{}"),
+            (4, ts(3), 1, "b", 0.0, "{}"),
+            (5, ts(0), 2, "a", 0.0, "{}"),
+            (6, ts(1), 2, "c", 0.0, "{}"),
+        ],
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["share_ppm"])
+        for r in ev_ops.transition_matrix(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 666666),
+        ("a", "c"): (1, 333333),
+        ("b", "a"): (1, 1000000),
+    }
+
+
+def test_transition_matrix_no_cross_user_leak(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    # last event of user 1 and first of user 2 must NOT pair up
+    df = _ev(
+        spark,
+        [
+            (1, t0, 1, "a", 0.0, "{}"),
+            (2, t0 + datetime.timedelta(seconds=1), 2, "b", 0.0, "{}"),
+        ],
+    )
+    assert ev_ops.transition_matrix(df).count() == 0
