@@ -700,3 +700,73 @@ def uniform_k_sample(
         .filter(F.col("_krn") <= k)
         .drop("_krn")
     )
+
+
+def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT tie-aware ROC AUC via the rank-sum (Mann-Whitney) identity,
+    returned as one row: npos, nneg, auc_num2, auc_ppm.
+
+    Aggregates to distinct scores first (pos/neg counts — map-side
+    combined, so the shuffle is |distinct scores|, not |rows|), then
+    takes a running negative count through ``grouped_running_sum`` —
+    the scale-safe two-phase prefix sum — instead of an unpartitioned
+    ``OVER (ORDER BY score)`` that would pin every distinct score on
+    one task. The numerator is kept in DOUBLED units so each tie's
+    half-credit stays integral: num2 = sum pos_s*(2*below_s + neg_s);
+    AUC = num2 / (2*npos*nneg), shipped as bigint floor-division ppm.
+
+    ``label_col`` must be 0/1 int; ``score_col`` must be an exact
+    (integer) type — float scores should be scaled to integer units
+    first, which is what makes the result reproducible at all.
+    """
+    g = df.groupBy(score_col).agg(
+        F.sum(label_col).cast("bigint").alias("pos"),
+        (F.count("*") - F.sum(label_col)).cast("bigint").alias("neg"),
+    )
+    c = grouped_running_sum(
+        g.withColumn("_all", F.lit(1)), "_all", score_col, "neg", "cum_neg"
+    ).withColumn("below", F.col("cum_neg") - F.col("neg"))
+    return c.agg(
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum("neg").cast("bigint").alias("nneg"),
+        F.sum(F.col("pos") * (2 * F.col("below") + F.col("neg")))
+        .cast("bigint")
+        .alias("auc_num2"),
+    ).select(
+        "npos",
+        "nneg",
+        "auc_num2",
+        F.expr(
+            "CAST((1000000 * auc_num2) DIV (2 * npos * nneg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+def weighted_median(
+    df: DataFrame, key: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Per-key weighted LOWER median: the smallest value whose
+    cumulative weight reaches half the key's total, decided in exact
+    integer arithmetic (2*cumw >= totw — no float quantile ambiguity).
+
+    Built for LOW-cardinality keys (brands, languages, countries):
+    collapses to (key, value) weight sums map-side, then rides the
+    grouped two-phase prefix sum — a ``partitionBy(key)`` window here
+    would drag each key's full 100 TB slice onto a single task.
+    Weights must be non-negative integers (cast upstream).
+    """
+    g = df.groupBy(key, value_col).agg(
+        F.sum(weight_col).cast("bigint").alias("_w")
+    )
+    c = grouped_running_sum(g, key, value_col, "_w", "_cumw")
+    t = g.groupBy(key).agg(F.sum("_w").cast("bigint").alias("_totw"))
+    return (
+        c.join(F.broadcast(t), key)
+        .groupBy(key)
+        .agg(
+            F.min(
+                F.when(2 * F.col("_cumw") >= F.col("_totw"), F.col(value_col))
+            ).alias("wmedian"),
+            F.any_value("_totw").alias("total_weight"),
+        )
+    )

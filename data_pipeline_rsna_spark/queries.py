@@ -4704,3 +4704,206 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import events as ev_ops
 
     return ev_ops.transition_matrix(tables.load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ML-evaluation + distributional statistics, all integer-exact: rank-sum
+# AUC on the scale-safe prefix sum, market concentration (HHI), weighted
+# median, first-digit (Benford) profile.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_auc_exact",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+        FROM orders
+    ),
+    g AS (
+        SELECT score,
+               CAST(sum(lab) AS BIGINT) AS pos,
+               CAST(count(*) - sum(lab) AS BIGINT) AS neg
+        FROM s GROUP BY score
+    ),
+    c AS (
+        SELECT pos, neg,
+               CAST(coalesce(sum(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below
+        FROM g
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS npos,
+           CAST(sum(neg) AS BIGINT) AS nneg,
+           CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS auc_num2,
+           CAST((1000000 * sum(pos * (2 * below + neg)))
+                // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_ppm
+    FROM c
+    """,
+    doc="EXACT tie-aware ROC AUC via the rank-sum (Mann-Whitney) "
+    "identity: aggregate to distinct scores (pos/neg counts), running "
+    "negative count below each score, numerator = sum pos*(2*below + "
+    "ties) in doubled units so tie halves stay integral. The running "
+    "sum is the two-phase range-partitioned prefix sum — the oracle's "
+    "unpartitioned OVER (ORDER BY score) would pin 100 TB of distinct "
+    "scores on one task. auc_ppm is pure bigint floor division.",
+    tags=("relational", "ml-eval"),
+)
+def q_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("lab"),
+    )
+    return rel.exact_auc(s, "score", "lab")
+
+
+@register(
+    "market_concentration_hhi",
+    oracle=f"""
+    WITH per_sup AS (
+        SELECT l_suppkey, sum({_REV_CENTS_SQL}) AS s_cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    j AS (
+        SELECT n_name, s_cents
+        FROM per_sup
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    ),
+    t AS (
+        SELECT n_name, CAST(sum(s_cents) AS BIGINT) AS total_cents,
+               count(*) AS n_suppliers
+        FROM j GROUP BY n_name
+    )
+    SELECT j.n_name,
+           any_value(total_cents) AS total_cents,
+           any_value(n_suppliers) AS n_suppliers,
+           CAST(sum(((1000000 * s_cents) // total_cents)
+                    * ((1000000 * s_cents) // total_cents)) AS BIGINT)
+               AS hhi_ppm2
+    FROM j JOIN t ON j.n_name = t.n_name
+    GROUP BY j.n_name
+    """,
+    doc="Herfindahl-Hirschman market-concentration index of supplier "
+    "revenue within each nation, in exact ppm^2 units: per-supplier "
+    "shares floor to ppm by bigint integer division, HHI = sum of "
+    "squared shares (<= 1e12, overflow-safe). Supplier revenue "
+    "aggregates map-side on l_suppkey; nation totals are a 25-row "
+    "broadcast back — no data-sized shuffle after the first.",
+    tags=("relational", "stats"),
+)
+def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    sup = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    per_sup = li.groupBy("l_suppkey").agg(F.sum(rev).alias("s_cents"))
+    j = (
+        per_sup.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_cents")
+    )
+    t = j.groupBy("n_name").agg(
+        F.sum("s_cents").cast("bigint").alias("total_cents"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share = F.expr("(1000000 * s_cents) DIV total_cents")
+    return (
+        j.join(F.broadcast(t), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.any_value("total_cents").alias("total_cents"),
+            F.any_value("n_suppliers").alias("n_suppliers"),
+            F.sum(share * share).cast("bigint").alias("hhi_ppm2"),
+        )
+    )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH pj AS (
+        SELECT p_brand,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    g AS (
+        SELECT p_brand, price_cents, CAST(sum(w) AS BIGINT) AS w
+        FROM pj GROUP BY p_brand, price_cents
+    ),
+    c AS (
+        SELECT p_brand, price_cents, w,
+               CAST(sum(w) OVER (PARTITION BY p_brand ORDER BY price_cents
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+               CAST(sum(w) OVER (PARTITION BY p_brand) AS BIGINT) AS totw
+        FROM g
+    )
+    SELECT p_brand,
+           min(CASE WHEN 2 * cumw >= totw THEN price_cents END)
+               AS wmedian_cents,
+           any_value(totw) AS total_weight
+    FROM c GROUP BY p_brand
+    """,
+    doc="Quantity-weighted (lower) median retail price per brand: "
+    "smallest price whose cumulative weight reaches half the total, "
+    "decided in exact integer arithmetic (2*cumw >= totw). p_brand "
+    "is LOW-cardinality (25), so the cumulative weight rides the "
+    "grouped two-phase prefix sum instead of a partitionBy(brand) "
+    "window that would pin each brand's 100 TB slice on one task.",
+    tags=("relational", "stats"),
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    pj = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return rel.weighted_median(pj, "p_brand", "price_cents", "w").select(
+        "p_brand",
+        F.col("wmedian").alias("wmedian_cents"),
+        "total_weight",
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ),
+    counts AS (
+        SELECT digit, count(*) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST((1000000 * n) // sum(n) OVER () AS BIGINT) AS share_ppm
+    FROM counts
+    """,
+    doc="First-significant-digit profile of order totals (the Benford "
+    "fraud/data-quality screen). The digit comes from the DECIMAL "
+    "STRING of integer cents — bigint-to-string is exact on both "
+    "engines, dodging float log10/pow boundary hazards. 9-row output; "
+    "the normalizing total is a 1-row broadcast, not a global window.",
+    tags=("relational", "stats", "quality"),
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    d = orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.expr("CAST((1000000 * n) DIV _tot AS BIGINT)").alias("share_ppm"),
+    )

@@ -1,0 +1,76 @@
+"""Hand-checked goldens: exact AUC (ties included), weighted median."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.operators import relational as rel
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(rows, "score long, lab int")
+
+
+def test_auc_perfect_separation(spark):
+    df = _scores(spark, [(1, 0), (2, 0), (3, 1), (4, 1)])
+    row = rel.exact_auc(df, "score", "lab").collect()[0]
+    assert (row["npos"], row["nneg"]) == (2, 2)
+    assert row["auc_num2"] == 8  # 4 winning pairs * 2
+    assert row["auc_ppm"] == 1_000_000
+
+
+def test_auc_random_and_inverted(spark):
+    # inverted: every positive below every negative -> AUC 0
+    df = _scores(spark, [(1, 1), (2, 1), (3, 0), (4, 0)])
+    assert rel.exact_auc(df, "score", "lab").collect()[0]["auc_ppm"] == 0
+
+
+def test_auc_ties_get_half_credit(spark):
+    # pos at 2, negs at 1 and 2: one win + one tie = 1.5/2 -> 0.75
+    df = _scores(spark, [(1, 0), (2, 0), (2, 1)])
+    row = rel.exact_auc(df, "score", "lab").collect()[0]
+    assert row["auc_num2"] == 3  # 2*1 win + 1 tie
+    assert row["auc_ppm"] == 750_000
+
+
+def test_auc_hand_computed_mixed(spark):
+    # scores: neg {1,3}, pos {2,4}: pairs (2>1)=1, (2<3)=0, (4>1)=1,
+    # (4>3)=1 -> 3/4
+    df = _scores(spark, [(1, 0), (3, 0), (2, 1), (4, 1)])
+    assert (
+        rel.exact_auc(df, "score", "lab").collect()[0]["auc_ppm"] == 750_000
+    )
+
+
+def _wm(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long, w long")
+
+
+def test_weighted_median_basic(spark):
+    # key a: value 10 w=1, value 20 w=1, value 30 w=2
+    # total 4, half 2 -> cum at 20 is 2 -> 2*2>=4 -> lower median 20
+    df = _wm(spark, [("a", 10, 1), ("a", 20, 1), ("a", 30, 2)])
+    row = rel.weighted_median(df, "k", "v", "w").collect()[0]
+    assert (row["wmedian"], row["total_weight"]) == (20, 4)
+
+
+def test_weighted_median_heavy_value_dominates(spark):
+    df = _wm(spark, [("a", 10, 1), ("a", 50, 100), ("a", 90, 1)])
+    assert rel.weighted_median(df, "k", "v", "w").collect()[0]["wmedian"] == 50
+
+
+def test_weighted_median_duplicate_values_merge(spark):
+    # duplicate (k, v) rows must merge their weights before the scan
+    df = _wm(spark, [("a", 10, 1), ("a", 10, 1), ("a", 10, 1), ("a", 99, 2)])
+    assert rel.weighted_median(df, "k", "v", "w").collect()[0]["wmedian"] == 10
+
+
+def test_weighted_median_per_key_independent(spark):
+    df = _wm(spark, [("a", 1, 1), ("a", 2, 1), ("b", 100, 3), ("b", 7, 1)])
+    got = {
+        r["k"]: r["wmedian"]
+        for r in rel.weighted_median(df, "k", "v", "w").collect()
+    }
+    # a: total 2, cum at 1 is 1, 2*1>=2 -> 1 (lower median)
+    # b: total 4, cum at 7 is 1 (no), at 100 is 4 -> 100
+    assert got == {"a": 1, "b": 100}
