@@ -4907,3 +4907,42 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST((1000000 * n) DIV _tot AS BIGINT)").alias("share_ppm"),
     )
+
+
+@register(
+    "spatial_nearest_neighbor",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (('0x' || substr(md5('px|' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 100000)::BIGINT AS x,
+               (('0x' || substr(md5('py|' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 100000)::BIGINT AS y
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.id AS id, b.id AS nn_id,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq,
+               row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY (a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y), b.id) AS rk
+        FROM pts a JOIN pts b ON a.id <> b.id
+    )
+    SELECT id, nn_id, dist_sq FROM pairs WHERE rk = 1
+    """,
+    doc="EXACT 1-nearest-neighbor per customer point: grid 3x3 "
+    "candidates with a provable certification bound (an in-grid best "
+    "at dist_sq <= cell^2 cannot be beaten from outside, where every "
+    "point is > cell away), brute-force broadcast fallback ONLY for "
+    "the uncertifiable sliver. The oracle is the full O(n^2) argmin, "
+    "so the hash match proves both the blocking completeness and the "
+    "tie-break (smallest neighbor id).",
+    tags=("spatial",),
+)
+def q_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import spatial
+
+    cust = tables.load(spark, sf_dir, "customer")
+    pts = spatial.synth_points(cust, "c_custkey")
+    return spatial.nearest_neighbor(pts, 4000)

@@ -58,3 +58,48 @@ def test_synth_points_deterministic(spark):
     p2 = sorted(map(tuple, spatial.synth_points(df.repartition(7), "k").collect()))
     assert p1 == p2
     assert all(0 <= x < 100_000 and 0 <= y < 100_000 for _, x, y in p1)
+
+
+# -- exact nearest neighbor ------------------------------------------------
+
+
+def _nn_brute(df):
+    a = df.select(F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = df.select(F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    d = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select("id_a", d.cast("long").alias("dist_sq"), "id_b")
+        .groupBy("id_a")
+        .agg(F.min(F.struct("dist_sq", "id_b")).alias("best"))
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("best.id_b").alias("nn_id"),
+            F.col("best.dist_sq").alias("dist_sq"),
+        )
+    )
+
+
+def test_nearest_neighbor_matches_brute_force(pts):
+    got = sorted(map(tuple, spatial.nearest_neighbor(pts, 100).collect()))
+    want = sorted(map(tuple, _nn_brute(pts).collect()))
+    assert got == want
+
+
+def test_nearest_neighbor_fallback_only_sparse(spark):
+    # every point isolated far beyond the cell bound: the grid tier
+    # certifies NOTHING, the brute-force tier must answer all of them
+    rows = [(1, 0, 0), (2, 1000, 0), (3, 0, 2500), (4, 9000, 9000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {(r.id, r.nn_id, r.dist_sq) for r in spatial.nearest_neighbor(df, 10).collect()}
+    want = {(r.id, r.nn_id, r.dist_sq) for r in _nn_brute(df).collect()}
+    assert got == want
+    assert len(got) == 4
+
+
+def test_nearest_neighbor_tie_breaks_to_smaller_id(spark):
+    # ids 2 and 3 are equidistant from 1 -> must pick 2
+    rows = [(1, 0, 0), (2, 10, 0), (3, 0, 10)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id: r.nn_id for r in spatial.nearest_neighbor(df, 50).collect()}
+    assert got[1] == 2
