@@ -4946,3 +4946,263 @@ def q_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables.load(spark, sf_dir, "customer")
     pts = spatial.synth_points(cust, "c_custkey")
     return spatial.nearest_neighbor(pts, 4000)
+
+
+# ---------------------------------------------------------------------------
+# Customer/inventory analytics: RFM segmentation, ABC classification on the
+# global prefix sum, seasonality indices, exact OLS trend sufficient stats.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey,
+               coalesce(datediff('day', max(o_orderdate),
+                        TIMESTAMP '2001-08-02 00:00:00'), 9999) AS rec_days,
+               count(o_orderkey) AS freq,
+               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                   AS mon_cents
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ),
+    scored AS (
+        SELECT CAST(CASE WHEN rec_days <= 180 THEN 3
+                         WHEN rec_days <= 540 THEN 2 ELSE 1 END AS VARCHAR)
+               || CAST(CASE WHEN freq >= 12 THEN 3
+                            WHEN freq >= 6 THEN 2 ELSE 1 END AS VARCHAR)
+               || CAST(CASE WHEN mon_cents >= 20000000 THEN 3
+                            WHEN mon_cents >= 8000000 THEN 2 ELSE 1
+                       END AS VARCHAR) AS segment,
+               mon_cents
+        FROM per_cust
+    )
+    SELECT segment, count(*) AS n_customers,
+           CAST(sum(mon_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY segment
+    """,
+    doc="RFM (recency/frequency/monetary) segmentation at the customer "
+    "grain rolled up to the 27-cell segment distribution. The LEFT "
+    "join keeps never-purchased customers (recency coalesced to the "
+    "1-score). Fixed data-independent thresholds keep the segment a "
+    "pure function of each customer's rows — no global quantile "
+    "dependency, so the cut points survive resharding and backfills.",
+    tags=("relational", "growth"),
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.datediff(F.lit("2001-08-02"), F.max("o_orderdate")),
+                F.lit(9999),
+            ).alias("rec_days"),
+            F.count("o_orderkey").alias("freq"),
+            F.coalesce(
+                F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+                F.lit(0),
+            ).alias("mon_cents"),
+        )
+    )
+    seg = F.concat(
+        F.when(F.col("rec_days") <= 180, "3")
+        .when(F.col("rec_days") <= 540, "2")
+        .otherwise("1"),
+        F.when(F.col("freq") >= 12, "3")
+        .when(F.col("freq") >= 6, "2")
+        .otherwise("1"),
+        F.when(F.col("mon_cents") >= 20_000_000, "3")
+        .when(F.col("mon_cents") >= 8_000_000, "2")
+        .otherwise("1"),
+    )
+    return (
+        per_cust.select(seg.alias("segment"), "mon_cents")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("mon_cents").cast("bigint").alias("segment_cents"),
+        )
+    )
+
+
+@register(
+    "inventory_abc_classification",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey, sum({_REV_CENTS_SQL}) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    keyed AS (
+        SELECT rev_cents,
+               -(rev_cents * 1000000 + l_partkey % 1000000) AS sk
+        FROM per_part
+    ),
+    c AS (
+        SELECT rev_cents,
+               sum(rev_cents) OVER (ORDER BY sk ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+               sum(rev_cents) OVER () AS total
+        FROM keyed
+    )
+    SELECT CASE WHEN 20 * cum <= 16 * total THEN 'A'
+                WHEN 20 * cum <= 19 * total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS class_cents
+    FROM c GROUP BY 1
+    """,
+    doc="ABC inventory classification: parts in descending revenue "
+    "order, cumulative revenue share cut at 80%/95% — decided as "
+    "20*cum <= 16|19*total in pure integer arithmetic. The descending "
+    "order is encoded into one UNIQUE bigint sort key (-(rev*1e6 + "
+    "partkey%1e6)) and the cumulative sum rides the two-phase "
+    "range-partitioned prefix sum; the oracle's OVER (ORDER BY) "
+    "single-task scan is exactly what the engine refuses to do.",
+    tags=("relational", "inventory"),
+)
+def q_inventory_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_cents"))
+    keyed = per_part.select(
+        "rev_cents",
+        (
+            -(
+                F.col("rev_cents") * F.lit(1_000_000)
+                + F.pmod(F.col("l_partkey"), F.lit(1_000_000))
+            )
+        ).alias("sk"),
+        F.lit(1).alias("_all"),
+    )
+    c = rel.grouped_running_sum(keyed, "_all", "sk", "rev_cents", "cum")
+    total = per_part.agg(F.sum("rev_cents").alias("total"))
+    cls = (
+        F.when(20 * F.col("cum") <= 16 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return (
+        c.crossJoin(F.broadcast(total))
+        .groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("class_cents"),
+        )
+    )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mon,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS m_cents
+        FROM orders GROUP BY yr, mon
+    ),
+    yearly AS (
+        SELECT yr, CAST(sum(m_cents) AS BIGINT) AS y_cents,
+               count(*) AS n_months
+        FROM monthly GROUP BY yr
+    )
+    SELECT monthly.yr, mon, m_cents,
+           CAST((1000000 * n_months * m_cents) // y_cents AS BIGINT)
+               AS seasonality_ppm
+    FROM monthly JOIN yearly ON monthly.yr = yearly.yr
+    """,
+    doc="Monthly seasonality index: each month's revenue vs its year's "
+    "monthly average, in exact integer ppm (1e6 = an average month; "
+    "the n_months factor handles partial first/last years). Month "
+    "aggregate map-side combines; the year totals re-aggregate the "
+    "TINY month table and broadcast back.",
+    tags=("relational", "window"),
+)
+def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("m_cents")
+    )
+    yearly = monthly.groupBy("yr").agg(
+        F.sum("m_cents").cast("bigint").alias("y_cents"),
+        F.count("*").alias("n_months"),
+    )
+    return monthly.join(F.broadcast(yearly), "yr").select(
+        "yr",
+        "mon",
+        "m_cents",
+        F.expr(
+            "CAST((1000000 * n_months * m_cents) DIV y_cents AS BIGINT)"
+        ).alias("seasonality_ppm"),
+    )
+
+
+@register(
+    "events_linear_trend",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(round(value * 100) AS BIGINT) AS val
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(t) AS DECIMAL(38,0)) AS st,
+               CAST(sum(val) AS DECIMAL(38,0)) AS sv,
+               CAST(sum(t * val) AS DECIMAL(38,0)) AS stv,
+               CAST(sum(t * t) AS DECIMAL(38,0)) AS stt
+        FROM v GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * stv - st * sv AS DECIMAL(38,0)) AS slope_num,
+           CAST(n * stt - st * st AS DECIMAL(38,0)) AS slope_den
+    FROM s
+    """,
+    doc="Per-type OLS trend of event value (cents) over time (epoch "
+    "days) as EXACT rational sufficient statistics: slope = "
+    "(n*Sum(tv) - Sum(t)Sum(v)) / (n*Sum(t^2) - Sum(t)^2), shipped as "
+    "decimal(38,0) numerator/denominator — no float in the pipeline, "
+    "so the regression is reproducible and the sums are mergeable "
+    "(incremental-view-friendly). One map-side-combined aggregate; "
+    "per-row products stay in bigint, accumulation in decimal.",
+    tags=("events", "stats", "ml-eval"),
+)
+def q_events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("val"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("val").cast("decimal(38,0)").alias("sv"),
+        F.sum(F.col("t") * F.col("val")).cast("decimal(38,0)").alias("stv"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("stt"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") * F.col("stv") - F.col("st") * F.col("sv"))
+        .cast("decimal(38,0)")
+        .alias("slope_num"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        .cast("decimal(38,0)")
+        .alias("slope_den"),
+    )

@@ -74,3 +74,38 @@ def test_weighted_median_per_key_independent(spark):
     # a: total 2, cum at 1 is 1, 2*1>=2 -> 1 (lower median)
     # b: total 4, cum at 7 is 1 (no), at 100 is 4 -> 100
     assert got == {"a": 1, "b": 100}
+
+
+def test_linear_trend_known_slope(spark):
+    # v = 7*t exactly -> slope_num/slope_den == 7
+    from data_pipeline_rsna_spark import queries  # noqa: F401  (registry)
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i), 1, "a", 7.0 * i / 100.0, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # inline the sufficient-stats shape from the registered query
+    t = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+    v = df.select(
+        "event_type",
+        t.alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("val"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("val").cast("decimal(38,0)").alias("sv"),
+        F.sum(F.col("t") * F.col("val")).cast("decimal(38,0)").alias("stv"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("stt"),
+    )
+    row = s.select(
+        (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).alias("num"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("den"),
+    ).collect()[0]
+    assert int(row["num"]) == 7 * int(row["den"])
