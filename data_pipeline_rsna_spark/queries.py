@@ -5206,3 +5206,258 @@ def q_events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("slope_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface, inter-arrival profiling, revenue bridge, survivorship.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_exists_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped EXISTS correlated subquery, submitted through "
+    "the engine's SQL entry point (spark.sql over registered views) "
+    "rather than the DataFrame API — the same Catalyst plan either "
+    "way: the EXISTS decorrelates to a LEFT SEMI join on l_orderkey, "
+    "co-keyed with orders, never a per-row subquery execution.",
+    tags=("relational", "tpch", "sql-api"),
+)
+def q_sql_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "events_interarrival_histogram",
+    oracle="""
+    WITH d AS (
+        SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS delta_s
+        FROM events
+    )
+    SELECT CASE WHEN delta_s = 0 THEN 0
+                ELSE length(ltrim(bin(delta_s), '0')) END AS log2_bucket,
+           count(*) AS n,
+           CAST(min(delta_s) AS BIGINT) AS min_s,
+           CAST(max(delta_s) AS BIGINT) AS max_s
+    FROM d WHERE delta_s IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Inter-arrival-time distribution in power-of-two buckets: "
+    "per-user lag off one keyed shuffle, bucket = bit length of the "
+    "whole-second gap (Spark length(bin(v)) == DuckDB "
+    "length(ltrim(bin(v),'0')) for positive v; the zero gap is its "
+    "own bucket). Log-scale latency/engagement histograms in pure "
+    "integer arithmetic — no float log2 anywhere.",
+    tags=("events", "stats"),
+)
+def q_events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("delta_s")
+    ).filter(F.col("delta_s").isNotNull())
+    bucket = F.when(F.col("delta_s") == 0, 0).otherwise(
+        F.length(F.bin(F.col("delta_s")))
+    )
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("delta_s").cast("bigint").alias("min_s"),
+        F.max("delta_s").cast("bigint").alias("max_s"),
+    )
+
+
+@register(
+    "revenue_bridge",
+    oracle=f"""
+    WITH y AS (
+        SELECT l_partkey AS pk,
+               sum(CASE WHEN year(l_shipdate) = 1996
+                        THEN {_REV_CENTS_SQL} END) AS r96,
+               sum(CASE WHEN year(l_shipdate) = 1997
+                        THEN {_REV_CENTS_SQL} END) AS r97
+        FROM lineitem
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(sum(CASE WHEN r96 IS NOT NULL AND r97 IS NOT NULL
+                         THEN r97 - r96 ELSE 0 END) AS BIGINT)
+               AS carried_delta_cents,
+           CAST(sum(CASE WHEN r96 IS NULL THEN r97 ELSE 0 END) AS BIGINT)
+               AS new_cents,
+           CAST(sum(CASE WHEN r97 IS NULL THEN -r96 ELSE 0 END) AS BIGINT)
+               AS lapsed_cents,
+           CAST(sum(coalesce(r97, 0) - coalesce(r96, 0)) AS BIGINT)
+               AS total_delta_cents
+    FROM y JOIN part ON pk = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Revenue bridge (waterfall) decomposition per brand, 1996 -> "
+    "1997: the year-over-year delta split into carried (parts selling "
+    "in both years), new and lapsed components — the BI explain-the-"
+    "change kernel. The two years PIVOT inside one conditional "
+    "aggregate (NULL-when-absent is the presence flag), so the bridge "
+    "costs one l_partkey shuffle and a brand-dim join, not a "
+    "full-outer self-join of two year scans. Components and total "
+    "reconcile exactly in integer cents.",
+    tags=("relational", "growth"),
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    yr = F.year("l_shipdate")
+    y = (
+        li.filter(yr.isin(1996, 1997))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.when(yr == 1996, rev)).alias("r96"),
+            F.sum(F.when(yr == 1997, rev)).alias("r97"),
+        )
+    )
+    both = F.col("r96").isNotNull() & F.col("r97").isNotNull()
+    return (
+        y.join(part, F.col("pk") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(both, F.col("r97") - F.col("r96")).otherwise(0))
+            .cast("bigint")
+            .alias("carried_delta_cents"),
+            F.sum(F.when(F.col("r96").isNull(), F.col("r97")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(F.col("r97").isNull(), -F.col("r96")).otherwise(0))
+            .cast("bigint")
+            .alias("lapsed_cents"),
+            F.sum(
+                F.coalesce(F.col("r97"), F.lit(0))
+                - F.coalesce(F.col("r96"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("total_delta_cents"),
+        )
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, md5(text), 'xx', 'mirror', n_chars
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 300000, md5(text), lang, 'crawl2', n_chars
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    grp AS (
+        SELECT h, count(*) AS n_copies, min(doc_id) AS canonical_id,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM d GROUP BY h HAVING count(*) >= 2
+    ),
+    lc AS (
+        SELECT h, lang, count(*) AS n FROM d GROUP BY h, lang
+    ),
+    mx AS (
+        SELECT h, max(n) AS mxn FROM lc GROUP BY h
+    ),
+    top AS (
+        SELECT lc.h, min(lang) AS top_lang
+        FROM lc JOIN mx ON lc.h = mx.h AND lc.n = mx.mxn
+        GROUP BY lc.h
+    )
+    SELECT canonical_id, n_copies, sources, total_chars, top_lang
+    FROM grp JOIN top ON grp.h = top.h
+    """,
+    doc="Survivorship (golden-record) merge over exact-duplicate "
+    "clusters: one surviving row per duplicated text with the keeper "
+    "id (min), provenance union (sorted distinct sources — Spark "
+    "sort_array(collect_set) == DuckDB ordered string_agg DISTINCT), "
+    "merged char count, and majority language (ties to the "
+    "alphabetically first — min-of-max, no engine-specific mode()). "
+    "Every aggregation keys on the content hash the dedup shuffle "
+    "already clustered. Duplicates are planted (mirror + second-crawl "
+    "replicas via a narrow in-task explode, like _planted_corpus) so "
+    "the expected survivors are known; majority-lang ties arise where "
+    "the 'xx' mirror meets a single original.",
+    tags=("dedup",),
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    variants = F.array(
+        F.struct("doc_id", F.col("lang"), F.col("source"), "n_chars"),
+        F.struct(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.lit("xx").alias("lang"),
+            F.lit("mirror").alias("source"),
+            F.col("n_chars"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.col("lang"),
+            F.lit("crawl2").alias("source"),
+            F.col("n_chars"),
+        ),
+    )
+    keep = F.filter(
+        variants,
+        lambda v, i: (i == 0)
+        | ((i == 1) & (F.col("doc_id") % 10 == 0))
+        | ((i == 2) & (F.col("doc_id") % 20 == 0)),
+    )
+    d = docs.select(F.md5("text").alias("h"), F.explode(keep).alias("v")).select(
+        F.col("v.doc_id").alias("doc_id"),
+        "h",
+        F.col("v.lang").alias("lang"),
+        F.col("v.source").alias("source"),
+        F.col("v.n_chars").alias("n_chars"),
+    )
+    grp = (
+        d.groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+    lc = d.groupBy("h", "lang").agg(F.count("*").alias("n"))
+    mx = lc.groupBy("h").agg(F.max("n").alias("mxn"))
+    top = (
+        lc.join(mx, "h")
+        .filter(F.col("n") == F.col("mxn"))
+        .groupBy("h")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    return grp.join(top, "h").select(
+        "canonical_id", "n_copies", "sources", "total_chars", "top_lang"
+    )
