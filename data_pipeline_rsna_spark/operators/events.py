@@ -494,3 +494,40 @@ def transition_matrix(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def ohlc_bars(events: DataFrame, bar_seconds: int = 3600) -> DataFrame:
+    """OHLC candlestick downsampling per (event_type, bar): open/close
+    by event time, high/low/count — the time-series compaction kernel.
+
+    Determinism without unique timestamps: a two-level aggregate. The
+    inner level groups to one row per microsecond using the globally
+    unique event_id as min_by/max_by key; the outer level then keys
+    on t_us, unique within its group by construction. Both levels
+    map-side combine, so the shuffle carries bar-grain rows only.
+    """
+    bar_us = bar_seconds * 1_000_000
+    v = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    l1 = v.groupBy(
+        "event_type",
+        (F.expr(f"t_us DIV {bar_us}") * bar_seconds).alias("bar_s"),
+        "t_us",
+    ).agg(
+        F.min_by("cents", "event_id").alias("first_c"),
+        F.max_by("cents", "event_id").alias("last_c"),
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
+        F.count("*").alias("n"),
+    )
+    return l1.groupBy("event_type", "bar_s").agg(
+        F.min_by("first_c", "t_us").alias("open_cents"),
+        F.max("max_c").cast("bigint").alias("high_cents"),
+        F.min("min_c").cast("bigint").alias("low_cents"),
+        F.max_by("last_c", "t_us").alias("close_cents"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )

@@ -5461,3 +5461,196 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grp.join(top, "h").select(
         "canonical_id", "n_copies", "sources", "total_chars", "top_lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive-predicate joins, anti-join cohorts, OHLC downsampling, IQR
+# outlier gates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "disjunctive_predicate_join",
+    oracle=f"""
+    SELECT count(*) AS n, CAST(sum({_REV_CENTS_SQL}) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19-shaped disjunctive multi-predicate join. Catalyst "
+    "extracts the common-subexpression bounds from the OR tree: the "
+    "derived p_size <= 35 / l_quantity <= 30 envelope pushes to BOTH "
+    "parquet scans before the join, so each side prunes row groups "
+    "even though no single disjunct applies to all rows; the full OR "
+    "evaluates post-join inside codegen.",
+    tags=("relational", "tpch"),
+)
+def q_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(rev).cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS a_cents
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer, avg_bal
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > a_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22-shaped dormant-high-balance cohort: customers above "
+    "the positive-balance average with NO orders since 2000. The "
+    "scalar subquery "
+    "is a 1-row broadcast (average computed on exact integer cents so "
+    "the threshold is order-independent); the NOT EXISTS decorrelates "
+    "to a LEFT ANTI join on the customer key. No sort, two shuffles "
+    "total at any scale.",
+    tags=("relational", "tpch"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(cents).alias("a_cents")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(cents > F.col("a_cents"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(cents).cast("bigint").alias("bal_cents"),
+        )
+    )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, epoch_us(ts) AS t_us, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    l1 AS (
+        SELECT event_type, (t_us // 3600000000) * 3600 AS bar_s, t_us,
+               arg_min(cents, event_id) AS first_c,
+               arg_max(cents, event_id) AS last_c,
+               min(cents) AS min_c, max(cents) AS max_c,
+               count(*) AS n
+        FROM v GROUP BY event_type, bar_s, t_us
+    )
+    SELECT event_type, bar_s,
+           arg_min(first_c, t_us) AS open_cents,
+           CAST(max(max_c) AS BIGINT) AS high_cents,
+           CAST(min(min_c) AS BIGINT) AS low_cents,
+           arg_max(last_c, t_us) AS close_cents,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM l1 GROUP BY event_type, bar_s
+    """,
+    doc="OHLC candlestick downsampling to hourly bars per event type: "
+    "open/close are argmin/argmax over event time, made DETERMINISTIC "
+    "by a two-level aggregate — within one microsecond the unique "
+    "event_id decides, across timestamps the now-unique t_us decides "
+    "(Spark min_by/max_by == DuckDB arg_min/arg_max, safe only "
+    "because each level's key is unique within its group). Both "
+    "levels map-side combine; high/low/count merge trivially.",
+    tags=("events", "timeseries"),
+)
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    return ev_ops.ohlc_bars(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_iqr_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               CAST(4 * quantile_cont(cents, 0.25) AS BIGINT) AS q1x4,
+               CAST(4 * quantile_cont(cents, 0.75) AS BIGINT) AS q3x4
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_type, any_value(q1x4) AS q1x4, any_value(q3x4) AS q3x4,
+           CAST(sum(CASE WHEN 8 * cents < 2 * q1x4 - 3 * (q3x4 - q1x4)
+                         OR 8 * cents > 2 * q3x4 + 3 * (q3x4 - q1x4)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM v JOIN q ON v.event_type = q.event_type
+    GROUP BY v.event_type
+    """,
+    doc="Tukey-fence (1.5 IQR) outlier gate per event type, decided "
+    "entirely in integer arithmetic: quartiles ship in x4 units "
+    "(linear interpolation of integers at p=.25/.75 is a multiple of "
+    "1/4; Spark percentile and DuckDB quantile_cont share the (n-1)p "
+    "convention), fences compare in x8 units so the 1.5 factor stays "
+    "integral. The 5-row quartile table broadcasts back onto the "
+    "scan; both aggregates map-side combine.",
+    tags=("events", "stats", "quality"),
+)
+def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    q = v.groupBy("event_type").agg(
+        F.expr("CAST(4 * percentile(cents, 0.25) AS BIGINT)").alias("q1x4"),
+        F.expr("CAST(4 * percentile(cents, 0.75) AS BIGINT)").alias("q3x4"),
+    )
+    lo = 2 * F.col("q1x4") - 3 * (F.col("q3x4") - F.col("q1x4"))
+    hi = 2 * F.col("q3x4") + 3 * (F.col("q3x4") - F.col("q1x4"))
+    out = (8 * F.col("cents") < lo) | (8 * F.col("cents") > hi)
+    return (
+        v.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("q1x4").alias("q1x4"),
+            F.any_value("q3x4").alias("q3x4"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )

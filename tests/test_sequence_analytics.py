@@ -131,3 +131,50 @@ def test_transition_matrix_no_cross_user_leak(spark):
         ],
     )
     assert ev_ops.transition_matrix(df).count() == 0
+
+
+def test_ohlc_bars_hand_computed(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    df = _ev(
+        spark,
+        [
+            (1, ts(0), 1, "a", 5.00, "{}"),
+            (2, ts(60), 2, "a", 9.00, "{}"),
+            (3, ts(120), 3, "a", 1.00, "{}"),
+            (4, ts(180), 4, "a", 7.00, "{}"),
+            (5, ts(3700), 5, "a", 2.00, "{}"),  # next hour bar
+        ],
+    )
+    rows = {r["bar_s"]: r for r in ev_ops.ohlc_bars(df).collect()}
+    bar0 = int(t0.timestamp())
+    b = rows[bar0]
+    assert (
+        b["open_cents"],
+        b["high_cents"],
+        b["low_cents"],
+        b["close_cents"],
+        b["n_events"],
+    ) == (500, 900, 100, 700, 4)
+    assert rows[bar0 + 3600]["open_cents"] == 200
+
+
+def test_ohlc_same_microsecond_tie_uses_event_id(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # all four events share ONE timestamp: open = min event_id's value,
+    # close = max event_id's value
+    df = _ev(
+        spark,
+        [
+            (4, t0, 1, "a", 4.00, "{}"),
+            (1, t0, 2, "a", 1.00, "{}"),
+            (3, t0, 3, "a", 3.00, "{}"),
+            (2, t0, 4, "a", 2.00, "{}"),
+        ],
+    )
+    b = ev_ops.ohlc_bars(df).collect()[0]
+    assert (b["open_cents"], b["close_cents"]) == (100, 400)
+    assert (b["low_cents"], b["high_cents"]) == (100, 400)
