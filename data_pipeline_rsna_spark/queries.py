@@ -5654,3 +5654,189 @@ def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "events_attribution_outer_streaming",
+    oracle=None,  # outer stream-stream join; batch left join twin in tests
+    doc="X6 stream-stream LEFT OUTER interval join: unmatched clicks "
+    "are held in state and emitted null-padded only when the "
+    "purchase-side watermark proves no match can still arrive — "
+    "every click emits exactly once, none eagerly. Equivalence with "
+    "the batch left join asserted in tests/test_streaming.py.",
+    tags=("events", "streaming"),
+)
+def q_events_attribution_outer_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream_with_flush(spark, sf_dir)
+    return es.run_bounded(
+        es.attribution_left_outer_stream(stream), mode="append"
+    ).filter(F.col("click_id") >= 0)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(list_aggregate(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')
+                 AS DOUBLE), 6) AS scale,
+           CASE WHEN list_aggregate(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') = 0
+                THEN array_to_string(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> '0'), ',')
+                ELSE array_to_string(list_transform(
+                     CAST(embedding AS DOUBLE[]),
+                     x -> CAST(CAST(round(127.0 * x / list_aggregate(
+                              list_transform(CAST(embedding AS DOUBLE[]),
+                                             y -> abs(y)), 'max'))
+                          AS INTEGER) AS VARCHAR)), ',')
+           END AS q8
+    FROM embeddings
+    """,
+    doc="Symmetric int8 vector quantization (the storage/serving format "
+    "for billion-scale ANN): per-vector max-abs scale, q_i = "
+    "round(127*x_i/scale) — 4x smaller than fp32 before any codec. "
+    "Pure higher-order array functions inside codegen (no UDF, no "
+    "explode — the vector never leaves its row), identical IEEE op "
+    "chain on both engines; zero vectors quantize to zeros. Quantized "
+    "dims export as a canonical comma string.",
+    tags=("similarity", "multimodal"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    quant = F.transform(
+        e,
+        lambda x: F.round(F.lit(127.0) * x / maxabs).cast("int").cast("string"),
+    )
+    zeros = F.transform(e, lambda x: F.lit("0"))
+    return emb.select(
+        "vec_id",
+        F.round(maxabs, 6).alias("scale"),
+        F.array_join(F.when(maxabs == 0, zeros).otherwise(quant), ",").alias(
+            "q8"
+        ),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY d
+    ),
+    pairs AS (
+        SELECT a.cents AS x, b.cents AS y
+        FROM daily a JOIN daily b ON b.d = a.d + 1
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * y)
+                    AS DECIMAL(38,0))
+                - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(y)
+                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS corr_num,
+           CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * x)
+                    AS DECIMAL(38,0))
+                - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(x)
+                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_x,
+           CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(y * y)
+                    AS DECIMAL(38,0))
+                - CAST(sum(y) AS DECIMAL(38,0)) * CAST(sum(y)
+                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_y
+    FROM pairs
+    """,
+    doc="Lag-1 autocorrelation of the daily revenue series as EXACT "
+    "rational sufficient statistics: r = corr_num / "
+    "sqrt(var_x*var_y), shipped unevaluated in decimal(38,0) so no "
+    "float touches the pipeline. The lag pairing is an equi-join of "
+    "the (tiny) daily aggregate with itself on d+1 — no window over "
+    "an unpartitioned order, no collect. The day aggregate map-side "
+    "combines; everything downstream is metadata-sized.",
+    tags=("events", "stats", "timeseries"),
+)
+def q_events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("y"))
+    pairs = a.join(b, F.col("db") == F.col("da") + 1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return agg.select(
+        "n_pairs",
+        (dec(F.col("n_pairs")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy")))
+        .cast("decimal(38,0)")
+        .alias("corr_num"),
+        (dec(F.col("n_pairs")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx")))
+        .cast("decimal(38,0)")
+        .alias("var_x"),
+        (dec(F.col("n_pairs")) * dec(F.col("syy")) - dec(F.col("sy")) * dec(F.col("sy")))
+        .cast("decimal(38,0)")
+        .alias("var_y"),
+    )
+
+
+@register(
+    "returned_items_report",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shaped returned-items report: which customers "
+    "returned the most revenue last quarter. Four-way join — nation "
+    "broadcast, the quarter filter semi-reduces orders BEFORE the "
+    "lineitem join (pushed to the scan), returnflag pushed to the "
+    "lineitem scan — then top-20 via TakeOrderedAndProject with a "
+    "key tie-break.",
+    tags=("relational", "tpch"),
+)
+def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    nation = tables.load(spark, sf_dir, "nation")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -12,6 +12,7 @@ past it.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import shutil
 import uuid
@@ -313,3 +314,108 @@ def dedup_counts_stream(events: DataFrame,
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def attribution_left_outer_stream(events: DataFrame,
+                                  watermark: str = "4 hours") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits exactly
+    once — joined to qualifying purchases when they exist, or with NULL
+    purchase columns once the watermark guarantees no match can still
+    arrive.
+
+    The outer semantics is the subtle part of streaming joins: an
+    unmatched left row cannot be emitted eagerly (its match may be in
+    flight), so Spark holds it in state and emits the null-padded row
+    only when the purchase-side watermark passes the join horizon.
+    Event-time bounds on BOTH sides remain mandatory — they are what
+    lets the state store evict; the null emission is therefore
+    watermark-delayed, never lost. Matched rows behave exactly as in
+    the inner join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            click_ts >= purchase_ts AND
+            click_ts < purchase_ts + INTERVAL 2 HOURS
+            """
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+    )
+
+
+def read_events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream plus a far-future SENTINEL micro-batch (one click +
+    one purchase, event_id = -1, 30 days past the real data) staged as
+    a second file with ``maxFilesPerTrigger=1``.
+
+    Outer stream-stream joins only emit their null-padded rows when the
+    watermark passes each held row's horizon — and a bounded file
+    source's watermark stops at the last real event, stranding every
+    unmatched row from the final horizon in state forever. In
+    production the next day's data provides the advancement; for a
+    bounded replay the sentinel IS that next batch. Consumers filter
+    ``event_id >= 0`` (sentinel rows never join: no real user -1
+    exists).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb as _duck  # cheap single-column max, no Spark job
+
+    src_staged = _staged_events_dir(sf_dir)
+    key = sf_dir.strip("/").replace("/", "_") + "_flush"
+    dst_dir = pathlib.Path("/tmp/spark_graft_streams") / key
+    dst = dst_dir / "events.parquet"
+    sentinel = dst_dir / "zz_sentinel.parquet"
+    src = pathlib.Path(src_staged) / "events.parquet"
+    if not dst.exists() or dst.stat().st_mtime < src.stat().st_mtime:
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src, dst)
+        max_ns = _duck.connect().execute(
+            f"SELECT max(ts) FROM '{src}'"
+        ).fetchone()[0]
+        if hasattr(max_ns, "timestamp"):  # TIMESTAMP_NS -> ns long
+            max_ns = int(max_ns.timestamp() * 1_000_000) * 1000
+        flush_ns = int(max_ns) + 30 * 24 * 3600 * 1_000_000_000
+        table = pa.table(
+            {
+                "event_id": pa.array([-1, -1], pa.int64()),
+                "ts": pa.array([flush_ns, flush_ns], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(table, sentinel)
+        os.utime(sentinel, (dst.stat().st_mtime + 10, dst.stat().st_mtime + 10))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dst_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

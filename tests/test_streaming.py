@@ -339,3 +339,38 @@ def test_concurrency_sweep_deterministic_across_runs(spark, sf_dir):
         .collect()
     )
     assert a == naive
+
+
+def test_stream_left_outer_join_equals_batch_left_join(spark, sf_dir):
+    from data_pipeline_rsna_spark import tables
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND click_ts >= purchase_ts "
+            "AND click_ts < purchase_ts + INTERVAL 2 HOURS"
+        ),
+        "left_outer",
+    )
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    stream = es.read_events_stream_with_flush(spark, sf_dir)
+    got_df = es.run_bounded(
+        es.attribution_left_outer_stream(stream), mode="append"
+    ).filter("click_id >= 0")
+    got = {(r.click_id, r.purchase_id) for r in got_df.collect()}
+    assert got == want
+    # the outer join must add null-padded clicks on top of the inner rows
+    assert any(p is None for _, p in got)
+    assert any(p is not None for _, p in got)
