@@ -5840,3 +5840,275 @@ def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decision-support completion: the remaining canonical join/agg shapes
+# (Q5 local-supplier volume, Q7 bilateral trade, Q8 market share, Q14 promo
+# share), adapted to the driver's slimmed star schema. All money stays in
+# exact bigint cents; all shares are exact bigint integer division in ppm.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue_cents DESC, n_name
+    """,
+    doc="TPC-H Q5-shaped local-supplier volume: revenue where customer "
+    "and supplier share a nation inside one region, by nation. The "
+    "order-year filter pushes to the orders scan and semi-reduces "
+    "before the lineitem join; supplier/nation/region broadcast (the "
+    "nation co-location predicate rides the supplier broadcast join, "
+    "so no extra shuffle); the only exchanges are the two fact joins "
+    "(custkey, then orderkey).",
+    tags=("relational", "tpch"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        cust.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "n_name")
+    )
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    doc="TPC-H Q7-shaped bilateral trade volume, generalized from one "
+    "nation pair to the full (supplier nation, customer nation) "
+    "matrix: cross-border revenue by pair and ship year. The shipdate "
+    "range pushes to the lineitem scan; both nation lookups are the "
+    "same broadcast dim aliased twice; the cross-border inequality is "
+    "a cheap post-broadcast filter, never a join explosion (output "
+    "key space is |nations|^2 x years, metadata-sized).",
+    tags=("relational", "tpch"),
+)
+def q_nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "market_share_ppm",
+    oracle=f"""
+    WITH sales AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               {_REV_CENTS_SQL} AS rev,
+               CASE WHEN n1.n_name = 'NATION_2' THEN {_REV_CENTS_SQL}
+                    ELSE 0 END AS target_rev
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT order_year,
+           CAST(sum(target_rev) AS BIGINT) AS target_cents,
+           CAST(sum(rev) AS BIGINT) AS total_cents,
+           CAST((1000000 * sum(target_rev)) // sum(rev) AS BIGINT)
+               AS share_ppm
+    FROM sales GROUP BY order_year ORDER BY order_year
+    """,
+    doc="TPC-H Q8-shaped market share: one supplier nation's share of "
+    "PROMO-part revenue sold into one region's market, by order year, "
+    "as exact bigint cents and integer-division ppm. The share is a "
+    "conditional aggregate over ONE pass (no self-join of sales "
+    "against sales): numerator rides a CASE inside the same "
+    "groupBy. part/supplier/nation/region broadcast; p_type pushes "
+    "to the part scan before the broadcast.",
+    tags=("relational", "tpch"),
+)
+def q_market_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    region = tables.load(spark, sf_dir, "region")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sales = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            rev.alias("rev"),
+            F.when(F.col("supp_nation") == "NATION_2", rev)
+            .otherwise(F.lit(0))
+            .alias("target_rev"),
+        )
+    )
+    return (
+        sales.groupBy("order_year")
+        .agg(
+            F.sum("target_rev").cast("bigint").alias("target_cents"),
+            F.sum("rev").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "order_year",
+            "target_cents",
+            "total_cents",
+            F.expr("CAST((1000000 * target_cents) DIV total_cents AS BIGINT)")
+            .alias("share_ppm"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "promo_revenue_ppm",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS_SQL}
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS total_cents,
+           CAST((1000000 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN {_REV_CENTS_SQL} ELSE 0 END))
+                // sum({_REV_CENTS_SQL}) AS BIGINT) AS promo_ppm
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+    doc="TPC-H Q14-shaped promo-revenue share by ship month, in exact "
+    "cents and integer-division ppm. One conditional aggregate over "
+    "the part join — the classic sum(CASE)/sum shape with no second "
+    "scan; shipdate range pushes to the lineitem scan, part "
+    "broadcasts (at warehouse scale part-side would shuffle on "
+    "partkey under AQE; the conditional-agg shape is unchanged).",
+    tags=("relational", "tpch"),
+)
+def q_promo_revenue_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month")
+        )
+        .agg(
+            F.sum(promo).cast("bigint").alias("promo_cents"),
+            F.sum(rev).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "ship_month",
+            "promo_cents",
+            "total_cents",
+            F.expr("CAST((1000000 * promo_cents) DIV total_cents AS BIGINT)")
+            .alias("promo_ppm"),
+        )
+        .orderBy("ship_month")
+    )
