@@ -6112,3 +6112,189 @@ def q_promo_revenue_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey,
+               CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_cents
+    FROM supplier JOIN srev ON s_suppkey = l_suppkey
+    WHERE total_cents = (SELECT max(total_cents) FROM srev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15-shaped top supplier: quarterly revenue per supplier, "
+    "keep the supplier(s) hitting the global max. The max is a 1-row "
+    "scalar aggregate of the ALREADY-AGGREGATED supplier rollup "
+    "(supplier-cardinality input, not a lineitem rescan) broadcast "
+    "back as a cross join — the classic decorrelation of Q15's view. "
+    "Exact cents make the max-equality tie semantics deterministic; "
+    "all potential ties are kept, as in the spec.",
+    tags=("relational", "tpch"),
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("bigint").alias("total_cents"))
+    )
+    best = srev.agg(F.max("total_cents").alias("best_cents"))
+    return (
+        srev.join(F.broadcast(best))
+        .filter(F.col("total_cents") == F.col("best_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16-shaped supplier variety (partsupp absent from the "
+    "slimmed schema, so actual shipment facts stand in for the "
+    "part-supplier relation): distinct suppliers per (brand, type, "
+    "size) bucket, excluding one brand, one type family, and "
+    "complaint suppliers (negative balance) via a broadcast "
+    "LEFT ANTI join — NOT IN decorrelated without a null trap since "
+    "keys are non-null. count(DISTINCT) expands partially map-side; "
+    "brand/type/size predicates push to the part scan before its "
+    "broadcast.",
+    tags=("relational", "tpch"),
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    supp = tables.load(spark, sf_dir, "supplier")
+    sizes = [1, 4, 9, 16, 25, 36, 49]
+    keep_parts = part.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(sizes)
+    )
+    complaints = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(keep_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+    doc="TPC-H Q18-shaped large-volume customers: orders whose total "
+    "quantity tops 300, with their customer. The HAVING aggregate "
+    "collapses lineitem to order grain FIRST (map-side combine on "
+    "orderkey, the natural parquet order), so the orders/customer "
+    "joins see only the tiny qualifying set — never a "
+    "lineitem-x-orders join. Quantities are integral by "
+    "construction; round() makes the bigint export exact.",
+    tags=("relational", "tpch"),
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 300)
+        .select(
+            "l_orderkey",
+            F.round("qty_sum").cast("bigint").alias("total_qty"),
+        )
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+    doc="TPC-H Q12-shaped late-shipment accounting (the slimmed schema "
+    "has no shipmode/commit/receipt dates, so 'late' = shipped 60+ "
+    "days after order placement): high- vs low-priority line counts "
+    "per ship year via the Q12 double-CASE conditional aggregate. "
+    "The lateness predicate is row-local after the orderkey join "
+    "(one fact-fact shuffle); output is years-sized.",
+    tags=("relational", "tpch"),
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
