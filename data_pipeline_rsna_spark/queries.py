@@ -6298,3 +6298,264 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+@register(
+    "min_price_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS min_price_cents
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_size = 15
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT ps.l_partkey AS p_partkey, p_name,
+           ps.l_suppkey AS s_suppkey, s_name, min_price_cents
+    FROM ps
+    JOIN part ON p_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    WHERE min_price_cents = (SELECT min(ps2.min_price_cents) FROM ps ps2
+                             WHERE ps2.l_partkey = ps.l_partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+    doc="TPC-H Q2-shaped groupwise-min supplier selection (lineitem "
+    "shipment facts stand in for the absent partsupp): for each "
+    "size-15 part served from one region, the supplier(s) offering "
+    "the minimum price, ALL ties kept. The correlated min subquery "
+    "decorrelates to a keyed min window over the (part, supplier) "
+    "rollup — both the rollup and the window share ONE partkey-side "
+    "shuffle (the window key prefixes the group key, no second "
+    "exchange). Exact cents make min-equality deterministic.",
+    tags=("relational", "tpch"),
+)
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    europe_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    ps = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_size") == 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name", "s_name")
+        .agg(
+            F.min(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+                "min_price_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("part_min", F.min("min_price_cents").over(w))
+        .filter(F.col("min_price_cents") == F.col("part_min"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "min_price_cents",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(sum(10 * CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT))
+                AS BIGINT) AS profit_tenth_cents
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY supp_nation, order_year
+    ORDER BY supp_nation, order_year
+    """,
+    doc="TPC-H Q9-shaped product-type profit (no partsupp supply cost "
+    "in the slimmed schema, so cost is modeled as 10% of retail "
+    "price x quantity — integer tenth-cents, exact): profit on "
+    "'gear' parts by supplier nation and order year, in integer "
+    "tenth-cents (10*rev_cents - retail_cents*qty) so every term and "
+    "every partial sum is a bigint — no float ever enters, so "
+    "partition order cannot perturb the total. The name pattern "
+    "pushes to the part scan before broadcast; the lineitem-orders "
+    "join is the one fact-fact shuffle.",
+    tags=("relational", "tpch"),
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    orders = tables.load(spark, sf_dir, "orders")
+    profit = F.expr(
+        "10 * CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "- CAST(round(p_retailprice * 100) AS BIGINT) "
+        "  * CAST(round(l_quantity) AS BIGINT)"
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("bigint").alias("profit_tenth_cents"))
+        .orderBy("supp_nation", "order_year")
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM pq
+    JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE 2 * supp_qty > (SELECT sum(pq2.supp_qty) FROM pq pq2
+                          WHERE pq2.l_partkey = pq.l_partkey)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20-shaped dominant-supplier selection (shipment share "
+    "stands in for the absent availqty-vs-half-of-shipped test): "
+    "suppliers who shipped more than half of some PROMO part's 1997 "
+    "volume. The correlated sum decorrelates to a keyed sum window "
+    "over the (part, supplier) rollup sharing its shuffle; the "
+    "majority test is the integer cross-multiplication 2*q > total "
+    "(no division, no floats); DISTINCT collapses multi-part "
+    "dominators.",
+    tags=("relational", "tpch"),
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    supp = tables.load(spark, sf_dir, "supplier")
+    pq = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity")).cast("bigint").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pq.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(2 * F.col("supp_qty") > F.col("part_qty"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "sole_late_supplier",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21-shaped suppliers-who-kept-orders-waiting (lateness "
+    "= shipped 60+ days after placement of a finalized order, since "
+    "the slimmed schema has no commit/receipt dates): late suppliers "
+    "on multi-supplier orders where NO other supplier was late. The "
+    "EXISTS / NOT EXISTS pair decorrelates to ONE order-grain "
+    "window: per-order supplier count and late count over the "
+    "(order, supplier) rollup — qualifying iff is_late=1 AND "
+    "suppliers>=2 AND late_count=1 — one shuffle instead of two "
+    "correlated rescans.",
+    tags=("relational", "tpch"),
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    supp = tables.load(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 60 DAY"), 1
+    ).otherwise(0)
+    per_supplier = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        per_supplier.withColumn("n_suppliers", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
