@@ -6559,3 +6559,93 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS potential_revenue_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecast-revenue-change: the canonical "
+    "scan-filter-aggregate with NO join and NO shuffle beyond the "
+    "final 1-row reduce — every predicate (shipdate range, discount "
+    "band, quantity cap) pushes to the parquet scan, and the product "
+    "is computed on integer cents x discount-basis-points (unit "
+    "10^-4 currency) so the sum is exact. The query the scan layer "
+    "is judged by: at 100 TB it reads only row groups whose min/max "
+    "stats overlap the filters.",
+    tags=("relational", "tpch"),
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    term = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(round(l_discount * 100) AS BIGINT)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(term).cast("bigint").alias("potential_revenue_e4"))
+    )
+
+
+@register(
+    "important_part_stock",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS part_value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, part_value_cents
+    FROM pv
+    WHERE 10000 * part_value_cents >
+          (SELECT sum(pv2.part_value_cents) FROM pv pv2)
+    ORDER BY part_value_cents DESC, p_partkey
+    """,
+    doc="TPC-H Q11-shaped important stock (shipped value from one "
+    "nation's suppliers stands in for the absent partsupp holdings): "
+    "parts whose value exceeds 1/10000 of the nation's total. The "
+    "correlated scalar-sum threshold decorrelates to a 1-row "
+    "aggregate OF THE PART-GRAIN ROLLUP (not a second fact scan) "
+    "broadcast back; the fraction test is the integer "
+    "cross-multiplication 10000*v > total, so no float and no "
+    "division. One fact shuffle (partkey rollup) total.",
+    tags=("relational", "tpch"),
+)
+def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    nation7_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(nation7_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).cast("bigint").alias("part_value_cents"))
+    )
+    total = pv.agg(F.sum("part_value_cents").alias("total_cents"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(10000 * F.col("part_value_cents") > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value_cents")
+        .orderBy(F.col("part_value_cents").desc(), "p_partkey")
+    )
