@@ -161,3 +161,74 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+def value_histogram(df: DataFrame, cents_expr: str) -> DataFrame:
+    """Power-of-two-bucket histogram of a positive integer measure: the
+    mergeable substrate for approximate quantiles.
+
+    bucket = bit_length(cents), so bucket b covers [2^(b-1), 2^b - 1] —
+    a deterministic, data-independent binning (no sampled boundaries to
+    drift between engines or between runs). The histogram is the whole
+    sketch: partial per-partition histograms combine map-side and merge
+    by plain vector addition, so at warehouse scale the single shuffle
+    moves only ~64-row partials, never data. Cross-engine idiom:
+    Spark ``length(bin(v))`` == DuckDB ``length(ltrim(bin(v),'0'))``.
+    """
+    return (
+        df.select(
+            F.expr(f"length(bin({cents_expr}))").cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(hist: DataFrame, percentiles: list[int]) -> DataFrame:
+    """Quantile extraction from a power-of-two histogram: for each
+    percentile q, the first bucket whose cumulative count reaches
+    rank = ceil(q * n / 100), with its exact [lo, hi] cents bounds.
+
+    The prefix sum runs as a tiny triangular self-join over the ≤64
+    bucket rows — not a window over an unpartitioned order (the engine
+    bans unpartitioned WindowExec even where the input is small), and
+    not a driver-side loop. Everything is integer arithmetic: the rank
+    ceiling is (n*q + 99) DIV 100, bounds are shifts, so the answer is
+    bit-identical on any engine and any partitioning. Error contract:
+    the true quantile lies inside the returned bucket, i.e. relative
+    error ≤ 2x (one octave) — the trade for a fixed-size, exactly
+    mergeable sketch.
+    """
+    spark = hist.sparkSession
+    h1 = hist.select(F.col("bucket").alias("b"), F.col("cnt").alias("c"))
+    cum = (
+        h1.join(hist, F.col("bucket") <= F.col("b"))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("cum"))
+    )
+    total = hist.agg(F.sum("cnt").alias("total"))
+    targets = spark.createDataFrame(
+        [(int(p),) for p in percentiles], "q int"
+    )
+    ranked = targets.join(F.broadcast(total)).select(
+        "q", F.expr("(total * q + 99) DIV 100").alias("rank_needed")
+    )
+    return (
+        ranked.join(
+            F.broadcast(cum), F.col("cum") >= F.col("rank_needed")
+        )
+        .groupBy("q", "rank_needed")
+        .agg(F.min("b").alias("bucket"))
+        .select(
+            "q",
+            "rank_needed",
+            "bucket",
+            F.expr("CAST(shiftleft(1L, bucket - 1) AS BIGINT)").alias(
+                "lo_cents"
+            ),
+            F.expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)").alias(
+                "hi_cents"
+            ),
+        )
+        .orderBy("q")
+    )

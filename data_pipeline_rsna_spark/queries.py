@@ -6649,3 +6649,73 @@ def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p_partkey"), "part_value_cents")
         .orderBy(F.col("part_value_cents").desc(), "p_partkey")
     )
+
+
+@register(
+    "events_stream_static_enrich",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start,
+           c_mktsegment AS mktsegment,
+           count(*) AS n,
+           CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY window_start, mktsegment
+    """,
+    doc="X6 stream-static enrichment: streaming events broadcast-join a "
+    "static customer-segment dimension (no join state, dim re-resolved "
+    "each micro-batch, stream never shuffled by the join), then "
+    "aggregate revenue per (hour, segment) under a watermark. The "
+    "streaming run's final materialized result is deterministic, so "
+    "the batch join+agg SQL is a direct oracle, not just a twin.",
+    tags=("events", "streaming"),
+)
+def q_events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    customers = tables.load(spark, sf_dir, "customer")
+    return es.run_bounded(es.enriched_segment_agg_stream(stream, customers))
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(length(ltrim(bin(CAST(round(value * 100) AS BIGINT)),
+                                '0')) AS INTEGER) AS bucket,
+               count(*) AS cnt
+        FROM events GROUP BY bucket
+    ),
+    c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    t AS (SELECT sum(cnt) AS total FROM h),
+    q AS (SELECT unnest([50, 90, 99]) AS q)
+    SELECT q, CAST((total * q + 99) // 100 AS BIGINT) AS rank_needed,
+           CAST(min(bucket) AS INTEGER) AS bucket,
+           CAST(1::BIGINT << (CAST(min(bucket) AS INTEGER) - 1) AS BIGINT)
+               AS lo_cents,
+           CAST((1::BIGINT << CAST(min(bucket) AS INTEGER)) - 1 AS BIGINT)
+               AS hi_cents
+    FROM q, t, c
+    WHERE cum >= (total * q + 99) // 100
+    GROUP BY q, total
+    ORDER BY q
+    """,
+    doc="Mergeable approximate quantiles (p50/p90/p99) from a "
+    "power-of-two histogram sketch over event values in cents: "
+    "bucket = bit_length(cents), partial histograms vector-add "
+    "map-side (the one shuffle moves ~64-row partials, never data), "
+    "quantile extraction is a triangular self-join prefix sum over "
+    "the bucket rows — no unpartitioned window, no driver loop. "
+    "Fully deterministic and integer-exact, so the sketch itself is "
+    "oracle-checkable; true quantile provably inside the returned "
+    "one-octave [lo, hi] bucket.",
+    tags=("sketches", "stats"),
+)
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as sk
+
+    ev = tables.load(spark, sf_dir, "events")
+    hist = sk.value_histogram(ev, "CAST(round(value * 100) AS BIGINT)")
+    return sk.histogram_quantiles(hist, [50, 90, 99])

@@ -419,3 +419,39 @@ def read_events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(str(dst_dir))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def enriched_segment_agg_stream(events: DataFrame, customers: DataFrame,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment join + windowed aggregate: the streaming
+    events join a STATIC dimension (customer segments) and aggregate
+    revenue per (hour, segment).
+
+    Stream-static is the third join regime next to batch and
+    stream-stream: the static side needs no watermark and holds NO join
+    state — each micro-batch re-resolves the dimension (so a dim refresh
+    is picked up on the next trigger), and with an explicit broadcast
+    the join never shuffles the stream. Only the downstream windowed
+    aggregate keeps state, bounded by the watermark horizon. Value sums
+    export as exact bigint cents.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(round(sum(value) * 100) AS BIGINT)").alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n",
+            "value_cents",
+        )
+    )

@@ -110,3 +110,49 @@ def test_association_rules_min_support(spark):
     )
     rules = mining.association_rules(items, "basket", "item", min_support=2)
     assert [(r.item_a, r.item_b) for r in rules.collect()] == [("x", "y")]
+
+
+def test_histogram_quantiles_bracket_true_percentiles(spark, sf_dir):
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, sf_dir, "events")
+    hist = sk.value_histogram(ev, "CAST(round(value * 100) AS BIGINT)")
+    qs = {r.q: r for r in sk.histogram_quantiles(hist, [50, 90, 99]).collect()}
+    cents = sorted(
+        r.c for r in ev.select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    for q, row in qs.items():
+        true_val = cents[-(-n * q // 100) - 1]  # ceil-rank order statistic
+        assert row.lo_cents <= true_val <= row.hi_cents
+        assert row.lo_cents == 1 << (row.bucket - 1)
+        assert row.hi_cents == (1 << row.bucket) - 1
+
+
+def test_histogram_sketch_merge_is_vector_add(spark, sf_dir):
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, sf_dir, "events")
+    expr = "CAST(round(value * 100) AS BIGINT)"
+    left = ev.filter(F.col("event_id") % 2 == 0)
+    right = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        sk.value_histogram(left, expr)
+        .unionByName(sk.value_histogram(right, expr))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.value_histogram(ev, expr)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # quantiles off the merged sketch == quantiles off the whole sketch
+    a = sk.histogram_quantiles(merged, [50, 90, 99]).collect()
+    b = sk.histogram_quantiles(whole, [50, 90, 99]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

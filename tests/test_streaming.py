@@ -374,3 +374,26 @@ def test_stream_left_outer_join_equals_batch_left_join(spark, sf_dir):
     # the outer join must add null-padded clicks on top of the inner rows
     assert any(p is None for _, p in got)
     assert any(p is not None for _, p in got)
+
+
+def test_stream_static_enrich_matches_batch_and_holds_no_join_state(spark, sf_dir):
+    from data_pipeline_rsna_spark import tables
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, sf_dir, "events")
+    cust = tables.load(spark, sf_dir, "customer")
+    batch = (
+        ev.join(cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+                "user_id")
+        .groupBy(F.date_trunc("hour", "ts").cast("long").alias("window_start"),
+                 F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n"),
+             F.expr("CAST(round(sum(value) * 100) AS BIGINT)").alias("value_cents"))
+    )
+    want = {tuple(r) for r in batch.collect()}
+    # multi-micro-batch replay: the static dim must be joined correctly in
+    # EVERY micro-batch, not just the first
+    stream = es.read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    got_df = es.run_bounded(es.enriched_segment_agg_stream(stream, cust))
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
