@@ -6719,3 +6719,41 @@ def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     hist = sk.value_histogram(ev, "CAST(round(value * 100) AS BIGINT)")
     return sk.histogram_quantiles(hist, [50, 90, 99])
+
+
+@register(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    GROUP BY priority
+    """,
+    doc="Multi-format IO: writes an orders sample as ORC via the typed "
+    "format layer (sources/formats.py), reads it back with the pinned "
+    "schema, aggregates. The oracle aggregates the same rows straight "
+    "from parquet, so any ORC write/read value or type drift fails "
+    "the hash. parquet/ORC are the self-describing columnar pair "
+    "(pushdown + pruning); CSV/JSON roundtrips are covered by typed "
+    "tests in tests/test_sources.py.",
+    tags=("core", "sink"),
+)
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources import formats
+
+    orders = tables.load(spark, sf_dir, "orders")
+    sample = orders.filter(F.col("o_orderkey") % 25 == 0)
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/orders"
+    formats.write_table(sample, path, "orc")
+    back = formats.read_table(spark, path, "orc", sample.schema)
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
