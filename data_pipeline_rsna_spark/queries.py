@@ -939,7 +939,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS cum_tokens
         FROM toks
     )
-    SELECT lang, doc_id, n_tokens, cum_tokens
+    SELECT lang, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM c WHERE cum_tokens - n_tokens < 2000
     """,
     doc="X4+ training-corpus quota sampling: per-language document "
@@ -1334,7 +1334,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deltas
     )
     SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS epoch_day,
-           max(concurrency) AS max_concurrent_sessions
+           CAST(max(concurrency) AS BIGINT) AS max_concurrent_sessions
     FROM cum GROUP BY 1
     """,
     doc="X5+ peak concurrent sessions per day by sweep line: +1/-1 "
@@ -1404,9 +1404,9 @@ def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sessions GROUP BY user_id, session_id
     )
     SELECT user_id,
-           max(session_id) AS n_sessions,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
            max(n_events) AS max_session_events,
-           sum(n_events) AS n_events
+           CAST(sum(n_events) AS BIGINT) AS n_events
     FROM per_session GROUP BY user_id
     """,
     doc="X5 gap-based sessionization (30-min gap) via lag+cumsum windows; "
@@ -1643,7 +1643,7 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAGERANK_STEP_SQL = """
     SELECT e.dst AS node,
-           150000 + (850 * sum(r.rank // d.d)) // 1000 AS rank
+           CAST(150000 + (850 * sum(r.rank // d.d)) // 1000 AS BIGINT) AS rank
     FROM {prev} r
     JOIN edges e ON e.src = r.node
     JOIN deg d ON d.src = r.node
@@ -1894,7 +1894,7 @@ def q_box_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
     )
     SELECT img_id,
-           sum(v) AS sum_px,
+           CAST(sum(v) AS BIGINT) AS sum_px,
            round(avg(v), 6) AS mean_px,
            CAST(min(v) AS INTEGER) AS min_px,
            CAST(max(v) AS INTEGER) AS max_px
@@ -1921,7 +1921,7 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
     )
     SELECT img_id,
-           sum(v) AS sum_px,
+           CAST(sum(v) AS BIGINT) AS sum_px,
            round(avg(v), 6) AS mean_px,
            CAST(min(v) AS INTEGER) AS min_px,
            CAST(max(v) AS INTEGER) AS max_px
@@ -2424,8 +2424,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
     SELECT v.vid_id AS vid_id, f.frame_idx AS frame_idx,
-           sum((v.vid_id * 131 + f.frame_idx * 17 + j.j * 7) % 256)
-               AS sum_px,
+           CAST(sum((v.vid_id * 131 + f.frame_idx * 17 + j.j * 7) % 256)
+               AS BIGINT) AS sum_px,
            min((v.vid_id * 131 + f.frame_idx * 17 + j.j * 7) % 256)
                AS min_px,
            max((v.vid_id * 131 + f.frame_idx * 17 + j.j * 7) % 256)
@@ -2464,9 +2464,9 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM samples
     )
     SELECT clip_id,
-           sum(s * s) AS energy,
-           sum(CASE WHEN prev_s IS NOT NULL AND (s >= 0) <> (prev_s >= 0)
-               THEN 1 ELSE 0 END) AS zero_crossings,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN prev_s IS NOT NULL AND (s >= 0) <> (prev_s >= 0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
            2000 AS n_samples
     FROM lagged
     GROUP BY clip_id
@@ -3156,7 +3156,8 @@ def q_fuzzy_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
     )
     SELECT o_orderstatus, count(*) AS n,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents
     FROM merged WHERE rn = 1
     GROUP BY o_orderstatus
     """,
@@ -3299,7 +3300,8 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*) AS n,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -3398,9 +3400,9 @@ def q_equal_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_patch_tiling",
     oracle="""
     SELECT v.img_id AS img_id, pr.pr AS patch_row, pc.pc AS patch_col,
-           sum((v.img_id * 31 +
+           CAST(sum((v.img_id * 31 +
                 ((pr.pr * 8 + j.j // 8) * 16 + pc.pc * 8 + j.j % 8) * 7)
-               % 256) AS sum_px
+               % 256) AS BIGINT) AS sum_px
     FROM (SELECT unnest(generate_series(0, 49)) AS img_id) v
     CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS pr) pr
     CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS pc) pc
@@ -3803,8 +3805,8 @@ def q_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT a.user_id, a.event_id,
-           sum(b.cents * CAST(power(2.0, 20 - (a.rn - b.rn)) AS BIGINT))
-               AS ewma_units
+           CAST(sum(b.cents * CAST(power(2.0, 20 - (a.rn - b.rn)) AS BIGINT))
+               AS BIGINT) AS ewma_units
     FROM v a JOIN v b
       ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
     GROUP BY a.user_id, a.event_id
@@ -4369,7 +4371,8 @@ def q_events_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT event_type,
                count(*) AS n,
-               sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS k
+               CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k
         FROM events
         GROUP BY event_type
     )
@@ -4426,7 +4429,7 @@ _REV_CENTS_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT
     "shipping_priority_topk",
     oracle=f"""
     SELECT l_orderkey,
-           sum({_REV_CENTS_SQL}) AS revenue_cents,
+           CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            o_orderpriority
     FROM customer
@@ -4479,7 +4482,7 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey
     )
     SELECT count(*) AS n_small,
-           sum({_REV_CENTS_SQL}) AS revenue_cents
+           CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
     FROM lineitem JOIN part_avg ON l_partkey = pk
     WHERE l_quantity < 0.3 * avg_qty
     """,
@@ -4546,7 +4549,7 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH yearly AS (
         SELECT n_name,
                CAST(year(o_orderdate) AS INTEGER) AS order_year,
-               sum({_REV_CENTS_SQL}) AS revenue_cents
+               CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
@@ -4622,7 +4625,7 @@ def q_yearly_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT user_id,
            max(run_len) AS longest_streak,
            count(*) AS n_streaks,
-           sum(run_len) AS n_active_days
+           CAST(sum(run_len) AS BIGINT) AS n_active_days
     FROM runs GROUP BY user_id
     """,
     doc="Gaps-and-islands longest consecutive-active-day streak per "
@@ -4654,7 +4657,7 @@ def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS run_seq
         FROM flagged
     )
-    SELECT user_id, run_seq,
+    SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq,
            any_value(event_type) AS event_type,
            min(t_us) AS start_us,
            max(t_us) AS end_us,

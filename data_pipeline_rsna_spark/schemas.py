@@ -157,15 +157,30 @@ LINEITEM = T.StructType(
     ]
 )
 
-# The driver's events parquet stores ts as TIMESTAMP(NANOS), which Spark's
-# parquet reader only accepts as a long (spark.sql.legacy.parquet.nanosAsLong).
-# Loaders read this raw shape then convert ns → microsecond TimestampType,
-# the same truncation DuckDB applies internally — so differential checks on
-# time arithmetic stay exact.
+# The driver's events parquet has shipped ts in two physical shapes across
+# testdata generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+# accepts as a long via spark.sql.legacy.parquet.nanosAsLong) and plain
+# TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+# TIMESTAMP_NTZ). Loaders sniff the footer and normalize either shape to
+# microsecond TimestampType in a UTC session — the exact instants DuckDB
+# produces for the same file, so differential checks on time arithmetic
+# stay exact. EVENTS_RAW_NANOS / EVENTS_RAW_TS_NTZ are the two raw source
+# schemas; EVENTS is the normalized shape every operator consumes.
 EVENTS_RAW_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
         T.StructField("ts", T.LongType(), False),  # ns since epoch
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+EVENTS_RAW_TS_NTZ = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
         T.StructField("user_id", T.LongType(), False),
         T.StructField("event_type", T.StringType(), False),
         T.StructField("value", T.DoubleType(), False),

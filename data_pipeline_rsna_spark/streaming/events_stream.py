@@ -20,7 +20,18 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW_NANOS
+from ..schemas import EVENTS, EVENTS_RAW_NANOS, EVENTS_RAW_TS_NTZ
+from ..tables import events_ts_kind, normalize_events_ts
+
+
+def _source_schema(staged_dir: str):
+    """Streaming sources never infer schemas — declare the one matching
+    the staged file's actual physical ts type (the testdata has shipped
+    both nanos-long and micros-NTZ generations)."""
+    kind = events_ts_kind(staged_dir)
+    if kind == "nanos":
+        return EVENTS_RAW_NANOS
+    return EVENTS_RAW_TS_NTZ if kind == "ntz" else EVENTS
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -48,11 +59,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     convention as tables._load_events). In production this is a Kafka
     source; the transformation DAG is source-agnostic."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_NANOS)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = _staged_events_dir(sf_dir)
+    reader = spark.readStream.schema(_source_schema(staged))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(_staged_events_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(reader.parquet(staged))
 
 
 def hourly_type_agg_stream(events: DataFrame,
@@ -289,12 +301,14 @@ def read_events_stream_duplicated(spark: SparkSession,
     """Events stream where every event arrives twice, in two separate
     micro-batches (one file per trigger)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = _staged_events_dup_dir(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
+        spark.readStream.schema(_source_schema(staged))
         .option("maxFilesPerTrigger", 1)
-        .parquet(_staged_events_dup_dir(sf_dir))
+        .parquet(staged)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def dedup_counts_stream(events: DataFrame,
@@ -394,16 +408,43 @@ def read_events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame
     if not dst.exists() or dst.stat().st_mtime < src.stat().st_mtime:
         dst_dir.mkdir(parents=True, exist_ok=True)
         shutil.copy2(src, dst)
-        max_ns = _duck.connect().execute(
-            f"SELECT max(ts) FROM '{src}'"
-        ).fetchone()[0]
-        if hasattr(max_ns, "timestamp"):  # TIMESTAMP_NS -> ns long
-            max_ns = int(max_ns.timestamp() * 1_000_000) * 1000
-        flush_ns = int(max_ns) + 30 * 24 * 3600 * 1_000_000_000
+        # epoch_us works for the NS and MICROS timestamp generations; a
+        # raw-int64 ts (no logical type) needs the plain max, in nanos
+        try:
+            max_us = int(
+                _duck.connect()
+                .execute(f"SELECT epoch_us(max(ts)) FROM '{src}'")
+                .fetchone()[0]
+            )
+        except Exception:
+            max_us = (
+                int(
+                    _duck.connect()
+                    .execute(f"SELECT max(ts) FROM '{src}'")
+                    .fetchone()[0]
+                )
+                // 1000
+            )
+        flush_us = int(max_us) + 30 * 24 * 3600 * 1_000_000
+        # the sentinel file's ts type must match the real file's, or the
+        # declared stream schema can't cover both files
+        from ..tables import events_ts_kind
+
+        kind = events_ts_kind(str(src))
+        if kind == "nanos":
+            ts_arr = pa.array([flush_us * 1000] * 2, pa.int64()).cast(
+                pa.timestamp("ns")
+            )
+        elif kind == "ntz":
+            ts_arr = pa.array([flush_us] * 2, pa.int64()).cast(pa.timestamp("us"))
+        else:
+            ts_arr = pa.array([flush_us] * 2, pa.int64()).cast(
+                pa.timestamp("us", tz="UTC")
+            )
         table = pa.table(
             {
                 "event_id": pa.array([-1, -1], pa.int64()),
-                "ts": pa.array([flush_ns, flush_ns], pa.int64()),
+                "ts": ts_arr,
                 "user_id": pa.array([-1, -1], pa.int64()),
                 "event_type": pa.array(["click", "purchase"], pa.string()),
                 "value": pa.array([0.0, 0.0], pa.float64()),
@@ -413,12 +454,13 @@ def read_events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame
         pq.write_table(table, sentinel)
         os.utime(sentinel, (dst.stat().st_mtime + 10, dst.stat().st_mtime + 10))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
+        spark.readStream.schema(_source_schema(str(dst_dir)))
         .option("maxFilesPerTrigger", 1)
         .parquet(str(dst_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def enriched_segment_agg_stream(events: DataFrame, customers: DataFrame,

@@ -42,15 +42,58 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS): read it as a long and
-    convert to microsecond TimestampType (ns DIV 1000 — the truncation
-    DuckDB also applies, keeping time arithmetic engine-identical)."""
+def events_ts_kind(path: str) -> str:
+    """Sniff the physical type of ``ts`` in an events parquet file (or a
+    directory of part files) from the footer, without a Spark job:
+    ``'nanos'`` (INT64 TIMESTAMP(NANOS) — Spark reads it as a long under
+    the nanosAsLong legacy conf), ``'ntz'`` (TIMESTAMP(MICROS/MILLIS)
+    not adjusted to UTC — Spark reads TIMESTAMP_NTZ), or ``'ltz'``
+    (UTC-adjusted — Spark reads TimestampType). The driver's testdata
+    has shipped both 'nanos' and 'ntz' across generations, so loaders
+    must not assume either."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        parts = sorted(p.glob("*.parquet")) or sorted(p.glob("part-*"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        p = parts[0]
+    t = pq.read_schema(p).field("ts").type
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns" and t.tz is None:
+            return "nanos"
+        return "ltz" if t.tz is not None else "ntz"
+    return "nanos"  # stored as a raw int64 epoch-nanos column
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize whatever raw shape ``ts`` arrived in to microsecond
+    TimestampType. Instants are identical to DuckDB's read of the same
+    file in a UTC session: nanos truncate (DIV 1000, DuckDB's own
+    truncation), NTZ wall-clocks are interpreted as UTC."""
     from pyspark.sql import functions as F
 
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # epoch nanos read under nanosAsLong
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing ts to microsecond
+    TimestampType regardless of the file's physical timestamp type."""
+    # Both confs are no-ops when the file is already micros; they make
+    # the nanos generation readable and the NTZ→LTZ cast deterministic.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

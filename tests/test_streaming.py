@@ -65,18 +65,18 @@ def test_stateful_totals_across_multiple_microbatches(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from data_pipeline_rsna_spark import tables
-    from data_pipeline_rsna_spark.schemas import EVENTS_RAW_NANOS
+    from data_pipeline_rsna_spark.schemas import EVENTS
 
     src = str(tmp_path / "events_chunks")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(EVENTS_RAW_NANOS).parquet(
-        f"{sf_dir}/events.parquet"
-    ).repartition(3).write.mode("overwrite").parquet(src)
+    # write NORMALIZED chunks (ts already TimestampType) so the declared
+    # stream schema is independent of the source file's physical ts type
+    tables.load(spark, sf_dir, "events").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
     stream = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     got = es.run_bounded(es.user_running_totals_stream(stream), mode="update")
     rows = got.collect()
@@ -116,7 +116,7 @@ def test_checkpoint_recovery_no_loss_no_dup(spark, sf_dir, tmp_path):
 
     from data_pipeline_rsna_spark import tables
     from data_pipeline_rsna_spark.operators import events as ev
-    from data_pipeline_rsna_spark.schemas import EVENTS_RAW_NANOS
+    from data_pipeline_rsna_spark.schemas import EVENTS
 
     import glob
     import os
@@ -126,10 +126,9 @@ def test_checkpoint_recovery_no_loss_no_dup(spark, sf_dir, tmp_path):
     staging = str(tmp_path / "staging")
     ckpt = str(tmp_path / "ckpt")
     out_name = "ckpt_recovery_out"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(EVENTS_RAW_NANOS).parquet(
-        f"{sf_dir}/events.parquet"
-    ).repartition(4).write.mode("overwrite").parquet(staging)
+    tables.load(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staging)
     parts = sorted(glob.glob(f"{staging}/part-*.parquet"))
     os.makedirs(src, exist_ok=True)
     for p in parts[:2]:  # first half visible before the "crash"
@@ -137,10 +136,9 @@ def test_checkpoint_recovery_no_loss_no_dup(spark, sf_dir, tmp_path):
 
     def start():
         stream = (
-            spark.readStream.schema(EVENTS_RAW_NANOS)
+            spark.readStream.schema(EVENTS)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
         agg = es.hourly_type_agg_stream(stream)
         return (
@@ -180,15 +178,14 @@ def test_streaming_cdc_log_with_merge_on_read(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from data_pipeline_rsna_spark import tables
-    from data_pipeline_rsna_spark.schemas import EVENTS_RAW_NANOS
+    from data_pipeline_rsna_spark.schemas import EVENTS
 
     src = str(tmp_path / "chunks")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(EVENTS_RAW_NANOS).parquet(
-        f"{sf_dir}/events.parquet"
-    ).repartition(3).write.mode("overwrite").parquet(src)
+    tables.load(spark, sf_dir, "events").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
     stream = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .select("event_id", "user_id", "value")
