@@ -1467,10 +1467,21 @@ def q_events_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_streaming",
-    oracle=None,  # streaming execution; batch twin is the [Q] oracle above
+    # bounded single-batch replay through run_bounded is deterministic:
+    # the batch-twin SQL is a full hash-checked oracle, exactly the
+    # events_dedup_streaming pattern
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           CAST(round(sum(value) * 100) AS BIGINT) * 10000 // count(*) AS avg_micro
+    FROM events
+    GROUP BY 1, 2
+    """,
     doc="X6 Structured Streaming twin of events_hourly_agg: file-source "
-    "replay -> watermark -> tumbling window -> memory sink. Stream-batch "
-    "equivalence asserted in tests/test_streaming.py.",
+    "replay -> watermark -> tumbling window -> memory sink. Bounded "
+    "replay is deterministic, so the batch SQL is a full value oracle.",
     tags=("events", "streaming"),
 )
 def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,10 +2286,36 @@ def q_events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_session_streaming",
-    oracle=None,  # streaming execution; events_session_agg is the [Q] twin
+    # bounded replay deterministic → events_session_agg's SQL is a full
+    # value oracle (lag/cumsum-derived sessions == session_window)
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         < 1800000000
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
     doc="X6 Structured Streaming session windows: file-source replay -> "
-    "watermark -> session_window -> memory sink. Stream-batch "
-    "equivalence asserted in tests/test_streaming.py.",
+    "watermark -> session_window -> memory sink. Bounded replay is "
+    "deterministic, so the batch-twin SQL is a full value oracle.",
     tags=("events", "streaming"),
 )
 def q_events_session_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2290,8 +2327,14 @@ def q_events_session_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_stateful_running_totals",
-    oracle=None,  # applyInPandasWithState custom operator; batch-equivalence
-    # asserted in tests/test_streaming.py
+    # final per-user state of the bounded replay == the batch aggregate
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
     doc="X6 custom stateful operator (applyInPandasWithState): per-user "
     "running totals kept in explicit group state across micro-batches. "
     "The escape hatch for stateful logic built-in aggregations can't "
@@ -2996,7 +3039,23 @@ def q_rsna_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_attribution_streaming",
-    oracle=None,  # stream-stream join; range_join_attribution is the [Q] twin
+    # append-mode inner join emits each matched pair exactly once, so the
+    # bounded result equals the batch range join regardless of batching
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    windows AS (
+        SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+               ts + INTERVAL 2 HOUR AS end_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id, w.purchase_id AS purchase_id,
+           c.user_id AS user_id
+    FROM clicks c
+    JOIN windows w ON c.user_id = w.user_id
+                  AND c.ts >= w.start_ts AND c.ts < w.end_ts
+    """,
     doc="X6 stream-stream interval join: watermarked clicks x watermarked "
     "purchases, joined on user + 2h time bound. The time bound sizes the "
     "state store (watermark+interval horizon per side, then eviction). "
@@ -5661,7 +5720,23 @@ def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_attribution_outer_streaming",
-    oracle=None,  # outer stream-stream join; batch left join twin in tests
+    # sentinel-flushed bounded replay emits every click exactly once
+    # (matched or null-padded) → the batch LEFT JOIN is a full oracle
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    windows AS (
+        SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+               ts + INTERVAL 2 HOUR AS end_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id, w.purchase_id AS purchase_id,
+           c.user_id AS user_id
+    FROM clicks c
+    LEFT JOIN windows w ON c.user_id = w.user_id
+                       AND c.ts >= w.start_ts AND c.ts < w.end_ts
+    """,
     doc="X6 stream-stream LEFT OUTER interval join: unmatched clicks "
     "are held in state and emitted null-padded only when the "
     "purchase-side watermark proves no match can still arrive — "
