@@ -189,6 +189,92 @@ def embedding_neardup_pairs(
     )
 
 
+def srp_cell_col(vec: Column, n_bits: int, dim: int) -> Column:
+    """Deterministic coarse-quantizer cell id: the ``n_bits`` sign bits
+    of dots against the md5-derived ±1 hyperplanes (srp_sign_vectors),
+    packed little-endian into an int. Unlike k-means, any engine with
+    md5 re-derives identical cells — so an IVF search over these cells
+    is exactly SQL-checkable while keeping IVF's storage-pruning shape
+    (cell-partitioned layout, probe a few cells per query)."""
+    signs = srp_sign_vectors(n_bits, dim)
+    bits = [
+        (dot(vec, F.array(*[F.lit(s) for s in signs[h]])) > 0).cast("int")
+        for h in range(n_bits)
+    ]
+    cell = bits[0] * 0
+    for h in range(n_bits):
+        cell = cell + bits[h] * (1 << h)
+    return cell.cast("int")
+
+
+def srp_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k with the deterministic SRP coarse quantizer.
+
+    Probe order is Hamming distance between the query's cell signature
+    and each of the 2**n_bits cells (ties by cell id) — the SRP analogue
+    of k-means' nearest-centroids probe: cells whose sign pattern agrees
+    with the query's hold the geometrically close vectors. Within the
+    probed cells the cosine is exact. At 100 TB the corpus is written
+    ``partitionBy("cell")`` so each probe prunes (2^n_bits - nprobe)/2^n_bits
+    of the files; the candidate join is cell-keyed, never a crossJoin.
+    """
+    spark = corpus.sparkSession
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_ce"),
+    ).withColumn("_cn", l2_norm(F.col("_ce"))).withColumn(
+        "cell", srp_cell_col(F.col("_ce"), n_bits, dim)
+    )
+    q = queries.select(
+        query_id_col, as_double_array(vec_col).alias("_qe")
+    ).withColumn("_qn", l2_norm(F.col("_qe"))).withColumn(
+        "qcell", srp_cell_col(F.col("_qe"), n_bits, dim)
+    )
+    cells = spark.range(1 << n_bits).select(F.col("id").cast("int").alias("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cells))  # |q| * 2^n_bits rows — tiny
+        .withColumn("_hd", F.expr("bit_count(qcell ^ cell)"))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy("_hd", "cell")
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, "_qe", "_qn", "cell")
+    )
+    sims = (
+        probes.join(assigned, "cell")  # cell-pruned candidate join
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qe"), F.col("_ce")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine")
+    )
+
+
 @dataclass
 class IvfIndex:
     """IVF index state: the corpus with a ``cluster`` column + centroids."""

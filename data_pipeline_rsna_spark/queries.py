@@ -1145,11 +1145,76 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivf_topk",
-    oracle=None,  # k-means cell assignment is not SQL-expressible
-    doc="X3 IVF approximate nearest neighbor: k-means(nlist=16) cells, "
-    "probe nprobe=4 per query, exact cosine within probed cells. The "
-    "scale path: cluster-partitioned storage prunes (nlist-nprobe)/nlist "
-    "of the corpus per probe. Recall vs brute force asserted in tests.",
+    # the SRP coarse quantizer is md5-derived, so DuckDB re-derives the
+    # exact cells, probe set, and in-cell top-k — a full value oracle for
+    # an ANN search (list_dot_product matches the engine's sequential
+    # fold bit-for-bit, proven by similarity_topk_cosine)
+    oracle="""
+    WITH signs AS (
+        SELECT h.h AS h,
+               list_transform(generate_series(0, 63), j ->
+                   CASE WHEN substr(md5(CAST(h.h AS VARCHAR) || '|' ||
+                                        CAST(j AS VARCHAR)), 1, 1) >= '8'
+                        THEN 1.0 ELSE -1.0 END) AS sv
+        FROM (SELECT unnest(generate_series(0, 3)) AS h) h
+    ),
+    vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    bits AS (
+        SELECT v.vec_id, s.h,
+               CASE WHEN list_dot_product(v.e, s.sv) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM vecs v CROSS JOIN signs s
+    ),
+    cells AS (
+        SELECT vec_id, CAST(sum(bit * (1 << h)) AS INTEGER) AS cell
+        FROM bits GROUP BY vec_id
+    ),
+    qs AS (
+        SELECT v.vec_id AS query_id, v.e AS qe, c.cell AS qcell
+        FROM vecs v JOIN cells c USING (vec_id) WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, qe, cell FROM (
+            SELECT q.query_id, q.qe, a.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY bit_count(CAST(xor(q.qcell, a.cell)
+                                               AS BIGINT)), a.cell
+                   ) AS pr
+            FROM qs q
+            CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cell) a
+        ) WHERE pr <= 4
+    ),
+    sims AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(p.qe, v.e)
+                     / (sqrt(list_dot_product(p.qe, p.qe))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell
+        JOIN vecs v ON v.vec_id = c.vec_id
+        WHERE v.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    doc="X3 IVF approximate nearest neighbor with a deterministic SRP "
+    "coarse quantizer: 16 sign-bit cells from md5-derived hyperplanes, "
+    "probe the nprobe=4 cells nearest in Hamming distance, exact cosine "
+    "within probed cells. Same storage-pruning shape as k-means IVF "
+    "(cell-partitioned layout, (nlist-nprobe)/nlist of files pruned per "
+    "probe) but the quantizer is engine-reproducible, so the whole ANN "
+    "search is value-hash-checkable. The learned k-means variant "
+    "(build_ivf/ivf_topk) remains the production path when a trained "
+    "codebook exists; recall vs brute force asserted in tests for both.",
     tags=("similarity",),
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,8 +1224,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    index = sim.build_ivf(emb, nlist=16)
-    return sim.ivf_topk(index, queries, k=10, nprobe=4)
+    return sim.srp_ivf_topk(emb, queries, k=10, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
