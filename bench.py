@@ -45,11 +45,24 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
+    # Size shuffle parallelism to the DATA, not the machine: at sf<=0.1 a
+    # 32-way shuffle is ~350 KB/task and pure scheduling overhead (measured
+    # 2.7x slower on the minhash query than 8-way). This is exactly the
+    # decision AQE's coalescer makes after the first exchange — the bench
+    # just starts there. At sf>=1 the machine-sized default stands; on a
+    # cluster this knob scales with total cores x data, as SCALING.md lays
+    # out per query family.
+    try:
+        if float(sf) <= 0.25:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+    except ValueError:
+        pass
+
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
 
     def run_once(spec) -> float:
