@@ -57,6 +57,7 @@ _CHECK_WINDOW_PRIORITY = [
     "box_geometry_transforms",  # O14/O15/O17/O18
     "box_collision_join",       # O16
     "multimodal_pixel_stats",   # O7 / X7
+    "multimodal_codec_roundtrip",  # O7 decode + O10 encode, real codecs
     "dedup_exact",              # O27 / X1
     # --- extension families X2–X8 ---
     "dedup_minhash_lsh",
@@ -81,7 +82,6 @@ _CHECK_WINDOW_PRIORITY = [
     "set_operations",
     "graph_pagerank_integer",
     "snapshot_diff_cdc",
-    "data_quality_summary",
 ]
 
 

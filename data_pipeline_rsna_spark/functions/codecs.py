@@ -1,0 +1,242 @@
+"""Stdlib-only image codecs (O7 decode / O10 encode).
+
+The reference pipeline decodes DICOM files and writes PNGs
+(generate_images_from_dicom.py:48-51 decode, :80 imsave). This container
+has neither pydicom nor PIL, and a 100 TB pipeline shouldn't need them
+for the common cases anyway:
+
+- **PNG**: the format is zlib + 4 structural chunks. ``encode_png_gray``
+  / ``decode_png_gray`` implement 8-bit grayscale end-to-end with
+  ``zlib`` + ``struct`` only — full filter support (types 0-4, incl.
+  Paeth) on decode, filter-0 rows on encode (optimal-ratio filtering is
+  a compression tweak, not a correctness one).
+
+- **DICOM**: a minimal reader for the shape the reference consumes —
+  explicit-VR little-endian, uncompressed monochrome PixelData — plus a
+  writer used to build fixtures and sinks. Transfer syntaxes beyond
+  uncompressed LE raise ``ValueError`` (that's pydicom's job, and the
+  import-gated fast path in ``operators.multimodal`` still prefers it).
+
+Everything here is pure bytes→ndarray: safe inside Arrow batches on
+executors, no filesystem, no global state.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit grayscale)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_png_gray(arr: np.ndarray) -> bytes:
+    """uint8 HxW array → PNG bytes (color type 0, bit depth 8)."""
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("encode_png_gray expects a 2-D uint8 array")
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    # filter byte 0 per scanline, then one zlib stream
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 HxW array. Greyscale/8-bit only; all five
+    scanline filter types are unfiltered correctly, so PNGs from other
+    encoders (which pick filters adaptively) decode too."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or ctype != 0:
+                raise ValueError("decode_png_gray: 8-bit grayscale only")
+            if interlace:
+                raise ValueError("decode_png_gray: no interlace support")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = raw[y * stride:(y + 1) * stride]
+        ftype, line = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(1, w):
+                cur[x] = (cur[x] + cur[x - 1]) % 256
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            cur[0] = (cur[0] + prev[0] // 2) % 256
+            for x in range(1, w):
+                cur[x] = (cur[x] + (cur[x - 1] + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            cur[0] = (cur[0] + _paeth(0, int(prev[0]), 0)) % 256
+            for x in range(1, w):
+                cur[x] = (
+                    cur[x]
+                    + _paeth(int(cur[x - 1]), int(prev[x]), int(prev[x - 1]))
+                ) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DICOM (explicit VR little endian, uncompressed monochrome)
+# ---------------------------------------------------------------------------
+
+# VRs whose length field is 4 bytes after 2 bytes of padding
+_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+
+_TAG_ROWS = (0x0028, 0x0010)
+_TAG_COLS = (0x0028, 0x0011)
+_TAG_BITS_ALLOC = (0x0028, 0x0100)
+_TAG_PIXEL_REPR = (0x0028, 0x0103)
+_TAG_PIXEL_DATA = (0x7FE0, 0x0010)
+
+
+def decode_dicom_gray(data: bytes) -> np.ndarray:
+    """Minimal DICOM Part-10 reader: 128-byte preamble + 'DICM', explicit
+    VR little endian, uncompressed monochrome PixelData → HxW ndarray
+    (uint8/uint16/int16 per BitsAllocated + PixelRepresentation)."""
+    if len(data) < 132 or data[128:132] != b"DICM":
+        raise ValueError("not a Part-10 DICOM file")
+    pos = 132
+    rows = cols = None
+    bits, repr_ = 8, 0
+    pixel = None
+    n = len(data)
+    while pos + 8 <= n:
+        group, elem = struct.unpack("<HH", data[pos:pos + 4])
+        vr = data[pos + 4:pos + 6]
+        if vr.isalpha() and vr.isupper():
+            if vr in _LONG_VRS:
+                (ln,) = struct.unpack("<I", data[pos + 8:pos + 12])
+                body = pos + 12
+            else:
+                (ln,) = struct.unpack("<H", data[pos + 6:pos + 8])
+                body = pos + 8
+        else:  # implicit VR fallback
+            (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = pos + 8
+        if ln == 0xFFFFFFFF:
+            raise ValueError("encapsulated (compressed) PixelData unsupported")
+        val = data[body:body + ln]
+        tag = (group, elem)
+        if tag == _TAG_ROWS:
+            rows = struct.unpack("<H", val[:2])[0]
+        elif tag == _TAG_COLS:
+            cols = struct.unpack("<H", val[:2])[0]
+        elif tag == _TAG_BITS_ALLOC:
+            bits = struct.unpack("<H", val[:2])[0]
+        elif tag == _TAG_PIXEL_REPR:
+            repr_ = struct.unpack("<H", val[:2])[0]
+        elif tag == _TAG_PIXEL_DATA:
+            pixel = val
+            break
+        pos = body + ln
+    if rows is None or cols is None or pixel is None:
+        raise ValueError("missing Rows/Columns/PixelData")
+    if bits == 8:
+        dt = np.uint8
+    elif bits == 16:
+        dt = np.int16 if repr_ == 1 else np.uint16
+    else:
+        raise ValueError(f"BitsAllocated={bits} unsupported")
+    arr = np.frombuffer(pixel[: rows * cols * np.dtype(dt).itemsize], dtype=dt)
+    return arr.reshape(rows, cols)
+
+
+def _elem(group: int, elem: int, vr: bytes, val: bytes) -> bytes:
+    if len(val) % 2:
+        val += b"\x00"
+    head = struct.pack("<HH", group, elem) + vr
+    if vr in _LONG_VRS:
+        return head + b"\x00\x00" + struct.pack("<I", len(val)) + val
+    return head + struct.pack("<H", len(val)) + val
+
+
+def encode_dicom_gray(arr: np.ndarray) -> bytes:
+    """HxW ndarray → minimal Part-10 explicit-VR-LE monochrome DICOM.
+    Inverse of ``decode_dicom_gray``; used for fixtures and as the
+    DICOM sink counterpart of the PNG sink."""
+    if arr.ndim != 2:
+        raise ValueError("encode_dicom_gray expects a 2-D array")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    # File Meta Information (group 0002): version + the explicit-VR-LE
+    # transfer syntax UID, preceded by its group length — the minimum a
+    # standards-following reader (e.g. pydicom) needs to accept the file
+    meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
+        0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1"
+    )
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    body = (
+        _elem(0x0028, 0x0002, b"US", us(1))        # SamplesPerPixel
+        + _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + _elem(_TAG_ROWS[0], _TAG_ROWS[1], b"US", us(h))
+        + _elem(_TAG_COLS[0], _TAG_COLS[1], b"US", us(w))
+        + _elem(0x0028, 0x0100, b"US", us(bits))   # BitsAllocated
+        + _elem(0x0028, 0x0101, b"US", us(bits))   # BitsStored
+        + _elem(0x0028, 0x0102, b"US", us(bits - 1))  # HighBit
+        + _elem(0x0028, 0x0103, b"US", us(repr_))  # PixelRepresentation
+        + _elem(
+            _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1],
+            b"OB" if bits == 8 else b"OW",
+            np.ascontiguousarray(arr).tobytes(),
+        )
+    )
+    return b"\x00" * 128 + b"DICM" + meta + meta_body + body

@@ -11,11 +11,12 @@ The Python boundary is crossed exactly where unavoidable, via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set low in
 ``session.py`` because one row can be megabytes).
 
-Codec stubs: this container has no pydicom/PIL, so ``decode_dicom`` and
-``encode_png`` are import-gated — real when the libraries exist,
-``NotImplementedError`` otherwise. Everything around them (schemas,
-batching, partitioning, kernel application) is real and tested via the
-deterministic synthetic corpus below.
+Codecs: ``decode_dicom``/``encode_png`` prefer pydicom/PIL when
+installed, and otherwise run the stdlib-only implementations in
+``functions.codecs`` (zlib+struct PNG, explicit-VR-LE uncompressed
+DICOM) — so both execute for real in this container; the
+``multimodal_codec_roundtrip`` query hash-checks the full
+encode→decode→stats chain against a closed-form oracle.
 """
 
 from __future__ import annotations
@@ -43,33 +44,39 @@ STATS_SCHEMA = (
 
 
 def decode_dicom(content: bytes) -> np.ndarray:
-    """DICOM bytes → pixel array (O7). Real when pydicom is installed."""
+    """DICOM bytes → pixel array (O7, ref generate_images_from_dicom.py:
+    48-51). pydicom when installed (full transfer-syntax coverage);
+    otherwise the stdlib-only explicit-VR-LE uncompressed reader in
+    ``functions.codecs`` — which covers the monochrome shape the
+    reference pipeline actually consumes."""
     try:
         import io
 
         import pydicom  # type: ignore[import-not-found]
-    except ImportError as e:  # pragma: no cover - env without pydicom
-        raise NotImplementedError(
-            "pydicom not available in this environment; decode_dicom is a "
-            "stub. The surrounding plumbing (binary column + metadata + "
-            "mapInPandas batching) is exercised with synthetic pixels."
-        ) from e
-    return pydicom.dcmread(io.BytesIO(content)).pixel_array
+
+        return pydicom.dcmread(io.BytesIO(content)).pixel_array
+    except ImportError:
+        from ..functions.codecs import decode_dicom_gray
+
+        return decode_dicom_gray(content)
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """ndarray → PNG bytes (O10). Real when PIL is installed."""
+    """ndarray → PNG bytes (O10, ref generate_images_from_dicom.py:80).
+    PIL when installed; otherwise the stdlib zlib+struct grayscale
+    encoder in ``functions.codecs``."""
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
-    except ImportError as e:  # pragma: no cover - env without PIL
-        raise NotImplementedError(
-            "PIL not available; encode_png is a stub (see decode_dicom)."
-        ) from e
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
-    return buf.getvalue()
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+    except ImportError:
+        from ..functions.codecs import encode_png_gray
+
+        return encode_png_gray(np.ascontiguousarray(arr, dtype=np.uint8))
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +185,35 @@ def apply_kernel(images: DataFrame, op: str, variant: int = 0,
                 out.append(
                     (r.img_id, np.ascontiguousarray(res).tobytes(), r.dtype,
                      r.height, r.width)
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
+def codec_roundtrip(images: DataFrame) -> DataFrame:
+    """O7+O10 in one verifiable chain: pixels → PNG encode → PNG decode →
+    DICOM encode → DICOM decode → pixels. Both codecs execute inside the
+    Arrow batch on executors; the output schema equals the input's, and
+    because both formats are lossless the pixels must come back
+    bit-identical — which ``pixel_stats`` downstream hash-checks against
+    the closed-form oracle."""
+    from ..functions import codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                via_png = C.decode_png_gray(encode_png(arr))
+                via_dcm = C.decode_dicom_gray(C.encode_dicom_gray(via_png))
+                out.append(
+                    (r.img_id, via_dcm.tobytes(), str(via_dcm.dtype),
+                     via_dcm.shape[0], via_dcm.shape[1])
                 )
             yield pd.DataFrame(
                 out, columns=["img_id", "pixels", "dtype", "height", "width"]

@@ -1988,6 +1988,38 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_codec_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 31 + i.i * 7) % 256 AS v
+        FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+    )
+    SELECT img_id,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="O7+O10 executed for real: pixels -> PNG encode -> PNG decode -> "
+    "DICOM encode -> DICOM decode -> stats, all inside Arrow batches "
+    "using the stdlib-only codecs (functions/codecs.py: zlib+struct PNG "
+    "with full filter support, explicit-VR-LE uncompressed DICOM; "
+    "pydicom/PIL preferred when installed). Both formats are lossless, "
+    "so the stats after two codec roundtrips must equal the closed-form "
+    "synthetic corpus — hash-checked. Ref generate_images_from_dicom.py"
+    ":48-51 (decode), :80 (PNG write).",
+    tags=("multimodal",),
+)
+def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images(spark, n=200, height=16, width=16)
+    return mm.pixel_stats(mm.codec_roundtrip(imgs))
+
+
+@register(
     "multimodal_augmented_stats",
     oracle="""
     WITH px AS (
