@@ -81,7 +81,7 @@ _CHECK_WINDOW_PRIORITY = [
     "rollup_aggregation",
     "set_operations",
     "graph_pagerank_integer",
-    "snapshot_diff_cdc",
+    "xml_annotation_scan",      # O37 XML → nested record, parser oracle
 ]
 
 

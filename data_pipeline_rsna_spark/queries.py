@@ -1988,6 +1988,73 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_annotation_scan",
+    oracle="""
+    WITH docs AS (SELECT unnest(generate_series(0, 11)) AS i),
+    objs AS (
+        SELECT d.i, j.j
+        FROM docs d
+        JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+          ON j.j < (d.i % 3)
+    )
+    SELECT 'img_' || d.i || '.png' AS filename,
+           CAST(100 + d.i AS INTEGER) AS width,
+           CAST(200 + d.i AS INTEGER) AS height,
+           CASE WHEN o.j IS NULL THEN NULL
+                ELSE 'cls_' || ((d.i + o.j) % 4) END AS obj_name,
+           CAST(d.i * 10 + o.j AS INTEGER) AS xmin,
+           CAST(d.i * 5 + o.j AS INTEGER) AS ymin,
+           CAST(d.i * 10 + o.j + 20 + o.j AS INTEGER) AS xmax,
+           CAST(d.i * 5 + o.j + 30 + o.j AS INTEGER) AS ymax
+    FROM docs d LEFT JOIN objs o ON o.i = d.i
+    """,
+    doc="O37 XML annotation scan (ref create_pascal_tf_record.py dict_"
+    "to_tf_example + dataset_util.recursive_parse_xml_to_dict:74-78): "
+    "VOC-style XML documents parsed to typed nested records inside "
+    "mapInPandas (repeated <object> tags become a list), then exploded "
+    "one row per box — explode_outer keeps annotation-less images, the "
+    "same outer semantics the reference's empty-object loop has. The "
+    "fixture corpus is closed-form, so DuckDB re-derives every parsed "
+    "value without seeing XML — a full parser-output hash check.",
+    tags=("sources",),
+)
+def q_xml_annotation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import readers
+
+    def make_xml(i: int) -> str:
+        objs = "".join(
+            f"<object><name>cls_{(i + j) % 4}</name>"
+            f"<bndbox><xmin>{i * 10 + j}</xmin><ymin>{i * 5 + j}</ymin>"
+            f"<xmax>{i * 10 + j + 20 + j}</xmax>"
+            f"<ymax>{i * 5 + j + 30 + j}</ymax></bndbox></object>"
+            for j in range(i % 3)
+        )
+        return (
+            f"<annotation><filename>img_{i}.png</filename>"
+            f"<size><width>{100 + i}</width><height>{200 + i}</height></size>"
+            f"{objs}</annotation>"
+        )
+
+    docs = spark.createDataFrame([(make_xml(i),) for i in range(12)], "xml string")
+    parsed = readers.parse_voc_annotations(docs)
+    return parsed.select(
+        "filename",
+        "width",
+        "height",
+        F.explode_outer("objects").alias("o"),
+    ).select(
+        "filename",
+        "width",
+        "height",
+        F.col("o.name").alias("obj_name"),
+        F.col("o.xmin").alias("xmin"),
+        F.col("o.ymin").alias("ymin"),
+        F.col("o.xmax").alias("xmax"),
+        F.col("o.ymax").alias("ymax"),
+    )
+
+
+@register(
     "multimodal_codec_roundtrip",
     oracle="""
     WITH px AS (

@@ -209,13 +209,86 @@ def parse_label_map_text(text: str) -> list[dict[str, Any]]:
     return items
 
 
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    """Protobuf base-128 varint at ``pos`` → (value, next_pos)."""
+    result = shift = 0
+    while True:
+        b = data[pos]
+        result |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _skip_field(data: bytes, pos: int, wire_type: int) -> int:
+    if wire_type == 0:
+        return _read_varint(data, pos)[1]
+    if wire_type == 1:
+        return pos + 8
+    if wire_type == 2:
+        ln, pos = _read_varint(data, pos)
+        return pos + ln
+    if wire_type == 5:
+        return pos + 4
+    raise ValueError(f"unsupported protobuf wire type {wire_type}")
+
+
+def parse_label_map_binary(data: bytes) -> list[dict[str, Any]]:
+    """O42 binary fallback (ref label_map_util.py:123-126: text parse,
+    then ``ParseFromString`` on failure): a from-scratch wire-format
+    parser for the public ``StringIntLabelMap`` message — repeated
+    ``item`` (field 1) of {name=1:string, id=2:int32,
+    display_name=3:string} — keeping the engine's no-protobuf stance.
+    Unknown fields are skipped by wire type, as protobuf requires."""
+    items = []
+    pos, n = 0, len(data)
+    while pos < n:
+        key, pos = _read_varint(data, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:  # repeated item
+            ln, pos = _read_varint(data, pos)
+            body, end = data[pos:pos + ln], pos + ln
+            item: dict[str, Any] = {"name": None, "id": None,
+                                    "display_name": None, "pos": len(items)}
+            ipos = 0
+            while ipos < len(body):
+                ikey, ipos = _read_varint(body, ipos)
+                ifield, iwt = ikey >> 3, ikey & 7
+                if ifield == 1 and iwt == 2:
+                    iln, ipos = _read_varint(body, ipos)
+                    item["name"] = body[ipos:ipos + iln].decode("utf-8")
+                    ipos += iln
+                elif ifield == 2 and iwt == 0:
+                    item["id"], ipos = _read_varint(body, ipos)
+                elif ifield == 3 and iwt == 2:
+                    iln, ipos = _read_varint(body, ipos)
+                    item["display_name"] = body[ipos:ipos + iln].decode("utf-8")
+                    ipos += iln
+                else:
+                    ipos = _skip_field(body, ipos, iwt)
+            items.append(item)
+            pos = end
+        else:
+            pos = _skip_field(data, pos, wt)
+    return items
+
+
 def read_label_map(spark: SparkSession, path: str) -> DataFrame:
-    """O42: label map file → dimension DataFrame. Driver-side parse is
-    correct here — the label map is a dimension table of a few dozen
-    bytes-long entries (``label_map_util.py:113-128``), broadcast
-    everywhere it joins."""
-    with open(path, encoding="utf-8") as fh:
-        items = parse_label_map_text(fh.read())
+    """O42: label map file → dimension DataFrame, text format first with
+    binary-proto fallback (the reference's exact order, label_map_util
+    .py:113-128). Driver-side parse is correct here — the label map is a
+    dimension table of a few dozen entries, broadcast everywhere it
+    joins."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    items: list[dict[str, Any]] = []
+    try:
+        items = parse_label_map_text(raw.decode("utf-8"))
+    except UnicodeDecodeError:
+        pass
+    if not items:
+        items = parse_label_map_binary(raw)
     return spark.createDataFrame(
         [
             (i["name"], i["id"], i["display_name"], i["pos"])

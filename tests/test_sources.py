@@ -107,6 +107,46 @@ def test_label_map_reader(spark, tmp_path):
     assert rows[2].name == "background-ish" and rows[2].display_name is None
 
 
+def _pb_varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _pb_str(field: int, s: str) -> bytes:
+    b = s.encode()
+    return _pb_varint(field << 3 | 2) + _pb_varint(len(b)) + b
+
+
+def _pb_int(field: int, v: int) -> bytes:
+    return _pb_varint(field << 3 | 0) + _pb_varint(v)
+
+
+def test_label_map_binary_proto_fallback(spark, tmp_path):
+    """O42 fallback order (ref label_map_util.py:123-126): a BINARY
+    StringIntLabelMap file — text parse yields nothing, the wire-format
+    parser must produce the same rows the text reader would. Includes an
+    unknown field (4, varint) that must be skipped, not choke."""
+    item1 = _pb_str(1, "/m/01g317") + _pb_int(2, 1) + _pb_str(3, "pneumonia")
+    item2 = _pb_str(1, "background-ish") + _pb_int(2, 2) + _pb_int(4, 99)
+    msg = b"".join(
+        _pb_varint(1 << 3 | 2) + _pb_varint(len(it)) + it
+        for it in (item1, item2)
+    )
+    p = tmp_path / "label_map.pb"
+    p.write_bytes(msg)
+    df = readers.read_label_map(spark, str(p))
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].name == "/m/01g317"
+    assert rows[1].display_name == "pneumonia" and rows[1].pos == 0
+    assert rows[2].name == "background-ish" and rows[2].display_name is None
+
+
 def test_robust_csv_quarantines_malformed(spark, tmp_path):
     from pyspark.sql import functions as F
 
