@@ -193,6 +193,56 @@ def apply_kernel(images: DataFrame, op: str, variant: int = 0,
     return images.mapInPandas(run, PIXELS_SCHEMA)
 
 
+def stage_dicom_fixture_dir(n: int = 40, height: int = 16,
+                            width: int = 16) -> str:
+    """Write a deterministic directory of real ``.dcm`` files (once) —
+    the file-based input the reference job consumes (a dir of DICOMs,
+    generate_images_from_dicom.py:70-78). pixel[i] of patient p is
+    ``(p*31 + i*7) % 256``, the same closed form the synthetic corpus
+    uses, so file-based results stay oracle-checkable."""
+    import os
+    import pathlib
+
+    from ..functions.codecs import encode_dicom_gray
+
+    d = pathlib.Path("/tmp/spark_graft_fixtures") / f"dicom_{n}_{height}x{width}"
+    marker = d / ".complete"
+    if not marker.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        npx = height * width
+        for pid in range(n):
+            px = ((pid * 31 + np.arange(npx, dtype=np.int64) * 7) % 256)
+            arr = px.astype(np.uint8).reshape(height, width)
+            tmp = d / f".tmp_{pid:04d}"
+            with open(tmp, "wb") as f:
+                f.write(encode_dicom_gray(arr))
+            os.replace(tmp, d / f"patient_{pid:04d}.dcm")
+        marker.touch()
+    return str(d)
+
+
+def decode_dicom_batch(files: DataFrame) -> DataFrame:
+    """(patient_id, content) rows → decoded pixel rows (O7 over a real
+    binaryFile scan): the numeric image id derives from the patient-id
+    suffix, decode runs inside the Arrow batch on executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_dicom(bytes(r.content))
+                out.append(
+                    (int(str(r.patient_id).rsplit("_", 1)[-1]),
+                     np.ascontiguousarray(arr).tobytes(), str(arr.dtype),
+                     arr.shape[0], arr.shape[1])
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return files.mapInPandas(run, PIXELS_SCHEMA)
+
+
 def codec_roundtrip(images: DataFrame) -> DataFrame:
     """O7+O10 in one verifiable chain: pixels → PNG encode → PNG decode →
     DICOM encode → DICOM decode → pixels. Both codecs execute inside the

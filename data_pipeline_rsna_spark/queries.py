@@ -2087,6 +2087,72 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dicom_png_export_counts",
+    oracle="""
+    WITH pats AS (SELECT unnest(generate_series(0, 39)) AS pid),
+    numbered AS (
+        SELECT pid, row_number() OVER (ORDER BY pid) AS rn,
+               count(*) OVER () AS n
+        FROM pats
+    ),
+    px AS (
+        SELECT p.pid, (p.pid * 31 + i.i * 7) % 256 AS v
+        FROM pats p
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+    ),
+    sums AS (SELECT pid, sum(v) AS s FROM px GROUP BY pid)
+    SELECT CASE WHEN rn <= round(n * 0.8) THEN 'train' ELSE 'val' END
+               AS split,
+           count(*) AS n_images,
+           CAST(sum(s) AS BIGINT) AS sum_px
+    FROM numbered JOIN sums USING (pid)
+    GROUP BY 1
+    """,
+    doc="The reference's generate_images_from_dicom job end-to-end with "
+    "REAL files and REAL codecs: a directory of .dcm files (staged "
+    "deterministic fixtures) -> binaryFile scan with suffix glob and "
+    "patient-id derivation (O6/O8) -> stdlib DICOM decode in Arrow "
+    "batches (O7) -> deterministic 80/20 split (O9, ref :70-78) -> PNG "
+    "files written per split from executors with manifest accounting "
+    "(O10/O13, ref :80). Output: per-split image count (from the "
+    "written-file manifests, so the files really exist) and total pixel "
+    "sum (from the decoded arrays) — both re-derived closed-form by "
+    "DuckDB without touching a file.",
+    tags=("multimodal", "core"),
+)
+def q_dicom_png_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pathlib
+
+    from .operators import multimodal as mm
+    from .sinks.images import write_png_dir
+
+    src = mm.stage_dicom_fixture_dir(n=40)
+    files = mm.read_binary_dir(spark, src, glob="*.dcm")
+    decoded = mm.decode_dicom_batch(files)
+    split = rel.deterministic_split(
+        decoded.select("img_id"), "img_id"
+    ).select("img_id", "split")
+    with_split = decoded.join(split, "img_id")
+    out_root = pathlib.Path("/tmp/spark_graft_out")
+    manifests = []
+    for s in ("train", "val"):
+        m = write_png_dir(
+            with_split.filter(F.col("split") == s).drop("split"),
+            str(out_root / f"dicom_png_{s}"),
+        )
+        manifests.append(m.withColumn("split", F.lit(s)))
+    manifest = manifests[0].unionByName(manifests[1])
+    counts = manifest.groupBy("split").agg(F.count("*").alias("n_images"))
+    sums = (
+        mm.pixel_stats(with_split)
+        .join(split, "img_id")
+        .groupBy("split")
+        .agg(F.sum("sum_px").alias("sum_px"))
+    )
+    return counts.join(sums, "split")
+
+
+@register(
     "multimodal_augmented_stats",
     oracle="""
     WITH px AS (
