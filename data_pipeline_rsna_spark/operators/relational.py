@@ -565,6 +565,68 @@ def snapshot_diff(
     return joined.select(F.col(key), status.alias("diff_status"))
 
 
+def cogrouped_reconcile(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key snapshot reconciliation via ``cogroup().applyInPandas`` —
+    the escape hatch for per-key logic joins can't express (custom
+    matching, ordered merges, model scoring over both sides at once).
+    THIS aggregate is deliberately join-expressible so the Python path
+    is exactly verifiable against a full-outer SQL oracle; prefer
+    ``snapshot_diff`` (pure JVM) when the logic fits a join.
+
+    Each key's rows from both snapshots arrive together in one pair of
+    pandas frames (empty frame when a side lacks the key — both cases
+    exercised). Shuffle cost equals the equivalent join's: both sides
+    exchange on the key once; worker memory is bounded by the largest
+    single key, the operator's real scale limit (salt the key first if
+    one key can exceed an executor)."""
+    import pandas as pd
+
+    def reconcile(kdf_old: pd.DataFrame, kdf_new: pd.DataFrame) -> pd.DataFrame:
+        ko = (
+            dict(zip(kdf_old[id_col], kdf_old[value_col]))
+            if len(kdf_old)
+            else {}
+        )
+        kn = (
+            dict(zip(kdf_new[id_col], kdf_new[value_col]))
+            if len(kdf_new)
+            else {}
+        )
+        kval = (
+            kdf_old[key].iloc[0] if len(kdf_old) else kdf_new[key].iloc[0]
+        )
+        common = ko.keys() & kn.keys()
+        changed = sum(1 for i in common if ko[i] != kn[i])
+        return pd.DataFrame(
+            [
+                (
+                    int(kval),
+                    len(kn.keys() - ko.keys()),
+                    len(ko.keys() - kn.keys()),
+                    changed,
+                    len(common) - changed,
+                )
+            ],
+            columns=[key, "n_added", "n_removed", "n_changed", "n_same"],
+        )
+
+    return (
+        old.groupBy(key)
+        .cogroup(new.groupBy(key))
+        .applyInPandas(
+            reconcile,
+            f"{key} long, n_added long, n_removed long, "
+            "n_changed long, n_same long",
+        )
+    )
+
+
 def global_running_max_desc(
     df: DataFrame,
     order_col: str,

@@ -2087,6 +2087,94 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cogrouped_reconcile_diff",
+    oracle="""
+    WITH old AS (
+        SELECT user_id, event_id, value FROM events WHERE event_id % 7 <> 0
+    ),
+    new AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END
+                   AS value
+        FROM events WHERE event_id % 3 <> 0
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CAST(sum(CASE WHEN o.event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN n.event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN o.event_id IS NOT NULL
+                          AND n.event_id IS NOT NULL
+                          AND o.value <> n.value THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN o.event_id IS NOT NULL
+                          AND n.event_id IS NOT NULL
+                          AND o.value = n.value THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_same
+    FROM old o
+    FULL JOIN new n
+      ON o.user_id = n.user_id AND o.event_id = n.event_id
+    GROUP BY 1
+    """,
+    doc="cogroup().applyInPandas per-key snapshot reconciliation: both "
+    "snapshots' rows for a key arrive together in one pandas pair "
+    "(empty frame when one side lacks the key — both directions occur "
+    "in this fixture). The escape hatch for per-key logic joins can't "
+    "express; this aggregate is deliberately join-expressible so the "
+    "Python path hash-checks exactly against the full-outer SQL. "
+    "Shuffle cost equals the join's; prefer snapshot_diff (pure JVM) "
+    "when a join fits.",
+    tags=("events", "pandas"),
+)
+def q_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    old = ev.filter(F.col("event_id") % 7 != 0)
+    new = ev.filter(F.col("event_id") % 3 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return rel.cogrouped_reconcile(old, new)
+
+
+@register(
+    "events_props_json_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN CAST(props->>'k' AS INTEGER) >= 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_k_ge_50,
+           max(CAST(props->>'k' AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured payload analytics: the events.props JSON string "
+    "column parsed with from_json under a DECLARED schema (JVM-side, "
+    "codegen — no Python, no schema inference pass) and aggregated per "
+    "type. The declared-schema parse is the 100 TB idiom: inference "
+    "would scan the corpus twice, and get_json_object per field would "
+    "re-parse the document per extraction; from_json parses once into "
+    "a struct all downstream expressions share.",
+    tags=("events", "json"),
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    parsed = ev.withColumn("j", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("j.k").cast("long")).alias("sum_k"),
+        F.sum(F.when(F.col("j.k") >= 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_k_ge_50"),
+        F.max("j.k").alias("max_k"),
+    )
+
+
+@register(
     "dicom_png_export_counts",
     oracle="""
     WITH pats AS (SELECT unnest(generate_series(0, 39)) AS pid),

@@ -56,7 +56,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     """File-source stream over the events parquet. Schema is declared
     (streaming sources never infer); ts arrives as parquet TIMESTAMP
     (NANOS) → read as long, convert to microsecond timestamps (same
-    convention as tables._load_events). In production this is a Kafka
+    convention as tables.load). In production this is a Kafka
     source; the transformation DAG is source-agnostic."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

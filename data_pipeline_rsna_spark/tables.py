@@ -33,13 +33,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCASTABLE_DIMS = frozenset({"region", "nation"})
 
 
+# Columns that have shipped as raw int64 epoch-NANOS in at least one
+# testdata generation (read as long under the nanosAsLong legacy conf).
+_EPOCH_NANOS_COLS = frozenset({"ts"})
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``,
+    normalizing temporal columns to microsecond TimestampType in a UTC
+    session. The driver has regenerated the testdata with different
+    physical timestamp types across rounds (INT64 nanos, then micros
+    NTZ) — normalizing at the scan keeps every downstream operator and
+    every recorded oracle hash stable under any future regeneration."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_temporal(raw)
+
+
+def _normalize_temporal(df: DataFrame) -> DataFrame:
+    """Bring every temporal column to microsecond TimestampType:
+    TIMESTAMP_NTZ wall-clocks are interpreted as UTC (hash-neutral in a
+    UTC session), and known epoch-nanos longs truncate via DIV 1000 —
+    DuckDB's own truncation, keeping time arithmetic engine-identical."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            out = out.withColumn(col, F.col(col).cast("timestamp"))
+        elif dtype == "bigint" and col in _EPOCH_NANOS_COLS:
+            out = out.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+            )
+    return out
 
 
 def events_ts_kind(path: str) -> str:
@@ -71,29 +100,9 @@ def events_ts_kind(path: str) -> str:
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """Normalize whatever raw shape ``ts`` arrived in to microsecond
-    TimestampType. Instants are identical to DuckDB's read of the same
-    file in a UTC session: nanos truncate (DIV 1000, DuckDB's own
-    truncation), NTZ wall-clocks are interpreted as UTC."""
-    from pyspark.sql import functions as F
-
-    dt = dict(df.dtypes).get("ts")
-    if dt == "bigint":  # epoch nanos read under nanosAsLong
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if dt == "timestamp_ntz":
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
-
-
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, normalizing ts to microsecond
-    TimestampType regardless of the file's physical timestamp type."""
-    # Both confs are no-ops when the file is already micros; they make
-    # the nanos generation readable and the NTZ→LTZ cast deterministic.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return normalize_events_ts(raw)
+    """Events-stream alias of ``_normalize_temporal`` (streaming readers
+    declare their raw schema, then normalize through this)."""
+    return _normalize_temporal(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
