@@ -2086,6 +2086,60 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_stats(mm.codec_roundtrip(imgs))
 
 
+_RECURSIVE_BFS_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS c,
+                        's' || CAST(l_suppkey AS STRING) AS s
+        FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 5 = 0
+    ),
+    e AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    reach(node, hop) AS (
+        SELECT DISTINCT 'c' || CAST(c_custkey AS STRING) AS node, 0 AS hop
+        FROM {customer} WHERE c_nationkey = 0
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN e ON r.node = e.src
+        WHERE r.hop < 2
+    )
+    SELECT node, CAST(min(hop) AS INTEGER) AS hop
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_bfs",
+    oracle=_RECURSIVE_BFS_SQL.format(
+        lineitem="lineitem", orders="orders", customer="customer"
+    ),
+    doc="Recursive-CTE BFS through the SQL API: Spark 4's WITH RECURSIVE "
+    "runs the IDENTICAL query text DuckDB runs as the oracle — min-hop "
+    "reachability (<=2 hops) from nation-0 customers over a thinned "
+    "bidirectional trade graph. Third formulation of the same semantics "
+    "as graph_bfs_hops' level-synchronous frontier loop: the recursive "
+    "CTE enumerates paths (cost grows with path count, the unguarded "
+    "form of the oracle's unrolled joins), which is why the frontier "
+    "loop with anti-join pruning remains the 100 TB path; the SQL-API "
+    "surface exists for the queries where recursion depth and fan-out "
+    "are small and known.",
+    tags=("graph", "sql"),
+)
+def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(f"_rec_{t}")
+    return spark.sql(
+        _RECURSIVE_BFS_SQL.format(
+            lineitem="_rec_lineitem",
+            orders="_rec_orders",
+            customer="_rec_customer",
+        )
+    )
+
+
 @register(
     "cogrouped_reconcile_diff",
     oracle="""
