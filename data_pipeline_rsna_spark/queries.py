@@ -2195,6 +2195,189 @@ def q_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_fill_linear",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (
+        SELECT user_id, day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM obs WHERE rn = 1
+    ),
+    seq AS (
+        SELECT user_id, day, cents,
+               lead(day) OVER w AS next_day,
+               lead(cents) OVER w AS next_cents
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    filled AS (
+        SELECT user_id, day, next_day, cents, next_cents,
+               unnest(generate_series(
+                   day, COALESCE(next_day - 1, day), INTERVAL 1 DAY
+               ))::DATE AS gen_day
+        FROM seq
+    )
+    SELECT user_id,
+           (gen_day - DATE '1970-01-01') AS epoch_day,
+           CAST(gen_day = day AS INTEGER) AS is_observed,
+           CAST(CASE WHEN next_day IS NULL THEN cents
+                ELSE cents * (next_day - gen_day)
+                     + next_cents * (gen_day - day) END AS BIGINT)
+               AS interp_num,
+           CAST(COALESCE(next_day - day, 1) AS BIGINT) AS interp_den
+    FROM filled
+    """,
+    doc="X5+ linear-interpolation gap fill (the resample-and-interpolate "
+    "twin of events_gap_fill_locf): densify each user's daily purchase "
+    "series, interpolating gap days linearly between the surrounding "
+    "observations. The interpolated value is exported as an EXACT "
+    "rational (num = c0*(t1-g) + c1*(g-t0) over den = t1-t0, integer "
+    "cents x day counts) because the engines' integer-division rounding "
+    "disagrees on negative slopes (truncate vs floor) — the consumer "
+    "divides once at the edge. Gap days generate from each key's own "
+    "rows, never a dense-calendar cross join; one user_id exchange "
+    "serves the dedup window, the lead, and the aggregate.",
+    tags=("events",),
+)
+def q_events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.col("ts").cast("date")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ts", "event_id")
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.withColumn("next_day", F.lead("day").over(wu)).withColumn(
+        "next_cents", F.lead("cents").over(wu)
+    )
+    filled = seq.withColumn(
+        "gen_day",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.coalesce(
+                    F.date_sub(F.col("next_day"), 1), F.col("day")
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    dd = F.datediff
+    return filled.select(
+        "user_id",
+        dd(F.col("gen_day"), F.lit("1970-01-01")).alias("epoch_day"),
+        (F.col("gen_day") == F.col("day")).cast("int").alias("is_observed"),
+        F.when(F.col("next_day").isNull(), F.col("cents"))
+        .otherwise(
+            F.col("cents") * dd(F.col("next_day"), F.col("gen_day"))
+            + F.col("next_cents") * dd(F.col("gen_day"), F.col("day"))
+        )
+        .cast("long")
+        .alias("interp_num"),
+        F.coalesce(
+            dd(F.col("next_day"), F.col("day")), F.lit(1)
+        )
+        .cast("long")
+        .alias("interp_den"),
+    )
+
+
+@register(
+    "null_semantics_probe",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_custkey END AS cust
+        FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE o_orderstatus END AS status,
+               'grp_' || COALESCE(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                                       ELSE o_orderstatus END, '?') AS label
+        FROM orders
+    )
+    SELECT b.status,
+           any_value(d.label) AS label,
+           count(*) AS n_rows,
+           count(b.cust) AS n_cust_nonnull,
+           CAST(count(DISTINCT b.cust) AS BIGINT) AS n_cust_distinct,
+           CAST(sum(CASE WHEN b.cust IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cust_null
+    FROM base b
+    JOIN dim d ON b.status IS NOT DISTINCT FROM d.status
+    GROUP BY b.status
+    """,
+    doc="Cross-engine NULL semantics pinned by oracle: aggregate NULL "
+    "exclusion (count(col) vs count(*)), count(DISTINCT) ignoring "
+    "nulls, NULL grouping keys collapsing to one group, and the "
+    "null-safe equality join (Spark's <=> == SQL's IS NOT DISTINCT "
+    "FROM) that matches the NULL dimension row a plain equi-join would "
+    "drop. These are the semantics data-cleaning pipelines silently "
+    "depend on; the probe makes an engine divergence a red gate row "
+    "instead of a quiet data loss.",
+    tags=("relational",),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust"),
+    )
+    dim = base.select(
+        "status",
+        F.concat(F.lit("grp_"), F.coalesce("status", F.lit("?"))).alias(
+            "label"
+        ),
+    ).distinct()
+    joined = base.alias("b").join(
+        dim.alias("d"), F.col("b.status").eqNullSafe(F.col("d.status"))
+    )
+    return joined.groupBy(F.col("b.status").alias("status")).agg(
+        F.any_value("d.label").alias("label"),
+        F.count("*").alias("n_rows"),
+        F.count("b.cust").alias("n_cust_nonnull"),
+        F.countDistinct("b.cust").cast("long").alias("n_cust_distinct"),
+        F.sum(F.when(F.col("b.cust").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cust_null"),
+    )
+
+
+@register(
     "events_props_json_agg",
     oracle="""
     SELECT event_type,
