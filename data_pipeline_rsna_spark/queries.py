@@ -2306,6 +2306,42 @@ def q_events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name, c.c_name, c.bal_cents
+    FROM {nation} n,
+    LATERAL (
+        SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM {customer}
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2
+    ) c
+"""
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle=_LATERAL_TOPK_SQL.format(nation="nation", customer="customer"),
+    doc="Correlated LATERAL subquery through the SQL API — top-2 "
+    "customers by balance per nation, the IDENTICAL query text running "
+    "on both engines. Catalyst decorrelates the lateral into a ranked "
+    "window under the hood (same physical shape as window_topk_per_"
+    "group), so the per-outer-row LIMIT never executes row-at-a-time; "
+    "deterministic tie-break on (balance, name) keeps the hash exact.",
+    tags=("relational", "sql"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.load(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    return spark.sql(
+        _LATERAL_TOPK_SQL.format(
+            nation="_lat_nation", customer="_lat_customer"
+        )
+    )
+
+
 @register(
     "null_semantics_probe",
     oracle="""

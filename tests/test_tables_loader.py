@@ -1,0 +1,80 @@
+"""Generation-proof table loading: the driver has shipped events.ts as
+INT64 epoch-nanos and as TIMESTAMP(MICROS)-NTZ across testdata
+generations. The loader must normalize EVERY physical shape to the same
+microsecond TimestampType instants — these tests fabricate each shape
+and assert identical values, since the live testdata can only exercise
+one shape at a time."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_pipeline_rsna_spark import tables
+
+US = [1704067200_000_000 + i * 37_000_000 for i in range(8)]  # 2024-01-01 +
+
+
+def _write_events(path, ts_array):
+    t = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([i % 3 for i in range(8)], pa.int64()),
+            "event_type": pa.array(["click"] * 8),
+            "value": pa.array([float(i) for i in range(8)]),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    pq.write_table(t, path)
+
+
+@pytest.mark.parametrize(
+    "kind,arr",
+    [
+        ("ntz", pa.array(US, pa.int64()).cast(pa.timestamp("us"))),
+        ("nanos", pa.array([u * 1000 for u in US], pa.int64()).cast(
+            pa.timestamp("ns"))),
+        ("ltz", pa.array(US, pa.int64()).cast(pa.timestamp("us", tz="UTC"))),
+        ("raw-int64-nanos", pa.array([u * 1000 for u in US], pa.int64())),
+    ],
+)
+def test_events_loader_normalizes_every_generation(spark, tmp_path, kind, arr):
+    d = tmp_path / kind
+    d.mkdir()
+    _write_events(str(d / "events.parquet"), arr)
+    df = tables.load(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.select("ts").collect())
+    import datetime
+
+    want = sorted(
+        datetime.datetime.fromtimestamp(u / 1e6, tz=datetime.timezone.utc)
+        .replace(tzinfo=None)
+        for u in US
+    )
+    assert got == want, kind
+
+
+def test_events_ts_kind_sniffs_footer(tmp_path):
+    cases = {
+        "ntz": pa.array(US, pa.int64()).cast(pa.timestamp("us")),
+        "nanos": pa.array([u * 1000 for u in US], pa.int64()).cast(
+            pa.timestamp("ns")),
+        "ltz": pa.array(US, pa.int64()).cast(pa.timestamp("us", tz="UTC")),
+    }
+    for kind, arr in cases.items():
+        p = tmp_path / f"{kind}.parquet"
+        _write_events(str(p), arr)
+        assert tables.events_ts_kind(str(p)) == kind
+
+
+def test_orders_ntz_dates_normalize(spark, sf_dir):
+    """The generalization beyond events: o_orderdate/l_shipdate arrive
+    as whatever the current generation uses and must come out LTZ."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    assert dict(orders.dtypes)["o_orderdate"] == "timestamp"
+    assert dict(li.dtypes)["l_shipdate"] == "timestamp"
