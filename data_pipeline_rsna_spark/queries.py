@@ -3787,6 +3787,76 @@ def q_fuzzy_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "upsert_tombstone_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               1 AS version, 0 AS is_delete
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                    ELSE 'U' END AS o_orderstatus,
+               o_totalprice + 500.0 AS o_totalprice,
+               2 AS version,
+               CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS is_delete
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC
+        ) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents
+    FROM merged WHERE rn = 1 AND is_delete = 0
+    GROUP BY o_orderstatus
+    """,
+    doc="CDC apply WITH DELETES: the change feed carries upserts and "
+    "tombstones; latest version per key wins, and a winning tombstone "
+    "removes the key from the merged view entirely (the MERGE ... WHEN "
+    "MATCHED AND is_delete THEN DELETE semantics of a lakehouse table, "
+    "as one keyed window + filter — same single shuffle as the plain "
+    "upsert, the tombstone is just a column the filter reads). "
+    "Verified by post-merge aggregate.",
+    tags=("relational",),
+)
+def q_upsert_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("version", F.lit(1)).withColumn("is_delete", F.lit(0))
+    changes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderstatus"))
+        .otherwise(F.lit("U"))
+        .alias("o_orderstatus"),
+        (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0).alias(
+            "is_delete"
+        ),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    merged = (
+        base.unionByName(changes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("is_delete") == 0))
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@register(
     "upsert_snapshot_merge",
     oracle="""
     WITH base AS (
