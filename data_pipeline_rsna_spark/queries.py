@@ -4171,6 +4171,63 @@ def q_multimodal_patch_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_tokenization",
+    oracle="""
+    WITH noisy AS (
+        SELECT doc_id,
+               'user' || (doc_id % 40) || '@example.com' AS email
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    tok AS (
+        SELECT doc_id, email,
+               'tok_' || substr(md5('pepper|' || email), 1, 16) AS token
+        FROM noisy
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT email) AS BIGINT) AS n_emails,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN token = 'tok_' ||
+                    substr(md5('pepper|' || email), 1, 16)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stable
+    FROM tok
+    """,
+    doc="Deterministic PII tokenization (the referential-integrity "
+    "complement of redaction): each email maps to a stable surrogate "
+    "token via keyed md5, so joins across tables survive scrubbing. "
+    "Distinct-token count must equal distinct-email count (injective on "
+    "this domain) and every token must re-derive (stability) — both "
+    "asserted in the output and hash-checked cross-engine. In "
+    "production the pepper is a secret from a KMS, not a literal; the "
+    "dataflow is identical.",
+    tags=("text",),
+)
+def q_text_pii_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"), (F.col("doc_id") % 40).cast("string"),
+            F.lit("@example.com")
+        ).alias("email"),
+    )
+    token = F.concat(
+        F.lit("tok_"),
+        F.substring(F.md5(F.concat(F.lit("pepper|"), F.col("email"))), 1, 16),
+    )
+    tok = noisy.withColumn("token", token)
+    return tok.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("email").cast("long").alias("n_emails"),
+        F.countDistinct("token").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("token") == token, 1).otherwise(0))
+        .cast("long")
+        .alias("n_stable"),
+    )
+
+
+@register(
     "text_pii_redaction",
     oracle="""
     WITH noisy AS (

@@ -83,6 +83,40 @@ def test_dicom_rejects_garbage():
         C.decode_png_gray(b"JFIF not a png")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @given(
+        arr=arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 40), st.integers(1, 40)
+            ),
+            elements=st.integers(0, 255),
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_roundtrip_property(arr):
+        assert np.array_equal(C.decode_png_gray(C.encode_png_gray(arr)), arr)
+
+    @given(
+        arr=arrays(
+            np.int16,
+            st.tuples(st.integers(1, 24), st.integers(1, 24)),
+            elements=st.integers(-(2 ** 15), 2 ** 15 - 1),
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_dicom_roundtrip_property(arr):
+        back = C.decode_dicom_gray(C.encode_dicom_gray(arr))
+        assert back.dtype == np.int16 and np.array_equal(back, arr)
+
+except ImportError:  # pragma: no cover - hypothesis always present here
+    pass
+
+
 def test_spark_codec_roundtrip_preserves_pixels(spark):
     from data_pipeline_rsna_spark.operators import multimodal as mm
 
