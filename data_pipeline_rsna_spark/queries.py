@@ -1227,6 +1227,97 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.srp_ivf_topk(emb, queries, k=10, nprobe=4)
 
 
+@register(
+    "similarity_knn_graph_stats",
+    oracle="""
+    WITH signs AS (
+        SELECT h.h AS h,
+               list_transform(generate_series(0, 63), j ->
+                   CASE WHEN substr(md5(CAST(h.h AS STRING) || '|' ||
+                                        CAST(j AS STRING)), 1, 1) >= '8'
+                        THEN 1.0 ELSE -1.0 END) AS sv
+        FROM (SELECT unnest(generate_series(0, 3)) AS h) h
+    ),
+    vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    bits AS (
+        SELECT v.vec_id, s.h,
+               CASE WHEN list_dot_product(v.e, s.sv) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM vecs v CROSS JOIN signs s
+    ),
+    cells AS (
+        SELECT vec_id, CAST(sum(bit * (1 << h)) AS INTEGER) AS cell
+        FROM bits GROUP BY vec_id
+    ),
+    qs AS (
+        SELECT v.vec_id AS query_id, v.e AS qe, c.cell AS qcell
+        FROM vecs v JOIN cells c USING (vec_id) WHERE vec_id < 500
+    ),
+    probes AS (
+        SELECT query_id, qe, cell FROM (
+            SELECT q.query_id, q.qe, a.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY bit_count(CAST(xor(q.qcell, a.cell)
+                                               AS BIGINT)), a.cell
+                   ) AS pr
+            FROM qs q
+            CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cell) a
+        ) WHERE pr <= 4
+    ),
+    sims AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(p.qe, v.e)
+                     / (sqrt(list_dot_product(p.qe, p.qe))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell
+        JOIN vecs v ON v.vec_id = c.vec_id
+        WHERE v.vec_id <> p.query_id
+    ),
+    knn AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM sims
+        ) WHERE rank <= 3
+    ),
+    indeg AS (
+        SELECT neighbor_id, count(*) AS in_degree FROM knn GROUP BY 1
+    )
+    SELECT CAST(in_degree AS BIGINT) AS in_degree,
+           count(*) AS n_nodes
+    FROM indeg GROUP BY 1
+    """,
+    doc="kNN-graph build over the deterministic SRP cells (the diversity-"
+    "sampling / near-dup-clustering primitive of a training corpus): "
+    "every query vector links to its 3 approximate nearest neighbors, "
+    "then the neighbor in-degree distribution summarizes hubness — the "
+    "quantity that decides whether embedding-based dedup will collapse "
+    "clusters. Same cell-keyed candidate join as similarity_ivf_topk "
+    "(never a crossJoin); at 100 TB the graph build is one cell-"
+    "partitioned self-join whose fan-in is bounded by cell size.",
+    tags=("similarity",),
+)
+def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    knn = sim.srp_ivf_topk(emb, queries, k=3, nprobe=4)
+    indeg = knn.groupBy("neighbor_id").agg(F.count("*").alias("in_degree"))
+    return indeg.groupBy(F.col("in_degree").cast("long").alias("in_degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X5/X6 — windowed event analytics over `events` (batch + streaming twin).
 # ---------------------------------------------------------------------------
