@@ -28,7 +28,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # one-per-family representatives of the extension surface (X1–X8) so the
 # whole reference inventory lands inside the checked window; the
 # remaining extension variants follow in registration order and stay
-# covered by the local gate (tools/check_oracle.py, all 152).
+# covered by the local gate (tools/check_oracle.py, all registered).
 _CHECK_WINDOW_PRIORITY = [
     # --- reference core O1–O44 ---
     "labels_ingest",            # O1–O5 ingest→boxes→target

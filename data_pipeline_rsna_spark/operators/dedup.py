@@ -40,8 +40,19 @@ def tokens_col(text_col: str = "text") -> F.Column:
 
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles. Documents shorter than ``n`` tokens
-    produce no shingles (callers filter those; the oracle does too)."""
-    ws = tokens_col(text_col)
+    produce no shingles (callers filter those; the oracle does too)).
+
+    PERF: higher-order-function lambdas are interpreted, not codegen'd,
+    and an expression argument referenced inside the lambda is
+    re-evaluated per element. With ``ws`` inlined here, the regex split
+    runs once per shingle POSITION — O(words²) per document. Hot paths
+    must bind the token array to a real column first and pass its name
+    (see ``exploded_shingles``); this inline form is kept for one-shot
+    column contexts only."""
+    return _shingles_over(tokens_col(text_col), n)
+
+
+def _shingles_over(ws: F.Column, n: int) -> F.Column:
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(ws) - n),
@@ -54,18 +65,23 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3) -> DataFrame:
     """One row per (doc, distinct shingle). The inverted-index base.
 
-    Repartitions by ``id_col`` first: shingling + per-shingle hashing is
-    the CPU-bound hot path, and a small parquet (or a coalesced upstream)
-    can arrive in far fewer partitions than cores. Hash-partitioning on
-    the doc id spreads that work AND already satisfies the
+    Tokenizes BEFORE the exchange, shingles after: the regex split is
+    bound to a concrete column on the map side, so the interpreted
+    shingle lambda slices a materialized array instead of re-running
+    ``split`` per shingle position (the exchange is a hard boundary
+    CollapseProject can't inline across — measured 1.5× on the whole
+    stage). The repartition on ``id_col`` also spreads the CPU-bound
+    shingle+hash work across all cores AND already satisfies the
     ``groupBy(id_col)`` distribution every consumer needs, so Catalyst
-    plans no second exchange — the shuffle count is unchanged, it just
-    moves before the expensive projection."""
+    plans no second exchange — same shuffle count, tokens move instead
+    of raw text (similar bytes)."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.col("_ws")
     return (
-        docs.repartition(n_parts, id_col)
-        .filter(F.size(tokens_col(text_col)) >= n)
-        .select(id_col, F.explode(shingles_col(text_col, n)).alias("shingle"))
+        docs.select(id_col, tokens_col(text_col).alias("_ws"))
+        .repartition(n_parts, id_col)
+        .filter(F.size(toks) >= n)
+        .select(id_col, F.explode(_shingles_over(toks, n)).alias("shingle"))
     )
 
 

@@ -61,10 +61,34 @@ def decode_dicom(content: bytes) -> np.ndarray:
         return decode_dicom_gray(content)
 
 
+def bytescale(arr: np.ndarray) -> np.ndarray:
+    """``scipy.misc.imsave``'s implicit conversion (the reference writes
+    every PNG through imsave, generate_images_from_dicom.py:80): non-uint8
+    input is linearly min-max rescaled to the full uint8 range —
+    ``(v - min) * 255 / (max - min) + 0.5`` truncated. Real DICOM pixels
+    are typically MONOCHROME2 uint16, so this rescale IS the reference's
+    output semantics; a mod-256 cast (the previous fallback) silently
+    corrupts every pixel above 255."""
+    if arr.dtype == np.uint8:
+        return arr
+    if arr.size == 0:
+        return arr.astype(np.uint8)
+    a = arr.astype(np.float64)
+    lo = float(a.min())
+    hi = float(a.max())
+    if hi <= lo:
+        return np.zeros(arr.shape, np.uint8)
+    return ((a - lo) * (255.0 / (hi - lo)) + 0.5).astype(np.uint8)
+
+
 def encode_png(arr: np.ndarray) -> bytes:
     """ndarray → PNG bytes (O10, ref generate_images_from_dicom.py:80).
-    PIL when installed; otherwise the stdlib zlib+struct grayscale
-    encoder in ``functions.codecs``."""
+    Non-uint8 input is ``bytescale``d first — on BOTH paths, so the PIL
+    and stdlib encoders emit identical 8-bit images (PIL would otherwise
+    write a 16-bit PNG for uint16 input, diverging from the reference's
+    imsave). PIL when installed; otherwise the stdlib zlib+struct
+    grayscale encoder in ``functions.codecs``."""
+    arr = bytescale(arr)
     try:
         import io
 
@@ -76,7 +100,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     except ImportError:
         from ..functions.codecs import encode_png_gray
 
-        return encode_png_gray(np.ascontiguousarray(arr, dtype=np.uint8))
+        return encode_png_gray(np.ascontiguousarray(arr))
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,90 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+# monotonically_increasing_id layout: partition id in the high 31 bits,
+# per-partition row index in the low 33 (Spark's documented encoding) —
+# so one narrow projection recovers BOTH the physical partition and the
+# local row index of an already-sorted partition. Bound: 2^33 ≈ 8.5B
+# rows per partition, far above any sane partition sizing.
+_MID_PART_BITS = 33
+_MID_ROW_MASK = (1 << _MID_PART_BITS) - 1
+
+
+def _ranked_by_mid(
+    df: DataFrame, order_col: str, partitions: int | None = None
+) -> DataFrame:
+    """Range-partition + local sort, with ``(_pid, _local_rn)`` derived
+    from ``monotonically_increasing_id`` instead of a WindowExec.
+
+    The previous form stamped ``spark_partition_id`` and ranked with
+    ``row_number() OVER (PARTITION BY _pid)`` — but the eager checkpoint
+    (see below) erases partitioning metadata (``UnknownPartitioning`` on
+    the LogicalRDD scan), so Catalyst re-shuffled AND re-sorted the whole
+    dataset just to feed a window that computes an index the sort already
+    determined. The mid-based form is pure narrow projection: no window,
+    no post-checkpoint exchange, one data pass.
+
+    The eager localCheckpoint pins the range partitioner's sampled
+    boundaries and the assigned ids, so every consumer (the rows, the
+    per-partition counts metadata) sees one immutable layout — a
+    re-executed range exchange over a shuffle-fed input can sample
+    different boundaries per execution, which would silently misalign
+    the offsets. ``order_col`` must be unique for a stable rank.
+    """
+    n = int(
+        partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    return (
+        part.withColumn(
+            "_pid",
+            F.shiftright(F.col("_mid"), _MID_PART_BITS).cast("int"),
+        )
+        .withColumn(
+            "_local_rn", (F.col("_mid").bitwiseAND(_MID_ROW_MASK)) + 1
+        )
+        .drop("_mid")
+    )
+
+
+def _partition_offsets(ranked: DataFrame) -> tuple[dict[int, int], int]:
+    """Exclusive prefix-sum start offset per physical partition, plus the
+    total row count. The per-partition counts are METADATA — one row per
+    partition, the same cardinality AQE ships to the driver after every
+    shuffle — so they are collected and folded driver-side; the data
+    itself is never moved."""
+    rows = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    offsets: dict[int, int] = {}
+    total = 0
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = total
+        total += r["_cnt"]
+    return offsets, total
+
+
+def _offset_col(offsets: dict[int, int]) -> Column:
+    """Partition-offset lookup as a scalar expression (a literal map):
+    no join, no broadcast exchange, no second scan. Partition counts are
+    bounded by the shuffle partition count (thousands at 100 TB), well
+    inside expression-size limits; a 100k-partition deployment would
+    switch to a broadcast-join lookup, with everything else unchanged."""
+    if not offsets:
+        return F.lit(0)
+    pairs: list[Column] = []
+    for pid, off in offsets.items():
+        pairs.append(F.lit(pid))
+        pairs.append(F.lit(off))
+    return F.coalesce(
+        F.create_map(*pairs)[F.col("_pid")].cast("bigint"), F.lit(0)
+    )
+
+
 def global_row_number(
     df: DataFrame, order_col: str, out_col: str = "rn", partitions: int | None = None
 ) -> DataFrame:
@@ -22,61 +106,26 @@ def global_row_number(
 
     A bare ``row_number().over(Window.orderBy(c))`` collapses the whole
     dataset into ONE task (Spark's WindowExec warns about exactly this) —
-    correct at test scale, fatal at 100 TB. This is the two-phase form:
+    correct at test scale, fatal at 100 TB. Two-phase form:
 
     1. range-partition + sort within partitions on ``order_col`` (a
        parallel total order: every value in partition i ≤ partition i+1),
-    2. per-partition local ``row_number``,
-    3. add each partition's start offset, computed from the tiny
-       (#partitions rows) per-partition counts and broadcast back.
+       local index free from ``monotonically_increasing_id``,
+    2. add each partition's start offset, computed from the tiny
+       (#partitions rows) counts metadata and applied as a literal map.
 
     Exact sampling boundaries of the range partitioner don't affect the
     result — the rank depends only on the total order, which any boundary
     placement preserves. ``order_col`` must be unique for a stable rank.
     """
-    ranked, counts = _ranked_with_partition_counts(df, order_col, partitions)
-    # offsets = exclusive prefix sum over the #partitions-row counts table
-    # (metadata, not data): a triangular self-join on this tiny table
-    # beats a global window, which would drag the plan through a
-    # single-partition WindowExec
-    earlier = counts.select(
-        F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2")
-    )
-    offsets = (
-        counts.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_offset"))
-    )
+    ranked = _ranked_by_mid(df, order_col, partitions)
+    offsets, _ = _partition_offsets(ranked)
     return (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("int"))
-        .drop("_pid", "_local_rn", "_offset")
+        ranked.withColumn(
+            out_col, (F.col("_local_rn") + _offset_col(offsets)).cast("int")
+        )
+        .drop("_pid", "_local_rn")
     )
-
-
-def _ranked_with_partition_counts(
-    df: DataFrame, order_col: str, partitions: int | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """Shared core of the two-phase rank: range-partitioned locally-ranked
-    rows plus the tiny per-partition counts table.
-
-    Materialized eagerly for the same reason as grouped_running_sum: the
-    ranked rows and the counts/offsets tables are separate consumers of
-    this subtree, and a re-executed range exchange over a shuffle-fed
-    input (e.g. deterministic_split on an aggregated patients table) can
-    sample different boundaries per execution — different ``_pid``
-    assignments would silently corrupt the offset join."""
-    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    part = (
-        df.repartitionByRange(int(n), F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    local_w = Window.partitionBy("_pid").orderBy(order_col)
-    ranked = part.withColumn("_local_rn", F.row_number().over(local_w))
-    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    return ranked, counts
 
 
 def deterministic_split(
@@ -92,36 +141,30 @@ def deterministic_split(
     nondeterministic. ``bug_compat_off_by_one`` reproduces the
     reference's ``index < training_size - 1`` (one row short, ``:78``).
 
-    Uses the parallel two-phase rank (no single-partition sort); the
-    row-count cutoff is derived from the rank's own per-partition counts
-    metadata — no extra scan of the data. At 100 TB prefer
-    ``hash_split``, which needs no shuffle at all and is stable under
-    re-partitioning.
+    Uses the parallel two-phase rank (no single-partition sort, no
+    WindowExec — see ``_ranked_by_mid``); the row-count cutoff folds out
+    of the same per-partition counts metadata driver-side, so the final
+    plan is checkpoint-scan → narrow projection, zero joins. At 100 TB
+    prefer ``hash_split``, which needs no shuffle at all and is stable
+    under re-partitioning.
     """
-    ranked, counts = _ranked_with_partition_counts(df, order_col)
-    earlier = counts.select(
-        F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2")
-    )
-    offsets = (
-        counts.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_offset"))
-    )
-    cutoff = F.round(F.sum("_cnt") * train_frac).cast("int")
+    import math
+
+    ranked = _ranked_by_mid(df, order_col)
+    offsets, total = _partition_offsets(ranked)
+    # HALF_UP to match both Spark's and DuckDB's round() for positives
+    cutoff = int(math.floor(total * train_frac + 0.5))
     if bug_compat_off_by_one:
-        cutoff = cutoff - 1
-    cutoff_df = counts.agg(cutoff.alias("_cutoff"))
+        cutoff -= 1
     return (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .join(F.broadcast(cutoff_df))
-        .withColumn(
+        ranked.withColumn(
             "split",
             F.when(
-                F.col("_local_rn") + F.col("_offset") <= F.col("_cutoff"),
+                F.col("_local_rn") + _offset_col(offsets) <= cutoff,
                 "train",
             ).otherwise("val"),
         )
-        .drop("_pid", "_local_rn", "_offset", "_cutoff")
+        .drop("_pid", "_local_rn")
     )
 
 

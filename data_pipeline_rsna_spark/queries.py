@@ -86,9 +86,18 @@ def _lineitem_as_raw_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole plan). It also moves compact raw numerics over the wire and
     runs the CPU-heavy cast chain post-shuffle on all cores — 3× faster
     than projecting inside a narrow (single-row-group) scan task. Filters
-    on patientId still push through the RepartitionByExpression."""
+    on patientId still push through the RepartitionByExpression.
+
+    Width = defaultParallelism (cores), NOT spark.sql.shuffle.partitions:
+    the shuffle-partition knob is sized for post-agg row counts (small at
+    low SF), but this stage is CPU-bound on the full pre-agg fact table —
+    under-parallelizing it idles most cores (measured 1.5× whole-query
+    at 32-way vs 8-way on 32 cores). The later groupBy(patient_id) still
+    plans no second exchange: hash clustering on the same key satisfies
+    the agg's required distribution at any partition count."""
     li = tables.load(spark, sf_dir, "lineitem")
-    li = li.repartition(F.col("l_orderkey").cast("string"))
+    n_parts = spark.sparkContext.defaultParallelism
+    li = li.repartition(n_parts, F.col("l_orderkey").cast("string"))
     return li.select(
         F.col("l_orderkey").cast("string").alias("patientId"),
         (F.pmod(F.col("l_partkey") * 7, F.lit(800)).cast("double") + F.lit(0.5))
@@ -1330,7 +1339,12 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n,
            round(sum(value), 2) AS sum_value,
-           CAST(round(sum(value) * 100) AS BIGINT) * 10000 // count(*) AS avg_micro
+           -- DuckDB // floors, Spark DIV truncates toward zero: compute on
+           -- abs() and reapply the sign so the two agree even if a
+           -- (window, type) group ever sums negative
+           CAST(sign(CAST(round(sum(value) * 100) AS BIGINT)) AS BIGINT)
+             * (abs(CAST(round(sum(value) * 100) AS BIGINT)) * 10000
+                // count(*)) AS avg_micro
     FROM events
     GROUP BY 1, 2
     """,
@@ -1630,7 +1644,12 @@ def q_events_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n,
            round(sum(value), 2) AS sum_value,
-           CAST(round(sum(value) * 100) AS BIGINT) * 10000 // count(*) AS avg_micro
+           -- DuckDB // floors, Spark DIV truncates toward zero: compute on
+           -- abs() and reapply the sign so the two agree even if a
+           -- (window, type) group ever sums negative
+           CAST(sign(CAST(round(sum(value) * 100) AS BIGINT)) AS BIGINT)
+             * (abs(CAST(round(sum(value) * 100) AS BIGINT)) * 10000
+                // count(*)) AS avg_micro
     FROM events
     GROUP BY 1, 2
     """,

@@ -210,9 +210,13 @@ def parse_label_map_text(text: str) -> list[dict[str, Any]]:
 
 
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
-    """Protobuf base-128 varint at ``pos`` → (value, next_pos)."""
+    """Protobuf base-128 varint at ``pos`` → (value, next_pos). A varint
+    truncated by the end of the buffer raises ValueError (not IndexError)
+    so corrupt input is a clean parse error, never a stray indexing bug."""
     result = shift = 0
     while True:
+        if pos >= len(data):
+            raise ValueError("truncated varint at end of buffer")
         b = data[pos]
         result |= (b & 0x7F) << shift
         pos += 1
@@ -285,8 +289,11 @@ def read_label_map(spark: SparkSession, path: str) -> DataFrame:
     items: list[dict[str, Any]] = []
     try:
         items = parse_label_map_text(raw.decode("utf-8"))
-    except UnicodeDecodeError:
-        pass
+    except Exception:
+        # the reference's exact order: ANY text-parse failure (not just a
+        # decode error — binary bytes can be valid UTF-8 yet make the
+        # text grammar raise) falls through to the binary parser
+        items = []
     if not items:
         items = parse_label_map_binary(raw)
     return spark.createDataFrame(

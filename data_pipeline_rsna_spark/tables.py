@@ -2,9 +2,15 @@
 
 Parquet is the engine's canonical storage: columnar, min/max-pruned,
 predicate-pushdown-capable. ``load`` reads one table; ``load_all``
-returns the dict most operators take. No caching here — callers decide
-what to cache (a 100 TB fact table must never be blanket-cached; small
-dimensions benefit from it).
+returns the dict most operators take.
+
+``load`` memoizes the *analyzed DataFrame* per (session, dir, table) —
+the metastore analogue. ``spark.read.parquet`` resolves the schema
+eagerly (a footer read + file listing per call, ~100 ms measured), so an
+engine that re-infers it on every query construction pays catalog cost a
+real warehouse pays once. Only the logical plan is cached; no DATA is
+ever cached here (a 100 TB fact table must never be blanket-cached —
+callers decide what to persist).
 """
 
 from __future__ import annotations
@@ -38,6 +44,12 @@ BROADCASTABLE_DIMS = frozenset({"region", "nation"})
 _EPOCH_NANOS_COLS = frozenset({"ts"})
 
 
+# (session id, realpath(sf_dir), table) -> analyzed DataFrame. DataFrames
+# are immutable, so handing the same object to every caller is safe; each
+# query builds its own plan on top of it.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``,
     normalizing temporal columns to microsecond TimestampType in a UTC
@@ -47,10 +59,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     every recorded oracle hash stable under any future regeneration."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), os.path.realpath(sf_dir), name)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _normalize_temporal(raw)
+    out = _normalize_temporal(raw)
+    _LOAD_CACHE[key] = out
+    return out
 
 
 def _normalize_temporal(df: DataFrame) -> DataFrame:

@@ -142,3 +142,36 @@ def test_png_dir_sink_writes_decodable_files(spark, tmp_path):
             (r.img_id * 31 + np.arange(256, dtype=np.int64) * 7) % 256
         ).astype(np.uint8).reshape(16, 16)
         assert np.array_equal(got, want)
+
+
+def test_encode_png_bytescales_uint16_like_imsave():
+    """Non-uint8 input must min-max rescale to uint8 (scipy.misc.imsave's
+    implicit bytescale, the reference's PNG write semantics) — not wrap
+    mod 256."""
+    from data_pipeline_rsna_spark.operators.multimodal import bytescale, encode_png
+
+    ramp = (np.arange(256, dtype=np.uint16) * 257).reshape(16, 16)  # 0..65535
+    got = C.decode_png_gray(encode_png(ramp))
+    want = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert np.array_equal(got, want)
+    # uint8 passes through untouched
+    u8 = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert bytescale(u8) is u8
+    # constant non-uint8 images map to zeros (no divide-by-zero)
+    const = np.full((4, 4), 1234, dtype=np.int32)
+    assert np.array_equal(bytescale(const), np.zeros((4, 4), np.uint8))
+    # int16 with negatives rescales, never wraps
+    signed = np.array([[-100, 0], [100, 300]], dtype=np.int16)
+    out = bytescale(signed)
+    assert out.dtype == np.uint8
+    assert out[0, 0] == 0 and out[1, 1] == 255
+
+
+def test_label_map_binary_truncated_varint_raises_valueerror():
+    """A truncated varint must raise a clean ValueError (parse error),
+    not IndexError — so read_label_map's try-text-then-binary order
+    degrades cleanly on corrupt files."""
+    from data_pipeline_rsna_spark.sources.readers import parse_label_map_binary
+
+    with pytest.raises(ValueError):
+        parse_label_map_binary(b"\x0a\xff")  # length varint cut off

@@ -61,14 +61,34 @@ def test_srp_ivf_recall_and_probe_budget(spark, sf_dir):
     # SRP probe beat that floor, which shows the sign-bit cells carry real
     # angular locality rather than random membership
     assert recall > 0.25, f"SRP-IVF recall {recall:.2f} no better than random"
-    # pruning check: candidates scanned = rows in probed cells only
+    # pruning check: every returned neighbor must sit in one of the
+    # nprobe cells actually probed for ITS query — probe set recomputed
+    # independently here (Hamming distance to the query cell, ties by
+    # cell id, same order srp_ivf_topk ranks)
     cells = emb.select(
         "vec_id",
         sim.srp_cell_col(sim.as_double_array("embedding"), 4, 64).alias("cell"),
     )
     cell_of = {r.vec_id: r.cell for r in cells.collect()}
-    probed_total = 4 * 5  # nprobe cells x |queries| upper bound on cells
-    assert len({cell_of[n] for _, n in a}) <= probed_total
+    qcell_of = {
+        r.query_id: r.qcell
+        for r in queries.select(
+            "query_id",
+            sim.srp_cell_col(sim.as_double_array("embedding"), 4, 64).alias(
+                "qcell"
+            ),
+        ).collect()
+    }
+    nprobe = 4
+    for qid, nid in a:
+        probe_set = sorted(
+            range(16),
+            key=lambda c: (bin(qcell_of[qid] ^ c).count("1"), c),
+        )[:nprobe]
+        assert cell_of[nid] in probe_set, (
+            f"neighbor {nid} (cell {cell_of[nid]}) of query {qid} "
+            f"outside its probe set {probe_set}"
+        )
 
 
 def test_embedding_neardup_finds_planted(spark):

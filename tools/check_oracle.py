@@ -60,9 +60,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -108,7 +110,12 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    scope = "" if n_run == len(qs) else f" (of {len(qs)} registered)"
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass{scope}")
+    if only:
+        missing = sorted(only - set(qs))
+        if missing:
+            print(f"WARN unknown query names skipped: {missing}")
     return 1 if failures else 0
 
 
