@@ -184,10 +184,24 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 12,
                            rows_per_band: int = 2,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3,
+                           max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: (doc_a, doc_b, n_shared_bands), doc_a <
     doc_b. The self-join is on (band, band_hash) — bucket-local, so its
-    cost scales with bucket occupancy (≈ true near-dups), not n²."""
+    cost scales with bucket occupancy (≈ true near-dups), not n².
+
+    ``max_bucket`` is the mega-bucket guard for boilerplate-heavy crawls:
+    a degenerate bucket (k near-identical documents that survive exact
+    dedup — templated pages, license headers) otherwise lands k ids on
+    ONE reducer and fans out k² pairs. With the cap, each (band,
+    band_hash) bucket keeps only its ``max_bucket`` smallest doc ids
+    (rank-before-collect, so reducer memory is bounded too, not just the
+    pair output), pair fan-out is ≤ B(B-1)/2 per bucket, and the output
+    gains a ``capped`` column — true when any contributing bucket
+    overflowed — so the dedup job can route overflow groups to exact
+    dedup or review instead of silently losing pairs. Default ``None``
+    keeps the exact LSH semantics (the oracle-checked shape, unchanged
+    output schema)."""
     bands = lsh_band_buckets(
         minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n),
         id_col,
@@ -200,12 +214,29 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     # signature pipeline, no broadcast, no dedup pass (a doc appears once
     # per band, so bucket pairs are already unique). Bucket sizes track
     # true near-dup group sizes — the k² pair fan-out per bucket is the
-    # LSH output itself, not an artifact.
-    buckets = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # LSH output itself, not an artifact (capped above when a corpus
+    # breaks that assumption).
+    if max_bucket is None:
+        buckets = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+    else:
+        bkey = Window.partitionBy("band", "band_hash")
+        ranked = bands.withColumn(
+            "_rn", F.row_number().over(bkey.orderBy(id_col))
+        ).withColumn("_members", F.count("*").over(bkey))
+        buckets = (
+            ranked.filter(F.col("_rn") <= max_bucket)
+            .groupBy("band", "band_hash")
+            .agg(
+                F.sort_array(F.collect_list(id_col)).alias("ids"),
+                F.first("_members").alias("_members"),
+            )
+            .filter(F.size("ids") > 1)
+            .withColumn("_capped", F.col("_members") > max_bucket)
+        )
     ids = F.col("ids")
     pairs = F.flatten(
         F.transform(
@@ -216,11 +247,21 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
             ),
         )
     )
+    if max_bucket is None:
+        return (
+            buckets.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared_bands"))
+        )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        buckets.select(F.explode(pairs).alias("p"), "_capped")
+        .select("p.doc_a", "p.doc_b", "_capped")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared_bands"))
+        .agg(
+            F.count("*").alias("n_shared_bands"),
+            F.max("_capped").alias("capped"),
+        )
     )
 
 

@@ -826,6 +826,97 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus + a planted mega-bucket: 150 verbatim copies of doc 7 (the
+# boilerplate-crawl shape — templated pages that survive nothing but
+# exact dedup). Mirrored in Spark by q_dedup_minhash_capped.
+_MEGA_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM ({_CORPUS_SQL})
+    UNION ALL
+    SELECT 300000 + s.i AS doc_id, d.text
+    FROM documents d
+    CROSS JOIN (SELECT unnest(generate_series(0, 149)) AS i) s
+    WHERE d.doc_id = 7
+"""
+
+_MEGA_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+    FROM (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        FROM ({_MEGA_CORPUS_SQL})
+    )
+    WHERE len(ws) >= 3
+"""
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=f"""
+    WITH shingles AS ({_MEGA_SHINGLES_SQL}),
+    mh AS (
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    ),
+    members AS (
+        SELECT band, band_hash, count(*) AS m FROM bands GROUP BY 1, 2
+    ),
+    kept AS (
+        SELECT band, band_hash, doc_id,
+               row_number() OVER (
+                   PARTITION BY band, band_hash ORDER BY doc_id
+               ) AS rn
+        FROM bands
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_bands,
+           max(mm.m > 16) AS capped
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    JOIN members mm ON mm.band = a.band AND mm.band_hash = a.band_hash
+    WHERE a.rn <= 16 AND b.rn <= 16
+    GROUP BY 1, 2
+    """,
+    doc="X2 MinHash-LSH with the mega-bucket guard engaged (max_bucket="
+    "16) over a corpus holding a planted 151-member degenerate bucket: "
+    "each (band, band_hash) bucket keeps its 16 smallest ids — ranked "
+    "BEFORE the collect, so the hot reducer is bounded, not just the "
+    "pair fan-out — and every emitted pair carries the capped flag so "
+    "overflow groups can be routed to exact dedup. At 100 TB this is "
+    "what keeps one boilerplate bucket from hot-spotting a reducer "
+    "with k^2 pairs.",
+    tags=("dedup",),
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    seed = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") == 7
+    )
+    mega = seed.select(
+        F.explode(F.sequence(F.lit(0), F.lit(149))).alias("_i"), "text"
+    ).select(
+        (F.lit(300000) + F.col("_i")).cast("long").alias("doc_id"), "text"
+    )
+    return dedup.minhash_lsh_candidates(
+        corpus.unionByName(mega),
+        num_hashes=12,
+        rows_per_band=2,
+        shingle_n=3,
+        max_bucket=16,
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""

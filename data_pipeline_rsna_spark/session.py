@@ -44,6 +44,15 @@ def get_spark(
         # --- adaptive execution: re-plan with runtime statistics ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the 64 MB advisory target rather than stopping at
+        # default parallelism (Spark's own production recommendation):
+        # post-agg shuffles far smaller than cores×64MB collapse to few
+        # tasks instead of scheduling 32 near-empty ones; at full scale
+        # the advisory size keeps partitions plentiful automatically
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing ---
         .config(

@@ -90,3 +90,33 @@ def test_dedup_clusters_planted(spark):
     assert got[100] == (100, True)
     assert got[101][0] == 100 and not got[101][1]
     assert got[102][0] == 100 and not got[102][1]
+
+
+def test_minhash_mega_bucket_guard_bounds_pairs(spark):
+    """A degenerate bucket (10k identical docs surviving upstream dedup,
+    the boilerplate-crawl shape) must not fan out k^2 pairs: with
+    max_bucket=B only the B smallest ids per (band, band_hash) bucket
+    pair up — bounded BEFORE the collect, so the hot reducer holds <= B
+    ids — and every emitted pair is flagged capped for accounting."""
+    n, b = 10_000, 64
+    mega = [(i, "all your base are belong to us again and again") for i in range(n)]
+    normal = [
+        (100_000, "a perfectly ordinary document about spark physical plans"),
+        (100_001, "a perfectly ordinary document about spark physical plans"),
+    ]
+    docs = spark.createDataFrame(mega + normal, "doc_id long, text string")
+    out = dedup.minhash_lsh_candidates(docs, max_bucket=b).collect()
+    assert set(r.capped for r in out) == {True, False}
+    mega_pairs = [r for r in out if r.doc_a < 100_000]
+    # identical docs agree on every band, so the six band buckets emit the
+    # same B-choose-2 id pairs, merged by the final groupBy
+    assert len(mega_pairs) == b * (b - 1) // 2
+    assert all(r.capped and r.doc_a < b and r.doc_b < b for r in mega_pairs)
+    assert all(r.n_shared_bands == 6 for r in mega_pairs)
+    # the well-behaved bucket is untouched and unflagged
+    small = [r for r in out if r.doc_a >= 100_000]
+    assert [(r.doc_a, r.doc_b, r.capped) for r in small] == [
+        (100_000, 100_001, False)
+    ]
+    # uncapped default keeps the exact (oracle-checked) schema
+    assert "capped" not in dedup.minhash_lsh_candidates(docs).columns
