@@ -133,6 +133,7 @@ def decode_png_gray(data: bytes) -> np.ndarray:
 # VRs whose length field is 4 bytes after 2 bytes of padding
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
+_TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
 _TAG_ROWS = (0x0028, 0x0010)
 _TAG_COLS = (0x0028, 0x0011)
 _TAG_BITS_ALLOC = (0x0028, 0x0100)
@@ -140,10 +141,26 @@ _TAG_PIXEL_REPR = (0x0028, 0x0103)
 _TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 
 
+# Transfer syntaxes this reader can actually parse: implicit/explicit
+# little endian, uncompressed. Anything else (the JPEG family
+# 1.2.840.10008.1.2.4.*, RLE .5, deflated .1.99, big endian .2) is
+# rejected with a clear error instead of misparsing the PixelData —
+# real-world .dcm corpora routinely carry JPEG-Lossless pixels, and the
+# pydicom path in operators.multimodal.decode_dicom handles those when
+# the library is present (ref generate_images_from_dicom.py:44-51 gets
+# this coverage from pydicom implicitly).
+_UNCOMPRESSED_LE_SYNTAXES = frozenset(
+    {"1.2.840.10008.1.2", "1.2.840.10008.1.2.1"}
+)
+
+
 def decode_dicom_gray(data: bytes) -> np.ndarray:
     """Minimal DICOM Part-10 reader: 128-byte preamble + 'DICM', explicit
     VR little endian, uncompressed monochrome PixelData → HxW ndarray
-    (uint8/uint16/int16 per BitsAllocated + PixelRepresentation)."""
+    (uint8/uint16/int16 per BitsAllocated + PixelRepresentation).
+
+    Raises ValueError naming the transfer syntax for compressed or
+    non-little-endian files (see ``_UNCOMPRESSED_LE_SYNTAXES``)."""
     if len(data) < 132 or data[128:132] != b"DICM":
         raise ValueError("not a Part-10 DICOM file")
     pos = 132
@@ -168,7 +185,15 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
             raise ValueError("encapsulated (compressed) PixelData unsupported")
         val = data[body:body + ln]
         tag = (group, elem)
-        if tag == _TAG_ROWS:
+        if tag == _TAG_TRANSFER_SYNTAX:
+            ts = val.rstrip(b"\x00 ").decode("ascii", "replace")
+            if ts not in _UNCOMPRESSED_LE_SYNTAXES:
+                raise ValueError(
+                    f"transfer syntax {ts} unsupported by the stdlib "
+                    "DICOM reader (compressed or non-little-endian "
+                    "PixelData); install pydicom for full coverage"
+                )
+        elif tag == _TAG_ROWS:
             rows = struct.unpack("<H", val[:2])[0]
         elif tag == _TAG_COLS:
             cols = struct.unpack("<H", val[:2])[0]

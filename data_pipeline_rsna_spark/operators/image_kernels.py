@@ -8,10 +8,18 @@ whole frame with center pad-or-crop (O17/O18, ``:191,211-243``).
 
 Divergence ledger (documented, intended-semantics):
 - The reference's ``ndimage.shift``/``ndimage.zoom`` are spline
-  interpolators; this engine translates exactly (slicing) and zooms by
-  nearest-neighbor index mapping. Geometry is identical; interpolated
-  gray values at non-integer grid points are not. scipy is not a
-  dependency of this engine.
+  interpolators; this engine's DEFAULT translates exactly (slicing) and
+  zooms by nearest-neighbor index mapping. Geometry is identical;
+  interpolated gray values at non-integer grid points are not. For
+  pixel parity, ``zoom_bilinear``/``shift_bilinear`` implement the
+  order-1 spline (bilinear — ``ndimage``'s ``order=1``, endpoint-
+  aligned coordinates, zero fill) in pure numpy, selectable via the
+  ``interp="bilinear"`` parameter on ``scale_image``/
+  ``zoom_box_region``; outputs then match ``ndimage`` within integer
+  rounding. The reference's default ``order=3`` cubic spline remains
+  out of scope (scipy is not a dependency of this engine; when scipy
+  IS present, callers wanting cubic parity should route pixels through
+  it directly).
 - All randomness is seeded per (image_id, variant) via
   ``seeded_rng`` — the reference's unseeded ``random.*``
   (``:117-118,148-153``) is nondeterministic and untestable.
@@ -62,11 +70,75 @@ def zoom_nearest(arr: np.ndarray, rf: float) -> np.ndarray:
     return arr[np.ix_(yi, xi)]
 
 
-def scale_image(arr: np.ndarray, rf: float) -> np.ndarray:
-    """Whole-image zoom, then center pad (shrink) or center crop (grow)
-    back to the original dims — reference ``:219-243``."""
+def _to_dtype(out: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """float interpolation result → caller dtype: round-half-even and
+    clip for integer pixel types, plain cast otherwise."""
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(dtype)
+    return out.astype(dtype)
+
+
+def zoom_bilinear(arr: np.ndarray, rf: float) -> np.ndarray:
+    """Bilinear zoom to (round(h*rf), round(w*rf)): the order-1 spline of
+    the reference's ``ndimage.zoom`` (generate_images_from_dicom.py:191,
+    211), endpoint-aligned coordinates (``grid_mode=False``) — output
+    sample i reads input coordinate ``i*(in-1)/(out-1)``. Pure numpy;
+    matches ``scipy.ndimage.zoom(order=1)`` within integer rounding."""
     h, w = arr.shape[:2]
-    z = zoom_nearest(arr, rf)
+    nh, nw = max(1, round(h * rf)), max(1, round(w * rf))
+    ys = np.linspace(0.0, h - 1.0, nh)
+    xs = np.linspace(0.0, w - 1.0, nw)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    a = arr.astype(np.float64)
+    top = a[np.ix_(y0, x0)] * (1.0 - fx) + a[np.ix_(y0, x1)] * fx
+    bot = a[np.ix_(y1, x0)] * (1.0 - fx) + a[np.ix_(y1, x1)] * fx
+    return _to_dtype(top * (1.0 - fy) + bot * fy, arr.dtype)
+
+
+def shift_bilinear(arr: np.ndarray, rx: float, ry: float) -> np.ndarray:
+    """Bilinear (order-1 spline) translate by float (rx, ry) with zero
+    fill — ``ndimage.shift(order=1, cval=0)`` semantics (reference
+    ``:116-127`` shifts through the spline interpolator). Integer shifts
+    reproduce ``shift_image`` exactly."""
+    h, w = arr.shape[:2]
+    a = arr.astype(np.float64)
+    ys = np.arange(h, dtype=np.float64)[:, None] - ry
+    xs = np.arange(w, dtype=np.float64)[None, :] - rx
+    y0 = np.floor(ys)
+    x0 = np.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    out = np.zeros((h, w), dtype=np.float64)
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            yi = y0.astype(np.int64) + dy
+            xi = x0.astype(np.int64) + dx
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            vals = np.where(
+                valid,
+                a[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)],
+                0.0,
+            )
+            out += wy * wx * vals
+    return _to_dtype(out, arr.dtype)
+
+
+_ZOOMS = {"nearest": zoom_nearest, "bilinear": zoom_bilinear}
+
+
+def scale_image(arr: np.ndarray, rf: float, interp: str = "nearest") -> np.ndarray:
+    """Whole-image zoom, then center pad (shrink) or center crop (grow)
+    back to the original dims — reference ``:219-243``. ``interp``
+    selects the zoom kernel: ``nearest`` (engine default, exact index
+    mapping) or ``bilinear`` (ndimage order-1 pixel parity)."""
+    h, w = arr.shape[:2]
+    z = _ZOOMS[interp](arr, rf)
     zh, zw = z.shape[:2]
     out = np.zeros_like(arr)
     if zh <= h:
@@ -98,12 +170,13 @@ def cut_paste_box(arr: np.ndarray, box: tuple[int, int, int, int],
 
 
 def zoom_box_region(arr: np.ndarray, box: tuple[int, int, int, int],
-                    rf: float) -> np.ndarray:
+                    rf: float, interp: str = "nearest") -> np.ndarray:
     """O17 pixel half: zoom the box's cutout and re-center it about the
-    box center, clamped to the frame (reference ``:191-204``)."""
+    box center, clamped to the frame (reference ``:191-204``). ``interp``
+    as in ``scale_image``."""
     x, y, w, h = box
     H, W = arr.shape[:2]
-    z = zoom_nearest(arr[y : y + h, x : x + w], rf)
+    z = _ZOOMS[interp](arr[y : y + h, x : x + w], rf)
     nh, nw = z.shape[:2]
     nx = max(0, int(x + w / 2 - nw / 2))
     ny = max(0, int(y + h / 2 - nh / 2))

@@ -2690,7 +2690,15 @@ def q_dicom_png_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = mm.stage_dicom_fixture_dir(n=40)
     files = mm.read_binary_dir(spark, src, glob="*.dcm")
-    decoded = mm.decode_dicom_batch(files)
+    # the decoded-pixels subtree feeds FOUR consumers (split derivation,
+    # the two per-split PNG writers, pixel_stats): pin it with an
+    # explicit persist instead of relying on exchange-output reuse, so
+    # the Arrow decode UDF runs once (MEMORY_AND_DISK spills; the
+    # CacheManager dedupes by canonical plan, so re-running the query
+    # re-uses this entry rather than stacking copies). At 100 TB the
+    # same persist stands but DISK_ONLY — decoded pixels are ~raw-size,
+    # and recomputing a decode per consumer is still worse than disk.
+    decoded = mm.decode_dicom_batch(files).persist()
     split = rel.deterministic_split(
         decoded.select("img_id"), "img_id"
     ).select("img_id", "split")
@@ -2783,7 +2791,14 @@ def q_multimodal_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_augmentation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import augmentation as aug
 
-    labels = labels_ops.typed_labels(_lineitem_as_raw_labels(spark, sf_dir))
+    # typed-labels subtree fans out to patients + boxes, each consumed
+    # by all 7 augmentation stages: persist pins the one stringify+parse
+    # shuffle instead of 14 statically re-derived copies (runtime
+    # exchange reuse already collapses most, but the pin is explicit
+    # and survives plan changes that would break reuse-by-canonical-form)
+    labels = labels_ops.typed_labels(
+        _lineitem_as_raw_labels(spark, sf_dir)
+    ).persist()
     patients = labels_ops.captions_per_patient(labels)
     boxes = labels_ops.positive_boxes(labels).select(
         "patient_id", "x", "y", "width", "height"

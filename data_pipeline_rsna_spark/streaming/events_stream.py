@@ -99,9 +99,46 @@ def hourly_type_agg_stream(events: DataFrame,
     )
 
 
+def run_bounded_to_parquet(
+    agg: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    mode: str = "complete",
+) -> DataFrame:
+    """Drive a bounded streaming aggregation to completion through the
+    PRODUCTION sink shape — ``foreachBatch`` writing each micro-batch's
+    result to parquet — and return a batch DataFrame over the files.
+
+    This is the scale-safe counterpart of ``run_bounded``: nothing ever
+    moves to the driver (the memory sink materializes the entire result
+    table in driver RAM — acceptable for a test harness over aggregated
+    output, an anti-pattern for a production stream). In complete mode
+    each micro-batch holds the full state snapshot, so the batch write
+    overwrites; append/update pipelines would append partitioned files
+    instead. The explicit checkpoint directory is what gives exactly-once
+    file output across restarts."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.read.parquet(out_dir)
+
+
 def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over its bounded source to
-    completion via a memory sink; return the materialized result."""
+    completion via a memory sink; return the materialized result.
+    Harness-only: see ``run_bounded_to_parquet`` for the sink shape a
+    production pipeline uses (no driver materialization)."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode(mode)

@@ -175,3 +175,17 @@ def test_label_map_binary_truncated_varint_raises_valueerror():
 
     with pytest.raises(ValueError):
         parse_label_map_binary(b"\x0a\xff")  # length varint cut off
+
+
+def test_decode_dicom_rejects_compressed_transfer_syntax():
+    """A JPEG-Lossless (1.2.840.10008.1.2.4.70) file must fail with a
+    clear transfer-syntax error — not a misparse of encapsulated
+    PixelData. The pydicom path (operators.multimodal.decode_dicom)
+    owns compressed syntaxes when the library is present."""
+    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.70")
+    data = b"\x00" * 128 + b"DICM" + meta
+    with pytest.raises(ValueError, match="transfer syntax 1.2.840.10008.1.2.4.70"):
+        C.decode_dicom_gray(data)
+    # the reader's own explicit-LE output still decodes (no false trip)
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(C.decode_dicom_gray(C.encode_dicom_gray(arr)), arr)

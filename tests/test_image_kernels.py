@@ -160,3 +160,65 @@ def test_tile_patches_reassemble(spark):
         ] = arr
     for i in orig:
         assert (rebuilt[i] == orig[i]).all()  # lossless tiling
+
+
+# ---------------------------------------------------------------------------
+# bilinear (ndimage order-1 spline) parity kernels
+# ---------------------------------------------------------------------------
+
+
+def test_zoom_bilinear_hand_golden_2x2_to_3x3():
+    """Endpoint-aligned bilinear: sample i reads input i*(in-1)/(out-1),
+    so the 3x3 grid over a 2x2 ramp is the exact midpoint lattice."""
+    a = np.array([[0, 10], [20, 30]], dtype=np.uint8)
+    got = ik.zoom_bilinear(a, 1.5)
+    want = np.array([[0, 5, 10], [10, 15, 20], [20, 25, 30]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_zoom_bilinear_identity_and_shape():
+    a = (np.arange(30, dtype=np.uint8)).reshape(5, 6)
+    assert np.array_equal(ik.zoom_bilinear(a, 1.0), a)
+    assert ik.zoom_bilinear(a, 0.5).shape == (2, 3)
+    assert ik.zoom_bilinear(a, 2.0).shape == (10, 12)
+
+
+def test_shift_bilinear_half_pixel_hand_golden():
+    """Shift right by 0.5: out(x) = (in(x-1) + in(x)) / 2, zero-filled
+    at the left edge (rounded half-even back to uint8)."""
+    a = np.array([[10, 20, 40]], dtype=np.uint8)
+    got = ik.shift_bilinear(a, 0.5, 0.0)
+    want = np.array([[5, 15, 30]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_shift_bilinear_integer_matches_exact_shift():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(9, 11), dtype=np.int64).astype(np.uint8)
+    for rx, ry in [(2, -3), (-4, 1), (0, 0), (11, 9)]:
+        assert np.array_equal(
+            ik.shift_bilinear(a, float(rx), float(ry)),
+            ik.shift_image(a, rx, ry),
+        )
+
+
+def test_bilinear_matches_scipy_when_available():
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(16, 16), dtype=np.int64).astype(np.uint8)
+    ours = ik.zoom_bilinear(a, 1.37).astype(np.int64)
+    ref = scipy_ndimage.zoom(a, 1.37, order=1).astype(np.int64)
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() <= 1  # integer rounding tolerance
+    ours_s = ik.shift_bilinear(a, 0.25, -1.75).astype(np.int64)
+    ref_s = scipy_ndimage.shift(a, (-1.75, 0.25), order=1, cval=0).astype(
+        np.int64
+    )
+    assert np.abs(ours_s - ref_s).max() <= 1
+
+
+def test_scale_image_bilinear_interp_routes():
+    a = np.array([[0, 10], [20, 30]], dtype=np.uint8)
+    out = ik.scale_image(a, 1.5, interp="bilinear")
+    # zoomed 3x3 midpoint lattice, center-cropped back to 2x2 at (0,0)
+    assert np.array_equal(out, np.array([[0, 5], [10, 15]], dtype=np.uint8))

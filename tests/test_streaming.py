@@ -394,3 +394,17 @@ def test_stream_static_enrich_matches_batch_and_holds_no_join_state(spark, sf_di
     got_df = es.run_bounded(es.enriched_segment_agg_stream(stream, cust))
     got = {tuple(r) for r in got_df.collect()}
     assert got == want
+
+
+def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    """The production sink shape — foreachBatch writing micro-batch
+    results to parquet with an explicit checkpoint — must produce the
+    same rows as the batch twin, with nothing materialized on the
+    driver along the way."""
+    batch = ev.hourly_type_agg(tables.load(spark, sf_dir, "events"))
+    out = es.run_bounded_to_parquet(
+        es.hourly_type_agg_stream(es.read_events_stream(spark, sf_dir)),
+        str(tmp_path / "hourly_out"),
+        str(tmp_path / "hourly_ckpt"),
+    )
+    assert _key(out.collect()) == _key(batch.collect())
