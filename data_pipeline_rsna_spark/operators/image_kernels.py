@@ -184,3 +184,16 @@ def zoom_box_region(arr: np.ndarray, box: tuple[int, int, int, int],
     px1, py1 = min(W, nx + nw), min(H, ny + nh)
     out[ny:py1, nx:px1] = z[: py1 - ny, : px1 - nx]
     return out
+
+
+def brighten(arr: np.ndarray, delta: int) -> np.ndarray:
+    """Saturating brightness shift — an augmentation op in its own
+    right, and the canonical perceptual-hash invariance probe: dHash
+    compares adjacent pixels, so any order-preserving transform that
+    saturates nothing leaves the hash bit-identical."""
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        return np.clip(
+            arr.astype(np.int64) + delta, info.min, info.max
+        ).astype(arr.dtype)
+    return arr + delta

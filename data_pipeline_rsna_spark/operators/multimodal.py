@@ -131,11 +131,13 @@ def read_binary_dir(spark: SparkSession, path: str,
 
 
 def synth_images(spark: SparkSession, n: int = 200, height: int = 16,
-                 width: int = 16) -> DataFrame:
-    """n deterministic uint8 images: pixel[i] = (img_id*31 + i*7) % 256.
+                 width: int = 16, mod: int = 256) -> DataFrame:
+    """n deterministic uint8 images: pixel[i] = (img_id*31 + i*7) % mod.
     Closed-form per pixel, so any engine can recompute the expected
     statistics exactly — this is what makes the pandas-UDF plumbing
-    oracle-checkable."""
+    oracle-checkable. ``mod`` < 256 leaves headroom below the uint8
+    ceiling (e.g. so a saturating brightness shift provably never
+    saturates — the dHash invariance corpus uses 200)."""
     npx = height * width
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,7 +145,7 @@ def synth_images(spark: SparkSession, n: int = 200, height: int = 16,
             ids = pdf["id"].to_numpy()
             rows = []
             for img_id in ids:
-                px = (img_id * 31 + np.arange(npx, dtype=np.int64) * 7) % 256
+                px = (img_id * 31 + np.arange(npx, dtype=np.int64) * 7) % mod
                 rows.append(
                     (int(img_id), px.astype(np.uint8).tobytes(), "uint8",
                      height, width)
@@ -181,10 +183,11 @@ def pixel_stats(images: DataFrame) -> DataFrame:
 
 
 def apply_kernel(images: DataFrame, op: str, variant: int = 0,
-                 shift_max: int = 4) -> DataFrame:
+                 shift_max: int = 4, delta: int = 3) -> DataFrame:
     """Run one augmentation pixel kernel over a multimodal column, with
     the engine's seeded-RNG convention. Returns the same schema with
-    transformed pixels and a synthetic image id suffix (O19)."""
+    transformed pixels and a synthetic image id suffix (O19).
+    ``delta`` parameterizes the deterministic ``brighten`` kernel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,6 +207,8 @@ def apply_kernel(images: DataFrame, op: str, variant: int = 0,
                     rng = ik.seeded_rng(str(r.img_id), variant, op)
                     rf = float(rng.uniform(0.8, 1.25))
                     res = ik.scale_image(arr, rf)
+                elif op == "brighten":
+                    res = ik.brighten(arr, delta)
                 else:
                     raise ValueError(f"unknown kernel op {op!r}")
                 out.append(
@@ -547,3 +552,39 @@ def tile_patches(images: DataFrame, patch: int = 8) -> DataFrame:
             )
 
     return images.mapInPandas(run, PATCH_SCHEMA)
+
+
+def dhash_images(images: DataFrame, hash_h: int = 8,
+                 hash_w: int = 8) -> DataFrame:
+    """Difference hash (dHash) per image: downsample to
+    ``hash_h × (hash_w+1)`` by index sampling (``yi = y*H // hash_h``,
+    ``xi = x*W // (hash_w+1)``), one bit per adjacent-column comparison
+    (left > right), row-major. Returned as a '0'/'1' string of
+    ``hash_h*hash_w`` chars — engine-portable, directly groupable.
+
+    This is the image-side near-dup key (X2×X7): invariant under
+    brightness/contrast shifts that preserve pixel order, cheap enough
+    to run inline in the decode pass, and groupable exactly like a text
+    content hash — at 100 TB the dedup is one shuffle of 64-bit-string
+    keys, never pixels. Hamming-banded blocking (the SimHash pigeonhole
+    split) extends it to small-distortion matching."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                yi = (np.arange(hash_h, dtype=np.int64) * r.height) // hash_h
+                xi = (
+                    np.arange(hash_w + 1, dtype=np.int64) * r.width
+                ) // (hash_w + 1)
+                s = arr[np.ix_(yi, xi)].astype(np.int64)
+                bits = (s[:, :-1] > s[:, 1:]).astype(np.uint8).ravel()
+                out.append(
+                    (r.img_id, "".join("1" if b else "0" for b in bits))
+                )
+            yield pd.DataFrame(out, columns=["img_id", "dhash"])
+
+    return images.mapInPandas(run, "img_id long, dhash string")

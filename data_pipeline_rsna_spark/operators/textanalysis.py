@@ -267,3 +267,82 @@ def bigram_next_token_table(
         .filter((F.col("rn") == 1) & (F.col("n") >= min_count))
         .select("w1", F.col("w2").alias("top_next"), F.col("n").alias("n_occurrences"))
     )
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/benchmark n-gram overlap — decontamination, the GPT-3/PaLM
+    report procedure: a training document is contaminated to the degree
+    its word n-grams appear anywhere in the evaluation benchmark.
+
+    Returns one row per training doc with ≥1 overlapping shingle:
+    (id, n_shingles, n_overlap, contam_ppm) where contam_ppm =
+    overlap/total in integer parts-per-million (engine-portable, no
+    float division).
+
+    Scale shape: the benchmark's distinct-shingle set is the SMALL side
+    (benchmarks are ~10⁶ rows against a 100 TB corpus) — broadcast it;
+    the corpus side streams through one shuffle (its own per-doc shingle
+    aggregation). Never a shuffle keyed on the shingle for the corpus
+    side, so stopword-like hot shingles in the benchmark cannot skew a
+    reducer; the inner join keeps output bounded by true contamination."""
+    from .dedup import exploded_shingles
+
+    bench_sh = (
+        exploded_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = exploded_shingles(train, id_col, text_col, n)
+    totals = train_sh.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles")
+    )
+    overlaps = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        totals.join(overlaps, id_col)
+        .withColumn(
+            "contam_ppm",
+            F.expr("CAST(n_overlap * 1000000 DIV n_shingles AS BIGINT)"),
+        )
+    )
+
+
+def bpe_first_merge_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """First BPE iteration over the corpus: frequency of every adjacent
+    CHARACTER pair inside whitespace words — the statistic whose argmax
+    is the first merge a byte-pair-encoding tokenizer learns. Returns
+    the top-``k`` pairs by (count desc, pair asc).
+
+    Shape: words explode narrowly, per-word char pairs explode narrowly
+    (two-char substrings of the bound word column — avoids split-on-
+    empty-pattern, whose trailing empty element differs across engines),
+    then ONE count shuffle whose keys are pair strings (≤ alphabet²
+    cardinality — map-side combine collapses almost everything before
+    the wire) and a global top-k via TakeOrderedAndProject, never a
+    single-partition sort."""
+    words = docs.select(
+        F.explode(whitespace_tokens(text_col)).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(k)

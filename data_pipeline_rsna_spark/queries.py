@@ -7768,3 +7768,181 @@ def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ — benchmark decontamination, BPE merge statistics (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_benchmark_contamination",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT doc_id + 400000 AS doc_id, 'leaked copy: ' || text AS text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 7),
+                   i -> array_to_string(ws[i:i+7], ' ')))) AS shingle
+        FROM (SELECT string_split_regex(lower(text), '\\s+') AS ws FROM bench)
+        WHERE len(ws) >= 8
+    ),
+    tsh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 7),
+                   i -> array_to_string(ws[i:i+7], ' ')))) AS shingle
+        FROM (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+            FROM train
+        )
+        WHERE len(ws) >= 8
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1
+    ),
+    overlap AS (
+        SELECT t.doc_id, count(*) AS n_overlap
+        FROM tsh t JOIN bsh USING (shingle) GROUP BY 1
+    )
+    SELECT t.doc_id AS doc_id, t.n_shingles, o.n_overlap,
+           CAST(o.n_overlap * 1000000 // t.n_shingles AS BIGINT)
+               AS contam_ppm
+    FROM totals t JOIN overlap o USING (doc_id)
+    """,
+    doc="X4 benchmark decontamination (the GPT-3/PaLM-report n-gram "
+    "procedure): every 50th document plays the evaluation benchmark; "
+    "the training side is the rest PLUS planted leaks (benchmark text "
+    "behind a 2-token prefix). 8-gram overlap flags exactly the leaks "
+    "with contam_ppm near 10^6, in integer ppm (no float division). "
+    "Scale shape: the benchmark's distinct shingle set broadcasts "
+    "(benchmarks are ~10^6 rows vs a 100 TB corpus); the corpus "
+    "streams — no shingle-keyed shuffle of the big side, so hot "
+    "shingles cannot skew a reducer.",
+    tags=("text",),
+)
+def q_text_benchmark_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    leaks = bench.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit("leaked copy: "), F.col("text")).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).unionByName(leaks)
+    return ta.benchmark_contamination(train, bench, n=8)
+
+
+@register(
+    "text_bpe_first_merges",
+    oracle="""
+    WITH words AS (
+        SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> substring(w, i, 2))) AS pair
+        FROM words
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    doc="X4 first BPE iteration over the corpus: adjacent character-"
+    "pair frequencies inside whitespace words — the statistic whose "
+    "argmax is the first merge a byte-pair tokenizer learns. Pair "
+    "cardinality is bounded by alphabet^2, so map-side combine "
+    "collapses the count shuffle to near-nothing and the global top-20 "
+    "is a TakeOrderedAndProject, not a single-partition sort.",
+    tags=("text",),
+)
+def q_text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ta.bpe_first_merge_pairs(docs, k=20)
+
+
+@register(
+    "multimodal_dhash_dedup",
+    oracle="""
+    WITH ids AS (
+        SELECT id AS img_id, id AS src, 0 AS delta
+        FROM (SELECT unnest(generate_series(0, 199)) AS id)
+        UNION ALL
+        SELECT 10000 + id, id, 3
+        FROM (SELECT unnest(generate_series(0, 199)) AS id)
+        WHERE id % 10 = 0
+    ),
+    grid AS (
+        SELECT y.y, x.x
+        FROM (SELECT unnest(generate_series(0, 7)) AS y) y
+        CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x
+    ),
+    samples AS (
+        SELECT i.img_id, g.y, g.x,
+               (i.src * 31 + ((g.y * 2) * 16 + (g.x * 16) // 9) * 7) % 200
+                   + i.delta AS v
+        FROM ids i CROSS JOIN grid g
+    ),
+    bits AS (
+        SELECT a.img_id, a.y, a.x,
+               CASE WHEN a.v > b.v THEN '1' ELSE '0' END AS bit
+        FROM samples a
+        JOIN samples b ON a.img_id = b.img_id AND a.y = b.y
+                      AND b.x = a.x + 1
+        WHERE a.x < 8
+    ),
+    hashes AS (
+        SELECT img_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+        FROM bits GROUP BY img_id
+    )
+    SELECT dhash, count(*) AS n_images, min(img_id) AS keeper_id
+    FROM hashes GROUP BY dhash HAVING count(*) > 1
+    """,
+    doc="X2×X7 perceptual-hash image dedup: dHash (8×9 index-sampled "
+    "downsample, one bit per adjacent-column comparison) computed in "
+    "the Arrow decode pass over real pixel bytes, then exact-grouped "
+    "like a text content hash. The corpus plants brightness-shifted "
+    "twins (+3 gray, never saturating at mod-200 pixels) — dHash is "
+    "invariant under order-preserving shifts, so every twin lands in "
+    "its source's group while exact byte hashing would miss all of "
+    "them. At 100 TB the dedup shuffle moves 64-char keys, never "
+    "pixels; Hamming-banded blocking (the SimHash pigeonhole split) "
+    "extends it to small distortions.",
+    tags=("multimodal", "dedup"),
+)
+def q_multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    base = mm.synth_images(spark, n=200, mod=200)
+    twins = mm.apply_kernel(
+        base.filter(F.col("img_id") % 10 == 0).withColumn(
+            "img_id", F.col("img_id") + 10000
+        ),
+        "brighten",
+        delta=3,
+    )
+    hashes = mm.dhash_images(base.unionByName(twins))
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("img_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_images") > 1)
+    )

@@ -120,3 +120,27 @@ def test_minhash_mega_bucket_guard_bounds_pairs(spark):
     ]
     # uncapped default keeps the exact (oracle-checked) schema
     assert "capped" not in dedup.minhash_lsh_candidates(docs).columns
+
+
+def test_image_dhash_invariant_to_brightness_twins(spark):
+    """dHash groups a brightness-shifted twin with its source (order-
+    preserving pixel transform, no saturation at mod-200), while the
+    exact byte hash separates them — the property that makes dHash the
+    image-side near-dup key."""
+    from pyspark.sql import functions as SF
+
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+
+    base = mm.synth_images(spark, n=30, mod=200)
+    twins = mm.apply_kernel(
+        base.filter(SF.col("img_id") % 10 == 0).withColumn(
+            "img_id", SF.col("img_id") + 10000
+        ),
+        "brighten",
+        delta=3,
+    )
+    hashes = mm.dhash_images(base.unionByName(twins))
+    by_id = {r.img_id: r.dhash for r in hashes.collect()}
+    for src in (0, 10, 20):
+        assert by_id[src] == by_id[10000 + src]
+        assert len(by_id[src]) == 64 and set(by_id[src]) <= {"0", "1"}

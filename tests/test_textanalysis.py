@@ -67,3 +67,44 @@ def test_sequence_packing_bin_contract(spark):
     for s in shards:
         bins = sorted(b for sh, b in by_bin if sh == s)
         assert bins == list(range(len(bins)))
+
+
+def test_benchmark_contamination_flags_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # full benchmark text behind a 2-token prefix -> contaminated
+            (10, "leaked copy: alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # clean doc, 10 tokens, zero 8-gram overlap
+            (11, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    from data_pipeline_rsna_spark.operators.textanalysis import (
+        benchmark_contamination,
+    )
+
+    rows = {r.doc_id: r for r in benchmark_contamination(train, bench, n=8).collect()}
+    assert set(rows) == {10}  # clean doc joins away entirely
+    r = rows[10]
+    # prefixed doc: 12 tokens -> 5 distinct 8-grams, of which the 3
+    # fully inside the original text all appear in the benchmark
+    assert (r.n_shingles, r.n_overlap) == (5, 3)
+    assert r.contam_ppm == 3 * 1_000_000 // 5
+
+
+def test_bpe_first_merges_hand_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaab aab"), (2, "ab ba")], "doc_id long, text string"
+    )
+    from data_pipeline_rsna_spark.operators.textanalysis import (
+        bpe_first_merge_pairs,
+    )
+
+    got = [(r.pair, r.n) for r in bpe_first_merge_pairs(docs, k=3).collect()]
+    # pairs: aaab -> aa,aa,ab ; aab -> aa,ab ; ab -> ab ; ba -> ba
+    # deterministic order: count desc, then pair asc
+    assert got == [("aa", 3), ("ab", 3), ("ba", 1)]
