@@ -346,3 +346,51 @@ def bpe_first_merge_pairs(
     )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(k)
+
+
+def mixture_resample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic source-mixture resampling: keep a document iff
+    ``md5(salt|id) % 10^6 < rate(source) * 10^6`` — the domain
+    up-/down-weighting step that turns a raw crawl into a training
+    mixture (downsample boilerplate-heavy domains, keep books at 1.0).
+
+    Per-DOCUMENT hash, so membership is stable under repartitioning,
+    subsetting, and incremental re-runs (the same property as
+    ``hash_split``/``kfold_assign``) — re-running the pipeline on a
+    grown corpus never flips a previously kept doc. The mixture config
+    is a literal map (a handful of sources), never a join; the whole
+    operator is a narrow filter: zero shuffles at any scale. Sources
+    absent from ``rates`` get ``default_rate`` (0 = excluded — curated
+    mixtures enumerate their sources)."""
+    pairs: list[Column] = []
+    for s, r in sorted(rates.items()):
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(int(round(r * 1_000_000))))
+    rate_ppm = F.coalesce(
+        F.create_map(*pairs)[F.col(source_col)],
+        F.lit(int(round(default_rate * 1_000_000))),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return docs.filter(bucket < rate_ppm)

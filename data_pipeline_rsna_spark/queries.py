@@ -7946,3 +7946,40 @@ def q_multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") > 1)
     )
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle="""
+    WITH rates AS (
+        SELECT 'src' || CAST(i AS VARCHAR) AS source,
+               CASE i % 4 WHEN 0 THEN 1000000 WHEN 1 THEN 750000
+                          WHEN 2 THEN 500000 ELSE 250000 END AS ppm
+        FROM (SELECT unnest(generate_series(0, 19)) AS i)
+    )
+    SELECT d.source, count(*) AS n_kept, sum(d.doc_id) AS sum_ids
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 1000000 < r.ppm
+    GROUP BY 1
+    """,
+    doc="X4 training-mixture resampling: per-source keep rates (1.0 / "
+    "0.75 / 0.5 / 0.25 cycling over the 20 sources) applied through a "
+    "per-document md5 threshold — deterministic, repartition-stable, "
+    "and incremental-safe (a grown corpus never flips a kept doc). "
+    "Zero shuffles: the mixture config is a literal map and the "
+    "operator is a narrow filter; the aggregation here only exists to "
+    "give the oracle a compact value surface.",
+    tags=("text",),
+)
+def q_corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    rates = {
+        f"src{i}": [1.0, 0.75, 0.5, 0.25][i % 4] for i in range(20)
+    }
+    kept = ta.mixture_resample(docs, rates)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids")
+    )

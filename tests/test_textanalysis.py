@@ -108,3 +108,29 @@ def test_bpe_first_merges_hand_corpus(spark):
     # pairs: aaab -> aa,aa,ab ; aab -> aa,ab ; ab -> ab ; ba -> ba
     # deterministic order: count desc, then pair asc
     assert got == [("aa", 3), ("ab", 3), ("ba", 1)]
+
+
+def test_mixture_resample_deterministic_and_subset_stable(spark):
+    from data_pipeline_rsna_spark.operators.textanalysis import mixture_resample
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", "text " * 5) for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    rates = {"src0": 1.0, "src1": 0.5}
+    kept = {r.doc_id for r in mixture_resample(docs, rates).collect()}
+    # rate 1.0 keeps every src0 doc
+    assert all(i in kept for i in range(0, 200, 2))
+    # src1 keeps roughly half, deterministically
+    src1_kept = {i for i in kept if i % 2 == 1}
+    assert 20 <= len(src1_kept) <= 80
+    # subset stability: running on a half-corpus keeps exactly the
+    # intersection — no membership flips from the missing rows
+    half = docs.filter("doc_id < 100")
+    kept_half = {r.doc_id for r in mixture_resample(half, rates).collect()}
+    assert kept_half == {i for i in kept if i < 100}
+    # unknown source is excluded under the default rate
+    extra = spark.createDataFrame(
+        [(1000, "srcX", "words here")], "doc_id long, source string, text string"
+    )
+    assert mixture_resample(extra, rates).count() == 0
