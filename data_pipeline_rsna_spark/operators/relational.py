@@ -472,8 +472,14 @@ def grouped_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local_cum", F.sum(value_col).over(local_w))
+    # slice subtotal = the slice's LAST running value (max_by order, NOT
+    # max — values may be negative): aggregating the window output keys
+    # the groupBy on the same (_pid, key) distribution the WindowExec
+    # just established, so the subtotals branch rides that exchange
+    # instead of paying its own full-data shuffle of the checkpoint
+    # (one data exchange total)
     subtotals = local.groupBy("_pid", key).agg(
-        F.sum(value_col).alias("_sub")
+        F.max_by("_local_cum", F.col(order_col)).alias("_sub")
     )
     earlier = subtotals.select(
         F.col("_pid").alias("_pid2"), F.col(key).alias("_key2"),
@@ -703,7 +709,11 @@ def global_running_max_desc(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = part.withColumn("_lmax", F.max(val_col).over(local_w))
-    pmax = part.groupBy("_pid").agg(F.max(val_col).alias("_pmax"))
+    # per-partition max aggregated from the WINDOW OUTPUT, not the
+    # checkpoint: groupBy(_pid) then rides the WindowExec's hash(_pid)
+    # exchange instead of shuffling the data a second time (same move
+    # as grouped_running_sum's subtotals)
+    pmax = local.groupBy("_pid").agg(F.max(val_col).alias("_pmax"))
     earlier = pmax.select(
         F.col("_pid").alias("_pid2"), F.col("_pmax").alias("_pmax2")
     )
