@@ -394,3 +394,35 @@ def mixture_resample(
         % 1_000_000
     )
     return docs.filter(bucket < rate_ppm)
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate mining: the word n-grams appearing in at least
+    ``min_docs`` DISTINCT documents, ranked by spread — the removal
+    list that line/substring-level dedup (the ExactSubstr family)
+    consumes: license headers, navigation chrome, templated disclaimers
+    all surface here before any pairwise comparison is attempted.
+
+    One shuffle keyed on the shingle with map-side combine (per-doc
+    shingles are already distinct, so the combine collapses each
+    partition's contribution to one row per gram), then a global top-k
+    via TakeOrderedAndProject. Hot grams are exactly the interesting
+    output, and partial aggregation is what keeps them from being a
+    skew problem."""
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(docs, id_col, text_col, n)
+    return (
+        sh.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(k)
+    )

@@ -7983,3 +7983,35 @@ def q_corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids")
     )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH shingles AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 4),
+                   i -> array_to_string(ws[i:i+4], ' ')))) AS shingle
+        FROM (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+            FROM ({_CORPUS_SQL})
+        )
+        WHERE len(ws) >= 5
+    )
+    SELECT shingle AS gram, count(*) AS n_docs
+    FROM shingles GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram LIMIT 50
+    """,
+    doc="X4 boilerplate mining (the ExactSubstr-dedup removal list): "
+    "word 5-grams spread over >= 2 distinct documents, ranked by "
+    "spread. Per-doc-distinct shingles + map-side combine keep the "
+    "gram-keyed shuffle skew-free (a gram contributes one row per "
+    "partition, however hot); global top-50 is a "
+    "TakeOrderedAndProject.",
+    tags=("text", "dedup"),
+)
+def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return ta.boilerplate_ngrams(corpus, n=5, min_docs=2, k=50)

@@ -151,3 +151,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_deterministic_split_plan_no_window_no_joins(spark, sf_dir):
+    """The mid-based rank contract: after the pinning checkpoint the
+    whole split is checkpoint-scan -> narrow projection — no WindowExec
+    (the old row_number form re-shuffled AND re-sorted the data because
+    the checkpoint erases partitioning metadata), no joins (offsets are
+    driver-side metadata literals), and the only exchange is the final
+    groupBy's."""
+    df = REGISTRY["deterministic_split"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    assert "Window" not in rep.text, rep.text
+    assert rep.n_broadcast_hash_joins == 0, rep.text
+    assert rep.n_sort_merge_joins == 0, rep.text
+    assert rep.n_shuffle_exchanges <= 1, rep.text
