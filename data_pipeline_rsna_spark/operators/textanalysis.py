@@ -426,3 +426,51 @@ def boilerplate_ngrams(
         .orderBy(F.col("n_docs").desc(), "gram")
         .limit(k)
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full winnowing (the MOSS local-fingerprinting algorithm): hash
+    every word ``shingle_n``-gram in position order, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum; the
+    document's fingerprint is the distinct selected hashes. Guarantees
+    at least one selected hash in every ``window`` consecutive shingles,
+    so any shared run of ``shingle_n + window - 1`` words between two
+    documents shares at least one fingerprint — the locality property
+    single-min sketches (``min_shingle_fingerprint``) lack.
+
+    Narrow per-document column work (the hash array is bound to a real
+    column before the window transform so the interpreted HOF slices a
+    materialized array); output is (id, n_fp, fp_digest), engine-exact
+    strings. At scale the fingerprint explode joins an inverted index
+    exactly like ``exploded_shingles`` — fingerprints are just a
+    w-times-smaller shingle set with the same guarantees."""
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    min_tokens = shingle_n + window - 1
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_ws")) - (shingle_n - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("_ws"), i, shingle_n))
+        ),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_hs")) - (window - 1)),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j, window)),
+    )
+    fp = F.array_sort(F.array_distinct(F.col("_wins")))
+    return (
+        docs.select(id_col, ws.alias("_ws"))
+        .filter(F.size("_ws") >= min_tokens)
+        .select(id_col, hs.alias("_hs"))
+        .select(id_col, wins.alias("_wins"))
+        .select(
+            id_col,
+            F.size(fp).alias("n_fp"),
+            F.md5(F.array_join(fp, "|")).alias("fp_digest"),
+        )
+    )

@@ -8015,3 +8015,43 @@ def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_corpus(spark, sf_dir)
     return ta.boilerplate_ngrams(corpus, n=5, min_docs=2, k=50)
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> md5(array_to_string(ws[i:i+2], ' '))) AS hs
+        FROM toks WHERE len(ws) >= 6
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, len(hs) - 3),
+                   j -> list_min(hs[j:j+3])))) AS fp
+        FROM hashed
+    )
+    SELECT doc_id, len(fp) AS n_fp,
+           md5(array_to_string(fp, '|')) AS fp_digest
+    FROM winnowed
+    """,
+    doc="X4 full winnowing (MOSS): 3-gram hashes, window-4 minima, "
+    "distinct selected hashes as the document fingerprint — guarantees "
+    "a shared fingerprint for any shared 6-word run, the locality "
+    "property the single-min sketch lacks. Pure narrow column work; "
+    "fingerprints are a ~4x-smaller shingle set feeding the same "
+    "inverted-index machinery at scale.",
+    tags=("text", "dedup"),
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ta.winnowing_fingerprints(docs, shingle_n=3, window=4)

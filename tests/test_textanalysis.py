@@ -134,3 +134,26 @@ def test_mixture_resample_deterministic_and_subset_stable(spark):
         [(1000, "srcX", "words here")], "doc_id long, source string, text string"
     )
     assert mixture_resample(extra, rates).count() == 0
+
+
+def test_winnowing_guarantees_shared_fingerprint_for_shared_run(spark):
+    """Winnowing's locality property: two docs sharing a 6-word run
+    (shingle_n + window - 1 = 3 + 4 - 1) must share >= 1 selected
+    hash; digests are deterministic and equal for identical docs."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven twelve"),
+            (3, f"one two three {shared} four five six"),  # exact dup of 1
+            (4, "totally unrelated words with nothing in common at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    from data_pipeline_rsna_spark.operators.textanalysis import (
+        winnowing_fingerprints,
+    )
+
+    out = {r.doc_id: r for r in winnowing_fingerprints(docs).collect()}
+    assert out[1].fp_digest == out[3].fp_digest  # identical docs
+    assert out[1].n_fp >= 1 and out[4].fp_digest != out[1].fp_digest
