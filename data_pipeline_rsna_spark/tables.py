@@ -44,10 +44,13 @@ BROADCASTABLE_DIMS = frozenset({"region", "nation"})
 _EPOCH_NANOS_COLS = frozenset({"ts"})
 
 
-# (session id, realpath(sf_dir), table) -> analyzed DataFrame. DataFrames
-# are immutable, so handing the same object to every caller is safe; each
-# query builds its own plan on top of it.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (application id, realpath(sf_dir), table) -> analyzed DataFrame.
+# DataFrames are immutable, so handing the same object to every caller is
+# safe; each query builds its own plan on top of it. Keyed by the Spark
+# applicationId — unique per SparkContext — not id(spark): Python reuses
+# object ids after GC, so a stopped-and-recreated session could otherwise
+# be served plans bound to the dead JVM context.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,7 +62,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     every recorded oracle hash stable under any future regeneration."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (id(spark), os.path.realpath(sf_dir), name)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        name,
+    )
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
         return hit
