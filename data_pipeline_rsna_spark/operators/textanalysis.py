@@ -474,3 +474,62 @@ def winnowing_fingerprints(
             F.md5(F.array_join(fp, "|")).alias("fp_digest"),
         )
     )
+
+
+# Gopher/MassiveText quality rules (Rae et al. 2021, table A1 subset) in
+# gate order; first failure is the document's reason code.
+GOPHER_RULES = (
+    "word_count",        # 50 <= n_words <= 100_000
+    "mean_word_length",  # 3 <= mean <= 10   (integer form: 3n <= L <= 10n)
+    "alpha_ratio",       # >= 80% of words contain a letter (5a >= 4n)
+    "symbol_ratio",      # '#'/'...' per word <= 0.1 (10s <= n)
+    "stopword_count",    # >= 2 English stopwords
+)
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The published Gopher/MassiveText quality heuristics as one narrow
+    projection: per document, every rule's verdict plus ``reason`` (the
+    FIRST failed rule in gate order, null when clean).
+
+    Every comparison is integer-exact (``3n <= L <= 10n`` instead of a
+    float mean) so the verdicts are bit-identical in any engine — the
+    property the differential oracle needs and float thresholds break.
+    Zero shuffles; at 100 TB this is scan-bound, exactly like the rest
+    of the X4 feature family, and composes with mixture_resample +
+    exact_dedup into the standard curation cascade."""
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    total_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    dots = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    n_sym = (hashes + dots).cast("long")
+    sw = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
+
+    ok = {
+        "word_count": (n >= 50) & (n <= 100_000),
+        "mean_word_length": (total_len >= 3 * n) & (total_len <= 10 * n),
+        "alpha_ratio": 5 * n_alpha >= 4 * n,
+        "symbol_ratio": 10 * n_sym <= n,
+        "stopword_count": n_stop >= 2,
+    }
+    reason = F.lit(None).cast("string")
+    for rule in reversed(GOPHER_RULES):
+        reason = F.when(~ok[rule], rule).otherwise(reason)
+    return docs.select(
+        id_col,
+        n.alias("n_words"),
+        *[ok[r].alias(f"ok_{r}") for r in GOPHER_RULES],
+        reason.alias("reason"),
+    )

@@ -157,3 +157,31 @@ def test_winnowing_guarantees_shared_fingerprint_for_shared_run(spark):
     out = {r.doc_id: r for r in winnowing_fingerprints(docs).collect()}
     assert out[1].fp_digest == out[3].fp_digest  # identical docs
     assert out[1].n_fp >= 1 and out[4].fp_digest != out[1].fp_digest
+
+
+def test_gopher_gates_reason_codes(spark):
+    """Each rule trips on a purpose-built doc; reason = first failure
+    in gate order; a clean doc gets null."""
+    good = ("the cat and the dog sat in the warm sun today " * 6).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                  # clean: 60 words
+            (2, "too short but the and of"),            # word_count
+            (3, " ".join(["a"] * 60)),                  # mean_word_length (len 1)
+            (4, " ".join(["1234"] * 48 + ["the", "a", "and"] * 4)),  # alpha
+            (5, good + " " + " ".join(["####"] * 10)),  # symbol_ratio
+            # (4-char hash runs keep the mean-length gate clear)
+            (6, " ".join(["zorp" + str(i) for i in range(60)])),  # stopwords
+        ],
+        "doc_id long, text string",
+    )
+    flags = {
+        r.doc_id: r.reason
+        for r in tx.gopher_quality_flags(docs).collect()
+    }
+    assert flags[1] is None
+    assert flags[2] == "word_count"
+    assert flags[3] == "mean_word_length"
+    assert flags[4] == "alpha_ratio"
+    assert flags[5] == "symbol_ratio"
+    assert flags[6] == "stopword_count"
