@@ -588,3 +588,33 @@ def dhash_images(images: DataFrame, hash_h: int = 8,
             yield pd.DataFrame(out, columns=["img_id", "dhash"])
 
     return images.mapInPandas(run, "img_id long, dhash string")
+
+
+def shot_boundaries(videos: DataFrame, threshold: int = 1500) -> DataFrame:
+    """Video shot-boundary detection: the L1 distance between
+    consecutive frames, a cut wherever it exceeds ``threshold`` — the
+    segmentation step a video training pipeline runs before sampling
+    frames per shot (sampling per-video oversamples long static shots).
+
+    A video's frames arrive as ONE binary row, so the frame-pair
+    differencing is pure narrow work inside the Arrow batch: no
+    shuffle, no explode of raw pixels; only the detected cut rows
+    (video, frame index, distance) leave the executor. At 100 TB the
+    output is boundary-sparse while the pixel payload never moves."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = (
+                    np.frombuffer(r.frames, dtype=np.dtype(r.dtype))
+                    .reshape(r.n_frames, r.height * r.width)
+                    .astype(np.int64)
+                )
+                d = np.abs(np.diff(arr, axis=0)).sum(axis=1)
+                for i, v in enumerate(d, start=1):
+                    if v > threshold:
+                        out.append((r.vid_id, i, int(v)))
+            yield pd.DataFrame(out, columns=["vid_id", "frame_idx", "l1"])
+
+    return videos.mapInPandas(run, "vid_id long, frame_idx int, l1 long")

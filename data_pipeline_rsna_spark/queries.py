@@ -8114,3 +8114,40 @@ def q_text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("n_words"),
     )
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle="""
+    WITH px AS (
+        SELECT v.v, f.f, j.j,
+               (v.v * 131 + f.f * 17 + j.j * 7) % 256 AS cur,
+               (v.v * 131 + (f.f - 1) * 17 + j.j * 7) % 256 AS prev
+        FROM (SELECT unnest(generate_series(0, 59)) AS v) v
+        CROSS JOIN (SELECT unnest(generate_series(1, 11)) AS f) f
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+    ),
+    l1 AS (
+        SELECT v, f, sum(abs(cur - prev)) AS l1
+        FROM px GROUP BY 1, 2
+    )
+    SELECT v AS vid_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(l1 AS BIGINT) AS l1
+    FROM l1 WHERE l1 > 2000
+    """,
+    doc="X7 video shot-boundary detection over the synthetic corpus: "
+    "consecutive-frame L1 distance, cut where it exceeds the "
+    "threshold. Frames stay inside their video's single binary row — "
+    "narrow Arrow-batch differencing, boundary-sparse output, pixels "
+    "never shuffle. The closed-form corpus (uint8 wrap every 256/17 "
+    "frames modulates the distance) gives DuckDB the exact expected "
+    "cuts.",
+    tags=("multimodal",),
+)
+def q_multimodal_shot_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as mm
+
+    vids = mm.synth_videos(spark, n=60, n_frames=12, height=8, width=8)
+    return mm.shot_boundaries(vids, threshold=2000)
