@@ -8151,3 +8151,65 @@ def q_multimodal_shot_boundaries(
 
     vids = mm.synth_videos(spark, n=60, n_frames=12, height=8, width=8)
     return mm.shot_boundaries(vids, threshold=2000)
+
+
+@register(
+    "training_order_shuffle",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5('ep0|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, h, row_number() OVER (ORDER BY h) - 1 AS rn
+        FROM hashed
+    )
+    SELECT CAST(rn % 8 AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           min(h) AS first_hash,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h))
+               AS order_digest
+    FROM ranked GROUP BY 1
+    """,
+    doc="The epoch-shuffle step of a training pipeline: a deterministic "
+    "global permutation (order by md5(epoch_salt|id) — reshuffleable "
+    "per epoch by changing the salt, reproducible across runs) dealt "
+    "round-robin into shards. Rides the mid-based two-phase rank: "
+    "range-partition on the hash IS the permutation, no WindowExec, no "
+    "single-task sort. The order_digest hashes ids in permuted order, "
+    "so the oracle checks the ORDER itself, not just membership — at "
+    "scale the digest drops and the write is a partitionBy(shard) "
+    "parquet sink in rank order.",
+    tags=("text", "relational"),
+)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", F.lit("ep0"), F.col("doc_id").cast("string")))
+        .alias("h"),
+    )
+    ranked = rel.global_row_number(hashed, "h", "rn")
+    with_shard = ranked.select(
+        "doc_id", "h", ((F.col("rn") - 1) % 8).cast("int").alias("shard")
+    )
+    ordered = with_shard.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("h").alias("first_hash"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("h"), F.col("doc_id")))
+        ).alias("_perm"),
+    )
+    return ordered.select(
+        "shard",
+        "n_docs",
+        "first_hash",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("_perm"), lambda s: s["doc_id"].cast("string")
+                ),
+                ",",
+            )
+        ).alias("order_digest"),
+    )
