@@ -8213,3 +8213,70 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("order_digest"),
     )
+
+
+@register(
+    "snapshot_distribution_drift",
+    oracle="""
+    WITH bucketed AS (
+        SELECT least(9, CAST(trunc(o_totalprice / 50000) AS INTEGER))
+                   AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               sum(in_a) AS n_a,
+               sum(1 - in_a) AS n_b
+        FROM bucketed GROUP BY bucket
+    ),
+    totals AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts)
+    SELECT c.bucket,
+           CAST(c.n_a AS BIGINT) AS n_a,
+           CAST(c.n_b AS BIGINT) AS n_b,
+           CAST(c.n_a * 1000000 // t.ta AS BIGINT) AS share_a_ppm,
+           CAST(c.n_b * 1000000 // t.tb AS BIGINT) AS share_b_ppm,
+           CAST(abs(c.n_a * 1000000 // t.ta - c.n_b * 1000000 // t.tb)
+                AS BIGINT) AS drift_ppm
+    FROM counts c CROSS JOIN totals t
+    """,
+    doc="Data-ops drift monitor: the order-value distribution of an "
+    "early snapshot (orders before 1998) against a late one, as "
+    "per-bucket shares and their absolute difference in exact ppm — "
+    "the per-bucket terms of total-variation distance, integer-exact "
+    "(no log/float PSI; engines agree bit-for-bit). One scan with "
+    "conditional aggregation (never two passes), a 10-row counts "
+    "table, and a broadcast 1-row totals join — the same shape at any "
+    "corpus size; at 100 TB only the scan grows.",
+    tags=("relational",),
+)
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        F.least(
+            F.lit(9), (F.col("o_totalprice") / 50000).cast("int")
+        ).alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum(1 - F.col("in_a")).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    share_a = F.expr("CAST(n_a * 1000000 DIV ta AS BIGINT)")
+    share_b = F.expr("CAST(n_b * 1000000 DIV tb AS BIGINT)")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        share_a.alias("share_a_ppm"),
+        share_b.alias("share_b_ppm"),
+        F.abs(share_a - share_b).cast("bigint").alias("drift_ppm"),
+    )

@@ -39,3 +39,58 @@ def test_py_round_matches_cpython(spark, xs):
     got = [r[0] for r in df.select(sc.py_round("x")).collect()]
     want = [float(round(x)) for x in xs]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash / winnowing properties (pure-numpy kernels, no session)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),  # image seed
+    st.integers(min_value=1, max_value=40),      # brightness delta
+)
+def test_dhash_invariant_under_nonsaturating_brightness(seed, delta):
+    """dHash compares adjacent pixels, so ANY order-preserving
+    transform that saturates nothing leaves every bit unchanged."""
+    import numpy as np
+
+    h = w = 16
+    px = ((seed * 31 + np.arange(h * w, dtype=np.int64) * 7) % (256 - 40)
+          ).astype(np.uint8).reshape(h, w)
+    from data_pipeline_rsna_spark.operators.image_kernels import brighten
+
+    def dhash_bits(arr):
+        yi = (np.arange(8, dtype=np.int64) * h) // 8
+        xi = (np.arange(9, dtype=np.int64) * w) // 9
+        s = arr[np.ix_(yi, xi)].astype(np.int64)
+        return (s[:, :-1] > s[:, 1:]).ravel().tolist()
+
+    assert dhash_bits(px) == dhash_bits(brighten(px, delta))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_winnowing_window_density_property(data):
+    """Winnowing must select >= 1 hash from EVERY window of w
+    consecutive shingles (the density guarantee) — checked directly on
+    the kernel math: for any token sequence, each window of w hashes
+    contains its own minimum, which is by construction selected."""
+    import hashlib
+
+    words = data.draw(
+        st.lists(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+            min_size=6,
+            max_size=40,
+        )
+    )
+    n, w = 3, 4
+    hs = [
+        hashlib.md5(" ".join(words[i : i + n]).encode()).hexdigest()
+        for i in range(len(words) - n + 1)
+    ]
+    selected = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    for j in range(len(hs) - w + 1):
+        assert selected & set(hs[j : j + w]), (j, words)
