@@ -8280,3 +8280,58 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_b.alias("share_b_ppm"),
         F.abs(share_a - share_b).cast("bigint").alias("drift_ppm"),
     )
+
+
+@register(
+    "events_session_finalizer_streaming",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000
+                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, t, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sid, min(t) AS session_start_us,
+               max(t) AS session_end_us, count(*) AS n
+        FROM sessions GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(epoch_us(ts)) - 7200000000 AS wm_us FROM events),
+    numbered AS (
+        SELECT p.*, max(sid) OVER (PARTITION BY user_id) AS last_sid
+        FROM per_session p
+    )
+    SELECT user_id, session_start_us, session_end_us,
+           CAST(n AS INTEGER) AS n_events
+    FROM numbered CROSS JOIN wm
+    WHERE sid < last_sid
+       OR (session_end_us // 1000 + 1800000) < (wm_us // 1000)
+    """,
+    doc="X6 event-time-TIMEOUT stateful sessionizer: sessions closed by "
+    "a successor inside the data emit immediately; each user's trailing "
+    "open session emits only when the watermark passes last_event + "
+    "gap — exercising GroupStateTimeout.EventTimeTimeout, the state-"
+    "store mechanism the NoTimeout operators never touch. The batch "
+    "twin reproduces exactly which trailing sessions timed out from "
+    "the final watermark (max ts - delay), so the streaming run is "
+    "hash-checked, not rows-only. State = one open session per user, "
+    "evicted on timeout.",
+    tags=("events", "streaming"),
+)
+def q_events_session_finalizer_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    return es.run_bounded(
+        es.session_finalizer_stream(stream), mode="append"
+    )

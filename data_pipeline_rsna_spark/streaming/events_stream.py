@@ -534,3 +534,78 @@ def enriched_segment_agg_stream(events: DataFrame, customers: DataFrame,
             "value_cents",
         )
     )
+
+
+def session_finalizer_stream(events: DataFrame, gap_seconds: int = 1800,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Event-time-TIMEOUT stateful sessionizer (X6): per user, sessions
+    split on a ``gap_seconds`` silence; a session closed by a successor
+    inside the data emits immediately, and each user's trailing OPEN
+    session emits only when the event-time timeout fires — i.e. when
+    the watermark passes ``last_event + gap``, the state-store
+    mechanism the NoTimeout operators never exercise. State per user is
+    one open session (4 longs), evicted on timeout: bounded by active
+    users within the watermark horizon, not stream length.
+
+    Deterministic under bounded replay: boundaries are integer
+    microsecond comparisons (sorted by ts, event_id — the batch
+    sessionization's exact order), and the final watermark is
+    max(event_time) - delay, so the batch twin can reproduce precisely
+    which trailing sessions timed out."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start_us long, session_end_us long, "
+        "n_events int"
+    )
+    state_schema = "start_us long, last_us long, n int"
+    gap_us = gap_seconds * 1_000_000
+
+    def finalize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        uid = key[0]
+        closed: list[tuple[int, int, int, int]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append((uid, start_us, last_us, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = None  # type: ignore[assignment]
+                n = 0
+            for ts in rows["ts"]:
+                t_us = int(ts.value // 1_000)  # pandas ns -> us
+                if last_us is not None and t_us - last_us > gap_us:
+                    closed.append((uid, start_us, last_us, n))
+                    start_us, n = t_us, 0
+                if start_us is None:
+                    start_us = t_us
+                last_us = t_us
+                n += 1
+            state.update((int(start_us), int(last_us), int(n)))
+            # timeout in event-time MILLIS: fires once watermark passes
+            # the open session's gap horizon
+            state.setTimeoutTimestamp(last_us // 1_000 + gap_seconds * 1_000)
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_start_us", "session_end_us", "n_events"
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            finalize,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

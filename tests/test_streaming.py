@@ -408,3 +408,56 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
         str(tmp_path / "hourly_ckpt"),
     )
     assert _key(out.collect()) == _key(batch.collect())
+
+
+def test_session_finalizer_timeout_and_cross_batch_state(spark, sf_dir, tmp_path):
+    """The event-time-timeout sessionizer must (a) emit inner sessions
+    immediately, (b) hold each user's trailing session open until the
+    watermark passes last+gap, and (c) merge sessions ACROSS micro-
+    batches when a session spans a file boundary. Feeding the stream as
+    three time-ordered chunks (the realistic arrival order of a session
+    log) must yield exactly the single-batch result."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    t1, t2 = ev.select(
+        F.expr(
+            "percentile(unix_micros(ts), array(0.33, 0.66))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    tcol = F.unix_micros(F.col("ts"))
+    src = str(tmp_path / "ordered_chunks")
+    for i, cond in enumerate(
+        [
+            tcol <= t1,
+            (tcol > t1) & (tcol <= t2),
+            tcol > t2,
+        ]
+    ):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    from data_pipeline_rsna_spark.schemas import EVENTS
+
+    chunked = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = es.run_bounded(
+        es.session_finalizer_stream(chunked), mode="append"
+    )
+    single = es.run_bounded(
+        es.session_finalizer_stream(es.read_events_stream(spark, sf_dir)),
+        mode="append",
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in df.collect()
+    )
+    assert key(multi) == key(single)
+    assert len(key(single)) > 0
