@@ -8335,3 +8335,110 @@ def q_events_session_finalizer_streaming(
     return es.run_bounded(
         es.session_finalizer_stream(stream), mode="append"
     )
+
+
+@register(
+    "embedding_knn_label_accuracy",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+               label AS true_label
+        FROM embeddings WHERE vec_id < 100
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce,
+               label
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT query_id, true_label, neighbor_id, label,
+               round(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+        FROM q CROSS JOIN c
+        WHERE neighbor_id <> query_id
+    ),
+    knn AS (
+        SELECT query_id, true_label, label,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, count(*) AS n_votes
+        FROM knn WHERE rank <= 5
+        GROUP BY 1, 2, 3
+    ),
+    predicted AS (
+        SELECT query_id, true_label, label AS predicted_label,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY n_votes DESC, label
+               ) AS vr
+        FROM votes
+    )
+    SELECT true_label,
+           count(*) AS n_queries,
+           CAST(sum(CASE WHEN predicted_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN predicted_label = true_label
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS accuracy_ppm
+    FROM predicted WHERE vr = 1
+    GROUP BY 1
+    """,
+    doc="X3+eval embedding-space quality probe: leave-one-out 5-NN "
+    "majority-vote classification over the labeled embeddings, "
+    "per-class accuracy in exact ppm — the metric that decides whether "
+    "an embedding column is good enough to drive semantic dedup or "
+    "similarity search. Exact brute-force kNN (the ANN baseline), "
+    "deterministic tie-breaks (cosine desc/neighbor, votes desc/label). "
+    "At 100 TB the same query rides the IVF candidate join instead of "
+    "the exact scan; the eval shape is unchanged.",
+    tags=("similarity",),
+)
+def q_embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    knn = sim.cosine_topk(emb, queries, k=5)
+    labeled = knn.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    predicted = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    correct = F.when(
+        F.col("predicted_label") == F.col("true_label"), 1
+    ).otherwise(0)
+    return (
+        predicted.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN predicted_label = true_label THEN 1 "
+                "ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+    )
