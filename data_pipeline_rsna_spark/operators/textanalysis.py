@@ -533,3 +533,20 @@ def gopher_quality_flags(
         *[ok[r].alias(f"ok_{r}") for r in GOPHER_RULES],
         reason.alias("reason"),
     )
+
+
+def blocklist_flags(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+) -> Column:
+    """C4-style blocklist predicate: true when ANY whitespace token is
+    in ``terms`` (exact token match, not substring — 'class' never
+    trips a 'ass' entry, the classic C4 false-positive). The list ships
+    as literals in the expression (blocklists are config-sized);
+    at 100 TB this is a narrow scan-bound filter like every X4 gate —
+    for 10⁵+-entry lists swap the literal array for a broadcast join
+    against the exploded token index."""
+    ws = whitespace_tokens(text_col)
+    blocked = F.array(*[F.lit(t) for t in terms])
+    return F.arrays_overlap(ws, blocked)

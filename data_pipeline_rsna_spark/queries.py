@@ -8442,3 +8442,43 @@ def q_embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy_ppm"),
         )
     )
+
+
+@register(
+    "corpus_blocklist_impact",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN len(list_intersect(
+                        string_split_regex(lower(text), '\\s+'),
+                        ['slow', 'leak', 'broken'])) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN len(list_intersect(
+                        string_split_regex(lower(text), '\\s+'),
+                        ['slow', 'leak', 'broken'])) > 0
+                    THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS blocked_ppm
+    FROM documents
+    GROUP BY source
+    """,
+    doc="X4 C4-style blocklist impact report: exact-token blocklist "
+    "membership (never substring — 'class' must not trip an 'ass' "
+    "entry) aggregated per source, the report that decides whether a "
+    "blocklist is destroying a domain before it ships. Narrow "
+    "scan-bound predicate with the list as expression literals; one "
+    "tiny per-source aggregation shuffle.",
+    tags=("text",),
+)
+def q_corpus_blocklist_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    blocked = ta.blocklist_flags(docs, ("slow", "leak", "broken"))
+    flag = F.when(blocked, 1).otherwise(0)
+    return docs.select("source", flag.alias("b")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("b").cast("bigint").alias("n_blocked"),
+        F.expr(
+            "CAST(sum(b) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("blocked_ppm"),
+    )
