@@ -8482,3 +8482,187 @@ def q_corpus_blocklist_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(b) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("blocked_ppm"),
     )
+
+
+@register(
+    "corpus_pipeline_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, source, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 100000, source,
+               substr(text, position(' ' IN text) + 1) AS text
+        FROM documents WHERE doc_id % 10 = 5
+    ),
+    gop AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(ws) AS n,
+                   list_sum(list_transform(ws, w -> len(w))) AS total_len,
+                   len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                       AS n_alpha,
+                   (len(text) - len(replace(text, '#', '')))
+                       + ((len(text) - len(replace(text, '...', ''))) // 3)
+                       AS n_sym,
+                   len(list_filter(ws,
+                       w -> w IN ('the','a','and','of','to','in','is')))
+                       AS n_stop
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS ws,
+                         text
+                  FROM s1)
+        )
+        WHERE n >= 50 AND n <= 100000
+          AND total_len >= 3*n AND total_len <= 10*n
+          AND 5*n_alpha >= 4*n AND 10*n_sym <= n AND n_stop >= 2
+    ),
+    s2 AS (SELECT s1.* FROM s1 JOIN gop USING (doc_id)),
+    s3 AS (
+        SELECT * FROM s2
+        WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                 ['dup'])) = 0
+    ),
+    s4 AS (
+        SELECT doc_id, source, text FROM (
+            SELECT s3.*, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM s3
+        ) WHERE rn = 1
+    ),
+    shingles AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS ws
+              FROM s4)
+        WHERE len(ws) >= 3
+    ),
+    mh AS (
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
+        FROM shingles
+        CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    ),
+    neardup_drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 3
+    ),
+    s5 AS (
+        SELECT * FROM s4
+        WHERE doc_id NOT IN (SELECT doc_id FROM neardup_drops)
+    ),
+    s6 AS (
+        SELECT s5.* FROM s5
+        JOIN (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                     CASE i % 4 WHEN 0 THEN 1000000 WHEN 1 THEN 750000
+                                WHEN 2 THEN 500000 ELSE 250000 END AS ppm
+              FROM (SELECT unnest(generate_series(0, 19)) AS i)) r
+          USING (source)
+        WHERE ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT % 1000000 < r.ppm
+    ),
+    staged AS (
+        SELECT 1 AS stage_id, 'raw' AS stage, * FROM s1
+        UNION ALL SELECT 2, 'quality', * FROM s2
+        UNION ALL SELECT 3, 'blocklist', * FROM s3
+        UNION ALL SELECT 4, 'exact_dedup', * FROM s4
+        UNION ALL SELECT 5, 'near_dedup', * FROM s5
+        UNION ALL SELECT 6, 'mixture', * FROM s6
+    )
+    SELECT stage_id, stage,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(text), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM staged GROUP BY 1, 2
+    """,
+    doc="The LLM-corpus curation cascade as ONE lazy DAG with funnel "
+    "accounting — the composition a real training-data pipeline ships: "
+    "Gopher quality gates -> blocklist -> exact dedup (min-id keeper) "
+    "-> MinHash-LSH near-dup drop (>= 3 shared bands, keep-smallest) "
+    "-> source-mixture resampling, with docs/tokens remaining at every "
+    "stage. Each piece is oracle-checked alone elsewhere; this checks "
+    "the INTERPLAY (dedup after gating, mixture after dedup). Scale "
+    "shape inherits from the pieces: narrow gates, hash-keyed dedup "
+    "shuffles, bucket-local LSH, narrow mixture filter.",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+    from .operators import textanalysis as ta
+
+    base = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # plant exact (+200000, every 10th) and near (+100000, first word
+    # dropped, every 10th+5) duplicates WITH their source — so the dedup
+    # stages have real work and mixture still sees the source column
+    variants = F.array(
+        F.struct("doc_id", "source", "text"),
+        F.struct(
+            (F.col("doc_id") + 200000).alias("doc_id"), F.col("source"),
+            F.col("text"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 100000).alias("doc_id"), F.col("source"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        ),
+    )
+    keep = F.filter(
+        variants,
+        lambda v, i: (i == 0)
+        | ((i == 1) & (F.col("doc_id") % 10 == 0))
+        | ((i == 2) & (F.col("doc_id") % 10 == 5)),
+    )
+    s1 = base.select(F.explode(keep).alias("v")).select(
+        "v.doc_id", "v.source", "v.text"
+    )
+    flags = ta.gopher_quality_flags(s1).filter(
+        F.col("reason").isNull()
+    ).select("doc_id")
+    s2 = s1.join(flags, "doc_id")
+    s3 = s2.filter(~ta.blocklist_flags(s2, ("dup",)))
+    s4 = dedup.exact_dedup(s3)
+    drops = (
+        dedup.minhash_lsh_candidates(s4, num_hashes=12, rows_per_band=2,
+                                     shingle_n=3)
+        .filter(F.col("n_shared_bands") >= 3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s5 = s4.join(drops, "doc_id", "left_anti")
+    rates = {f"src{i}": [1.0, 0.75, 0.5, 0.25][i % 4] for i in range(20)}
+    s6 = ta.mixture_resample(s5, rates)
+    stages = [
+        (1, "raw", s1), (2, "quality", s2), (3, "blocklist", s3),
+        (4, "exact_dedup", s4), (5, "near_dedup", s5), (6, "mixture", s6),
+    ]
+    parts = [
+        df.select(
+            F.lit(sid).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            ta.ws_token_count("text").alias("_nt"),
+        )
+        for sid, name, df in stages
+    ]
+    staged = parts[0]
+    for p in parts[1:]:
+        staged = staged.unionByName(p)
+    return staged.groupBy("stage_id", "stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
