@@ -8636,7 +8636,11 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     s2 = s1.join(flags, "doc_id")
     s3 = s2.filter(~ta.blocklist_flags(s2, ("dup",)))
-    s4 = dedup.exact_dedup(s3)
+    # s4 feeds FOUR consumers (the LSH candidate pipeline, the anti-join
+    # left side, the mixture stage via s5, and its own funnel count):
+    # pin it like the other wide pipelines instead of re-deriving the
+    # gate+dedup subtree per branch
+    s4 = dedup.exact_dedup(s3).persist()
     drops = (
         dedup.minhash_lsh_candidates(s4, num_hashes=12, rows_per_band=2,
                                      shingle_n=3)
