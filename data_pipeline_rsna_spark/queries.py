@@ -8670,3 +8670,69 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("_nt").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH first_seen AS (
+        SELECT w, min(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+        )
+        GROUP BY w
+    ),
+    thresholds AS (
+        SELECT unnest(generate_series(1, 10)) AS decile
+    )
+    SELECT t.decile,
+           CAST(count(*) FILTER (
+               WHERE f.first_doc * 10 < t.decile
+                     * (SELECT max(doc_id) + 1 FROM documents)
+           ) AS BIGINT) AS vocab_size
+    FROM thresholds t CROSS JOIN first_seen f
+    GROUP BY 1
+    """,
+    doc="X4 Heaps'-law vocabulary-growth diagnostic: distinct-token "
+    "count over growing corpus prefixes (doc-id deciles) — the curve "
+    "that says whether a corpus keeps contributing new vocabulary or "
+    "has gone stale. ONE pass: per-token first-seen doc (a token-keyed "
+    "min aggregation with map-side combine), then the growth curve is "
+    "a 10-threshold conditional count over the vocabulary table — "
+    "never ten rescans of the corpus. At 100 TB the vocabulary table "
+    "is the only shuffled data, bounded by |vocab|, not |tokens|.",
+    tags=("text",),
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    first_seen = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    deciles = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    return (
+        deciles.crossJoin(first_seen)
+        .groupBy("decile")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("first_doc") * 10
+                    < F.col("decile") * F.lit(n_docs_max),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vocab_size")
+        )
+    )
