@@ -8736,3 +8736,35 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_size")
         )
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id,
+               (g.id * 31 + ((y.y * 2) * 16 + x.x * 2) * 7) % 256 AS v
+        FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) x
+    )
+    SELECT img_id,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="X7 resize normalization (the pre-batching step of every "
+    "multimodal training pipeline): 16x16 -> 8x8 nearest-neighbor "
+    "index mapping (y*H//out, exact integer arithmetic) inside the "
+    "Arrow batch, then per-image stats — the oracle re-derives the "
+    "sampled grid closed-form, pinning the exact index-mapping "
+    "convention (floor sampling at even indices here).",
+    tags=("multimodal",),
+)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images(spark, n=200, height=16, width=16)
+    return mm.pixel_stats(mm.resize(imgs, 8, 8))
