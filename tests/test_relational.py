@@ -296,3 +296,35 @@ def test_pareto_frontier_matches_bruteforce(spark):
         if not any(x2 > x and y2 > y for _, x2, y2 in pts)
     }
     assert got == want
+
+
+def test_exact_kth_smallest_refinement_matches_sorted(spark):
+    """Order statistic via histogram refinement must equal the sorted
+    answer — exercised with a take_threshold small enough to force at
+    least one refinement round, non-contiguous keys, and duplicates."""
+    vals = [v * 37 % 10007 for v in range(3000)] + [5, 5, 5, 9_999_999]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    s = sorted(vals)
+    for k in (1, 2, 1500, 2400, len(vals)):
+        got = rel.exact_kth_smallest(
+            df, "k", k, n_buckets=16, take_threshold=64
+        )
+        assert got == s[k - 1], (k, got, s[k - 1])
+    assert rel.exact_kth_smallest(df, "k", 0) is None
+    assert rel.exact_kth_smallest(df, "k", len(vals) + 1) is None
+
+
+def test_deterministic_split_numeric_no_shuffle_matches_rank(spark):
+    """The numeric fast path (cutoff-key, zero data shuffle) must agree
+    with rank-then-cutoff semantics on sparse, shuffled keys."""
+    keys = [v * 101 % 4099 for v in range(997)]  # unique, non-contiguous
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    got = {
+        r.id: r.split for r in rel.deterministic_split(df, "id").collect()
+    }
+    cutoff = round(len(keys) * 0.8)
+    want = {
+        k: ("train" if i < cutoff else "val")
+        for i, k in enumerate(sorted(keys))
+    }
+    assert got == want
