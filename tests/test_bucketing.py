@@ -1,0 +1,103 @@
+"""Bucketed-layout contract: the co-located join really is exchange-free.
+
+This is the one scale technique that can't be shown on a plain parquet
+scan — it needs a catalog write — so it gets its own warehouse-backed
+test instead of a queries() entry (the layout step is a side effect,
+not a SELECT)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark import tables
+from data_pipeline_rsna_spark.plans import audit
+from data_pipeline_rsna_spark.sinks import bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    bucketed.write_bucketed(li, "li_b", "l_orderkey", 8, path=f"{wh}/li_b")
+    bucketed.write_bucketed(
+        orders, "ord_b", "l_orderkey", 8, path=f"{wh}/ord_b"
+    )
+    yield "li_b", "ord_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Same-bucket-count tables joined on the bucket key: SMJ with zero
+    Exchange nodes (the layout-time shuffle replaced both), and zero
+    Sort nodes (sortBy pre-sorted the bucket files)."""
+    lt, rt = bucketed_tables
+    # force the merge-join path: broadcast would hide the bucket win
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark >= 3.0 only propagates bucket-file sort order under this
+    # flag (it is unsafe when a bucket spans several files, which needs
+    # a merge); write_bucketed guarantees one file per bucket, the case
+    # the flag is safe for — with it the SMJ drops its Sorts too and
+    # the join is a pure streaming zip of bucket-file pairs.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        df = bucketed.bucketed_join(spark, lt, rt, "l_orderkey")
+        rep = audit.plan_report(df)
+        assert rep.n_sort_merge_joins == 1, rep.text
+        assert rep.n_shuffle_exchanges == 0, rep.text
+        assert "Sort " not in rep.text.replace("SortMergeJoin", ""), rep.text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    """Aggregation on the bucket key also reuses the layout: partial and
+    final agg fuse into one stage with no Exchange."""
+    lt, _ = bucketed_tables
+    df = (
+        spark.table(lt)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    rep = audit.plan_report(df)
+    assert rep.n_shuffle_exchanges == 0, rep.text
+
+
+def test_bucketed_join_matches_shuffled_join(spark, sf_dir, bucketed_tables):
+    """Layout is a performance property, never a semantics property."""
+    lt, rt = bucketed_tables
+    got = (
+        bucketed.bucketed_join(spark, lt, rt, "l_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2).alias(
+                "dot"
+            ),
+        )
+        .collect()[0]
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    want = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2).alias(
+                "dot"
+            ),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["dot"]) == (want["n"], want["dot"])
