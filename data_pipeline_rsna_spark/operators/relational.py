@@ -1008,3 +1008,97 @@ def weighted_median(
             F.any_value("_totw").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring successor join (deterministic sampling / routing)
+# ---------------------------------------------------------------------------
+
+
+def ring_successor_join(
+    points: DataFrame,
+    targets: DataFrame,
+    point_id: str,
+    point_hash: str,
+    target_hash: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """For every target row, the point with the smallest ``point_hash``
+    >= ``target_hash`` (lexicographic, ties match), wrapping to the
+    globally smallest point — the consistent-hashing ring lookup, as a
+    set operation instead of a per-row binary search.
+
+    Distributed form: both sides bucket by a hash prefix (the first
+    ``log16(n_buckets)`` hex nibbles), so the successor scan is a
+    PARTITIONED window (union-tag + running last-seen over hash desc
+    within the bucket) — never a single-partition sort. A target whose
+    bucket holds no successor falls through to the first point of the
+    next non-empty bucket, which is metadata: one ``n_buckets``-row
+    aggregate folded driver-side into a literal map (the same pattern
+    as the two-phase rank's offsets). Scale: one shuffle of
+    |points|+|targets| rows on the prefix; bucket count grows with the
+    ring so each partition stays memory-sized; skew impossible —
+    md5 prefixes are uniform by construction.
+
+    Returns ``targets``'s columns plus ``<point_id>_succ``."""
+    # prefix nibbles -> bucket id (hex chars sort = numeric order)
+    nib = max(1, (n_buckets - 1).bit_length() // 4 or 1)
+    n_buckets = 16 ** nib
+
+    def bucket_of(h) -> Column:
+        return F.conv(F.substring(h, 1, nib), 16, 10).cast("int")
+
+    p = points.select(
+        bucket_of(F.col(point_hash)).alias("_b"),
+        F.col(point_hash).alias("_h"),
+        F.col(point_id).alias("_pid_ring"),
+        F.lit(1).alias("_is_ring"),
+    )
+    tcols = targets.columns
+    t = targets.select(
+        *tcols,
+        bucket_of(F.col(target_hash)).alias("_b"),
+        F.col(target_hash).alias("_h"),
+        F.lit(None).cast(p.schema["_pid_ring"].dataType).alias("_pid_ring"),
+        F.lit(0).alias("_is_ring"),
+    )
+    unioned = p.select(
+        *[F.lit(None).cast(t.schema[c].dataType).alias(c) for c in tcols],
+        "_b", "_h", "_pid_ring", "_is_ring",
+    ).unionByName(t)
+    # scan hash DESC: every ring row already seen has _h >= target._h,
+    # and the most recent one is the smallest such (ring rows first at
+    # exact ties so equality matches)
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_h").desc(), F.col("_is_ring").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = unioned.withColumn(
+        "_succ_in_bucket", F.last("_pid_ring", ignorenulls=True).over(w)
+    )
+    # fallback: first (min-hash) ring point of the next non-empty bucket
+    # cyclically — n_buckets rows of metadata, folded driver-side
+    per_bucket = (
+        p.groupBy("_b").agg(F.min_by("_pid_ring", "_h").alias("first_pid"),
+                            F.min("_h").alias("first_h"))
+        .collect()
+    )
+    first_of = {r["_b"]: r["first_pid"] for r in per_bucket}
+    fallback: dict[int, object] = {}
+    if first_of:
+        order = sorted(first_of)
+        for b in range(n_buckets):
+            nxt = next((x for x in order if x > b), order[0])
+            fallback[b] = first_of[nxt]
+    pairs: list[Column] = []
+    for b, pid in fallback.items():
+        pairs.append(F.lit(b))
+        pairs.append(F.lit(pid))
+    fb_col = F.create_map(*pairs)[F.col("_b")] if pairs else F.lit(None)
+    out_col = f"{point_id}_succ"
+    return (
+        scanned.filter(F.col("_is_ring") == 0)
+        .withColumn(out_col, F.coalesce(F.col("_succ_in_bucket"), fb_col))
+        .select(*tcols, out_col)
+    )

@@ -8772,3 +8772,268 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = mm.synth_images(spark, n=200, height=16, width=16)
     return mm.pixel_stats(mm.resize(imgs, 8, 8))
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freq
+    ),
+    m AS (
+        SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(f) * 1000000) AS BIGINT) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+               sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_n,
+           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+           CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+    FROM s
+    """,
+    doc="X4 Zipf rank-frequency diagnostic: OLS slope of ln(freq) over "
+    "ln(rank) across the vocabulary (natural corpora sit near -1; a "
+    "flat slope flags synthetic/templated text). The global rank never "
+    "runs through a single-partition window: rank = (#tokens with "
+    "strictly higher freq, a metadata-sized per-frequency count folded "
+    "driver-side into a literal map, same pattern as the two-phase "
+    "rank's offsets) + row_number within the freq group (a partitioned "
+    "window, parallel by freq). Regression ships as EXACT rational "
+    "sufficient statistics over micro-unit (1e-6) fixed-point logs - "
+    "bigint per row, decimal(38,0) accumulation, no float summation "
+    "order anywhere - so the slope is bit-reproducible and mergeable. "
+    "At 100 TB the only shuffled data is the vocabulary table "
+    "(|vocab|, not |tokens|; token counting itself map-side combines).",
+    tags=("text", "stats"),
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("text")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    # offsets: #tokens with freq strictly greater — distinct frequency
+    # values are O(sqrt(total tokens)) (Zipf tail collapses onto small
+    # integers), metadata-sized at any corpus scale
+    freq_counts = freq.groupBy("f").agg(F.count("*").alias("nf")).collect()
+    offsets: dict[int, int] = {}
+    seen = 0
+    for row in sorted(freq_counts, key=lambda r: -r["f"]):
+        offsets[row["f"]] = seen
+        seen += row["nf"]
+    pairs: list = []
+    for fval, off in offsets.items():
+        pairs.append(F.lit(fval))
+        pairs.append(F.lit(off))
+    off_col = (
+        F.create_map(*pairs)[F.col("f")].cast("bigint")
+        if pairs
+        else F.lit(0).cast("bigint")
+    )
+    w_rank = Window.partitionBy("f").orderBy("w")
+    ranked = freq.withColumn(
+        "r", off_col + F.row_number().over(w_rank).cast("bigint")
+    )
+    m = ranked.select(
+        F.expr("CAST(round(ln(r) * 1000000) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(f) * 1000000) AS BIGINT)").alias("y"),
+    )
+    s = m.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("vocab_n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("slope_den"),
+    )
+
+
+@register(
+    "text_encoding_anomalies",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(regexp_replace(text,
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
+                AS BIGINT) AS n_ctrl,
+           CAST(length(text)
+                - length(regexp_replace(text, '\\xef\\xbf\\xbd', '', 'g'))
+                AS BIGINT) AS n_replacement,
+           round((length(text)
+                  - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS non_ascii_ratio
+    FROM documents
+    """,
+    doc="X4 encoding-anomaly audit, the mojibake gate every crawl "
+    "pipeline needs before tokenization: stray C0/C1 control "
+    "characters (legal \\t \\n \\r excluded), U+FFFD replacement "
+    "characters (the scar a lossy transcode leaves), and the "
+    "non-ASCII ratio. All counts via length-delta of a global "
+    "regexp_replace - one scan, pure JVM expressions, "
+    "embarrassingly parallel at any scale.",
+    tags=("text",),
+)
+def q_text_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+
+    def count_removed(pattern: str) -> F.Column:
+        return (n - F.length(F.regexp_replace(t, pattern, ""))).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        count_removed(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]").alias("n_ctrl"),
+        count_removed("�").alias("n_replacement"),
+        F.round(
+            count_removed(r"[^\x00-\x7f]") / F.greatest(n, F.lit(1)), 6
+        ).alias("non_ascii_ratio"),
+    )
+
+
+@register(
+    "bloom_prefilter_semi_join",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+    """,
+    doc="Runtime-filter join: revenue of lineitem rows whose part is in "
+    "a key set (p_size >= 48), computed as Bloom-prefilter -> exact "
+    "semi-join verify (functions/bloom.py). The Bloom bits ship to "
+    "every scan task (1.2 bytes/key at 1%% fpp vs ~8+ bytes/key for "
+    "the keys), so at 100 TB the fact table drops ~99%% of its rows AT "
+    "THE SCAN instead of shuffling them to a join; the exact verify "
+    "join then runs on the ~1%% survivors, making the result exact - "
+    "the filter affects cost, never answers. The explicit form of "
+    "spark.sql.optimizer.runtime.bloomFilter, testable and usable on "
+    "any expression.",
+    tags=("core", "scale"),
+)
+def q_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import bloom
+
+    part = tables.load(spark, sf_dir, "part")
+    block = part.filter(F.col("p_size") >= 48).select("p_partkey")
+    # build side: dimension-sized collect (same budget class as the
+    # label-map loaders); at 100 TB swap for df.agg of a bloom sketch
+    keys = [str(r["p_partkey"]) for r in block.collect()]
+    m_bits, k = bloom.bloom_params(len(keys), fpp=0.01)
+    words = bloom.bloom_filter_words(keys, m_bits, k)
+    li = tables.load(spark, sf_dir, "lineitem")
+    prefiltered = li.filter(
+        bloom.bloom_might_contain(F.col("l_partkey"), words, m_bits, k)
+    )
+    verified = prefiltered.join(
+        F.broadcast(block),
+        prefiltered.l_partkey == block.p_partkey,
+        "left_semi",
+    )
+    return verified.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "contrastive_negative_sampling",
+    oracle="""
+    WITH ring AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    targets AS (
+        SELECT a.doc_id AS anchor_id, s.i AS slot,
+               md5(CAST(a.doc_id AS VARCHAR) || '|' || CAST(s.i AS VARCHAR))
+                   AS t
+        FROM documents a
+        CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) s
+    ),
+    looked AS (
+        SELECT anchor_id, slot,
+               COALESCE(
+                   (SELECT r.doc_id FROM ring r
+                    WHERE r.h >= targets.t ORDER BY r.h LIMIT 1),
+                   (SELECT r.doc_id FROM ring r ORDER BY r.h LIMIT 1)
+               ) AS negative_id
+        FROM targets
+    )
+    SELECT anchor_id, CAST(slot AS INT) AS slot, negative_id
+    FROM looked
+    WHERE negative_id <> anchor_id
+    """,
+    doc="Deterministic negative sampling for contrastive training: "
+    "anchor x slot -> pseudo-random target md5(anchor|slot), negative "
+    "= consistent-hash-ring successor of the target among all docs "
+    "(ring_successor_join: prefix-bucketed partitioned window + "
+    "metadata fallback map, no global sort, no per-anchor scan). "
+    "Deterministic across runs/partitionings (resumable training "
+    "epochs), uniform in expectation (md5 ring positions), O((n+nk) "
+    "log) one-shuffle cost. Rare self-hits (anchor is its own "
+    "successor, ~k/n of rows) are dropped, mirroring the i.i.d.-"
+    "sample-then-filter convention.",
+    tags=("text", "ml", "scale"),
+)
+def q_contrastive_negative_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    ring = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    targets = (
+        docs.select(F.col("doc_id").alias("anchor_id"))
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("slot"),
+        )
+        .select(
+            "anchor_id",
+            F.col("slot").cast("int").alias("slot"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("anchor_id").cast("string"),
+                    F.col("slot").cast("string"),
+                )
+            ).alias("t"),
+        )
+    )
+    out = rel.ring_successor_join(
+        ring, targets, point_id="doc_id", point_hash="h", target_hash="t"
+    )
+    return (
+        out.filter(F.col("doc_id_succ") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "slot", F.col("doc_id_succ").alias("negative_id")
+        )
+    )

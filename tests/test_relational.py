@@ -328,3 +328,51 @@ def test_deterministic_split_numeric_no_shuffle_matches_rank(spark):
         for i, k in enumerate(sorted(keys))
     }
     assert got == want
+
+
+def test_exact_kth_smallest_beyond_double_precision(spark):
+    """Keys past 2^53 — where double arithmetic cannot represent
+    adjacent longs — must still resolve exactly (the DIV bucketing is
+    integer-exact by construction)."""
+    base = (1 << 53) + 10**6
+    vals = [base + v * 3 for v in range(400)] + [base - 5, base + 10**9]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    s = sorted(vals)
+    for k in (1, 200, len(vals)):
+        got = rel.exact_kth_smallest(
+            df, "k", k, n_buckets=8, take_threshold=32
+        )
+        assert got == s[k - 1], (k, got, s[k - 1])
+
+
+def test_ring_successor_wrap_and_ties(spark):
+    """Successor semantics on a tiny explicit ring: >= match (exact tie
+    returns the tying point), in-bucket successor, cross-bucket
+    fallback, and global wrap-around for targets past the ring max."""
+    points = spark.createDataFrame(
+        [("p1", "1aaa"), ("p2", "8bbb"), ("p3", "8ccc")],
+        "pid string, h string",
+    )
+    targets = spark.createDataFrame(
+        [
+            ("t_tie", "8bbb"),      # exact tie -> p2
+            ("t_mid", "8bcc"),      # between p2,p3 (same bucket) -> p3
+            ("t_gap", "2000"),      # bucket 2 empty -> fallback p2
+            ("t_wrap", "ffff"),     # past max -> wrap to p1
+            ("t_low", "0001"),      # below min, bucket 0 empty -> p1
+        ],
+        "name string, t string",
+    )
+    out = {
+        r["name"]: r["pid_succ"]
+        for r in rel.ring_successor_join(
+            points, targets, "pid", "h", "t", n_buckets=16
+        ).collect()
+    }
+    assert out == {
+        "t_tie": "p2",
+        "t_mid": "p3",
+        "t_gap": "p2",
+        "t_wrap": "p1",
+        "t_low": "p1",
+    }
