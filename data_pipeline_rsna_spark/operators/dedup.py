@@ -468,3 +468,53 @@ def dedup_clusters(docs: DataFrame, id_col: str = "doc_id",
             (F.col("node") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2f — incremental MinHash dedup (new batch vs persisted index)
+# ---------------------------------------------------------------------------
+
+
+def incremental_minhash_matches(
+    index_bands: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Daily-ingest near-dup check: which NEW documents collide with the
+    existing corpus (or an earlier doc of the same batch), without ever
+    re-hashing the corpus.
+
+    ``index_bands`` is the persisted (id, band, band_hash) table the
+    corpus accumulated over previous batches (`lsh_band_buckets` output
+    — at scale written ``partitionBy(band)`` and bucketed by band_hash,
+    so this join prunes and co-locates at the storage layer). Only the
+    new batch is shingled and hashed: cost ∝ |batch|, not |corpus| —
+    THE property that makes LSH dedup sustainable on a growing 100 TB
+    corpus. Within-batch earlier-id docs count as index too (a batch
+    can carry its own duplicates), matching what a sequential ingest
+    would have seen.
+
+    Returns (id, matched_id = min colliding id, n_matched_docs) for new
+    docs with at least one collision; verify candidates with an exact
+    measure downstream exactly as in the batch path."""
+    nb = lsh_band_buckets(
+        minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    )
+    idx = index_bands.select(
+        F.col(id_col).alias("_m_id"), "band", "band_hash"
+    )
+    batch_idx = nb.select(F.col(id_col).alias("_m_id"), "band", "band_hash")
+    hits = nb.join(
+        idx.unionByName(batch_idx), ["band", "band_hash"]
+    ).filter(F.col("_m_id") < F.col(id_col))
+    return hits.groupBy(id_col).agg(
+        F.min("_m_id").alias("matched_id"),
+        F.countDistinct("_m_id").alias("n_matched_docs"),
+    )

@@ -550,3 +550,45 @@ def blocklist_flags(
     ws = whitespace_tokens(text_col)
     blocked = F.array(*[F.lit(t) for t in terms])
     return F.arrays_overlap(ws, blocked)
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the RAG /
+    context-window chunker (size=window tokens, stride<size ⇒ overlap
+    of size-stride tokens so no boundary sentence is lost).
+
+    Pure narrow plan: split → window count by integer arithmetic →
+    explode(sequence) → slice + array_join. No shuffle at all; at
+    100 TB chunking parallelizes with the scan and the output is
+    written straight back out partition-local. Window count per doc is
+    ceil(max(n-size,0)/stride)+1: every token is covered, the final
+    window may be short (kept — truncating it would drop tail text).
+
+    Returns (id, chunk_id, start_token, n_tokens, chunk_text)."""
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    d = docs.select(
+        id_col, ws.alias("_ws"), F.size(ws).alias("_n")
+    )
+    last_start = F.greatest(F.col("_n") - size, F.lit(0))
+    n_windows = ((last_start + stride - 1) / stride).cast("int") + F.lit(1)
+    exploded = d.select(
+        id_col,
+        "_ws",
+        "_n",
+        F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("_ws"), start + 1, size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_token"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -9037,3 +9037,100 @@ def q_contrastive_negative_sampling(
             "anchor_id", "slot", F.col("doc_id_succ").alias("negative_id")
         )
     )
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               CAST((greatest(len(ws) - 64, 0) + 47) // 48 AS INT) + 1
+                   AS n_windows
+        FROM d
+    ),
+    chunks AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(0, n_windows - 1)) AS chunk_id
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 48 AS INT) AS start_token,
+           CAST(len(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64))
+                AS INT) AS n_tokens,
+           array_to_string(
+               list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '
+           ) AS chunk_text
+    FROM chunks
+    """,
+    doc="X4 RAG/context-window chunker: 64-token windows, stride 48 "
+    "(16-token overlap so no boundary sentence is orphaned), final "
+    "short window kept. Pure narrow plan - split, integer window "
+    "count, explode(sequence), slice, join - zero shuffles; at 100 TB "
+    "chunking rides the scan and writes back partition-local "
+    "(textanalysis.py::chunk_token_windows).",
+    tags=("text",),
+)
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return tx.chunk_token_windows(docs, size=64, stride=48)
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    mh AS (
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    )
+    SELECT n.doc_id AS doc_id,
+           min(m.doc_id) AS matched_id,
+           CAST(count(DISTINCT m.doc_id) AS BIGINT) AS n_matched_docs
+    FROM bands n
+    JOIN bands m ON n.band = m.band AND n.band_hash = m.band_hash
+                AND m.doc_id < n.doc_id
+    WHERE n.doc_id >= 100000
+    GROUP BY n.doc_id
+    """,
+    doc="X2f incremental near-dup ingest: today's batch (the planted "
+    "dup/near-dup ids >= 100000) checked against the PERSISTED band "
+    "index of the existing corpus plus earlier docs of the same batch "
+    "(dedup.py::incremental_minhash_matches). Only the batch is "
+    "shingled/hashed - cost tracks |batch|, not |corpus| - which is "
+    "what makes LSH dedup sustainable on a growing 100 TB corpus; the "
+    "index join prunes at the storage layer when the index is written "
+    "partitionBy(band). The oracle recomputes the corpus bands "
+    "wholesale (its privilege: correctness only needs the same "
+    "collision set, not the same cost).",
+    tags=("dedup", "scale"),
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    existing = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    # the persisted index, built once per corpus life, read thereafter
+    index_bands = dedup.lsh_band_buckets(
+        dedup.minhash_signatures(existing, num_hashes=12, shingle_n=3),
+        num_hashes=12,
+        rows_per_band=2,
+    )
+    return dedup.incremental_minhash_matches(
+        index_bands, batch, num_hashes=12, rows_per_band=2, shingle_n=3
+    )
