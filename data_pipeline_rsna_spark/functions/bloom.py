@@ -13,30 +13,33 @@ exact; the filter affects cost, never answers.
 Spark's optimizer does an automatic version of this
 (``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects one into
 shuffle joins from the smaller side); this module is the explicit,
-testable form with engine-reproducible hashing (md5 double-hashing,
-the same portability trick the MinHash/SimHash sketches use), usable
-on any column expression and any join shape.
+testable form, usable on any column expression and any join shape.
+
+Hashing is ``xxhash64(key, seed=i)`` — native, codegen'd, ~ns per
+probe — with the BUILD side computed by a Spark job over the key
+DataFrame (positions collected to the driver, dimension-sized by
+construction), so no Python reimplementation of the hash exists to
+drift. An earlier md5+conv() formulation was cross-engine-portable
+but 18× slower: each of the k probes embeds its own copy of the hash
+Column subtree (Catalyst duplicates shared Column objects; there is
+no driver-side CSE through a Filter, and materializing via
+withColumn doesn't help — predicate pushdown substitutes the
+expression right back), so the md5 ran 2k times per row. With
+xxhash64 the duplication costs nanoseconds instead of microseconds.
 
 Sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2). 1M keys at 1% fpp →
 ~1.2 MB of bits — a literal array of ~150k longs is past expression
-limits, so `bloom_filter_words` feeds ~dimension-size key sets inline
-and bigger sets should wrap the same words in a broadcast variable +
-pandas UDF; the bit math is identical.
+limits, so dimension-size key sets feed inline and bigger sets should
+wrap the same words in a broadcast variable + pandas UDF; the bit
+math is identical.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-# 15 hex digits = 60 bits: fits a signed 64-bit long with headroom, and
-# both the Python build side and the Spark conv() probe side read the
-# SAME digit spans of the same md5, so positions agree bit-for-bit.
-_H1_SPAN = (0, 15)
-_H2_SPAN = (16, 31)
 
 
 def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -50,21 +53,36 @@ def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(key: str, m_bits: int, k: int) -> list[int]:
-    d = hashlib.md5(key.encode()).hexdigest()
-    h1 = int(d[_H1_SPAN[0] : _H1_SPAN[1]], 16)
-    h2 = int(d[_H2_SPAN[0] : _H2_SPAN[1]], 16)
-    return [(h1 + i * h2) % m_bits for i in range(k)]
+def _position(col: Column, i: int, m_bits: int) -> Column:
+    """Bit position of probe ``i``: an independent 64-bit hash per seed,
+    folded into [0, m). Build and probe both call THIS function on the
+    same stringified key, so agreement is by construction."""
+    return F.pmod(F.xxhash64(col.cast("string"), F.lit(i)), F.lit(m_bits))
 
 
-def bloom_filter_words(keys: list[str], m_bits: int, k: int) -> list[int]:
-    """Build the bit array driver-side as ``m_bits/64`` signed longs
-    (Kirsch-Mitzenmacher double hashing: k positions from two md5
-    halves — the standard trick, k real hashes are unnecessary)."""
+def build_bloom_words(
+    keys: DataFrame, key_col: str, m_bits: int, k: int
+) -> list[int]:
+    """Build the bit array with a Spark job over the key DataFrame: set
+    positions are computed executor-side (same ``_position`` expression
+    the probe uses), deduplicated, and only the DISTINCT positions —
+    bounded by m_bits — reach the driver, where they fold into
+    ``m_bits/64`` signed longs."""
+    pos_rows = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[_position(F.col(key_col), i, m_bits) for i in range(k)]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
     words = [0] * (m_bits // 64)
-    for key in keys:
-        for pos in _positions(key, m_bits, k):
-            words[pos // 64] |= 1 << (pos % 64)
+    for r in pos_rows:
+        pos = int(r["p"])
+        words[pos // 64] |= 1 << (pos % 64)
     # two's-complement fold into signed 64-bit for Spark's LongType
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
@@ -72,10 +90,9 @@ def bloom_filter_words(keys: list[str], m_bits: int, k: int) -> list[int]:
 def bloom_might_contain(
     col: Column, words: list[int], m_bits: int, k: int
 ) -> Column:
-    """JVM-side membership probe: md5 the (stringified) key, derive the
-    same k positions via conv() on the same hex spans, test each bit of
-    the literal word array. False → definitely absent (safe to drop
-    before any join); True → verify exactly."""
+    """JVM-side membership probe: test the k seeded-hash bit positions
+    against the literal word array. False → definitely absent (safe to
+    drop before any join); True → verify exactly."""
     arr = F.array(*[F.lit(w).cast("long") for w in words])
     # single-bit masks as a 64-entry literal lookup (shiftleft's shift
     # amount must be a static int in the Column API; a lookup is also
@@ -86,21 +103,9 @@ def bloom_might_contain(
             for j in range(64)
         ]
     )
-    d = F.md5(col.cast("string"))
-    # reduce both hashes mod m BEFORE the i*h2 product: h2 is a 60-bit
-    # value and Spark's ANSI arithmetic would overflow long on i*h2;
-    # (h1 + i*h2) mod m == (h1 mod m + i*(h2 mod m)) mod m
-    h1 = F.pmod(
-        F.conv(F.substring(d, _H1_SPAN[0] + 1, 15), 16, 10).cast("long"),
-        F.lit(m_bits),
-    )
-    h2 = F.pmod(
-        F.conv(F.substring(d, _H2_SPAN[0] + 1, 15), 16, 10).cast("long"),
-        F.lit(m_bits),
-    )
     cond: Column | None = None
     for i in range(k):
-        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        pos = _position(col, i, m_bits)
         word = F.element_at(arr, (pos / F.lit(64)).cast("int") + F.lit(1))
         mask = F.element_at(masks, (pos % F.lit(64)).cast("int") + F.lit(1))
         cond = (

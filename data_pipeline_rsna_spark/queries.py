@@ -8943,11 +8943,11 @@ def q_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = tables.load(spark, sf_dir, "part")
     block = part.filter(F.col("p_size") >= 48).select("p_partkey")
-    # build side: dimension-sized collect (same budget class as the
-    # label-map loaders); at 100 TB swap for df.agg of a bloom sketch
-    keys = [str(r["p_partkey"]) for r in block.collect()]
-    m_bits, k = bloom.bloom_params(len(keys), fpp=0.01)
-    words = bloom.bloom_filter_words(keys, m_bits, k)
+    # build side: one Spark job over the key set; only distinct bit
+    # positions (bounded by m_bits) reach the driver
+    n_keys = block.count()
+    m_bits, k = bloom.bloom_params(n_keys, fpp=0.01)
+    words = bloom.build_bloom_words(block, "p_partkey", m_bits, k)
     li = tables.load(spark, sf_dir, "lineitem")
     prefiltered = li.filter(
         bloom.bloom_might_contain(F.col("l_partkey"), words, m_bits, k)
@@ -9134,3 +9134,100 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_matches(
         index_bands, batch, num_hashes=12, rows_per_band=2, shingle_n=3
     )
+
+
+@register(
+    "text_bigram_cross_entropy",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        FROM documents
+    ),
+    doc_bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i + 1]
+               )) AS bigram
+        FROM d WHERE len(ws) >= 2
+    ),
+    c2 AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+        FROM doc_bigrams GROUP BY bigram
+    ),
+    c1 AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               CAST(sum(c2) AS BIGINT) AS c1
+        FROM c2 GROUP BY 1
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round((ln(c1.c1) - ln(c2.c2)) * 1000000) AS BIGINT)
+                   AS xent_micro
+        FROM doc_bigrams b
+        JOIN c2 USING (bigram)
+        JOIN c1 ON split_part(b.bigram, ' ', 1) = c1.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(xent_micro) AS BIGINT) AS sum_xent_micro,
+           CAST(sum(xent_micro) // count(*) AS BIGINT) AS avg_xent_micro
+    FROM scored GROUP BY doc_id
+    """,
+    doc="X4 perplexity-style quality filter (CCNet shape): per-doc "
+    "average bigram cross-entropy against the corpus's own bigram LM, "
+    "in exact micro-nat fixed point (terms provably >= 0, so DuckDB's "
+    "floor-div and Spark's trunc-div agree). Low tail = boilerplate, "
+    "high tail = noise (textanalysis.py::bigram_cross_entropy).",
+    tags=("text", "ml"),
+)
+def q_text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return tx.bigram_cross_entropy(docs)
+
+
+# script ranges shared verbatim by the Spark expression and the DuckDB
+# oracle (raw chars, not escape syntax, so both regex engines see the
+# same literal class)
+_SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+    "arabic": "[؀-ۿ]",
+}
+
+_SCRIPT_ORACLE = f"""
+    SELECT doc_id,
+           {', '.join(
+               f"CAST(length(text) - length(regexp_replace(text, "
+               f"'{pat}', '', 'g')) AS BIGINT) AS n_{name}"
+               for name, pat in _SCRIPT_RANGES.items()
+           )}
+    FROM documents
+"""
+
+
+@register(
+    "text_script_profile",
+    oracle=_SCRIPT_ORACLE,
+    doc="X4 Unicode-script profile (the routing step BEFORE any "
+    "language-id model: script mixes flag mojibake and spam, and the "
+    "dominant script picks the lang-id model to run). Per-script "
+    "character counts as length-delta regexp_replace over literal "
+    "codepoint ranges shared verbatim with the oracle - one scan, "
+    "embarrassingly parallel.",
+    tags=("text",),
+)
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    cols = [
+        (n - F.length(F.regexp_replace(t, pat, "")))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in _SCRIPT_RANGES.items()
+    ]
+    return docs.select("doc_id", *cols)

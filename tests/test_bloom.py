@@ -1,6 +1,7 @@
 """Bloom pre-filter contract: zero false negatives (the correctness
 property the prefilter-then-verify pattern rests on), bounded false
-positives, and build/probe hash agreement across the Python/JVM sides."""
+positives, and build/probe agreement (both sides evaluate the same
+seeded-xxhash64 position expression)."""
 
 from __future__ import annotations
 
@@ -11,11 +12,11 @@ from data_pipeline_rsna_spark.functions import bloom
 
 def test_no_false_negatives_and_bounded_fpp(spark):
     keys = [str(v * 7919) for v in range(500)]
+    kdf = spark.createDataFrame([(x,) for x in keys], "key string")
     m_bits, k = bloom.bloom_params(len(keys), fpp=0.01)
-    words = bloom.bloom_filter_words(keys, m_bits, k)
+    words = bloom.build_bloom_words(kdf, "key", m_bits, k)
 
-    members = spark.createDataFrame([(x,) for x in keys], "key string")
-    hits = members.filter(
+    hits = kdf.filter(
         bloom.bloom_might_contain(F.col("key"), words, m_bits, k)
     ).count()
     assert hits == len(keys)  # a single false negative breaks the pattern
@@ -29,16 +30,16 @@ def test_no_false_negatives_and_bounded_fpp(spark):
     assert fp / 2000 < 0.05, fp  # sized for 1%; 5% bound kills regressions
 
 
-def test_probe_matches_python_positions(spark):
-    """The conv()-based JVM probe must read the same md5 spans as the
-    Python build side — probe each key's own single-key filter."""
-    keys = ["a", "42", "zx|9", ""]
-    for key in keys:
+def test_probe_matches_build_positions(spark):
+    """Single-key filters: the probe must accept exactly the built key
+    (build and probe share the _position expression; this pins that
+    the driver-side word fold preserves it)."""
+    for key in ["a", "42", "zx|9", ""]:
         m_bits, k = bloom.bloom_params(1, fpp=0.01)
-        words = bloom.bloom_filter_words([key], m_bits, k)
-        df = spark.createDataFrame([(key,)], "key string")
+        kdf = spark.createDataFrame([(key,)], "key string")
+        words = bloom.build_bloom_words(kdf, "key", m_bits, k)
         assert (
-            df.filter(
+            kdf.filter(
                 bloom.bloom_might_contain(F.col("key"), words, m_bits, k)
             ).count()
             == 1

@@ -154,11 +154,10 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
 
 
 def test_deterministic_split_plan_no_window_no_joins(spark, sf_dir):
-    """The mid-based rank contract: after the pinning checkpoint the
-    whole split is checkpoint-scan -> narrow projection — no WindowExec
-    (the old row_number form re-shuffled AND re-sorted the data because
-    the checkpoint erases partitioning metadata), no joins (offsets are
-    driver-side metadata literals), and the only exchange is the final
+    """Order-statistic split contract (numeric key): the labeling plan
+    is scan -> narrow cutoff-key comparison — no WindowExec, no joins,
+    no data shuffle at all (the cutoff key came from the histogram-
+    refinement metadata jobs); the only exchange is the final
     groupBy's."""
     df = REGISTRY["deterministic_split"].spark_fn(spark, sf_dir)
     rep = audit.plan_report(df)
@@ -166,3 +165,45 @@ def test_deterministic_split_plan_no_window_no_joins(spark, sf_dir):
     assert rep.n_broadcast_hash_joins == 0, rep.text
     assert rep.n_sort_merge_joins == 0, rep.text
     assert rep.n_shuffle_exchanges <= 1, rep.text
+
+
+def test_chunk_windows_plan_is_narrow(spark, sf_dir):
+    """The RAG chunker must be a pure narrow plan: zero exchanges of any
+    kind — chunking rides the scan at any scale."""
+    df = REGISTRY["text_chunk_windows"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    assert rep.n_shuffle_exchanges == 0, rep.text
+    assert rep.n_broadcast_exchanges == 0, rep.text
+
+
+def test_zipf_rank_has_no_unpartitioned_window(spark, sf_dir):
+    """The global rank inside the Zipf slope must come from the
+    freq-partitioned window + driver-folded offsets — a bare
+    'Window [... ORDER BY ...]' with no PARTITION BY would collapse
+    the vocabulary onto one task."""
+    df = REGISTRY["text_zipf_slope"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    # formatted plans show the partition spec inside Window's Arguments;
+    # assert every Window node mentions the freq column as partition key
+    win_args = [
+        ln for ln in rep.text.splitlines()
+        if "windowspecdefinition(" in ln
+    ]
+    assert win_args, rep.text
+    for ln in win_args:
+        assert "windowspecdefinition(f#" in ln.replace(" ", ""), ln
+
+
+def test_bloom_prefilter_sits_below_the_join(spark, sf_dir):
+    """The Bloom membership predicate must execute as a Filter on the
+    fact side BEFORE the semi join (the point of the pattern), and the
+    verify join must broadcast the exact key set."""
+    df = REGISTRY["bloom_prefilter_semi_join"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    assert rep.n_broadcast_hash_joins >= 1, rep.text
+    txt = rep.text
+    # the seeded-xxhash probe chain appears in a Filter node, not in
+    # the join
+    filt = [ln for ln in txt.splitlines() if ln.lstrip().startswith(
+        "Condition") and "xxhash64" in ln]
+    assert filt, txt
