@@ -74,8 +74,14 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
     shingle+hash work across all cores AND already satisfies the
     ``groupBy(id_col)`` distribution every consumer needs, so Catalyst
     plans no second exchange — same shuffle count, tokens move instead
-    of raw text (similar bytes)."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    of raw text (similar bytes). Width cores/2, same measurement as the
+    labels cast chain (queries.py::_lineitem_as_raw_labels): the
+    shingle+hash stage saturates before all cores and the extra tasks
+    only add scheduling (0.62 s vs 0.72 s whole-query at 16 vs 32-way
+    on 32 cores)."""
+    n_parts = max(
+        8, docs.sparkSession.sparkContext.defaultParallelism // 2
+    )
     toks = F.col("_ws")
     return (
         docs.select(id_col, tokens_col(text_col).alias("_ws"))
