@@ -107,3 +107,56 @@ def test_embedding_neardup_finds_planted(spark):
     assert (3, 103) in pairs and (7, 107) in pairs
     for r in got:
         assert r.cosine >= 0.995
+
+
+def test_ivf_cell_layout_prunes_at_storage(spark, sf_dir, tmp_path):
+    """The documented IVF scale path made concrete: the corpus written
+    partitionBy("cell") must (a) prune unprobed cells at the file index
+    (PartitionFilters on cell, nprobe dirs read, not 2^n_bits) and
+    (b) produce the same top-k as the in-memory candidate join."""
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.plans import audit
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    layout = str(tmp_path / "corpus_by_cell")
+    (
+        emb.withColumn(
+            "cell",
+            sim.srp_cell_col(sim.as_double_array("embedding"), 4, 64),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(layout)
+    )
+    back = spark.read.parquet(layout)
+
+    # one probe set: a query's nprobe=4 nearest cells by Hamming
+    probe_cells = [0, 1, 2, 4]
+    pruned = back.filter(F.col("cell").isin(probe_cells))
+    rep = audit.plan_report(pruned)
+    pf = [ln for ln in rep.text.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), rep.text
+    # the file index reads nprobe directories, not all 16
+    n_rows_probed = pruned.count()
+    per_cell = dict(
+        (r["cell"], r["n"])
+        for r in back.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    )
+    assert n_rows_probed == sum(per_cell.get(c, 0) for c in probe_cells)
+    assert n_rows_probed < sum(per_cell.values())
+
+    # equivalence: IVF over the partitioned layout == IVF in memory
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.srp_ivf_topk(
+            back.select("vec_id", "embedding"), queries, k=5, nprobe=4
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.srp_ivf_topk(emb, queries, k=5, nprobe=4).collect()
+    }
+    assert got == want
