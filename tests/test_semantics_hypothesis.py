@@ -94,3 +94,46 @@ def test_winnowing_window_density_property(data):
     selected = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
     for j in range(len(hs) - w + 1):
         assert selected & set(hs[j : j + w]), (j, words)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=4, max_size=4),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    ),
+    st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=4, max_size=4),
+        min_size=1,
+        max_size=24,
+    ),
+)
+def test_ring_successor_matches_bruteforce(spark, point_hashes, target_hashes):
+    """ring_successor_join == 'smallest point hash >= target, wrapping
+    to the global min' on arbitrary 4-hex ring layouts — including
+    collisions between targets and points, empty prefix buckets, and
+    all-targets-past-the-max wrap."""
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    points = spark.createDataFrame(
+        [(f"p{i}", h) for i, h in enumerate(point_hashes)],
+        "pid string, h string",
+    )
+    targets = spark.createDataFrame(
+        [(f"t{i}", h) for i, h in enumerate(target_hashes)],
+        "name string, t string",
+    )
+    got = {
+        r["name"]: r["pid_succ"]
+        for r in rel.ring_successor_join(
+            points, targets, "pid", "h", "t", n_buckets=16
+        ).collect()
+    }
+    by_hash = sorted(zip(point_hashes, range(len(point_hashes))))
+    for i, t in enumerate(target_hashes):
+        succ = next((f"p{j}" for h, j in by_hash if h >= t), None)
+        if succ is None:
+            succ = f"p{by_hash[0][1]}"
+        assert got[f"t{i}"] == succ, (t, sorted(point_hashes))
