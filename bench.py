@@ -110,7 +110,7 @@ def main() -> None:
     # every plan shape; the per-query warmup below then only pays
     # plan-specific residue.
     specs = [(n, REGISTRY.get(n)) for n in HEADLINE if REGISTRY.get(n)]
-    for _ in range(max(warmup, 1)):
+    for _ in range(warmup):  # BENCH_WARMUP=0 really means zero warm work
         for _name, spec in specs:
             run_once(spec)
 

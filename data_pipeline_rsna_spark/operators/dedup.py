@@ -513,13 +513,27 @@ def incremental_minhash_matches(
         num_hashes,
         rows_per_band,
     )
+    # corpus-index matches count UNCONDITIONALLY (an index doc is prior
+    # art whatever its id); the earlier-id ordering applies only WITHIN
+    # the batch, mirroring what a sequential ingest would have seen. A
+    # blanket `_m_id < id` filter would silently drop collisions with
+    # index docs whose ids happen to sort after the new doc's.
     idx = index_bands.select(
-        F.col(id_col).alias("_m_id"), "band", "band_hash"
+        F.col(id_col).alias("_m_id"),
+        "band",
+        "band_hash",
+        F.lit(True).alias("_from_index"),
     )
-    batch_idx = nb.select(F.col(id_col).alias("_m_id"), "band", "band_hash")
-    hits = nb.join(
-        idx.unionByName(batch_idx), ["band", "band_hash"]
-    ).filter(F.col("_m_id") < F.col(id_col))
+    batch_idx = nb.select(
+        F.col(id_col).alias("_m_id"),
+        "band",
+        "band_hash",
+        F.lit(False).alias("_from_index"),
+    )
+    hits = nb.join(idx.unionByName(batch_idx), ["band", "band_hash"]).filter(
+        (F.col("_from_index") & (F.col("_m_id") != F.col(id_col)))
+        | (~F.col("_from_index") & (F.col("_m_id") < F.col(id_col)))
+    )
     return hits.groupBy(id_col).agg(
         F.min("_m_id").alias("matched_id"),
         F.countDistinct("_m_id").alias("n_matched_docs"),

@@ -154,9 +154,17 @@ def exact_kth_smallest(
     stats prune most of the file I/O after round one. Compare: a global
     sort would shuffle the full table once per query.
 
-    Ties are fine (buckets count duplicates); returns None on empty
-    input or k out of range.
+    Ties are fine (buckets count duplicates); NULLs are ignored (the
+    rank is over non-null values, like SQL ORDER BY ... OFFSET);
+    returns None on empty input or k out of range. Integral columns
+    only — the integer bucket arithmetic silently truncates fractional
+    types, so they are rejected up front.
     """
+    dtype = dict(df.dtypes).get(col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"exact_kth_smallest needs an integral column; {col} is {dtype}"
+        )
     total_row = df.agg(
         F.count(F.col(col)).alias("n"),
         F.min(F.col(col)).alias("lo"),
@@ -184,11 +192,28 @@ def _kth_smallest_in_range(
 
     All bucket math is integer-exact (``DIV`` on a shifted column, bucket
     width ``ceil(range/n)``) — double division would misbucket keys past
-    2^53 and silently corrupt the rank bookkeeping.
+    2^53 and silently corrupt the rank bookkeeping. A range wider than
+    2^62 (a full-range long column, e.g. xxhash64 keys) would overflow
+    the ``col - lo`` shift itself, so it is first halved by a plain
+    in-range count until the shift is safe.
     """
     while True:
         if lo == hi:
             return lo
+        if hi - lo + 1 > (1 << 62):
+            # halve by a driver-side midpoint (python ints are exact at
+            # any width) until the shifted range fits in long; mid is
+            # always in [lo, hi-1] so each round strictly shrinks
+            mid = lo + (hi - lo) // 2
+            cnt = df.filter(
+                (F.col(col) >= lo) & (F.col(col) <= mid)
+            ).count()
+            if k <= cnt:
+                hi, rows_in_range = mid, cnt
+            else:
+                k -= cnt
+                lo, rows_in_range = mid + 1, rows_in_range - cnt
+            continue
         if rows_in_range <= take_threshold:
             row = (
                 df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -200,8 +225,8 @@ def _kth_smallest_in_range(
             )
             return row["v"]
         width = hi - lo + 1
-        # bucket width (not count) fixed first: keeps every intermediate
-        # inside long range for any [lo, hi] ⊆ long
+        # bucket width (not count) fixed first: with the >2^62 ranges
+        # already split away, every intermediate stays inside long
         w = -(-width // n_buckets)  # ceil
         hist = (
             df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -219,6 +244,11 @@ def _kth_smallest_in_range(
                 rows_in_range = r["_c"]
                 break
             seen += r["_c"]
+        else:  # pragma: no cover - guarded by callers passing k <= count
+            raise RuntimeError(
+                f"rank {k} not found in [{lo}, {hi}] — caller passed a k "
+                "beyond the in-range row count (e.g. NULL-counting total)"
+            )
 
 
 def deterministic_split(
@@ -248,37 +278,56 @@ def deterministic_split(
     """
     import math
 
+    def _label(total: int) -> tuple[int, str | None]:
+        # HALF_UP to match both Spark's and DuckDB's round() for positives
+        cutoff = int(math.floor(total * train_frac + 0.5))
+        if bug_compat_off_by_one:
+            cutoff -= 1
+        if cutoff < 1:
+            return cutoff, "val"
+        if cutoff >= total:
+            return cutoff, "train"
+        return cutoff, None
+
     dtype = dict(df.dtypes).get(order_col)
     numeric = dtype in ("tinyint", "smallint", "int", "bigint")
     if numeric:
-        # one metadata job covers the row count AND the histogram bounds
+        # one metadata job covers the row count AND the histogram
+        # bounds; count(*) vs count(col) also detects NULL keys, which
+        # the cutoff-key equivalence cannot rank (ranking semantics for
+        # NULLs belong to the sort-based path)
         stats = df.agg(
             F.count("*").alias("n"),
+            F.count(F.col(order_col)).alias("n_nonnull"),
             F.min(order_col).alias("lo"),
             F.max(order_col).alias("hi"),
         ).collect()[0]
         total = stats["n"]
-    else:
-        total = df.count()
-    # HALF_UP to match both Spark's and DuckDB's round() for positives
-    cutoff = int(math.floor(total * train_frac + 0.5))
-    if bug_compat_off_by_one:
-        cutoff -= 1
-    if cutoff < 1:
-        return df.withColumn("split", F.lit("val"))
-    if cutoff >= total:
-        return df.withColumn("split", F.lit("train"))
-    if numeric:
-        cutoff_key = _kth_smallest_in_range(
-            df, order_col, cutoff, int(stats["lo"]), int(stats["hi"]), total
-        )
-        return df.withColumn(
-            "split",
-            F.when(F.col(order_col) <= cutoff_key, "train").otherwise("val"),
-        )
+        cutoff, const = _label(total)
+        if const is not None:
+            return df.withColumn("split", F.lit(const))
+        if stats["n_nonnull"] == total:
+            cutoff_key = _kth_smallest_in_range(
+                df,
+                order_col,
+                cutoff,
+                int(stats["lo"]),
+                int(stats["hi"]),
+                total,
+            )
+            return df.withColumn(
+                "split",
+                F.when(
+                    F.col(order_col) <= cutoff_key, "train"
+                ).otherwise("val"),
+            )
+        # NULL keys present → sort-based fallback below
 
     ranked = _ranked_by_mid(df, order_col)
-    offsets, _total = _partition_offsets(ranked)
+    offsets, total = _partition_offsets(ranked)
+    cutoff, const = _label(total)
+    if const is not None:
+        return df.withColumn("split", F.lit(const))
     return (
         ranked.withColumn(
             "split",
@@ -1080,8 +1129,8 @@ def ring_successor_join(
     # fallback: first (min-hash) ring point of the next non-empty bucket
     # cyclically — n_buckets rows of metadata, folded driver-side
     per_bucket = (
-        p.groupBy("_b").agg(F.min_by("_pid_ring", "_h").alias("first_pid"),
-                            F.min("_h").alias("first_h"))
+        p.groupBy("_b")
+        .agg(F.min_by("_pid_ring", "_h").alias("first_pid"))
         .collect()
     )
     first_of = {r["_b"]: r["first_pid"] for r in per_bucket}

@@ -8883,7 +8883,7 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
                 AS BIGINT) AS n_ctrl,
            CAST(length(text)
-                - length(regexp_replace(text, '\\xef\\xbf\\xbd', '', 'g'))
+                - length(regexp_replace(text, '�', '', 'g'))
                 AS BIGINT) AS n_replacement,
            round((length(text)
                   - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')))
@@ -9103,7 +9103,9 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT m.doc_id) AS BIGINT) AS n_matched_docs
     FROM bands n
     JOIN bands m ON n.band = m.band AND n.band_hash = m.band_hash
-                AND m.doc_id < n.doc_id
+                -- index docs (< 100000) are prior art unconditionally;
+                -- the earlier-id rule applies only within the batch
+                AND (m.doc_id < 100000 OR m.doc_id < n.doc_id)
     WHERE n.doc_id >= 100000
     GROUP BY n.doc_id
     """,

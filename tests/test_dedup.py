@@ -144,3 +144,32 @@ def test_image_dhash_invariant_to_brightness_twins(spark):
     for src in (0, 10, 20):
         assert by_id[src] == by_id[10000 + src]
         assert len(by_id[src]) == 64 and set(by_id[src]) <= {"0", "1"}
+
+
+def test_incremental_matches_index_docs_with_higher_ids(spark):
+    """Collisions with corpus-index docs must count regardless of id
+    order — only within-batch matches use the earlier-id rule. An index
+    doc with a HIGHER id than the new doc is still prior art."""
+    from data_pipeline_rsna_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(999_999, text)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(5, text), (6, "completely different words with no overlap xyz")],
+        "doc_id long, text string",
+    )
+    index_bands = dedup.lsh_band_buckets(
+        dedup.minhash_signatures(existing, num_hashes=12, shingle_n=3),
+        num_hashes=12,
+        rows_per_band=2,
+    )
+    got = {
+        r.doc_id: r.matched_id
+        for r in dedup.incremental_minhash_matches(
+            index_bands, batch, num_hashes=12, rows_per_band=2, shingle_n=3
+        ).collect()
+    }
+    assert got.get(5) == 999_999  # index doc counts despite higher id
+    assert 6 not in got

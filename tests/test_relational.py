@@ -376,3 +376,46 @@ def test_ring_successor_wrap_and_ties(spark):
         "t_wrap": "p1",
         "t_low": "p1",
     }
+
+
+def test_deterministic_split_with_null_keys_falls_back(spark):
+    """NULL order keys can't ride the cutoff-key equivalence; the
+    operator must fall back to the sort-based rank (Spark sorts NULLS
+    FIRST ascending, so nulls land in train) instead of crashing or
+    looping."""
+    rows = [(None,), (None,)] + [(v,) for v in range(10)]
+    df = spark.createDataFrame(rows, "id long")  # 12 rows, cutoff 10
+    got = {
+        r.split: r.n
+        for r in rel.deterministic_split(df, "id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {"train": 10, "val": 2}
+    # all-null keys: count path must not raise
+    allnull = spark.createDataFrame([(None,), (None,)], "id long")
+    out = rel.deterministic_split(allnull, "id").collect()
+    assert len(out) == 2
+
+
+def test_exact_kth_smallest_rejects_fractional(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0.1,), (0.5,)], "k double")
+    with _pytest.raises(TypeError):
+        rel.exact_kth_smallest(df, "k", 1)
+
+
+def test_exact_kth_smallest_full_range_longs(spark):
+    """Keys spanning negative-to-positive extremes (xxhash64-like) must
+    not overflow the shift: the sign-split pre-round keeps every
+    intermediate in long range."""
+    vals = [-(1 << 62) - 7, -(1 << 61), -5, 0, 3, (1 << 61), (1 << 62) + 9]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    s = sorted(vals)
+    for k in (1, 4, len(vals)):
+        got = rel.exact_kth_smallest(
+            df, "k", k, n_buckets=4, take_threshold=2
+        )
+        assert got == s[k - 1], (k, got)
