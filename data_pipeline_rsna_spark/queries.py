@@ -9233,3 +9233,39 @@ def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, pat in _SCRIPT_RANGES.items()
     ]
     return docs.select("doc_id", *cols)
+
+
+@register(
+    "exact_global_median_orderstat",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    r AS (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n,
+           (SELECT c FROM r
+            WHERE rn = (SELECT (count(*) + 1) // 2 FROM c))
+               AS median_cents
+    """,
+    doc="Exact global median (lower median, rank ceil(n/2)) of a fact "
+    "column in integer cents via relational.py::exact_kth_smallest - "
+    "the order statistic computed by iterative histogram refinement: "
+    "~3 narrow metadata-sized aggregation rounds with range predicates "
+    "pushed into the scan, NO global sort, NO shuffle of data rows at "
+    "any scale. The oracle's row_number() over a full sort is the "
+    "semantics; the engine's refinement is the 100 TB plan for them.",
+    tags=("relational", "scale"),
+)
+def q_exact_global_median_orderstat(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cents = tables.load(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c")
+    )
+    n = cents.count()
+    med = rel.exact_kth_smallest(cents, "c", (n + 1) // 2)
+    return spark.createDataFrame(
+        [(n, med)], "n bigint, median_cents bigint"
+    )
