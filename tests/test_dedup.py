@@ -173,3 +173,44 @@ def test_incremental_matches_index_docs_with_higher_ids(spark):
     }
     assert got.get(5) == 999_999  # index doc counts despite higher id
     assert 6 not in got
+
+
+def test_incremental_matches_against_persisted_index(spark, tmp_path):
+    """The documented ingest shape end-to-end: the band index WRITTEN
+    partitionBy(band) to parquet and read back must yield the same
+    matches as the in-memory index — the corpus is never re-hashed."""
+    from data_pipeline_rsna_spark.operators import dedup
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten eleven"
+    existing = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, text_a), (101, "unrelated words entirely distinct corpus")],
+        "doc_id long, text string",
+    )
+    bands = dedup.lsh_band_buckets(
+        dedup.minhash_signatures(existing, num_hashes=12, shingle_n=3),
+        num_hashes=12,
+        rows_per_band=2,
+    )
+    layout = str(tmp_path / "band_index")
+    bands.write.mode("overwrite").partitionBy("band").parquet(layout)
+    persisted = spark.read.parquet(layout).select(
+        "doc_id", "band", "band_hash"
+    )
+
+    def run(idx):
+        return {
+            r.doc_id: (r.matched_id, r.n_matched_docs)
+            for r in dedup.incremental_minhash_matches(
+                idx, batch, num_hashes=12, rows_per_band=2, shingle_n=3
+            ).collect()
+        }
+
+    from_disk = run(persisted)
+    in_mem = run(bands)
+    assert from_disk == in_mem
+    assert from_disk.get(100) == (1, 1)
+    assert 101 not in from_disk
