@@ -9269,3 +9269,162 @@ def q_exact_global_median_orderstat(
     return spark.createDataFrame(
         [(n, med)], "n bigint, median_cents bigint"
     )
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    WITH corpus AS ({_VECTOR_CORPUS_SQL}),
+    sig AS (
+        SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS norm,
+           {{blocks}}
+        FROM corpus
+    ),
+    blocks AS (
+        SELECT vec_id, ve, norm, blk,
+               CASE blk WHEN 0 THEN blk0 WHEN 1 THEN blk1
+                        WHEN 2 THEN blk2 ELSE blk3 END AS blk_val
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM blocks a
+        JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
+                     AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sig ca ON ca.vec_id = doc_a
+        JOIN sig cb ON cb.vec_id = doc_b
+        WHERE round(list_dot_product(ca.ve, cb.ve) / (ca.norm * cb.norm), 6)
+              >= 0.995
+    ),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.v, r.label FROM r JOIN sym s ON s.u = r.node
+        )
+        SELECT node, min(label) AS component FROM r GROUP BY node
+    ),
+    sized AS (
+        SELECT component, count(*) AS cluster_size FROM reach GROUP BY 1
+    )
+    SELECT r.node AS vec_id, r.component AS component,
+           s.cluster_size AS cluster_size,
+           r.node = r.component AS is_keeper
+    FROM reach r JOIN sized s USING (component)
+    """.format(blocks=_srp_sql_blocks()),
+    doc="X2e+ semantic dedup (SemDeDup shape): embedding near-dup pairs "
+    "(SRP pigeonhole blocks + exact cosine >= 0.995, same machinery as "
+    "dedup_embedding_cosine) clustered into semantic-duplicate groups "
+    "by min-label connected components; one deterministic keeper per "
+    "group survives. At 100 TB every stage is the already-analyzed "
+    "scale shape: block join is candidate-bound, CC rounds are "
+    "O(cluster diameter) shuffle-joins over the EDGE set (|near-dup "
+    "pairs|, a tiny fraction of the corpus), keeper join broadcasts "
+    "cluster sizes.",
+    tags=("dedup", "similarity", "scale"),
+)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.05)),
+            F.slice("embedding", 2, _SRP_DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    pairs = sim.embedding_neardup_pairs(
+        corpus,
+        threshold=0.995,
+        n_bits=_SRP_BITS,
+        max_hamming=3,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=_SRP_DIM,
+    )
+    comps = dedup.connected_components(pairs)
+    sizes = comps.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return comps.join(F.broadcast(sizes), "component").select(
+        F.col("node").alias("vec_id"),
+        "component",
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS f FROM toks GROUP BY w
+        ) ORDER BY f DESC, w LIMIT 1000
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (WHERE v.w IS NULL)
+                 / greatest(count(*), 1), 6) AS oov_ratio
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+    doc="X4 out-of-vocabulary rate against the corpus's own top-1000 "
+    "token vocabulary (deterministic: freq desc, token asc) - the "
+    "tokenizer-fit diagnostic (high OOV = domain shift or noise; "
+    "drives vocab retraining decisions). Vocab selection is one "
+    "TakeOrdered over the map-side-combined frequency table; the "
+    "per-doc pass joins tokens against the BROADCAST 1000-row vocab - "
+    "no shuffle of token occurrences at any corpus size.",
+    tags=("text", "ml"),
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w"))
+        .limit(1000)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                / F.greatest(F.count("*"), F.lit(1)),
+                6,
+            ).alias("oov_ratio"),
+        )
+    )
