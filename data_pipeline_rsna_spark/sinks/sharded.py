@@ -45,3 +45,43 @@ def write_sharded(df: DataFrame, path: str, num_shards: int,
     """Materialize as exactly num_shards files. ``repartition(n)`` is
     Spark's round-robin exchange — balanced shards without a sort."""
     df.repartition(num_shards).write.mode("overwrite").format(fmt).save(path)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 256,
+    order_col: str | None = None,
+):
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each — the periodic maintenance job every streaming
+    or fine-grained-partitioned sink needs (a 100 TB table fed by
+    per-microbatch writes degrades into millions of KB-files; scan
+    task-setup then dominates I/O and the NameNode/object-store
+    listing becomes the bottleneck).
+
+    File count = ceil(bytes / target); ``order_col`` optionally
+    re-sorts within the rewrite (repartitionByRange + local sort) so
+    compaction doubles as a clustering pass — min/max row-group stats
+    then prune reads on that column. Returns (n_files_before,
+    n_files_after, total_bytes)."""
+    import math
+    import os
+
+    files = [
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    if order_col is not None:
+        df = df.repartitionByRange(n_out, order_col).sortWithinPartitions(
+            order_col
+        )
+    else:
+        df = df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(dst_dir)
+    return len(files), n_out, total
