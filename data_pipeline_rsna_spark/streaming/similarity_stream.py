@@ -67,3 +67,62 @@ def serve_topk_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def read_doc_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Bounded file-source stream of incoming document batches."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    index_bands: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> "object":
+    """Streaming near-dup ingest gate: each arriving micro-batch of
+    documents is checked against the PERSISTED band index (stream-static
+    shape — the index is the static side, loaded once) plus its own
+    earlier docs, exactly like the batch `incremental_minhash_matches`;
+    per-batch collision verdicts append to a parquet log.
+
+    foreachBatch rather than a streaming agg: the minhash signature is
+    a groupBy over the batch only (no cross-batch state — cross-batch
+    dedup IS the index, which the maintenance job appends each batch's
+    bands to). Idempotent under batch-id replay like the other logs."""
+    from ..operators import dedup
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            dedup.incremental_minhash_matches(
+                index_bands,
+                batch_df,
+                num_hashes=num_hashes,
+                rows_per_band=rows_per_band,
+                shingle_n=shingle_n,
+            )
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(check_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

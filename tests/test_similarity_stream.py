@@ -49,3 +49,42 @@ def test_streamed_topk_matches_batch_kernel(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming ingest gate must flag exactly what the batch
+    incremental matcher flags for the same arrivals (within-batch
+    scope per micro-batch, corpus index static)."""
+    from data_pipeline_rsna_spark.operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") < 40)
+    arrivals = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )  # exact copies of indexed docs -> must all match
+    index_bands = dedup.lsh_band_buckets(
+        dedup.minhash_signatures(existing, num_hashes=12, shingle_n=3),
+        num_hashes=12,
+        rows_per_band=2,
+    )
+    staged = str(tmp_path / "arrivals")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt2")
+    arrivals.coalesce(1).write.parquet(staged)
+
+    q = ss.dedup_ingest_stream(
+        ss.read_doc_stream(spark, staged), index_bands, out, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: r.matched_id for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: r.matched_id
+        for r in dedup.incremental_minhash_matches(
+            index_bands, arrivals, num_hashes=12, rows_per_band=2
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 10  # every planted copy flagged
