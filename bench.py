@@ -43,21 +43,29 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Parallelism sized to the DATA when the harness doesn't pin it:
-    # $SPARK_GRAFT_CPUS is honored verbatim, but with it unset the
-    # sub-GB bench tier runs local[16], not local[<all cores>] — at
-    # sf0.1 every stage is under 20 MB/core of work, and measured
-    # headline totals are 5.2-5.4 s at local[8/16] vs 6.8 s at
-    # local[32] on a 32-core box (thread scheduling + GC pressure from
-    # 32 task slots dominates compute). At sf>=1 use all cores.
+    # Parallelism sized to the DATA. $SPARK_GRAFT_CPUS is honored
+    # verbatim for the master (local[32] when the harness says 32 CPUs);
+    # with it unset the sub-GB bench tier runs local[16]. On top of the
+    # master, at sf<=0.25 the TASK-SLOT count is halved with
+    # spark.task.cpus=2: at this tier every stage is under 20 MB/core of
+    # work, and 32 concurrent sub-MB tasks cost more in task launch +
+    # thread scheduling than they recover in parallelism. Measured
+    # (quiet 32-core box, local[32], identical queries): headline total
+    # 6.3-7.0 s with 32 slots vs 4.1-4.9 s with task.cpus=2 (16 slots).
+    # task.cpus is the standard knob for "this workload wants fewer,
+    # beefier tasks"; at sf>=1 (or on a cluster) it stays at 1 and the
+    # full slot count stands.
     master = None
-    if "SPARK_GRAFT_CPUS" not in os.environ:
-        try:
-            if float(sf) <= 0.25:
-                master = "local[16]"
-        except ValueError:
-            pass
-    spark = get_spark("bench", master=master)
+    extra_conf: dict[str, str] = {}
+    try:
+        small_sf = float(sf) <= 0.25
+    except ValueError:
+        small_sf = False
+    if small_sf:
+        extra_conf["spark.task.cpus"] = "2"
+        if "SPARK_GRAFT_CPUS" not in os.environ:
+            master = "local[16]"
+    spark = get_spark("bench", master=master, extra_conf=extra_conf)
 
     # Size shuffle parallelism to the DATA, not the machine: at sf<=0.1 a
     # 32-way shuffle is ~350 KB/task and pure scheduling overhead (measured
@@ -76,12 +84,17 @@ def main() -> None:
     # is why the production session (session.py) keeps it ON and only the
     # small-SF bench turns it off. Plans are identical modulo AQE wrappers
     # (PLANS.md is generated with AQE on).
-    try:
-        if float(sf) <= 0.25:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-    except ValueError:
-        pass
+    # Scan splitting follows the same logic: the sf<=0.25 parquet files
+    # are single-digit-MB, far under maxPartitionBytes, but
+    # files.minPartitionNum defaults to defaultParallelism (=cores) and
+    # force-splits each scan into 32 near-empty tasks. minPartitionNum=1
+    # lets file size alone decide (1-2 tasks per scan here); at real SF
+    # the 128 MB maxPartitionBytes target produces thousands of tasks
+    # regardless of this knob. Measured: -0.4 s headline total.
+    if small_sf:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.files.minPartitionNum", "1")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup
