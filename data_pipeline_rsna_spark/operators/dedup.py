@@ -82,12 +82,23 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id",
     n_parts = max(
         8, docs.sparkSession.sparkContext.defaultParallelism // 2
     )
-    toks = F.col("_ws")
+    # expr-string form of tokens_col/_shingles_over: identical logical
+    # plan, built in a handful of py4j round trips instead of one per
+    # Column node. Plan CONSTRUCTION is part of serving latency for
+    # repeated queries, and the Column-by-Column form spends ~0.2 s per
+    # build in gateway round trips on this function alone (profiled:
+    # recv_into dominates, not Python work).
+    shingle_expr = (
+        f"explode(array_distinct(transform(sequence(0, size(_ws) - {n}), "
+        f"i -> concat_ws(' ', slice(_ws, i + 1, {n}))))) AS shingle"
+    )
     return (
-        docs.select(id_col, tokens_col(text_col).alias("_ws"))
+        docs.selectExpr(
+            f"`{id_col}`", f"split(lower(`{text_col}`), '\\\\s+') AS _ws"
+        )
         .repartition(n_parts, id_col)
-        .filter(F.size(toks) >= n)
-        .select(id_col, F.explode(_shingles_over(toks, n)).alias("shingle"))
+        .filter(F.size(F.col("_ws")) >= n)
+        .selectExpr(f"`{id_col}`", shingle_expr)
     )
 
 
@@ -145,15 +156,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     # shingle, not H, and the min-comparisons run on 8-char strings.
     # Portable: substring(md5(x), 1+8k, 8) is identical SQL everywhere.
     n_seeds = (num_hashes + 3) // 4
+    # expr strings (not Column trees) for the same reason as
+    # exploded_shingles: H+n_seeds gateway calls instead of ~5 per hash.
     seeds = [
-        F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"_d{s}")
+        f"md5(concat_ws('|', '{s}', shingle)) AS _d{s}"
         for s in range(n_seeds)
     ]
-    hashed = sh.select(id_col, *seeds)
+    hashed = sh.selectExpr(f"`{id_col}`", *seeds)
     aggs = [
-        F.min(
-            F.substring(F.col(f"_d{i // 4}"), 1 + 8 * (i % 4), 8)
-        ).alias(f"mh{i}")
+        F.expr(f"min(substring(_d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}")
         for i in range(num_hashes)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -165,26 +176,20 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
     rows of a band share a band_hash → candidate pair. Pure narrow ops:
     band hashes are column expressions, the unpivot is an explode."""
     n_bands = num_hashes // rows_per_band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    # one expr string for the whole band array (same plan, ~2 gateway
+    # calls instead of ~6 per band)
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cols})) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
     )
-    return signatures.select(
-        id_col, F.explode(band_structs).alias("bb")
-    ).select(id_col, "bb.band", "bb.band_hash")
+    return signatures.selectExpr(
+        f"`{id_col}`", f"explode(array({structs})) AS bb"
+    ).selectExpr(f"`{id_col}`", "bb.band", "bb.band_hash")
 
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
@@ -243,25 +248,20 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.size("ids") > 1)
             .withColumn("_capped", F.col("_members") > max_bucket)
         )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids) - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pairs_expr = (
+        "explode(flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))) AS p"
     )
     if max_bucket is None:
         return (
-            buckets.select(F.explode(pairs).alias("p"))
+            buckets.selectExpr(pairs_expr)
             .select("p.doc_a", "p.doc_b")
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_shared_bands"))
         )
     return (
-        buckets.select(F.explode(pairs).alias("p"), "_capped")
+        buckets.selectExpr(pairs_expr, "_capped")
         .select("p.doc_a", "p.doc_b", "_capped")
         .groupBy("doc_a", "doc_b")
         .agg(

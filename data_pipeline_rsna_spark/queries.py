@@ -755,21 +755,18 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself plus (for 1-in-10 ids) a planted exact or near duplicate —
     # explode is narrow, so the plant costs zero extra I/O and no shuffle
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    variants = F.array(
-        F.struct(F.col("doc_id"), F.col("text")),
-        F.struct((F.col("doc_id") + 200000).alias("doc_id"), F.col("text")),
-        F.struct(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-        ),
+    # single expr string: same plan as the Column-tree form, built in 2
+    # gateway calls instead of ~40 (plan construction is serving latency)
+    keep = (
+        "explode(filter(array("
+        "struct(doc_id, text), "
+        "struct(doc_id + 200000 AS doc_id, text), "
+        "struct(doc_id + 100000 AS doc_id, "
+        "substring(text, instr(text, ' ') + 1) AS text)"
+        "), (v, i) -> i = 0 OR (i = 1 AND doc_id % 10 = 0) "
+        "OR (i = 2 AND doc_id % 10 = 5))) AS v"
     )
-    keep = F.filter(
-        variants,
-        lambda v, i: (i == 0)
-        | ((i == 1) & (F.col("doc_id") % 10 == 0))
-        | ((i == 2) & (F.col("doc_id") % 10 == 5)),
-    )
-    return docs.select(F.explode(keep).alias("v")).select("v.doc_id", "v.text")
+    return docs.selectExpr(keep).select("v.doc_id", "v.text")
 
 
 @register(
