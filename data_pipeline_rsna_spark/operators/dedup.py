@@ -538,3 +538,97 @@ def incremental_minhash_matches(
         F.min("_m_id").alias("matched_id"),
         F.countDistinct("_m_id").alias("n_matched_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X2c — exact duplicated-substring spans (suffix-window dedup)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 5,
+                    min_count: int = 2) -> DataFrame:
+    """Maximal exact-duplicated token spans per document — the
+    shuffle-native form of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): any
+    token run of length >= ``window`` that appears at least ``min_count``
+    times anywhere in the corpus is covered by some duplicated span, at
+    ``window``-token granularity, without ever building a global suffix
+    array.
+
+    Three steps, all DataFrame ops:
+
+    1. slide a ``window``-token hash over every document → one row per
+       (doc, pos, h) — O(total tokens) rows of 32-hex hashes;
+    2. flag windows whose hash occurs >= ``min_count`` times corpus-wide
+       with ``count() OVER (PARTITION BY h)`` — ONE shuffle on the hash
+       (a groupBy+self-join would shuffle the window table twice), and a
+       hash's partition holds only its own occurrences, so reducer
+       memory is bounded by the hottest hash, not the corpus;
+    3. merge each doc's surviving positions into maximal spans with the
+       gaps-and-islands pattern (lag + running sum over the per-doc
+       window) — two overlapping or abutting windows (gap <= window)
+       fuse, so a verbatim k-token quote yields ONE span of k tokens,
+       not k - window + 1 window hits.
+
+    Scale: step 2's shuffle moves (id, pos, h) triples — independent of
+    document size; a boilerplate hash shared by millions of docs makes a
+    hot partition, the same skew class as the LSH mega-bucket, and the
+    same remedy applies upstream (exact-dedup first so identical docs
+    collapse). Step 3 shuffles only surviving duplicated windows.
+
+    Returns one row per document that contains at least one duplicated
+    span: (id, n_spans, n_dup_windows, covered_tokens, max_span_tokens),
+    positions 0-based, token counts in post-``lower``-whitespace-split
+    units.
+    """
+    n_parts = max(
+        8, docs.sparkSession.sparkContext.defaultParallelism // 2
+    )
+    wins = (
+        docs.selectExpr(
+            f"`{id_col}`", f"split(lower(`{text_col}`), '\\\\s+') AS _ws"
+        )
+        .repartition(n_parts, id_col)
+        .filter(F.size(F.col("_ws")) >= window)
+        .selectExpr(
+            f"`{id_col}`",
+            f"posexplode(transform(sequence(0, size(_ws) - {window}), "
+            f"p -> md5(concat_ws(' ', slice(_ws, p + 1, {window}))))) "
+            "AS (pos, h)",
+        )
+    )
+    dup = (
+        wins.withColumn(
+            "_cnt", F.count("*").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("_cnt") >= min_count)
+        .select(id_col, "pos")
+    )
+    byd = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup.withColumn("_gap", F.col("pos") - F.lag("pos").over(byd))
+        .withColumn(
+            "_brk",
+            F.when(F.col("_gap").isNull() | (F.col("_gap") > window), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_brk").over(
+                byd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("_s"),
+            (F.max("pos") + window - 1).alias("_e"),
+            F.count("*").alias("_nw"),
+        )
+    )
+    return spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum("_nw").alias("n_dup_windows"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("covered_tokens"),
+        F.max(F.col("_e") - F.col("_s") + 1).alias("max_span_tokens"),
+    )

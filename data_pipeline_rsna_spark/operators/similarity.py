@@ -381,3 +381,48 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3b — embedding dimension moments (PCA / whitening prep)
+# ---------------------------------------------------------------------------
+
+
+def dim_moments(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension first/second moments of an embedding column plus the
+    adjacent-dimension covariance band: (dim, n, mean_val, var_val,
+    cov_next), the inputs PCA/whitening preprocessing needs before any
+    eigen step.
+
+    Shape: one ``posexplode`` to (dim, x, next_x) — a d× row blowup of
+    primitive doubles, NOT the d² blowup a full covariance explode would
+    cost — then a single groupBy(dim). Every aggregate here
+    (count/avg/var_pop/covar_pop) partial-aggregates map-side, so the
+    shuffle carries d rows of accumulators per task regardless of corpus
+    size; at 100 TB the reduce side sees #tasks × d tiny rows. The FULL
+    d×d covariance needs per-partition Gram partials (X^T X via
+    mapInPandas, summed driver-side — d² floats per partition, no
+    per-element rows at all); this banded form is the part of that
+    pipeline that stays oracle-checkable in plain SQL, and it already
+    catches the common degeneracies (dead dims: var 0; correlated
+    neighboring dims: |cov_next| ≈ sqrt(var·var')).
+
+    ``cov_next`` is NULL for the last dimension (covar_pop over zero
+    valid pairs) in both this engine and any SQL oracle. Values rounded
+    to 6 places for cross-engine value equality.
+    """
+    pairs = emb.selectExpr(
+        f"`{id_col}`",
+        f"cast(`{vec_col}` AS array<double>) AS _e",
+    ).selectExpr(
+        "posexplode(transform(sequence(0, size(_e) - 1), "
+        "i -> struct(_e[i] AS x, "
+        "CASE WHEN i + 1 < size(_e) THEN _e[i + 1] END AS y))) AS (dim, p)"
+    )
+    return pairs.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p.x"), 6).alias("mean_val"),
+        F.round(F.var_pop("p.x"), 6).alias("var_val"),
+        F.round(F.covar_pop("p.x", "p.y"), 6).alias("cov_next"),
+    )

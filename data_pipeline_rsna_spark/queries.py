@@ -9425,3 +9425,92 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_ratio"),
         )
     )
+
+
+@register(
+    "text_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        FROM ({_CORPUS_SQL})
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(ws[i:i+4], ' ')) AS h
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 4)) AS i
+            FROM toks WHERE len(ws) >= 5
+        )
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt
+            FROM wins
+        ) WHERE cnt >= 2
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 5
+                        THEN 0 ELSE 1 END AS brk
+            FROM dup
+        )
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e,
+               count(*) AS nw
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, count(*) AS n_spans, sum(nw) AS n_dup_windows,
+           sum(e - s + 1) AS covered_tokens,
+           max(e - s + 1) AS max_span_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    doc="X2 exact duplicated-substring spans (the shuffle-native form of "
+    "Lee et al. 2022 suffix-array substring dedup): 5-token window "
+    "hashes, corpus-wide occurrence flagging in one hash-partitioned "
+    "window count, per-doc gaps-and-islands merge into maximal spans. "
+    "The planted corpus guarantees signal: exact-dup plants produce "
+    "whole-document spans, near-dup plants all-but-prefix spans.",
+    tags=("dedup", "text"),
+)
+def q_text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.duplicate_spans(corpus, window=5, min_count=2)
+
+
+@register(
+    "embedding_dim_moments",
+    oracle="""
+    SELECT d - 1 AS dim,
+           count(*) AS n,
+           round(avg(e[d]), 6) AS mean_val,
+           round(var_pop(e[d]), 6) AS var_val,
+           round(covar_pop(e[d], e[d + 1]), 6) AS cov_next
+    FROM (
+        SELECT e, unnest(generate_series(1, len(e))) AS d
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    )
+    GROUP BY d
+    """,
+    doc="X3 per-dimension moments + adjacent-dim covariance band of the "
+    "embedding corpus - the PCA/whitening preprocessing inputs. One "
+    "posexplode (d-fold, primitive doubles) + one groupBy(dim); every "
+    "aggregate partial-aggregates map-side so the shuffle is d rows of "
+    "accumulators per task at any corpus size. cov_next is NULL on the "
+    "last dim in both engines (covar_pop over zero pairs).",
+    tags=("similarity", "ml"),
+)
+def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return sim.dim_moments(emb)

@@ -214,3 +214,55 @@ def test_incremental_matches_against_persisted_index(spark, tmp_path):
     assert from_disk == in_mem
     assert from_disk.get(100) == (1, 1)
     assert 101 not in from_disk
+
+
+def test_duplicate_spans_shared_run(spark):
+    from data_pipeline_rsna_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x1 x2 a b c d e f g y1"),
+        (3, "p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.duplicate_spans(docs, window=5).collect()}
+    # docs 1 and 2 share the 7-token run "a b c d e f g": three 5-token
+    # windows each, merged into ONE span of 7 tokens; doc 3 clean
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        assert got[d].n_spans == 1
+        assert got[d].n_dup_windows == 3
+        assert got[d].covered_tokens == 7
+        assert got[d].max_span_tokens == 7
+
+
+def test_duplicate_spans_two_islands(spark):
+    from data_pipeline_rsna_spark.operators import dedup
+
+    # two shared 5-token runs separated by >5 unique tokens -> 2 spans
+    shared_a = "a b c d e"
+    shared_b = "v w x y z"
+    rows = [
+        (1, f"{shared_a} f1 f2 f3 f4 f5 f6 f7 {shared_b}"),
+        (2, f"{shared_a} g1 g2 g3 g4 g5 g6 g7 {shared_b}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.duplicate_spans(docs, window=5).collect()}
+    assert got[1].n_spans == 2 and got[2].n_spans == 2
+    assert got[1].covered_tokens == 10
+    assert got[1].max_span_tokens == 5
+
+
+def test_duplicate_spans_exact_dup_covers_whole_doc(spark):
+    from data_pipeline_rsna_spark.operators import dedup
+
+    text = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dedup.duplicate_spans(docs, window=5).collect()}
+    # identical 12-token docs: every window duplicated, one span = doc
+    for d in (1, 2):
+        assert got[d].n_spans == 1
+        assert got[d].covered_tokens == 12
+        assert got[d].n_dup_windows == 8

@@ -160,3 +160,18 @@ def test_ivf_cell_layout_prunes_at_storage(spark, sf_dir, tmp_path):
         for r in sim.srp_ivf_topk(emb, queries, k=5, nprobe=4).collect()
     }
     assert got == want
+
+
+def test_dim_moments_hand_computed(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.dim: r for r in sim.dim_moments(emb).collect()}
+    assert got[0].n == 2 and got[1].n == 2
+    assert got[0].mean_val == 2.0 and got[1].mean_val == 3.0
+    # population variance of {1,3} and {2,4} is 1
+    assert got[0].var_val == 1.0 and got[1].var_val == 1.0
+    # cov(dim0, dim1): E[xy] - E[x]E[y] = 7 - 6 = 1; last dim has no next
+    assert got[0].cov_next == 1.0
+    assert got[1].cov_next is None
