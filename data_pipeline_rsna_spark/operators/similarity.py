@@ -426,3 +426,72 @@ def dim_moments(emb: DataFrame, id_col: str = "vec_id",
         F.round(F.var_pop("p.x"), 6).alias("var_val"),
         F.round(F.covar_pop("p.x", "p.y"), 6).alias("cov_next"),
     )
+
+
+def covariance_matrix(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Full d×d population covariance of the embedding corpus — the
+    distributed-PCA shape (same reduction MLlib's
+    ``RowMatrix.computeCovariance`` uses): each partition emits ONE
+    partial (n, Σx, Σxxᵀ) via an Arrow-batched ``mapInPandas`` (numpy
+    ``X.T @ X`` per batch — BLAS, no per-element rows), the partials —
+    #partitions rows of d² doubles, metadata-sized — are summed
+    driver-side, and the finished upper triangle returns as a
+    (i, j, cov_val) DataFrame.
+
+    Contrast with ``dim_moments``: that explode form is d-linear and
+    fully SQL-aggregatable but computes only a covariance BAND; the full
+    matrix via explode would blow up d² per input row. Partial Gram
+    matrices move O(partitions · d²) bytes total — at 100 TB with 10k
+    partitions and d=1024 that is ~80 GB of partials, which is why real
+    deployments tree-reduce them; here the driver sum IS the tree root,
+    and the collected partial count is bounded by the partition count,
+    the same cardinality AQE ships to the driver after every shuffle.
+
+    Values rounded to 6 places; ``cov = G/n − μμᵀ`` equals
+    ``covar_pop`` algebraically, so a SQL oracle can re-derive every
+    entry."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    src = emb.selectExpr(f"cast(`{vec_col}` AS array<double>) AS e")
+
+    def gram_partials(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            X = np.array(pdf["e"].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            n += X.shape[0]
+            if s is None:
+                s = X.sum(axis=0)
+                g = X.T @ X
+            else:
+                s += X.sum(axis=0)
+                g += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = src.mapInPandas(
+        gram_partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for p in parts:
+        s += np.array(p["s"])
+        g += np.array(p["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6) + 0.0)
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov_val double")

@@ -232,3 +232,93 @@ def histogram_quantiles(hist: DataFrame, percentiles: list[int]) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct / join-cardinality sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """The k lexicographically-smallest md5 hashes of the column's
+    DISTINCT values — the KMV distinct sketch (Bar-Yossef et al. 2002).
+
+    Plan shape: ``distinct`` partial-aggregates map-side (the shuffle
+    carries each partition's distinct hashes once, never raw rows), and
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject — per-partition
+    heaps of k rows merged on the driver, no global sort. The sketch is
+    a k-row DataFrame, so every downstream combination (union, semi
+    join, max) broadcasts.
+
+    Mergeability is what makes this a 100 TB planning tool: sketches of
+    two partitions/days/tables union + re-take-k, so per-source
+    sketches are computed once and combined at estimate time."""
+    return (
+        df.selectExpr(f"md5(cast(`{key_col}` AS string)) AS h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_est(cnt: F.Column, max_h: F.Column, k: int) -> F.Column:
+    """(k-1)/h_(k) when the sketch is full; exact count when the column
+    had fewer than k distinct values (the sketch saw everything).
+    h_(k) is normalized to (0,1] from the first 12 hex chars (48 bits —
+    exact in a double)."""
+    norm = F.conv(F.substring(max_h, 1, 12), 16, 10).cast("double") / float(
+        16**12
+    )
+    return F.when(cnt < k, cnt.cast("double")).otherwise((k - 1) / norm)
+
+
+def kmv_join_cardinality(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str, k: int = 256
+) -> DataFrame:
+    """Pre-join cardinality estimation from two KMV sketches: distinct
+    counts per side, distinct union size, Jaccard similarity of the key
+    sets, and the implied distinct-key intersection — the quantities a
+    planner needs to size a join (or to decide broadcast vs shuffle)
+    WITHOUT scanning either table twice.
+
+    Standard KMV algebra: union sketch = k smallest of the merged
+    sketches; J ≈ |{h ∈ union-k : h in A-sketch ∧ h in B-sketch}| / k;
+    |A ∩ B| ≈ J · D_union. Every input to the estimate is a k-row
+    DataFrame, so the combination plan is broadcast joins and 1-row
+    cross joins — nothing here touches the big tables after the two
+    sketch scans. Deterministic md5 hashing makes the whole estimate
+    re-derivable in any engine (the oracle recomputes it exactly)."""
+    sa = kmv_sketch(a, a_key, k)
+    sb = kmv_sketch(b, b_key, k)
+    su = sa.union(sb).distinct().orderBy("h").limit(k)
+    stats_a = sa.agg(
+        F.count("*").alias("n_a"), F.max("h").alias("max_a")
+    )
+    stats_b = sb.agg(
+        F.count("*").alias("n_b"), F.max("h").alias("max_b")
+    )
+    stats_u = su.agg(
+        F.count("*").alias("n_u"), F.max("h").alias("max_u")
+    )
+    both = (
+        su.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    est_a = _kmv_est(F.col("n_a"), F.col("max_a"), k)
+    est_b = _kmv_est(F.col("n_b"), F.col("max_b"), k)
+    est_u = _kmv_est(F.col("n_u"), F.col("max_u"), k)
+    jac = F.col("n_both") / F.col("n_u")
+    return (
+        stats_a.crossJoin(stats_b)
+        .crossJoin(stats_u)
+        .crossJoin(both)
+        .select(
+            F.lit(k).alias("k"),
+            F.round(est_a, 2).alias("est_distinct_a"),
+            F.round(est_b, 2).alias("est_distinct_b"),
+            F.round(est_u, 2).alias("est_distinct_union"),
+            F.round(jac, 6).alias("est_jaccard"),
+            F.round(jac * est_u, 2).alias("est_intersection"),
+        )
+    )

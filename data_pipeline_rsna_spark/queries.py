@@ -9514,3 +9514,98 @@ def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     return sim.dim_moments(emb)
+
+
+@register(
+    "embedding_covariance_matrix",
+    oracle="""
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    x AS (SELECT e, unnest(generate_series(1, len(e))) AS i FROM v),
+    p AS (SELECT e, i, unnest(generate_series(i, len(e))) AS j FROM x),
+    t AS (
+        SELECT i - 1 AS oi, j - 1 AS oj, e[i] AS xi, e[j] AS xj FROM p
+    )
+    SELECT oi AS i, oj AS j,
+           round(covar_pop(xi, xj), 6) + 0.0 AS cov_val
+    FROM t GROUP BY oi, oj
+    """,
+    doc="X3 full dxd covariance via per-partition Gram partials "
+    "(mapInPandas, numpy X^T X per Arrow batch) summed driver-side - "
+    "the distributed-PCA reduction (MLlib RowMatrix.computeCovariance "
+    "shape). Partials are #partitions rows of d^2 doubles (metadata-"
+    "sized); G/n - mu mu^T equals covar_pop algebraically, so DuckDB "
+    "re-derives every upper-triangle entry. +0.0 normalizes -0.0 on "
+    "both sides.",
+    tags=("similarity", "ml"),
+)
+def q_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return sim.covariance_matrix(emb)
+
+
+@register(
+    "sketch_kmv_join_cardinality",
+    oracle="""
+    WITH sa AS (
+        SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+        ORDER BY h LIMIT 256
+    ),
+    sb AS (
+        SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer
+        ORDER BY h LIMIT 256
+    ),
+    su AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM sa UNION ALL SELECT h FROM sb
+        ) ORDER BY h LIMIT 256
+    ),
+    st AS (
+        SELECT (SELECT count(*) FROM sa) AS n_a,
+               (SELECT max(h) FROM sa) AS max_a,
+               (SELECT count(*) FROM sb) AS n_b,
+               (SELECT max(h) FROM sb) AS max_b,
+               (SELECT count(*) FROM su) AS n_u,
+               (SELECT max(h) FROM su) AS max_u,
+               (SELECT count(*) FROM su
+                WHERE h IN (SELECT h FROM sa)
+                  AND h IN (SELECT h FROM sb)) AS n_both
+    )
+    SELECT 256 AS k,
+           round(CASE WHEN n_a < 256 THEN CAST(n_a AS DOUBLE)
+                 ELSE 255 / (CAST(CAST('0x' || substr(max_a, 1, 12) AS BIGINT)
+                                  AS DOUBLE) / 281474976710656.0) END,
+                 2) AS est_distinct_a,
+           round(CASE WHEN n_b < 256 THEN CAST(n_b AS DOUBLE)
+                 ELSE 255 / (CAST(CAST('0x' || substr(max_b, 1, 12) AS BIGINT)
+                                  AS DOUBLE) / 281474976710656.0) END,
+                 2) AS est_distinct_b,
+           round(CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                 ELSE 255 / (CAST(CAST('0x' || substr(max_u, 1, 12) AS BIGINT)
+                                  AS DOUBLE) / 281474976710656.0) END,
+                 2) AS est_distinct_union,
+           round(CAST(n_both AS DOUBLE) / n_u, 6) AS est_jaccard,
+           round((CAST(n_both AS DOUBLE) / n_u)
+                 * (CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                    ELSE 255 / (CAST(CAST('0x' || substr(max_u, 1, 12)
+                                          AS BIGINT)
+                                     AS DOUBLE) / 281474976710656.0) END),
+                 2) AS est_intersection
+    FROM st
+    """,
+    doc="X8 KMV join-cardinality estimation (Bar-Yossef et al. k-minimum-"
+    "values): per-side distinct estimates, union size, key-set Jaccard, "
+    "and implied join intersection from two 256-row sketches - the "
+    "planner inputs for broadcast-vs-shuffle decisions, computed with "
+    "one TakeOrdered pass per table. Deterministic md5 hashing makes "
+    "the estimate itself re-derivable in SQL, so the oracle checks the "
+    "VALUE, not just the shape.",
+    tags=("sketch", "relational"),
+)
+def q_sketch_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as sk
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    return sk.kmv_join_cardinality(orders, "o_custkey", cust, "c_custkey", 256)

@@ -175,3 +175,19 @@ def test_dim_moments_hand_computed(spark):
     # cov(dim0, dim1): E[xy] - E[x]E[y] = 7 - 6 = 1; last dim has no next
     assert got[0].cov_next == 1.0
     assert got[1].cov_next is None
+
+
+def test_covariance_matrix_agrees_with_dim_moments(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i * i % 7), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = {(r.i, r.j): r.cov_val for r in sim.covariance_matrix(emb).collect()}
+    mom = {r.dim: r for r in sim.dim_moments(emb).collect()}
+    # diagonal of the full matrix = per-dim variance; first off-diagonal
+    # band = cov_next; constant dim 2 has zero variance/covariance
+    for d in range(3):
+        assert abs(cov[(d, d)] - mom[d].var_val) < 1e-6
+    for d in range(2):
+        assert abs(cov[(d, d + 1)] - mom[d].cov_next) < 1e-6
+    assert cov[(2, 2)] == 0.0 and cov[(0, 2)] == 0.0

@@ -156,3 +156,31 @@ def test_histogram_sketch_merge_is_vector_add(spark, sf_dir):
     a = sk.histogram_quantiles(merged, [50, 90, 99]).collect()
     b = sk.histogram_quantiles(whole, [50, 90, 99]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmv_sketch_exact_below_k(spark):
+    from data_pipeline_rsna_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(i % 50,) for i in range(500)], "key long")
+    s = sk.kmv_sketch(df, "key", k=256)
+    # fewer than k distinct values: the sketch IS the distinct hash set
+    assert s.count() == 50
+
+
+def test_kmv_estimates_within_error_bound(spark):
+    from data_pipeline_rsna_spark.operators import sketches as sk
+
+    n = 5000
+    a = spark.createDataFrame([(i,) for i in range(n)], "key long")
+    # b overlaps a on [2500, 5000) and adds [5000, 7500)
+    b = spark.createDataFrame([(i,) for i in range(n // 2, n + n // 2)], "key long")
+    row = sk.kmv_join_cardinality(a, "key", b, "key", k=256).collect()[0]
+    # KMV standard error ~ 1/sqrt(k-1) = 6.3%; assert 4 sigma
+    for est, exact in [
+        (row.est_distinct_a, n),
+        (row.est_distinct_b, n),
+        (row.est_distinct_union, n + n // 2),
+        (row.est_intersection, n // 2),
+    ]:
+        assert abs(est - exact) / exact < 0.25, (est, exact)
+    assert abs(row.est_jaccard - (n // 2) / (n + n // 2)) < 0.1
