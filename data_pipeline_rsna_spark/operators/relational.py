@@ -989,6 +989,62 @@ def uniform_k_sample(
     )
 
 
+def weighted_k_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Fixed-size WEIGHTED sample without replacement per group — the
+    Efraimidis-Spirakis A-Res scheme (2006): each row draws a
+    deterministic uniform u = md5-normalized(salt|key) and competes on
+    score ln(u)/w; the k largest scores per group are a weighted
+    k-subset (inclusion probability proportional to weight, exactly the
+    reservoir property A-Res proves). The quality-weighted document
+    sampling step of a training-data mixture: weight = quality score or
+    token count, and the selection is reproducible on every run, every
+    engine, every subset of the data.
+
+    ln(u)/w rather than u^(1/w): same order (both monotone in u for
+    fixed w), better conditioned for tiny weights (no underflow to a
+    0.0 tie-cluster). u is normalized from the first 12 hex chars of
+    the md5 (48 bits, exact in a double) and floored at 2^-48 so ln
+    never sees zero. Rows with non-positive weight are excluded (their
+    inclusion probability is zero/undefined in A-Res).
+
+    Plan: one shuffle on the group key + per-group rank — identical
+    shape (and the same large-group pre-prune refinement) as
+    ``uniform_k_sample``, which is the w=const special case.
+    """
+    u = F.greatest(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**12),
+        F.lit(2.0**-48),
+    )
+    score = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        score.desc(), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wrn", F.row_number().over(w))
+        .filter(F.col("_wrn") <= k)
+        .drop("_wrn")
+    )
+
+
 def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """EXACT tie-aware ROC AUC via the rank-sum (Mann-Whitney) identity,
     returned as one row: npos, nneg, auc_num2, auc_ppm.

@@ -9609,3 +9609,36 @@ def q_sketch_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = tables.load(spark, sf_dir, "orders")
     cust = tables.load(spark, sf_dir, "customer")
     return sk.kmv_join_cardinality(orders, "o_custkey", cust, "c_custkey", 256)
+
+
+@register(
+    "weighted_sample_ares",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY
+                       ln(greatest(
+                           CAST(CAST('0x' || substr(
+                               md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 12)
+                               AS BIGINT) AS DOUBLE) / 281474976710656.0,
+                           1.0 / 281474976710656.0)) / n_chars DESC,
+                       doc_id
+               ) AS rn
+        FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 5
+    """,
+    doc="X4 weighted k-sample without replacement per source (Efraimidis-"
+    "Spirakis A-Res): deterministic uniform u from md5, rank on "
+    "ln(u)/weight, keep top-5 per group - the quality-weighted document "
+    "selection step of a training mixture, reproducible across runs and "
+    "engines. Same one-shuffle rank shape as uniform_k_sample (its "
+    "w=const special case).",
+    tags=("text", "sampling"),
+)
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return rel.weighted_k_sample(
+        docs, "source", "doc_id", "n_chars", 5
+    ).select("source", "doc_id", "n_chars")

@@ -419,3 +419,24 @@ def test_exact_kth_smallest_full_range_longs(spark):
             df, "k", k, n_buckets=4, take_threshold=2
         )
         assert got == s[k - 1], (k, got)
+
+
+def test_weighted_k_sample_bias_and_determinism(spark):
+    # 200 keys in one group: half weight 1, half weight 50. A weighted
+    # sample of 40 must strongly favor the heavy keys; exact membership
+    # must be stable across invocations (deterministic hash order).
+    rows = [(0, i, 50.0 if i % 2 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, key long, w double")
+    got1 = {r.key for r in rel.weighted_k_sample(df, "g", "key", "w", 40).collect()}
+    got2 = {r.key for r in rel.weighted_k_sample(df, "g", "key", "w", 40).collect()}
+    assert got1 == got2 and len(got1) == 40
+    heavy = sum(1 for k in got1 if k % 2 == 0)
+    # E[heavy] ~ 38+; anything <= 30 would mean the weights are ignored
+    assert heavy > 30, heavy
+
+
+def test_weighted_k_sample_excludes_nonpositive_weights(spark):
+    rows = [(0, 1, 0.0), (0, 2, -3.0), (0, 3, 2.0)]
+    df = spark.createDataFrame(rows, "g int, key long, w double")
+    got = {r.key for r in rel.weighted_k_sample(df, "g", "key", "w", 10).collect()}
+    assert got == {3}
