@@ -461,3 +461,67 @@ def test_session_finalizer_timeout_and_cross_batch_state(spark, sf_dir, tmp_path
     )
     assert key(multi) == key(single)
     assert len(key(single)) > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a file-sink stream mid-run, restart it from the same
+    checkpoint, and verify EXACTLY-ONCE output: the transactional file
+    sink (+_spark_metadata commit log) and the source offset log must
+    together yield every input row exactly once — no loss from the
+    killed run, no duplication from the restart replaying its in-flight
+    batch."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    events = tables.load(spark, sf_dir, "events")
+    n_expected = events.count()
+
+    # stage the input as 4 files so maxFilesPerTrigger=1 yields 4
+    # micro-batches — enough room to kill between commits
+    src_dir = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        # wait until at least one batch committed, then kill mid-stream
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(p["batchId"] >= 1 for p in q.recentProgress):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("stream made no progress in 60s")
+    finally:
+        q.stop()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_expected
+    # value-level: per-type sums survive the restart bit-for-bit
+    k = lambda rows: sorted(  # noqa: E731
+        (r.event_type, r.n, r.s) for r in rows
+    )
+    agg = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    assert k(agg(got).collect()) == k(agg(events).collect())
