@@ -207,3 +207,42 @@ def test_bloom_prefilter_sits_below_the_join(spark, sf_dir):
     filt = [ln for ln in txt.splitlines() if ln.lstrip().startswith(
         "Condition") and "xxhash64" in ln]
     assert filt, txt
+
+
+def test_duplicate_spans_shuffle_budget(spark, sf_dir):
+    """3 exchanges, no joins: the doc repartition, the hash-partitioned
+    occurrence window, the per-doc islands window. The groupBy+join-back
+    alternative would add two more shuffles of the window table."""
+    df = REGISTRY["text_duplicate_spans"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    assert rep.n_shuffle_exchanges <= 3, rep.text
+    assert rep.n_sort_merge_joins == 0 and rep.n_broadcast_hash_joins == 0
+
+
+def test_dim_moments_single_shuffle_partial_agg(spark, sf_dir):
+    """The d-fold explode aggregates map-side: exactly one exchange, and
+    it carries per-task accumulator rows, never exploded elements."""
+    df = REGISTRY["embedding_dim_moments"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    assert rep.n_shuffle_exchanges == 1, rep.text
+    assert "partial" in rep.text.lower() or "HashAggregate" in rep.text
+
+
+def test_weighted_sample_single_shuffle_and_pushdown(spark, sf_dir):
+    """One group-key exchange for the per-group rank; the positive-weight
+    filter reaches the parquet scan."""
+    df = REGISTRY["weighted_sample_ares"].spark_fn(spark, sf_dir)
+    rep = audit.plan_report(df)
+    assert rep.n_shuffle_exchanges == 1, rep.text
+    audit.assert_filter_pushed(df, "n_chars")
+
+
+def test_kmv_sketch_plans_take_ordered(spark, sf_dir):
+    """The k-smallest selection must plan TakeOrderedAndProject (per-
+    partition heaps merged on the driver), never a global Sort."""
+    from data_pipeline_rsna_spark.operators import sketches as sk
+
+    orders = tables.load(spark, sf_dir, "orders")
+    s = sk.kmv_sketch(orders, "o_custkey", 64)
+    rep = audit.plan_report(s)
+    assert "TakeOrderedAndProject" in rep.text, rep.text
