@@ -266,3 +266,58 @@ def test_duplicate_spans_exact_dup_covers_whole_doc(spark):
         assert got[d].n_spans == 1
         assert got[d].covered_tokens == 12
         assert got[d].n_dup_windows == 8
+
+
+def _spans_reference(docs, window=5, min_count=2):
+    """Pure-Python reference of duplicate_spans' definition: window
+    hashes, corpus-wide occurrence counts, per-doc gap<=window merge."""
+    from collections import Counter
+
+    toks = {d: t.lower().split() for d, t in docs}
+    wins = {
+        d: [tuple(ws[p:p + window]) for p in range(len(ws) - window + 1)]
+        for d, ws in toks.items() if len(ws) >= window
+    }
+    counts = Counter(w for ws in wins.values() for w in ws)
+    out = {}
+    for d, ws in wins.items():
+        pos = [p for p, w in enumerate(ws) if counts[w] >= min_count]
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= window:
+                spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+            else:
+                spans.append((p, p, 1))
+        covered = [e + window - 1 - s + 1 for s, e, _ in spans]
+        out[d] = (
+            len(spans),
+            sum(n for _, _, n in spans),
+            sum(covered),
+            max(covered),
+        )
+    return out
+
+
+def test_duplicate_spans_matches_reference_on_random_corpora(spark):
+    """Differential test on low-vocabulary random corpora (tiny vocab
+    forces genuine cross-doc window collisions in every example)."""
+    import random
+
+    from data_pipeline_rsna_spark.operators import dedup
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        docs = [
+            (i, " ".join(rng.choice("a b c d".split()) for _ in range(rng.randint(3, 30))))
+            for i in range(30)
+        ]
+        want = _spans_reference(docs)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_windows, r.covered_tokens,
+                       r.max_span_tokens)
+            for r in dedup.duplicate_spans(df, window=5).collect()
+        }
+        assert got == want, f"trial {trial}"
