@@ -495,3 +495,42 @@ def covariance_matrix(emb: DataFrame, id_col: str = "vec_id",
         for j in range(i, d)
     ]
     return spark.createDataFrame(rows, "i long, j long, cov_val double")
+
+
+def standardize(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Apply per-dimension standardization z = (x − μ)/σ — the whitening
+    APPLY step that pairs with ``dim_moments``. The d-row stats table is
+    folded into two length-d arrays in ONE row, broadcast, and applied
+    with ``zip_with`` — the corpus is never exploded: each row's vector
+    transforms in place, map-side, zero shuffles of data (the only
+    exchanges build the d-row stats).
+
+    Zero-variance (dead) dims pass through centered (σ := 1), mirroring
+    sklearn's StandardScaler. Stats are the ROUNDED (6-place) moments,
+    which makes the transform itself reproducible in any engine: μ and
+    σ² are exact decimals, and (x − μ)/sqrt(σ²) is then a composition
+    of correctly-rounded IEEE ops — bit-identical everywhere.
+
+    Returns (id, z: array<double>)."""
+    stats = dim_moments(emb, id_col, vec_col)
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean_val", "var_val"))
+        ).alias("_st")
+    ).selectExpr(
+        "transform(_st, s -> s.mean_val) AS _means",
+        "transform(_st, s -> CASE WHEN s.var_val > 0 THEN sqrt(s.var_val) "
+        "ELSE 1.0D END) AS _stds",
+    )
+    return (
+        emb.selectExpr(
+            f"`{id_col}`", f"cast(`{vec_col}` AS array<double>) AS _e"
+        )
+        .crossJoin(F.broadcast(packed))
+        .selectExpr(
+            f"`{id_col}`",
+            "zip_with(zip_with(_e, _means, (x, m) -> x - m), _stds, "
+            "(c, s) -> c / s) AS z",
+        )
+    )

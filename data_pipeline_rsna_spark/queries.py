@@ -9642,3 +9642,49 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.weighted_k_sample(
         docs, "source", "doc_id", "n_chars", 5
     ).select("source", "doc_id", "n_chars")
+
+
+@register(
+    "embedding_standardize_stats",
+    oracle="""
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    x AS (
+        SELECT e, unnest(generate_series(1, len(e))) AS d FROM v
+    ),
+    st AS (
+        SELECT d, round(avg(e[d]), 6) AS m, round(var_pop(e[d]), 6) AS s2
+        FROM x GROUP BY d
+    ),
+    z AS (
+        SELECT x.d, (x.e[x.d] - st.m)
+               / CASE WHEN st.s2 > 0 THEN sqrt(st.s2) ELSE 1.0 END AS z
+        FROM x JOIN st ON x.d = st.d
+    )
+    SELECT d - 1 AS dim,
+           round(avg(z), 6) + 0.0 AS post_mean,
+           round(var_pop(z), 6) + 0.0 AS post_var,
+           round(min(z), 6) + 0.0 AS post_min,
+           round(max(z), 6) + 0.0 AS post_max
+    FROM z GROUP BY d
+    """,
+    doc="X3 whitening APPLY: standardize every embedding against the "
+    "rounded dim_moments stats (broadcast length-d arrays + zip_with - "
+    "the corpus transforms map-side, never exploded), then validate "
+    "per-dim post-stats (mean 0, var 1, data-dependent min/max). The "
+    "rounded stats make the transform a composition of correctly-"
+    "rounded IEEE ops, so DuckDB re-derives z bit-for-bit via its "
+    "join-based equivalent.",
+    tags=("similarity", "ml"),
+)
+def q_embedding_standardize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    zs = sim.standardize(emb)
+    per_dim = zs.selectExpr("posexplode(z) AS (dim, zv)")
+    return per_dim.groupBy("dim").agg(
+        (F.round(F.avg("zv"), 6) + 0.0).alias("post_mean"),
+        (F.round(F.var_pop("zv"), 6) + 0.0).alias("post_var"),
+        (F.round(F.min("zv"), 6) + 0.0).alias("post_min"),
+        (F.round(F.max("zv"), 6) + 0.0).alias("post_max"),
+    )

@@ -191,3 +191,14 @@ def test_covariance_matrix_agrees_with_dim_moments(spark):
     for d in range(2):
         assert abs(cov[(d, d + 1)] - mom[d].cov_next) < 1e-6
     assert cov[(2, 2)] == 0.0 and cov[(0, 2)] == 0.0
+
+
+def test_standardize_dead_dim_and_zscores(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 7.0]), (2, [3.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.z for r in sim.standardize(emb).collect()}
+    # dim0: mean 2, std 1 -> z = -1, +1; dim1 dead (var 0) -> centered
+    assert got[1][0] == -1.0 and got[2][0] == 1.0
+    assert got[1][1] == 0.0 and got[2][1] == 0.0
