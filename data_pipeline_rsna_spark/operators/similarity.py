@@ -534,3 +534,43 @@ def standardize(emb: DataFrame, id_col: str = "vec_id",
             "(c, s) -> c / s) AS z",
         )
     )
+
+
+def random_project(emb: DataFrame, out_dim: int, in_dim: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   keep_vec: bool = False) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by deterministic
+    Rademacher projection: z_h = ⟨x, s_h⟩ / sqrt(out_dim) against the
+    same md5-derived ±1 vectors the SRP quantizer uses
+    (``srp_sign_vectors``) — Achlioptas (2003) shows ±1 entries satisfy
+    the JL guarantee, and the md5 derivation makes the entire projection
+    re-derivable in any engine, so norm preservation is value-checkable
+    rather than trusted.
+
+    Plan: the out_dim×in_dim sign matrix rides the plan as literal
+    arrays (a few KB); the projection is a per-row higher-order-function
+    fold — map-side, no shuffle, no UDF. At 100 TB this is a narrow
+    column transform pipelined into whatever consumes it (typically a
+    cheaper ANN or clustering pass over the reduced vectors).
+
+    Returns (id, z: array<double> length out_dim); with ``keep_vec`` the
+    widened input rides along as ``x`` (norm-comparison consumers avoid
+    a self-join)."""
+    signs = srp_sign_vectors(out_dim, in_dim)
+    scale = 1.0 / float(out_dim) ** 0.5
+    rows = ", ".join(
+        "array(" + ", ".join(f"{v:.1f}D" for v in signs[h]) + ")"
+        for h in range(out_dim)
+    )
+    keep = ["_e AS x"] if keep_vec else []
+    return emb.selectExpr(
+        f"`{id_col}`",
+        f"cast(`{vec_col}` AS array<double>) AS _e",
+    ).selectExpr(
+        f"`{id_col}`",
+        f"transform(array({rows}), s -> "
+        f"aggregate(zip_with(_e, s, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v) * {scale!r}D) AS z",
+        *keep,
+    )

@@ -9688,3 +9688,54 @@ def q_embedding_standardize_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round(F.min("zv"), 6) + 0.0).alias("post_min"),
         (F.round(F.max("zv"), 6) + 0.0).alias("post_max"),
     )
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+    WITH signs AS (
+        SELECT h.h AS h,
+               list_transform(generate_series(0, 63), j ->
+                   CASE WHEN substr(md5(CAST(h.h AS STRING) || '|' ||
+                                        CAST(j AS STRING)), 1, 1) >= '8'
+                        THEN 1.0 ELSE -1.0 END) AS sv
+        FROM (SELECT unnest(generate_series(0, 15)) AS h) h
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    z AS (
+        SELECT v.vec_id, v.e,
+               list_transform(
+                   (SELECT list(sv ORDER BY h) FROM signs),
+                   sv -> list_dot_product(v.e, sv) * 0.25) AS zv
+        FROM v
+    )
+    SELECT vec_id,
+           round(sqrt(list_dot_product(e, e)), 6) AS orig_norm,
+           round(sqrt(list_dot_product(zv, zv)), 6) AS proj_norm,
+           round(sqrt(list_dot_product(zv, zv))
+                 / sqrt(list_dot_product(e, e)), 6) AS norm_ratio
+    FROM z
+    """,
+    doc="X3 Johnson-Lindenstrauss reduction 64->16 dims by deterministic "
+    "Rademacher projection (Achlioptas 2003; the same md5-derived +-1 "
+    "vectors as the SRP quantizer, so ANY engine re-derives the matrix). "
+    "Scale 1/sqrt(16)=0.25 is exact binary - no sqrt-parity risk in the "
+    "transform itself. Map-side narrow column op, no shuffle, no UDF; "
+    "the output is the JL norm-preservation audit per vector.",
+    tags=("similarity", "ml"),
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pz = sim.random_project(emb, 16, 64, keep_vec=True)
+    return pz.selectExpr(
+        "vec_id",
+        "round(sqrt(aggregate(zip_with(x, x, (a, b) -> a * b), 0.0D, "
+        "(acc, v) -> acc + v)), 6) AS orig_norm",
+        "round(sqrt(aggregate(zip_with(z, z, (a, b) -> a * b), 0.0D, "
+        "(acc, v) -> acc + v)), 6) AS proj_norm",
+        "round(sqrt(aggregate(zip_with(z, z, (a, b) -> a * b), 0.0D, "
+        "(acc, v) -> acc + v)) / sqrt(aggregate(zip_with(x, x, "
+        "(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)), 6) AS norm_ratio",
+    )

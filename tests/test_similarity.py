@@ -202,3 +202,24 @@ def test_standardize_dead_dim_and_zscores(spark):
     # dim0: mean 2, std 1 -> z = -1, +1; dim1 dead (var 0) -> centered
     assert got[1][0] == -1.0 and got[2][0] == 1.0
     assert got[1][1] == 0.0 and got[2][1] == 0.0
+
+
+def test_random_projection_jl_norm_preservation(spark, sf_dir):
+    """JL with 16 dims preserves norms in distribution: the mean norm
+    ratio over real embeddings must sit near 1 (E[ratio^2] = 1 for
+    Rademacher projections)."""
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pz = sim.random_project(emb, 16, 64, keep_vec=True)
+    r = pz.selectExpr(
+        "sqrt(aggregate(zip_with(z, z, (a, b) -> a * b), 0.0D, "
+        "(acc, v) -> acc + v)) / sqrt(aggregate(zip_with(x, x, "
+        "(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)) AS ratio"
+    )
+    row = r.agg(
+        F.avg("ratio").alias("m"), F.stddev_pop("ratio").alias("sd")
+    ).collect()[0]
+    assert 0.9 < row.m < 1.1, row
+    # 16-dim JL has sd ~ 1/sqrt(2*16) ~ 0.18; just pin an upper band
+    assert row.sd < 0.3, row
