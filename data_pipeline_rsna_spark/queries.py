@@ -102,17 +102,14 @@ def _lineitem_as_raw_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     n_parts = max(8, spark.sparkContext.defaultParallelism // 2)
     li = li.repartition(n_parts, F.col("l_orderkey").cast("string"))
-    return li.select(
-        F.col("l_orderkey").cast("string").alias("patientId"),
-        (F.pmod(F.col("l_partkey") * 7, F.lit(800)).cast("double") + F.lit(0.5))
-        .cast("string")
-        .alias("x"),
-        (F.pmod(F.col("l_suppkey") * 13, F.lit(800)).cast("double") + F.lit(0.25))
-        .cast("string")
-        .alias("y"),
-        (F.col("l_quantity") * 3.7).cast("string").alias("width"),
-        (F.col("l_extendedprice") / 300.0).cast("string").alias("height"),
-        F.when(F.col("l_discount") >= 0.05, "1").otherwise("0").alias("Target"),
+    # expr strings: same plan, fewer py4j round trips per construction
+    return li.selectExpr(
+        "cast(l_orderkey AS string) AS patientId",
+        "cast(cast(pmod(l_partkey * 7, 800) AS double) + 0.5D AS string) AS x",
+        "cast(cast(pmod(l_suppkey * 13, 800) AS double) + 0.25D AS string) AS y",
+        "cast(l_quantity * 3.7D AS string) AS width",
+        "cast(l_extendedprice / 300.0D AS string) AS height",
+        "CASE WHEN l_discount >= 0.05D THEN '1' ELSE '0' END AS Target",
     )
 
 
