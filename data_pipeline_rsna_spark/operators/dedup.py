@@ -545,6 +545,29 @@ def incremental_minhash_matches(
 # ---------------------------------------------------------------------------
 
 
+def _window_hashes(docs: DataFrame, id_col: str, text_col: str,
+                   window: int) -> DataFrame:
+    """(id, pos, h): one row per ``window``-token sliding hash. The doc
+    repartition spreads the tokenize+hash CPU and pre-clusters for any
+    later per-doc pass."""
+    n_parts = max(
+        8, docs.sparkSession.sparkContext.defaultParallelism // 2
+    )
+    return (
+        docs.selectExpr(
+            f"`{id_col}`", f"split(lower(`{text_col}`), '\\\\s+') AS _ws"
+        )
+        .repartition(n_parts, id_col)
+        .filter(F.size(F.col("_ws")) >= window)
+        .selectExpr(
+            f"`{id_col}`",
+            f"posexplode(transform(sequence(0, size(_ws) - {window}), "
+            f"p -> md5(concat_ws(' ', slice(_ws, p + 1, {window}))))) "
+            "AS (pos, h)",
+        )
+    )
+
+
 def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", window: int = 5,
                     min_count: int = 2) -> DataFrame:
@@ -582,22 +605,7 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     positions 0-based, token counts in post-``lower``-whitespace-split
     units.
     """
-    n_parts = max(
-        8, docs.sparkSession.sparkContext.defaultParallelism // 2
-    )
-    wins = (
-        docs.selectExpr(
-            f"`{id_col}`", f"split(lower(`{text_col}`), '\\\\s+') AS _ws"
-        )
-        .repartition(n_parts, id_col)
-        .filter(F.size(F.col("_ws")) >= window)
-        .selectExpr(
-            f"`{id_col}`",
-            f"posexplode(transform(sequence(0, size(_ws) - {window}), "
-            f"p -> md5(concat_ws(' ', slice(_ws, p + 1, {window}))))) "
-            "AS (pos, h)",
-        )
-    )
+    wins = _window_hashes(docs, id_col, text_col, window)
     dup = (
         wins.withColumn(
             "_cnt", F.count("*").over(Window.partitionBy("h"))
@@ -631,4 +639,69 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
         F.sum("_nw").alias("n_dup_windows"),
         F.sum(F.col("_e") - F.col("_s") + 1).alias("covered_tokens"),
         F.max(F.col("_e") - F.col("_s") + 1).alias("max_span_tokens"),
+    )
+
+
+def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", window: int = 5,
+                           min_count: int = 2) -> DataFrame:
+    """The REMOVAL half of substring dedup (Lee et al. 2022 §4: "when a
+    duplicate substring is found, keep one occurrence"): every
+    duplicated ``window``-token hash keeps its first occurrence in
+    (doc_id, pos) order and the token ranges of all OTHER occurrences
+    are deleted from their documents.
+
+    Plan: the window table shuffles once onto the hash, where ONE
+    window pass computes both the occurrence count and the keeper rank
+    (count + row_number share the partition sort); non-keeper windows
+    explode to their ≤ window covered token indices (a blowup of
+    duplicated windows only, never the corpus); the deletion mask
+    anti-joins the exploded token table per doc — both sides already
+    cluster on the doc key. Reconstruction order is pinned by the token
+    index, so the cleaned text is deterministic.
+
+    Returns one row per document: (id, n_tokens, n_removed,
+    clean_hash = md5 of the space-joined surviving tokens —
+    md5('') when everything was removed). Hash output keeps the result
+    small and value-comparable; the cleaned token array itself is the
+    obvious variant when the consumer is the next pipeline stage."""
+    wins = _window_hashes(docs, id_col, text_col, window)
+    byh = Window.partitionBy("h")
+    flagged = wins.withColumn("_cnt", F.count("*").over(byh)).withColumn(
+        "_rn",
+        F.row_number().over(byh.orderBy(id_col, "pos")),
+    )
+    removed = (
+        flagged.filter((F.col("_cnt") >= min_count) & (F.col("_rn") > 1))
+        .selectExpr(
+            f"`{id_col}`",
+            f"explode(sequence(pos, pos + {window - 1})) AS t",
+        )
+        .distinct()
+    )
+    toks = (
+        docs.selectExpr(
+            f"`{id_col}`", f"split(lower(`{text_col}`), '\\\\s+') AS _ws"
+        )
+        .selectExpr(f"`{id_col}`", "posexplode(_ws) AS (t, tok)")
+    )
+    kept = toks.join(removed, [id_col, "t"], "left_anti")
+    totals = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    cleaned = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(t, tok))), "
+                       "s -> s.tok)"),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    return totals.join(cleaned, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
     )

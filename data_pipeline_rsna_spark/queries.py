@@ -9736,3 +9736,69 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         "(acc, v) -> acc + v)) / sqrt(aggregate(zip_with(x, x, "
         "(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)), 6) AS norm_ratio",
     )
+
+
+@register(
+    "text_dedup_span_removal",
+    oracle=f"""
+    WITH toks0 AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        FROM ({_CORPUS_SQL})
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(ws[i:i+4], ' ')) AS h
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 4)) AS i
+            FROM toks0 WHERE len(ws) >= 5
+        )
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY h) AS cnt,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+    ),
+    removed AS (
+        SELECT DISTINCT doc_id,
+               unnest(generate_series(pos, pos + 4)) AS t
+        FROM flagged WHERE cnt >= 2 AND rn > 1
+    ),
+    tok AS (
+        SELECT doc_id, i - 1 AS t, ws[i] AS tok
+        FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM toks0
+        )
+    ),
+    kept AS (
+        SELECT k.doc_id, k.t, k.tok
+        FROM tok k LEFT JOIN removed r
+          ON k.doc_id = r.doc_id AND k.t = r.t
+        WHERE r.t IS NULL
+    )
+    SELECT a.doc_id AS doc_id, a.n_tokens AS n_tokens,
+           a.n_tokens - COALESCE(b.n_kept, 0) AS n_removed,
+           COALESCE(b.clean_hash, md5('')) AS clean_hash
+    FROM (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id) a
+    LEFT JOIN (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY t)) AS clean_hash
+        FROM kept GROUP BY doc_id
+    ) b ON a.doc_id = b.doc_id
+    """,
+    doc="X2 substring-dedup REMOVAL (Lee et al. 2022 keep-one-occurrence): "
+    "each duplicated 5-token window hash keeps its first (doc_id, pos) "
+    "occurrence; all other occurrences' token ranges are deleted. One "
+    "hash-partitioned window pass computes occurrence count + keeper "
+    "rank together; only duplicated windows explode to covered indices; "
+    "the cleaned text is returned as a value-checkable md5 per doc.",
+    tags=("dedup", "text"),
+)
+def q_text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.remove_duplicate_spans(corpus, window=5, min_count=2)

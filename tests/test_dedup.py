@@ -321,3 +321,30 @@ def test_duplicate_spans_matches_reference_on_random_corpora(spark):
             for r in dedup.duplicate_spans(df, window=5).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    import hashlib
+
+    from data_pipeline_rsna_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "x1 x2 a b c d e f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_spans(docs, window=5).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 is the keeper of every duplicated window: untouched
+    assert got[1].n_removed == 0
+    assert got[1].clean_hash == md5("a b c d e f")
+    # doc 2 is fully covered by non-keeper windows: emptied
+    assert got[2].n_removed == 6
+    assert got[2].clean_hash == md5("")
+    # doc 3 loses the shared 6-token run, keeps its prefix
+    assert got[3].n_removed == 6
+    assert got[3].clean_hash == md5("x1 x2")
