@@ -525,3 +525,76 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
     )
     assert k(agg(got).collect()) == k(agg(events).collect())
+
+
+def test_watermark_drops_late_rows_and_accounts_them(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: a row
+    arriving after its window's watermark horizon must be EXCLUDED from
+    the emitted result AND show up in the engine's
+    numRowsDroppedByWatermark accounting — the auditable contract for
+    'we lose late data knowingly, never silently'."""
+    import json
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts string, v int").selectExpr(
+            "cast(ts AS timestamp) AS ts", "v"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_file("a", [("2024-01-01 10:30:00", 10), ("2024-01-01 12:10:00", 1)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("s"))
+        .select(F.col("w.start").cast("long").alias("ws"), "s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_audit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to 12:00
+        # late row (10:45, window closed at watermark 12:00) + a future
+        # row that pushes the watermark past 13:00 to flush [12, 13)
+        write_file("b", [("2024-01-01 10:45:00", 100),
+                         ("2024-01-01 14:05:00", 5)])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = {r.ws: r.s for r in spark.sql(
+                "SELECT * FROM late_audit").collect()}
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in json.loads(p.json).get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    import datetime as dt
+
+    ws = lambda s: int(  # noqa: E731
+        dt.datetime.fromisoformat(s + "+00:00").timestamp()
+    )
+    # the 10:00 window emitted with ONLY the on-time row
+    assert rows[ws("2024-01-01 10:00:00")] == 10, rows
+    # the 12:00 window flushed by the future row
+    assert rows[ws("2024-01-01 12:00:00")] == 1, rows
+    assert dropped >= 1, q.recentProgress
