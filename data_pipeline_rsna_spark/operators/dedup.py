@@ -705,3 +705,42 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
         ),
         F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
     )
+
+
+def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", shingle_n: int = 3,
+                            threshold: float = 0.8) -> DataFrame:
+    """Shingle-set CONTAINMENT — the asymmetric cousin of Jaccard:
+    containment(A in B) = |A ∩ B| / |A|. This is the right measure for
+    "document A is embedded inside document B" (a quoted article inside
+    a scrape, a README pasted into a repo dump): a short doc fully
+    contained in a long one has containment 1.0 while its Jaccard is
+    tiny, so a Jaccard-threshold dedup never sees it.
+
+    Same inverted-index join shape (and the same ubiquitous-shingle skew
+    note) as ``ngram_jaccard_pairs``; pairs are emitted DIRECTED —
+    (contained, container) with contained ≠ container — because the
+    measure is asymmetric. Returns pairs with containment >= threshold:
+    (doc_small, doc_big, shared, containment)."""
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_small"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_big"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_small") != F.col("doc_big"))
+        .groupBy("doc_small", "doc_big")
+        .agg(F.count("*").alias("shared"))
+    )
+    ssm = sizes.select(
+        F.col(id_col).alias("doc_small"), F.col("n_sh").alias("n_small")
+    )
+    return (
+        shared.join(ssm, "doc_small")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.col("n_small"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_small", "doc_big", "shared", "containment")
+    )

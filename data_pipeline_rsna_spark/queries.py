@@ -9802,3 +9802,36 @@ def q_text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_corpus(spark, sf_dir)
     return dedup.remove_duplicate_spans(corpus, window=5, min_count=2)
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+               count(*) AS shared
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_small, s.doc_big, s.shared,
+           round(s.shared / z.n_sh, 6) AS containment
+    FROM shared s JOIN sizes z ON s.doc_small = z.doc_id
+    WHERE round(s.shared / z.n_sh, 6) >= 0.8
+    """,
+    doc="X2 shingle-set containment |A∩B|/|A| (asymmetric Jaccard): the "
+    "embedded-document detector - a near-dup PLANTED as a suffix of its "
+    "source has containment ~1.0 while its Jaccard can sit under any "
+    "symmetric threshold. Directed pairs over the same inverted-index "
+    "join as the Jaccard verifier.",
+    tags=("dedup", "text"),
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.ngram_containment_pairs(corpus, threshold=0.8)

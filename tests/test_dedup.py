@@ -348,3 +348,21 @@ def test_remove_duplicate_spans_keeps_first_occurrence(spark):
     # doc 3 loses the shared 6-token run, keeps its prefix
     assert got[3].n_removed == 6
     assert got[3].clean_hash == md5("x1 x2")
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from data_pipeline_rsna_spark.operators import dedup
+
+    small = "a b c d e"
+    big = small + " " + " ".join(f"f{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    cont = dedup.ngram_containment_pairs(docs, threshold=0.8).collect()
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    # every shingle of the small doc appears in the big one
+    assert [(r.doc_small, r.doc_big, r.containment) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+    # but symmetric Jaccard is 3/43 — far below any dedup threshold
+    assert jac == []
