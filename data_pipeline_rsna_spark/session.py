@@ -59,6 +59,14 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS,
         )
+        # --- scan-level aggregate pushdown ---
+        # MIN/MAX/COUNT with no filter answer from parquet footer stats
+        # instead of scanning row groups — exact (parquet stats are
+        # exact), and the win scales with data: the order-statistic
+        # split's count/min/max job reads #row-groups footers at 100 TB
+        # rather than the key column. Measured neutral-to-positive at
+        # bench SF; results verified identical either way.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- python interop: Arrow batches for pandas UDFs / toPandas ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image-sized rows (1 MiB+ binary payloads) need small Arrow
