@@ -9835,3 +9835,59 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_corpus(spark, sf_dir)
     return dedup.ngram_containment_pairs(corpus, threshold=0.8)
+
+
+@register(
+    "text_quality_gate_streaming",
+    # bounded replay of the staged corpus -> byte-equivalent to the
+    # batch funnel, so the batch SQL is a full value oracle (same
+    # pattern as events_hourly_streaming)
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(text), '\\s+') AS ws
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n,
+               list_sum(list_transform(ws, w -> len(w))) AS total_len,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                   AS n_alpha,
+               (len(text) - len(replace(text, '#', '')))
+                   + ((len(text) - len(replace(text, '...', ''))) // 3)
+                   AS n_sym,
+               len(list_filter(ws,
+                   w -> w IN ('the','a','and','of','to','in','is')))
+                   AS n_stop
+        FROM scored
+    ),
+    flagged AS (
+        SELECT doc_id, n,
+            CASE WHEN NOT (n >= 50 AND n <= 100000) THEN 'word_count'
+                 WHEN NOT (total_len >= 3*n AND total_len <= 10*n)
+                     THEN 'mean_word_length'
+                 WHEN NOT (5*n_alpha >= 4*n) THEN 'alpha_ratio'
+                 WHEN NOT (10*n_sym <= n) THEN 'symbol_ratio'
+                 WHEN NOT (n_stop >= 2) THEN 'stopword_count'
+                 ELSE 'kept' END AS reason
+        FROM flagged_src
+    )
+    SELECT reason, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_words
+    FROM flagged GROUP BY 1
+    """.replace("flagged_src", "m"),
+    doc="X4+X6 the Gopher quality funnel computed on a document STREAM: "
+    "per-micro-batch narrow gate projection, complete-mode funnel "
+    "aggregation whose state is one row per reason code (bounded by "
+    "the rule count, not stream length). Bounded replay is byte-"
+    "equivalent to the batch funnel, so this streaming query is fully "
+    "hash-checked against the same SQL oracle as "
+    "text_gopher_quality_gates.",
+    tags=("text", "streaming"),
+)
+def q_text_quality_gate_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+    from .streaming import text_stream as ts
+
+    stream = ts.read_docs_stream(spark, sf_dir)
+    return es.run_bounded(ts.quality_funnel_stream(stream))

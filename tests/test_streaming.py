@@ -598,3 +598,28 @@ def test_watermark_drops_late_rows_and_accounts_them(spark, tmp_path):
     # the 12:00 window flushed by the future row
     assert rows[ws("2024-01-01 12:00:00")] == 1, rows
     assert dropped >= 1, q.recentProgress
+
+
+def test_text_quality_funnel_stream_equals_batch(spark, sf_dir):
+    """The streamed Gopher funnel (4 micro-batches) must equal the batch
+    funnel over the same corpus, row for row."""
+    from data_pipeline_rsna_spark.operators import textanalysis as ta
+    from data_pipeline_rsna_spark.streaming import events_stream as es
+    from data_pipeline_rsna_spark.streaming import text_stream as ts
+
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        ta.gopher_quality_flags(docs)
+        .groupBy(F.coalesce(F.col("reason"), F.lit("kept")).alias("reason"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_words").cast("bigint").alias("n_words"))
+    )
+    stream = es.run_bounded(
+        ts.quality_funnel_stream(ts.read_docs_stream(spark, sf_dir))
+    )
+    k = lambda rows: sorted(  # noqa: E731
+        (r.reason, r.n_docs, r.n_words) for r in rows
+    )
+    assert k(stream.collect()) == k(batch.collect())
