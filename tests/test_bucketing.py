@@ -101,3 +101,35 @@ def test_bucketed_join_matches_shuffled_join(spark, sf_dir, bucketed_tables):
         .collect()[0]
     )
     assert (got["n"], got["dot"]) == (want["n"], want["dot"])
+
+
+def test_incremental_manifest_processes_each_file_once(spark, tmp_path):
+    """Two files -> first run processes both; re-run processes nothing;
+    a third file arriving is the only thing the next run touches, and
+    the accumulated output equals a full batch run."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark.sinks import incremental as inc
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+
+    def write_file(vals):
+        spark.createDataFrame([(v,) for v in vals], "v int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    transform = lambda df: df.select((F.col("v") * 2).alias("v2"))  # noqa: E731
+
+    write_file([1, 2])
+    write_file([3])
+    r1 = inc.run_incremental(spark, src, out, man, transform)
+    assert len(r1) == 2
+    r2 = inc.run_incremental(spark, src, out, man, transform)
+    assert r2 == []
+    write_file([10])
+    r3 = inc.run_incremental(spark, src, out, man, transform)
+    assert len(r3) == 1
+    got = sorted(r.v2 for r in spark.read.parquet(out).collect())
+    assert got == [2, 4, 6, 20]
