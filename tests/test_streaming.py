@@ -623,3 +623,31 @@ def test_text_quality_funnel_stream_equals_batch(spark, sf_dir):
         (r.reason, r.n_docs, r.n_words) for r in rows
     )
     assert k(stream.collect()) == k(batch.collect())
+
+
+def test_streaming_multimodal_ingest_equals_batch(spark, tmp_path):
+    """binaryFile stream (one file per micro-batch) -> decode ->
+    pixel-stats feature log must equal the batch decode over the same
+    directory, image for image."""
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+    from data_pipeline_rsna_spark.streaming import multimodal_stream as ms
+
+    src = mm.stage_dicom_fixture_dir(n=6, height=8, width=8)
+    out = str(tmp_path / "features")
+    q = ms.ingest_pixel_stats(
+        ms.read_binary_stream(spark, src, files_per_trigger=2),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    batch = mm.pixel_stats(
+        mm.decode_dicom_batch(mm.read_binary_dir(spark, src))
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r.img_id, r.sum_px, r.mean_px, r.min_px, r.max_px) for r in rows
+    )
+    got = spark.read.parquet(out)
+    # multiple micro-batches really happened
+    assert got.select("_batch").distinct().count() >= 3
+    assert key(got.collect()) == key(batch.collect())
