@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right values with right.ts <= left.ts.
 
@@ -43,6 +44,12 @@ def asof_join(
     right row keep nulls. Cost: one hash shuffle on ``key`` + one sort
     per partition — independent of how many right rows precede each
     left row (the window carries only the last value forward).
+
+    ``tolerance_seconds`` adds the feature-store staleness bound
+    (point-in-time join): a match older than the bound nulls out, so a
+    feature value never silently serves past its freshness contract.
+    Same plan — the matched right timestamp rides the same
+    last-value-forward window; the bound is one more narrow predicate.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
@@ -73,14 +80,29 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         "_is_left",
         "_lrow",
+        "_ts",
+        F.last(
+            F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w).alias("_rts"),
         *[
             F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
             for c in value_cols
         ],
     )
+    fresh = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (
+            F.col("_ts").cast("long") - F.col("_rts").cast("long")
+            <= tolerance_seconds
+        )
+    )
     return filled.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[
+            F.when(fresh, F.col(f"_rv_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
     )
 
 

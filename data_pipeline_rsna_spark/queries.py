@@ -9891,3 +9891,57 @@ def q_text_quality_gate_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
 
     stream = ts.read_docs_stream(spark, sf_dir)
     return es.run_bounded(ts.quality_funnel_stream(stream))
+
+
+@register(
+    "asof_join_staleness_bound",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS event_id,
+           c.user_id AS user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           round(COALESCE(
+               CASE WHEN epoch(c.ts) - epoch(p.ts) <= 3600 THEN p.value END,
+               -1.0), 2) AS fresh_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="Point-in-time (feature-store) as-of join: the backward match "
+    "additionally carries a 1-hour staleness bound - a purchase older "
+    "than the freshness contract nulls out instead of silently serving "
+    "stale features. Same single-shuffle union-tag plan; the matched "
+    "right timestamp rides the same last-value-forward window and the "
+    "bound is one narrow predicate.",
+    tags=("temporal", "join", "ml"),
+)
+def q_asof_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import temporal
+
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = temporal.asof_join(
+        clicks,
+        purch,
+        key="user_id",
+        value_cols=["purchase_value"],
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.round(F.coalesce("purchase_value_asof", F.lit(-1.0)), 2).alias(
+            "fresh_purchase_value"
+        ),
+    )

@@ -178,3 +178,25 @@ def test_ohlc_same_microsecond_tie_uses_event_id(spark):
     b = ev_ops.ohlc_bars(df).collect()[0]
     assert (b["open_cents"], b["close_cents"]) == (100, 400)
     assert (b["low_cents"], b["high_cents"]) == (100, 400)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from data_pipeline_rsna_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 12:00:00"), (2, "u", "2024-01-01 18:00:00")],
+        "id long, user_id string, ts_s string",
+    ).selectExpr("id", "user_id", "cast(ts_s AS timestamp) AS ts")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 11:30:00", 7.0)],
+        "user_id string, ts_s string, v double",
+    ).selectExpr("user_id", "cast(ts_s AS timestamp) AS ts", "v")
+    got = {
+        r.id: r.v_asof
+        for r in temporal.asof_join(
+            left, right, key="user_id", value_cols=["v"],
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    # noon click: purchase 30 min old -> fresh; 18:00 click: 6.5h old -> null
+    assert got[1] == 7.0 and got[2] is None
