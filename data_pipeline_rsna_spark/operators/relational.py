@@ -1207,3 +1207,39 @@ def ring_successor_join(
         .withColumn(out_col, F.coalesce(F.col("_succ_in_bucket"), fb_col))
         .select(*tcols, out_col)
     )
+
+
+def scd2_history(snapshots: DataFrame, key_col: str, version_col: str,
+                 attr_cols: list[str]) -> DataFrame:
+    """Type-2 slowly-changing-dimension assembly: collapse a sequence of
+    per-version extracts into validity intervals — one row per (key,
+    unchanged-attribute run) with ``valid_from``/``valid_to`` versions.
+    The warehouse-history twin of ``snapshot_diff`` (which compares two
+    versions; this folds N of them).
+
+    Gaps-and-islands per key ordered by version: a row opens a new
+    interval when any tracked attribute differs from the previous
+    version (``eqNullSafe`` makes the first version open one, and a
+    NULL attribute change count). One shuffle on the key; interval
+    state per key is bounded by the number of CHANGES, not versions —
+    the property that makes SCD2 the storage-efficient history format.
+    Keys absent from a version simply don't extend their interval
+    (extract-based SCD2; deletions are a tombstone attr upstream)."""
+    w = Window.partitionBy(key_col).orderBy(version_col)
+    chg = F.lit(False)
+    for c in attr_cols:
+        chg = chg | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    run = (
+        snapshots.withColumn("_chg", F.when(chg, 1).otherwise(0))
+        .withColumn(
+            "_island",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return run.groupBy(key_col, "_island").agg(
+        F.min(version_col).alias("valid_from"),
+        F.max(version_col).alias("valid_to"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    ).drop("_island")

@@ -9945,3 +9945,85 @@ def q_asof_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fresh_purchase_value"
         ),
     )
+
+
+@register(
+    "scd2_history_intervals",
+    oracle="""
+    WITH snaps AS (
+        SELECT 1 AS version, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS status
+        FROM orders
+        UNION ALL
+        SELECT 2, o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END,
+               o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT 3, o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        FROM orders
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(cents) OVER w IS DISTINCT FROM cents
+                     OR lag(status) OVER w IS DISTINCT FROM status
+                    THEN 1 ELSE 0 END AS chg
+        FROM snaps
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+    ),
+    runs AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY o_orderkey ORDER BY version
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    hist AS (
+        SELECT o_orderkey, island,
+               min(version) AS valid_from, max(version) AS valid_to
+        FROM runs GROUP BY o_orderkey, island
+    )
+    SELECT valid_from, valid_to, count(*) AS n_intervals
+    FROM hist GROUP BY valid_from, valid_to
+    """,
+    doc="X8 SCD2 history assembly: three deterministic snapshot versions "
+    "of orders (v2 bumps %7 prices, v3 flips %5 statuses) fold into "
+    "validity intervals via per-key gaps-and-islands on attribute "
+    "change - one shuffle, interval count bounded by CHANGES not "
+    "versions. Aggregated to the interval-shape histogram so the "
+    "output is compact while every key's interval structure is "
+    "value-checked.",
+    tags=("relational",),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    bumped = F.when(F.col("o_orderkey") % 7 == 0, cents + 500).otherwise(cents)
+    v1 = orders.select(
+        F.lit(1).alias("version"), "o_orderkey",
+        cents.alias("cents"), F.col("o_orderstatus").alias("status"),
+    )
+    v2 = orders.select(
+        F.lit(2).alias("version"), "o_orderkey",
+        bumped.alias("cents"), F.col("o_orderstatus").alias("status"),
+    )
+    v3 = orders.select(
+        F.lit(3).alias("version"), "o_orderkey",
+        bumped.alias("cents"),
+        F.when(F.col("o_orderkey") % 5 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    hist = rel.scd2_history(
+        v1.unionByName(v2).unionByName(v3),
+        "o_orderkey", "version", ["cents", "status"],
+    )
+    return hist.groupBy("valid_from", "valid_to").agg(
+        F.count("*").alias("n_intervals")
+    )

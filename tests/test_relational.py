@@ -440,3 +440,28 @@ def test_weighted_k_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, "g int, key long, w double")
     got = {r.key for r in rel.weighted_k_sample(df, "g", "key", "w", 10).collect()}
     assert got == {3}
+
+
+def test_scd2_history_hand_example(spark):
+    snaps = spark.createDataFrame(
+        [
+            (1, "k", 10, "A"),
+            (2, "k", 10, "A"),   # unchanged -> same interval
+            (3, "k", 20, "A"),   # price change -> new interval
+            (4, "k", 20, "B"),   # status change -> new interval
+            (1, "j", 5, "A"),    # j never changes
+            (2, "j", 5, "A"),
+        ],
+        "version int, key string, cents long, status string",
+    )
+    hist = {
+        (r.key, r.valid_from): (r.valid_to, r.cents, r.status)
+        for r in rel.scd2_history(
+            snaps, "key", "version", ["cents", "status"]
+        ).collect()
+    }
+    assert hist[("k", 1)] == (2, 10, "A")
+    assert hist[("k", 3)] == (3, 20, "A")
+    assert hist[("k", 4)] == (4, 20, "B")
+    assert hist[("j", 1)] == (2, 5, "A")
+    assert len(hist) == 4
