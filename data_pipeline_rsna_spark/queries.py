@@ -10027,3 +10027,33 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.groupBy("valid_from", "valid_to").agg(
         F.count("*").alias("n_intervals")
     )
+
+
+@register(
+    "multimodal_image_entropy",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 31 + i.i * 7) % 256 AS v
+        FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+    ),
+    hist AS (
+        SELECT img_id, v, count(*) AS c FROM px GROUP BY img_id, v
+    )
+    SELECT img_id,
+           CAST(count(*) AS INTEGER) AS n_levels,
+           round(-sum((c / 256.0) * ln(c / 256.0)), 6) + 0.0
+               AS entropy_nats
+    FROM hist GROUP BY img_id
+    """,
+    doc="X7 per-image histogram entropy + distinct gray-level count: the "
+    "blank/low-information frame detector of a multimodal curation "
+    "gate. One numpy bincount per image inside the Arrow batch; the "
+    "closed-form synthetic corpus lets DuckDB re-derive the histogram "
+    "and entropy exactly (round 6, -0.0 normalized).",
+    tags=("multimodal",),
+)
+def q_multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    return mm.image_entropy(mm.synth_images(spark, n=200, height=16, width=16))

@@ -222,3 +222,29 @@ def test_scale_image_bilinear_interp_routes():
     out = ik.scale_image(a, 1.5, interp="bilinear")
     # zoomed 3x3 midpoint lattice, center-cropped back to 2x2 at (0,0)
     assert np.array_equal(out, np.array([[0, 5], [10, 15]], dtype=np.uint8))
+
+
+def test_image_entropy_flat_vs_varied(spark):
+    import math
+
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+
+    import numpy as np
+    import pandas as pd
+
+    def mk(img_id, arr):
+        return (img_id, np.asarray(arr, np.uint8).tobytes(), "uint8", 1,
+                len(arr))
+
+    rows = [
+        mk(0, [7] * 16),                 # constant: entropy 0, 1 level
+        mk(1, list(range(16))),          # uniform over 16: ln(16)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["img_id", "pixels", "dtype", "height",
+                                    "width"])
+    )
+    got = {r.img_id: r for r in mm.image_entropy(df).collect()}
+    assert got[0].n_levels == 1 and got[0].entropy_nats == 0.0
+    assert got[1].n_levels == 16
+    assert abs(got[1].entropy_nats - math.log(16)) < 1e-6
