@@ -366,3 +366,53 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     ]
     # but symmetric Jaccard is 3/43 — far below any dedup threshold
     assert jac == []
+
+
+def _removal_reference(docs, window=5, min_count=2):
+    """Pure-Python reference of remove_duplicate_spans: first (doc, pos)
+    occurrence of each duplicated window survives; other occurrences'
+    token ranges are deleted."""
+    import hashlib
+    from collections import defaultdict
+
+    toks = {d: t.lower().split() for d, t in docs}
+    occ = defaultdict(list)
+    for d in sorted(toks):
+        ws = toks[d]
+        for p in range(len(ws) - window + 1):
+            occ[tuple(ws[p:p + window])].append((d, p))
+    removed = defaultdict(set)
+    for positions in occ.values():
+        if len(positions) >= min_count:
+            for d, p in positions[1:]:  # keeper = first in (doc, pos)
+                removed[d].update(range(p, p + window))
+    out = {}
+    for d, ws in toks.items():
+        kept = [w for i, w in enumerate(ws) if i not in removed[d]]
+        out[d] = (
+            len(ws),
+            len(ws) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_remove_duplicate_spans_matches_reference(spark):
+    import random
+
+    from data_pipeline_rsna_spark.operators import dedup
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice("a b c d".split())
+                         for _ in range(rng.randint(3, 25))))
+            for i in range(25)
+        ]
+        want = _removal_reference(docs)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_hash)
+            for r in dedup.remove_duplicate_spans(df, window=5).collect()
+        }
+        assert got == want, f"trial {trial}"
