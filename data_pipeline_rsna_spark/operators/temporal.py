@@ -50,6 +50,14 @@ def asof_join(
     feature value never silently serves past its freshness contract.
     Same plan — the matched right timestamp rides the same
     last-value-forward window; the bound is one more narrow predicate.
+
+    Semantics are ROW-level (DuckDB/kdb ASOF): the matched right row is
+    carried as one struct, so the served values and the timestamp the
+    staleness bound checks always come from the SAME (latest) right
+    row. A genuinely-NULL right value column serves NULL — it is never
+    papered over by an older row's value, which would both diverge from
+    ASOF semantics and let a stale value ride a newer row's timestamp
+    past the freshness check.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
@@ -60,8 +68,15 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*lcols).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-          for c in value_cols],
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                [f"_ts:{right.schema[right_ts].dataType.simpleString()}"]
+                + [
+                    f"{c}:{right.schema[c].dataType.simpleString()}"
+                    for c in value_cols
+                ]
+            ) + ">"
+        ).alias("_rrow"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
@@ -70,37 +85,36 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_lrow"].dataType
         ).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_rrow"),
     )
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The struct is non-null for every right row even when its value
+    # fields are null, so ignorenulls skips exactly the left rows.
     filled = l_tagged.unionByName(r_tagged).select(
         "_is_left",
         "_lrow",
         "_ts",
-        F.last(
-            F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True
-        ).over(w).alias("_rts"),
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in value_cols
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
     )
     fresh = (
         F.lit(True)
         if tolerance_seconds is None
         else (
-            F.col("_ts").cast("long") - F.col("_rts").cast("long")
+            F.col("_ts").cast("long") - F.col("_rrow._ts").cast("long")
             <= tolerance_seconds
         )
     )
     return filled.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
         *[
-            F.when(fresh, F.col(f"_rv_{c}")).alias(f"{c}{suffix}")
+            F.when(fresh, F.col(f"_rrow.{c}")).alias(f"{c}{suffix}")
             for c in value_cols
         ],
     )

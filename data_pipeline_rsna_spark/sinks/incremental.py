@@ -61,11 +61,11 @@ def run_incremental(
     """One incremental run: process input files not yet in the manifest
     through ``transform``, append results, then record the files.
     Returns the list of files processed this run (empty = up to date)."""
-    new = [
-        f
-        for f in list_input_files(input_dir)
-        if f not in processed_files(spark, manifest_dir)
-    ]
+    # One manifest read for the whole run: the manifest is file-count
+    # rows (metadata-sized), but re-reading it per candidate file would
+    # issue O(N) Spark jobs on a large input directory.
+    done = processed_files(spark, manifest_dir)
+    new = [f for f in list_input_files(input_dir) if f not in done]
     if not new:
         return []
     out = transform(spark.read.parquet(*new))
