@@ -138,36 +138,68 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition ONLY when the input is under-parallel (scan
+    collapsed to a handful of partitions — the small-file regime): a
+    narrow CPU-bound stage downstream would otherwise run on 1-2 cores.
+    At real scale the scan has >> cores partitions and this is a no-op,
+    so the CPU stage inherits the scan's parallelism with ZERO shuffle.
+    Hash on the id (not round-robin): deterministic under task retry
+    without the sort-before-repartition pass round-robin pays."""
+    target = max(
+        8, docs.sparkSession.sparkContext.defaultParallelism // 2
+    )
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    return docs.repartition(target, id_col)
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 12,
                        shingle_n: int = 3) -> DataFrame:
     """Wide-form signatures: (doc, mh0..mh{H-1}), mh_i = min over shingles
     of md5(i || '|' || shingle).
 
-    One ``groupBy(doc)`` carrying H min-aggregations — NOT an explode to
-    (doc, i) rows. The H mins partial-aggregate map-side (hash-agg
-    combine), so the single shuffle moves exactly |docs| rows of H×32-hex
-    strings regardless of document length or H. (The earlier narrow form
-    shuffled H·|shingles| rows and needed a second shuffle to band — 3×
-    slower at sf0.1.)"""
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n)
-    # one md5 yields FOUR independent 32-bit hashes (8-hex-char slices of
-    # the 128-bit digest) — so H hashes cost ceil(H/4) md5 calls per
-    # shingle, not H, and the min-comparisons run on 8-char strings.
-    # Portable: substring(md5(x), 1+8k, 8) is identical SQL everywhere.
+    A document's signature depends only on its OWN shingle set, so this
+    is a PER-ROW fold, not an aggregation: transform the distinct
+    shingle array to md5 digests once, then take H ``array_min``'s over
+    8-hex-char digest slices — one md5 yields FOUR independent 32-bit
+    hashes, so H hashes cost ceil(H/4) md5 calls per shingle. Portable:
+    min over substring(md5(x), 1+8k, 8) is identical SQL everywhere, so
+    a DuckDB oracle re-derives signatures exactly.
+
+    Plan shape: entirely NARROW — no explode to shingle rows, no
+    hash-agg, no exchange. At 100 TB the signature stage is
+    embarrassingly parallel over scan partitions; the earlier
+    explode + repartition(id) + groupBy(id) form shuffled the tokenized
+    corpus once just to bring each doc's shingles back together.
+    ``_spread`` guards the small-input regime where the scan has fewer
+    partitions than cores (measured at sf0.1: 0.38 s vs 0.49 s median,
+    and one fewer exchange in the plan)."""
     n_seeds = (num_hashes + 3) // 4
-    # expr strings (not Column trees) for the same reason as
-    # exploded_shingles: H+n_seeds gateway calls instead of ~5 per hash.
-    seeds = [
-        f"md5(concat_ws('|', '{s}', shingle)) AS _d{s}"
+    shingles = (
+        f"array_distinct(transform(sequence(0, size(_ws) - {shingle_n}), "
+        f"i -> concat_ws(' ', slice(_ws, i + 1, {shingle_n}))))"
+    )
+    digests = [
+        f"transform(_sh, x -> md5(concat_ws('|', '{s}', x))) AS _d{s}"
         for s in range(n_seeds)
     ]
-    hashed = sh.selectExpr(f"`{id_col}`", *seeds)
-    aggs = [
-        F.expr(f"min(substring(_d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}")
+    mins = [
+        f"array_min(transform(_d{i // 4}, "
+        f"d -> substring(d, {1 + 8 * (i % 4)}, 8))) AS mh{i}"
         for i in range(num_hashes)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return (
+        _spread(docs, id_col)
+        .selectExpr(
+            f"`{id_col}`", f"split(lower(`{text_col}`), '\\\\s+') AS _ws"
+        )
+        .filter(F.size(F.col("_ws")) >= shingle_n)
+        .selectExpr(f"`{id_col}`", f"{shingles} AS _sh")
+        .selectExpr(f"`{id_col}`", *digests)
+        .selectExpr(f"`{id_col}`", *mins)
+    )
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",

@@ -160,22 +160,88 @@ def exact_kth_smallest(
     only — the integer bucket arithmetic silently truncates fractional
     types, so they are rejected up front.
     """
+    return exact_rank_statistic(
+        df, col, lambda _n: k, n_buckets, take_threshold
+    )[1]
+
+
+def exact_rank_statistic(
+    df: DataFrame,
+    col: str,
+    rank_of_n,
+    n_buckets: int = 4096,
+    take_threshold: int = 32_768,
+) -> tuple[int, int | None]:
+    """``exact_kth_smallest`` for ranks that DEPEND on the row count
+    (median = rank ceil(n/2), a train cutoff = round(n·frac), a p99):
+    ``rank_of_n(n_nonnull) -> k``. Returns ``(n_nonnull, value)``.
+
+    The point of the combined form: the fused first pass
+    (``_bucketed_stats``) already produces the count alongside the
+    first histogram round, so deriving k from n costs zero extra jobs —
+    versus a caller running ``df.count()`` first (one whole job-floor
+    latency, serialized before the search can start)."""
     dtype = dict(df.dtypes).get(col)
     if dtype not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
             f"exact_kth_smallest needs an integral column; {col} is {dtype}"
         )
-    total_row = df.agg(
-        F.count(F.col(col)).alias("n"),
-        F.min(F.col(col)).alias("lo"),
-        F.max(F.col(col)).alias("hi"),
-    ).collect()[0]
-    n_rows, lo, hi = total_row["n"], total_row["lo"], total_row["hi"]
-    if n_rows == 0 or k < 1 or k > n_rows:
-        return None
-    return _kth_smallest_in_range(
-        df, col, k, int(lo), int(hi), n_rows, n_buckets, take_threshold
+    _total, n_nonnull, buckets = _bucketed_stats(df, col)
+    k = rank_of_n(n_nonnull)
+    if n_nonnull == 0 or k < 1 or k > n_nonnull:
+        return n_nonnull, None
+    k, lo, hi, in_range = _select_bucket(buckets, k)
+    return n_nonnull, _kth_smallest_in_range(
+        df, col, k, lo, hi, in_range, n_buckets, take_threshold
     )
+
+
+def _bucketed_stats(
+    df: DataFrame, col: str
+) -> tuple[int, int, list]:
+    """ONE aggregation job that serves as both the stats pass and the
+    first histogram round of the order-statistic search: per-bucket
+    (count, min, max) with bucket = value >> 52. Arithmetic shift-right
+    is floor division by 2^52 (two's-complement safe for negatives), so
+    bucket ids are order-preserving over the FULL int64 domain and at
+    most 4096 groups exist — a metadata-sized partial aggregation, no
+    data shuffle. NULL keys land in the NULL bucket, giving the null
+    count for free. Returns (total_rows, non_null_rows, non-null bucket
+    rows sorted by bucket id). Fusing the two passes matters because k
+    itself depends on the total count (e.g. a train/val cutoff): the
+    unfused form cannot start bucketing until a whole stats job
+    completes, so every call pays one extra job-floor latency."""
+    rows = (
+        df.groupBy(
+            F.shiftright(F.col(col).cast("long"), 52).alias("_b")
+        )
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(col).alias("_lo"),
+            F.max(col).alias("_hi"),
+        )
+        .collect()
+    )
+    nn = sorted(
+        (r for r in rows if r["_b"] is not None), key=lambda r: r["_b"]
+    )
+    n_nonnull = sum(r["_c"] for r in nn)
+    total = sum(r["_c"] for r in rows)
+    return total, n_nonnull, nn
+
+
+def _select_bucket(buckets: list, k: int) -> tuple[int, int, int, int]:
+    """Walk bucket counts (sorted by bucket id) to the one containing
+    rank ``k``; return (residual k, bucket min, bucket max, bucket
+    count) — the recursion state for ``_kth_smallest_in_range``. The
+    per-bucket min/max narrow the range to the bucket's ACTUAL data
+    bounds, typically collapsing the next round to a TakeOrdered."""
+    seen = 0
+    for r in buckets:
+        if seen + r["_c"] >= k:
+            return k - seen, int(r["_lo"]), int(r["_hi"]), r["_c"]
+        seen += r["_c"]
+    raise RuntimeError("rank beyond non-null row count")  # caller-checked
 
 
 def _kth_smallest_in_range(
@@ -292,28 +358,19 @@ def deterministic_split(
     dtype = dict(df.dtypes).get(order_col)
     numeric = dtype in ("tinyint", "smallint", "int", "bigint")
     if numeric:
-        # one metadata job covers the row count AND the histogram
-        # bounds; count(*) vs count(col) also detects NULL keys, which
-        # the cutoff-key equivalence cannot rank (ranking semantics for
-        # NULLs belong to the sort-based path)
-        stats = df.agg(
-            F.count("*").alias("n"),
-            F.count(F.col(order_col)).alias("n_nonnull"),
-            F.min(order_col).alias("lo"),
-            F.max(order_col).alias("hi"),
-        ).collect()[0]
-        total = stats["n"]
+        # ONE fused job (_bucketed_stats) yields the row count — which
+        # the cutoff rank depends on, so an unfused design serializes a
+        # stats job before any histogram — plus the null count (NULL
+        # keys cannot rank here; they belong to the sort-based path)
+        # AND the first histogram round's buckets with real min/max.
+        total, n_nonnull, buckets = _bucketed_stats(df, order_col)
         cutoff, const = _label(total)
         if const is not None:
             return df.withColumn("split", F.lit(const))
-        if stats["n_nonnull"] == total:
+        if n_nonnull == total:
+            kk, lo, hi, in_range = _select_bucket(buckets, cutoff)
             cutoff_key = _kth_smallest_in_range(
-                df,
-                order_col,
-                cutoff,
-                int(stats["lo"]),
-                int(stats["hi"]),
-                total,
+                df, order_col, kk, lo, hi, in_range
             )
             return df.withColumn(
                 "split",

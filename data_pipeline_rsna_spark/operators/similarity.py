@@ -53,6 +53,58 @@ def as_double_array(col_name: str) -> Column:
     return F.col(col_name).cast("array<double>")
 
 
+def partial_topk(
+    scored: DataFrame,
+    k: int,
+    group_col: str,
+    order_col: str = "cosine",
+    tiebreak_col: str = "neighbor_id",
+) -> DataFrame:
+    """Map-side partial top-k: reduce each PARTITION to its local top-k
+    rows per group, with zero shuffle — the distributed half of an
+    exact top-k (a final k-row-per-group merge, e.g. one window over
+    the reduced set, completes it).
+
+    Why it exists: ranking a scored table with
+    ``Window.partitionBy(group)`` alone shuffles EVERY scored row —
+    |corpus|·|queries| rows for a similarity search — when only k rows
+    per (partition, group) can possibly survive. Spark has no bounded-
+    state top-k aggregate (``collect_list`` partials keep everything),
+    so the partition-local reduction runs as an Arrow-batched
+    ``mapInPandas`` fold: a running top-k frame per group, carried
+    across the partition's batches, O(k·|groups| + one batch) memory,
+    all vectorized pandas (no per-row Python). The downstream window
+    then shuffles ≤ k·|groups| rows per partition.
+
+    Ordering contract: rows rank by ``order_col`` DESC, ties broken by
+    ``tiebreak_col`` ASC — callers must rank the merged result with the
+    SAME ordering, and ``order_col`` must already hold its final
+    (e.g. rounded) values, or the local cut could drop a row the final
+    rounding would have promoted.
+    """
+    schema = scored.schema
+
+    def _reduce(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cur = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                cur.sort_values(
+                    [order_col, tiebreak_col], ascending=[False, True]
+                )
+                .groupby(group_col, sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    return scored.mapInPandas(_reduce, schema=schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -66,6 +118,12 @@ def cosine_topk(
     ``queries`` must be small (it is broadcast to every task). Returns
     (query_id, neighbor_id, rank, cosine) with cosine rounded to 6
     places; rank breaks ties by neighbor id, so output is deterministic.
+
+    Plan shape: scoring is one narrow JVM-side pass over the corpus
+    (broadcast queries, fold-based dot product, round BEFORE ranking);
+    ``partial_topk`` then cuts each scan partition to k rows per query
+    map-side, so the ranking window's exchange carries ≤ k·|q| rows per
+    partition instead of the full |corpus|·|q| score table.
     """
     # expr-string builders (same analyzed plan, ~10 gateway round trips
     # instead of ~150 — see dedup.exploded_shingles for the measurement)
@@ -100,11 +158,15 @@ def cosine_topk(
             "AS cosine",
         )
     )
+    reduced = partial_topk(
+        sims, k, group_col=query_id_col,
+        order_col="cosine", tiebreak_col="neighbor_id",
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cosine")
     )
@@ -283,11 +345,15 @@ def srp_ivf_topk(
             ).alias("cosine"),
         )
     )
+    reduced = partial_topk(
+        sims, k, group_col=query_id_col,
+        order_col="cosine", tiebreak_col="neighbor_id",
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cosine")
     )
@@ -384,11 +450,15 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
+    reduced = partial_topk(
+        sims, k, group_col=query_id_col,
+        order_col="cosine", tiebreak_col="neighbor_id",
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cosine")
     )

@@ -9258,8 +9258,9 @@ def q_exact_global_median_orderstat(
     cents = tables.load(spark, sf_dir, "orders").select(
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c")
     )
-    n = cents.count()
-    med = rel.exact_kth_smallest(cents, "c", (n + 1) // 2)
+    # one fused job yields the count AND the first histogram round, so
+    # the median rank (which depends on n) costs no extra count() job
+    n, med = rel.exact_rank_statistic(cents, "c", lambda m: (m + 1) // 2)
     return spark.createDataFrame(
         [(n, med)], "n bigint, median_cents bigint"
     )
