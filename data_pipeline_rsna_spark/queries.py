@@ -8802,11 +8802,11 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="X4 Zipf rank-frequency diagnostic: OLS slope of ln(freq) over "
     "ln(rank) across the vocabulary (natural corpora sit near -1; a "
     "flat slope flags synthetic/templated text). The global rank never "
-    "runs through a single-partition window: rank = (#tokens with "
-    "strictly higher freq, a metadata-sized per-frequency count folded "
-    "driver-side into a literal map, same pattern as the two-phase "
-    "rank's offsets) + row_number within the freq group (a partitioned "
-    "window, parallel by freq). Regression ships as EXACT rational "
+    "runs a window over the VOCABULARY: rank = (#tokens with strictly "
+    "higher freq — an exclusive running sum over the O(sqrt(tokens))-"
+    "row frequency-of-frequencies table, broadcast-joined back on f) "
+    "+ row_number within the freq group (a partitioned window, "
+    "parallel by freq). Regression ships as EXACT rational "
     "sufficient statistics over micro-unit (1e-6) fixed-point logs - "
     "bigint per row, decimal(38,0) accumulation, no float summation "
     "order anywhere - so the slope is bit-reproducible and mergeable. "
@@ -8823,27 +8823,31 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
-    # offsets: #tokens with freq strictly greater — distinct frequency
-    # values are O(sqrt(total tokens)) (Zipf tail collapses onto small
-    # integers), metadata-sized at any corpus scale
-    freq_counts = freq.groupBy("f").agg(F.count("*").alias("nf")).collect()
-    offsets: dict[int, int] = {}
-    seen = 0
-    for row in sorted(freq_counts, key=lambda r: -r["f"]):
-        offsets[row["f"]] = seen
-        seen += row["nf"]
-    pairs: list = []
-    for fval, off in offsets.items():
-        pairs.append(F.lit(fval))
-        pairs.append(F.lit(off))
-    off_col = (
-        F.create_map(*pairs)[F.col("f")].cast("bigint")
-        if pairs
-        else F.lit(0).cast("bigint")
+    # offsets: #tokens with freq strictly greater. Distinct frequency
+    # values are O(sqrt(total tokens)) (sum of distinct f's <= total, so
+    # <= sqrt(2T) of them) — but at 100 TB that is still ~1e6-1e7
+    # values, far past what a driver-side literal map can hold (the
+    # expression tree itself would blow plan size limits). So the
+    # offsets stay a DATAFRAME: exclusive running sum over the
+    # (f, count) table — one window task over the O(sqrt(T))-row
+    # frequency-of-frequencies table, never over tokens or vocab — and
+    # a broadcast join back on f. Same answer, bounded plan.
+    w_off = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        freq.groupBy("f")
+        .agg(F.count("*").alias("nf"))
+        .select(
+            "f",
+            F.coalesce(F.sum("nf").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias("_off"),
+        )
     )
     w_rank = Window.partitionBy("f").orderBy("w")
-    ranked = freq.withColumn(
-        "r", off_col + F.row_number().over(w_rank).cast("bigint")
+    ranked = freq.join(F.broadcast(offsets), "f").withColumn(
+        "r", F.col("_off") + F.row_number().over(w_rank).cast("bigint")
     )
     m = ranked.select(
         F.expr("CAST(round(ln(r) * 1000000) AS BIGINT)").alias("x"),

@@ -176,22 +176,36 @@ def test_chunk_windows_plan_is_narrow(spark, sf_dir):
     assert rep.n_broadcast_exchanges == 0, rep.text
 
 
-def test_zipf_rank_has_no_unpartitioned_window(spark, sf_dir):
-    """The global rank inside the Zipf slope must come from the
-    freq-partitioned window + driver-folded offsets — a bare
-    'Window [... ORDER BY ...]' with no PARTITION BY would collapse
-    the vocabulary onto one task."""
+def test_zipf_rank_windows_never_collapse_the_vocabulary(spark, sf_dir):
+    """The global rank inside the Zipf slope = freq-partitioned
+    row_number over the VOCABULARY + offsets broadcast-joined from an
+    exclusive running sum over the frequency-of-frequencies table. The
+    vocab-sized window must carry PARTITION BY f (a bare ordered window
+    there would collapse the vocabulary onto one task); the only
+    unpartitioned window allowed is the offsets running sum, whose
+    input is the aggregated (f, nf) table — O(sqrt(tokens)) rows — and
+    it must feed back through a broadcast join, not a literal map
+    (which would blow the plan past ~1e6 distinct frequencies)."""
     df = REGISTRY["text_zipf_slope"].spark_fn(spark, sf_dir)
     rep = audit.plan_report(df)
-    # formatted plans show the partition spec inside Window's Arguments;
-    # assert every Window node mentions the freq column as partition key
     win_args = [
         ln for ln in rep.text.splitlines()
         if "windowspecdefinition(" in ln
     ]
     assert win_args, rep.text
-    for ln in win_args:
-        assert "windowspecdefinition(f#" in ln.replace(" ", ""), ln
+    partitioned = [
+        ln for ln in win_args
+        if "windowspecdefinition(f#" in ln.replace(" ", "")
+    ]
+    unpartitioned = [ln for ln in win_args if ln not in partitioned]
+    # the vocab rank window is present and f-partitioned
+    assert partitioned, rep.text
+    # any unpartitioned window is the offsets running sum over nf
+    for ln in unpartitioned:
+        assert "nf#" in ln, ln
+    # the offsets come back via a broadcast join, not a literal map
+    assert rep.n_broadcast_exchanges >= 1, rep.text
+    assert "keys: [" not in rep.text or "map_from" not in rep.text
 
 
 def test_bloom_prefilter_sits_below_the_join(spark, sf_dir):
