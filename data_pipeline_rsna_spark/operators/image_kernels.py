@@ -11,15 +11,22 @@ Divergence ledger (documented, intended-semantics):
   interpolators; this engine's DEFAULT translates exactly (slicing) and
   zooms by nearest-neighbor index mapping. Geometry is identical;
   interpolated gray values at non-integer grid points are not. For
-  pixel parity, ``zoom_bilinear``/``shift_bilinear`` implement the
-  order-1 spline (bilinear — ``ndimage``'s ``order=1``, endpoint-
-  aligned coordinates, zero fill) in pure numpy, selectable via the
-  ``interp="bilinear"`` parameter on ``scale_image``/
-  ``zoom_box_region``; outputs then match ``ndimage`` within integer
-  rounding. The reference's default ``order=3`` cubic spline remains
-  out of scope (scipy is not a dependency of this engine; when scipy
-  IS present, callers wanting cubic parity should route pixels through
-  it directly).
+  pixel parity, two spline orders are available in pure numpy,
+  selectable via ``interp=`` on ``scale_image``/``zoom_box_region``
+  (and the ``*_bilinear``/``*_cubic`` kernels directly):
+  ``"bilinear"`` = ``ndimage`` order-1; ``"cubic"`` = order-3, the
+  reference's DEFAULT order — prefilter as the tridiagonal cubic
+  B-spline interpolation system (mirror boundary, the system Unser's
+  recursive filter solves and ``ndimage.spline_filter1d`` implements)
+  + separable 4-tap basis evaluation, with the 12-sample edge prepad
+  ndimage applies for 'nearest'-mode zooms. scipy itself is NOT a
+  dependency and is absent from this container, so order-3 tests are
+  differential (vectorized kernel vs an independent dense-solve
+  per-pixel implementation of the same published system) plus
+  exactness properties (integer-grid reproduction, integer-shift
+  equivalence, polynomial reproduction) rather than scipy-generated
+  goldens; interior values match ``ndimage`` order-3 semantics within
+  integer rounding by construction of the shared system.
 - All randomness is seeded per (image_id, variant) via
   ``seeded_rng`` — the reference's unseeded ``random.*``
   (``:117-118,148-153``) is nondeterministic and untestable.
@@ -129,7 +136,137 @@ def shift_bilinear(arr: np.ndarray, rx: float, ry: float) -> np.ndarray:
     return _to_dtype(out, arr.dtype)
 
 
-_ZOOMS = {"nearest": zoom_nearest, "bilinear": zoom_bilinear}
+def _mirror_idx(idx: np.ndarray, n: int) -> np.ndarray:
+    """ndimage 'mirror' index extension: reflect about the EDGE SAMPLES
+    without repeating them (period 2(n-1)): …3 2 1 | 0 1 2 3 | 2 1 0…"""
+    if n == 1:
+        return np.zeros_like(idx)
+    period = 2 * (n - 1)
+    idx = np.abs(idx) % period
+    return np.where(idx >= n, period - idx, idx)
+
+
+def _cubic_coeffs_along_axis(a: np.ndarray, axis: int) -> np.ndarray:
+    """Cubic B-spline PREFILTER: solve the interpolation system
+    (c[i-1] + 4·c[i] + c[i+1]) / 6 = x[i] with mirror boundary
+    (c[-1]=c[1], c[n]=c[n-2]) along ``axis`` — the tridiagonal system
+    whose solution Unser's recursive filter computes (the published
+    algorithm behind ``ndimage.spline_filter1d(order=3)``). Vectorized
+    Thomas algorithm: O(n) per line, all lines at once."""
+    a = np.moveaxis(np.asarray(a, dtype=np.float64), axis, 0)
+    n = a.shape[0]
+    if n < 2:
+        return np.moveaxis(a, 0, axis)
+    # tridiagonal rows: [4 2 | 1 4 1 | ... | 2 4] · c = 6·x
+    diag = np.full(n, 4.0)
+    lower = np.full(n, 1.0)
+    upper = np.full(n, 1.0)
+    upper[0] = 2.0  # mirror folds c[1] twice into row 0
+    lower[n - 1] = 2.0  # and c[n-2] twice into row n-1
+    d = 6.0 * a
+    # forward sweep
+    cp = np.empty(n)
+    cp[0] = upper[0] / diag[0]
+    d[0] = d[0] / diag[0]
+    for i in range(1, n):
+        m = diag[i] - lower[i] * cp[i - 1]
+        cp[i] = upper[i] / m
+        d[i] = (d[i] - lower[i] * d[i - 1]) / m
+    # back substitution
+    for i in range(n - 2, -1, -1):
+        d[i] = d[i] - cp[i] * d[i + 1]
+    return np.moveaxis(d, 0, axis)
+
+
+def cubic_coeffs(arr: np.ndarray) -> np.ndarray:
+    """2-D cubic B-spline coefficients (separable: filter rows, then
+    columns)."""
+    return _cubic_coeffs_along_axis(
+        _cubic_coeffs_along_axis(arr, 0), 1
+    )
+
+
+def _cubic_weights(t: np.ndarray) -> tuple[np.ndarray, ...]:
+    """The 4 cubic B-spline basis weights for fractional offset
+    ``t``∈[0,1): nodes floor(x)-1 … floor(x)+2 at distances 1+t, t,
+    1-t, 2-t. B₃(x) = (4-6x²+3|x|³)/6 for |x|<1, (2-|x|)³/6 for
+    1≤|x|<2."""
+    u = 1.0 - t
+    w_m1 = u * u * u / 6.0
+    w_0 = (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0
+    w_p1 = (4.0 - 6.0 * u * u + 3.0 * u * u * u) / 6.0
+    w_p2 = t * t * t / 6.0
+    return w_m1, w_0, w_p1, w_p2
+
+
+_CUBIC_EDGE_PAD = 12  # ndimage's prepad width for 'nearest'-mode filtering
+
+
+def zoom_cubic(arr: np.ndarray, rf: float) -> np.ndarray:
+    """Order-3 (cubic B-spline) zoom to (round(h·rf), round(w·rf)) —
+    the reference's ``ndimage.zoom(box, rf, mode='nearest')`` default
+    order (generate_images_from_dicom.py:191,214). Endpoint-aligned
+    coordinates (output i ← input i·(in−1)/(out−1), ``grid_mode``
+    False); 'nearest' mode emulated as ndimage does for spline
+    filtering: pad 12 edge-replicated samples before the prefilter so
+    boundary handling matches within integer rounding. Pure numpy:
+    Thomas-solve prefilter + separable 4×4 weighted gather."""
+    h, w = arr.shape[:2]
+    nh, nw = max(1, round(h * rf)), max(1, round(w * rf))
+    p = _CUBIC_EDGE_PAD
+    padded = np.pad(arr.astype(np.float64), p, mode="edge")
+    coeff = cubic_coeffs(padded)
+    ys = (np.linspace(0.0, h - 1.0, nh) if nh > 1 else np.zeros(1)) + p
+    xs = (np.linspace(0.0, w - 1.0, nw) if nw > 1 else np.zeros(1)) + p
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    wy = _cubic_weights(ys - y0)
+    wx = _cubic_weights(xs - x0)
+    H, W = coeff.shape
+    out = np.zeros((nh, nw), dtype=np.float64)
+    for i in range(4):
+        yi = _mirror_idx(y0 + (i - 1), H)
+        for j in range(4):
+            xj = _mirror_idx(x0 + (j - 1), W)
+            out += (wy[i][:, None] * wx[j][None, :]) * coeff[
+                np.ix_(yi, xj)
+            ]
+    return _to_dtype(out, arr.dtype)
+
+
+def shift_cubic(arr: np.ndarray, rx: float, ry: float) -> np.ndarray:
+    """Order-3 translate by (rx, ry) with constant-0 fill — the
+    reference's ``ndimage.shift(image, (ry, rx), mode='constant',
+    cval=0)`` at its default order (``:122``). Output points whose
+    source coordinate falls outside the input extent are 0; interior
+    points evaluate the cubic spline. The shift is uniform, so the 4
+    basis weights per axis are SCALARS and evaluation is one 4×4
+    stencil over the coefficient array (mirror edge extension for
+    border nodes, the spline-filter boundary)."""
+    h, w = arr.shape[:2]
+    coeff = cubic_coeffs(arr)
+    ys = np.arange(h, dtype=np.float64) - ry
+    xs = np.arange(w, dtype=np.float64) - rx
+    y_in = (ys >= 0) & (ys <= h - 1)
+    x_in = (xs >= 0) & (xs <= w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    wy = _cubic_weights(ys - y0)
+    wx = _cubic_weights(xs - x0)
+    out = np.zeros((h, w), dtype=np.float64)
+    for i in range(4):
+        yi = _mirror_idx(y0 + (i - 1), h)
+        for j in range(4):
+            xj = _mirror_idx(x0 + (j - 1), w)
+            out += (wy[i][:, None] * wx[j][None, :]) * coeff[
+                np.ix_(yi, xj)
+            ]
+    out *= y_in[:, None] & x_in[None, :]
+    return _to_dtype(out, arr.dtype)
+
+
+_ZOOMS = {"nearest": zoom_nearest, "bilinear": zoom_bilinear,
+          "cubic": zoom_cubic}
 
 
 def scale_image(arr: np.ndarray, rf: float, interp: str = "nearest") -> np.ndarray:

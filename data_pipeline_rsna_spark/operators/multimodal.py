@@ -183,11 +183,15 @@ def pixel_stats(images: DataFrame) -> DataFrame:
 
 
 def apply_kernel(images: DataFrame, op: str, variant: int = 0,
-                 shift_max: int = 4, delta: int = 3) -> DataFrame:
+                 shift_max: int = 4, delta: int = 3,
+                 interp: str = "nearest") -> DataFrame:
     """Run one augmentation pixel kernel over a multimodal column, with
     the engine's seeded-RNG convention. Returns the same schema with
     transformed pixels and a synthetic image id suffix (O19).
-    ``delta`` parameterizes the deterministic ``brighten`` kernel."""
+    ``delta`` parameterizes the deterministic ``brighten`` kernel;
+    ``interp`` selects the scale kernel's interpolation order
+    ("nearest" | "bilinear" | "cubic" — the last two are ndimage
+    order-1/order-3 pixel parity, image_kernels.py)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,7 +210,7 @@ def apply_kernel(images: DataFrame, op: str, variant: int = 0,
                 elif op == "scale":
                     rng = ik.seeded_rng(str(r.img_id), variant, op)
                     rf = float(rng.uniform(0.8, 1.25))
-                    res = ik.scale_image(arr, rf)
+                    res = ik.scale_image(arr, rf, interp=interp)
                 elif op == "brighten":
                     res = ik.brighten(arr, delta)
                 else:

@@ -248,3 +248,129 @@ def test_image_entropy_flat_vs_varied(spark):
     assert got[0].n_levels == 1 and got[0].entropy_nats == 0.0
     assert got[1].n_levels == 16
     assert abs(got[1].entropy_nats - math.log(16)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Order-3 (cubic B-spline) kernels: differential vs an independent dense
+# implementation of the published interpolation system, plus exactness
+# properties. scipy is absent from this container, so parity is to the
+# ALGORITHM (the tridiagonal system + B3 basis ndimage implements), not
+# to scipy-generated goldens — see the module docstring ledger.
+# ---------------------------------------------------------------------------
+
+
+def _dense_cubic_coeffs_1d(x):
+    """Independent reference: solve (c[i-1]+4c[i]+c[i+1])/6 = x[i] with
+    mirror BC by DENSE linear algebra (np.linalg.solve), no Thomas
+    sweep shared with the kernel under test."""
+    n = len(x)
+    if n < 2:
+        return np.asarray(x, dtype=np.float64)
+    A = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = 4.0
+        lo, hi = i - 1, i + 1
+        # mirror: index -1 -> 1, index n -> n-2
+        A[i, 1 if lo < 0 else lo] += 1.0
+        A[i, n - 2 if hi >= n else hi] += 1.0
+    return np.linalg.solve(A, 6.0 * np.asarray(x, dtype=np.float64))
+
+
+def _dense_eval_1d(coef, t):
+    """Evaluate the cubic spline at scalar coordinate t (mirror node
+    extension), straight from the B3 basis definition."""
+    n = len(coef)
+
+    def b3(u):
+        u = abs(u)
+        if u < 1:
+            return (4.0 - 6.0 * u * u + 3.0 * u ** 3) / 6.0
+        if u < 2:
+            return (2.0 - u) ** 3 / 6.0
+        return 0.0
+
+    i0 = int(np.floor(t))
+    s = 0.0
+    for i in range(i0 - 1, i0 + 3):
+        idx = int(ik._mirror_idx(np.array([i]), n)[0])
+        s += coef[idx] * b3(t - i)
+    return s
+
+
+def test_cubic_coeffs_match_dense_solve():
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 255, size=23)
+    got = ik._cubic_coeffs_along_axis(x.copy(), 0)
+    want = _dense_cubic_coeffs_1d(x)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-8)
+
+
+def test_cubic_interpolates_exactly_at_integer_grid():
+    # the prefilter is the INTERPOLATION system: evaluating the spline
+    # back at the sample points must reproduce the samples
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 255, size=17)
+    coef = ik._cubic_coeffs_along_axis(x.copy(), 0)
+    for i in range(17):
+        assert abs(_dense_eval_1d(coef, float(i)) - x[i]) < 1e-8
+
+
+def test_shift_cubic_integer_shift_equals_exact_translate():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, size=(20, 24), dtype=np.uint16)
+    got = ik.shift_cubic(img, 3, -2)
+    want = ik.shift_image(img, 3, -2)
+    assert np.array_equal(got, want)
+
+
+def test_shift_cubic_differential_vs_dense(img):
+    rx, ry = 1.5, -0.25
+    got = ik.shift_cubic(img.astype(np.float64), rx, ry)
+    coef2 = ik.cubic_coeffs(img)
+    h, w = img.shape
+    for y in (0, 5, 9, 15):
+        for x in (0, 4, 11, 15):
+            sy, sx = y - ry, x - rx
+            if not (0 <= sy <= h - 1 and 0 <= sx <= w - 1):
+                want = 0.0
+            else:
+                # separable dense eval: rows first, then the column
+                row_vals = np.array(
+                    [_dense_eval_1d(coef2[r, :], sx) for r in range(h)]
+                )
+                # row_vals are already spline values in x with the 2-D
+                # coefficient tensor's y-axis untouched, so they ARE
+                # the y-axis coefficients — evaluate directly
+                want = _dense_eval_1d(row_vals, sy)
+            assert abs(got[y, x] - want) < 1e-6, (y, x)
+
+
+def test_shift_cubic_zero_fill_outside():
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    out = ik.shift_cubic(img, 2.5, 0.0)
+    assert (out[:, :2] == 0).all()  # columns with source x < 0
+    assert (out[:, 4:] > 0).all()
+
+
+def test_zoom_cubic_reproduces_linear_ramp_in_the_interior():
+    # cubic splines reproduce polynomials up to degree 3 on an infinite
+    # signal; the edge-pad creates a flat-to-linear junction whose
+    # influence decays like z^d (z = sqrt(3)-2 ≈ -0.268, the cubic
+    # pole) — exactly ndimage's 'nearest'-mode behavior — so exactness
+    # holds in the interior, tightening with distance from the edge
+    ramp = np.outer(np.arange(16, dtype=np.float64), np.ones(16)) * 10
+    out = ik.zoom_cubic(ramp, 2.0)
+    ys = np.linspace(0.0, 15.0, 32) * 10
+    np.testing.assert_allclose(out[10:-10, 8], ys[10:-10], atol=2e-3)
+    np.testing.assert_allclose(out[12:-12, 8], ys[12:-12], atol=5e-4)
+
+
+def test_zoom_cubic_identity_and_shapes(img):
+    assert np.array_equal(ik.zoom_cubic(img, 1.0), img)
+    assert ik.zoom_cubic(img, 0.5).shape == (8, 8)
+    assert ik.zoom_cubic(img, 2.0).shape == (32, 32)
+
+
+def test_scale_image_cubic_routes(img):
+    out = ik.scale_image(img, 1.25, interp="cubic")
+    assert out.shape == img.shape and out.dtype == img.dtype
