@@ -142,16 +142,94 @@ _TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 
 
 # Transfer syntaxes this reader can actually parse: implicit/explicit
-# little endian, uncompressed. Anything else (the JPEG family
-# 1.2.840.10008.1.2.4.*, RLE .5, deflated .1.99, big endian .2) is
-# rejected with a clear error instead of misparsing the PixelData —
-# real-world .dcm corpora routinely carry JPEG-Lossless pixels, and the
-# pydicom path in operators.multimodal.decode_dicom handles those when
-# the library is present (ref generate_images_from_dicom.py:44-51 gets
-# this coverage from pydicom implicitly).
-_UNCOMPRESSED_LE_SYNTAXES = frozenset(
-    {"1.2.840.10008.1.2", "1.2.840.10008.1.2.1"}
+# little endian uncompressed, plus RLE Lossless (PackBits, PS3.5 Annex
+# G — a public byte-oriented format implementable stdlib-side).
+# Anything else (the JPEG family 1.2.840.10008.1.2.4.*, deflated
+# .1.99, big endian .2) is rejected with a clear error instead of
+# misparsing the PixelData — real-world .dcm corpora routinely carry
+# JPEG-Lossless pixels, and the pydicom path in
+# operators.multimodal.decode_dicom handles those when the library is
+# present (ref generate_images_from_dicom.py:44-51 gets this coverage
+# from pydicom implicitly).
+_RLE_SYNTAX = "1.2.840.10008.1.2.5"
+_STDLIB_SYNTAXES = frozenset(
+    {"1.2.840.10008.1.2", "1.2.840.10008.1.2.1", _RLE_SYNTAX}
 )
+_ITEM_TAG = (0xFFFE, 0xE000)
+_SEQ_DELIM_TAG = (0xFFFE, 0xE0DD)
+
+
+def _packbits_decode(data: bytes, expected: int) -> np.ndarray:
+    """PackBits (TIFF/DICOM-RLE) segment → exactly ``expected`` bytes.
+    Control byte n: 0..127 copy the next n+1 literals; 129..255 repeat
+    the next byte 257-n times; 128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                break
+            out += bytes((data[i],)) * (257 - h)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("truncated RLE segment")
+    return np.frombuffer(bytes(out[:expected]), np.uint8)
+
+
+def _rle_decode_frame(frag: bytes, rows: int, cols: int,
+                      dtype: np.dtype) -> np.ndarray:
+    """One RLE Lossless frame (PS3.5 Annex G): 64-byte header of 16
+    little-endian uint32s (segment count + up to 15 segment offsets),
+    then PackBits segments — one per SAMPLE BYTE, most significant
+    first. Reassembles the byte planes big-endian into ``dtype``."""
+    if len(frag) < 64:
+        raise ValueError("RLE frame shorter than its 64-byte header")
+    words = struct.unpack("<16I", frag[:64])
+    nseg, offsets = words[0], words[1 : 1 + words[0]]
+    itemsize = np.dtype(dtype).itemsize
+    if nseg != itemsize:
+        raise ValueError(
+            f"RLE frame has {nseg} segments for a {itemsize}-byte sample"
+        )
+    npix = rows * cols
+    planes = []
+    for i, off in enumerate(offsets):
+        end = offsets[i + 1] if i + 1 < nseg else len(frag)
+        planes.append(_packbits_decode(frag[off:end], npix))
+    if itemsize == 1:
+        return planes[0].astype(dtype).reshape(rows, cols)
+    combined = (
+        planes[0].astype(np.uint16) << 8 | planes[1].astype(np.uint16)
+    )
+    return combined.astype(np.uint16).view(dtype).reshape(rows, cols)
+
+
+def _encapsulated_fragments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Parse encapsulated-PixelData items starting at ``pos``: a Basic
+    Offset Table item, then one fragment item per frame, closed by the
+    sequence delimiter. Returns (fragments, position after delimiter)."""
+    frags: list[bytes] = []
+    first = True
+    n = len(data)
+    while pos + 8 <= n:
+        group, elem = struct.unpack("<HH", data[pos : pos + 4])
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        pos += 8
+        if (group, elem) == _SEQ_DELIM_TAG:
+            return frags, pos
+        if (group, elem) != _ITEM_TAG:
+            raise ValueError("malformed encapsulated PixelData item")
+        if first:
+            first = False  # Basic Offset Table — single frame: ignore
+        else:
+            frags.append(data[pos : pos + ln])
+        pos += ln
+    raise ValueError("encapsulated PixelData missing sequence delimiter")
 
 
 def decode_dicom_gray(data: bytes) -> np.ndarray:
@@ -159,14 +237,17 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
     VR little endian, uncompressed monochrome PixelData → HxW ndarray
     (uint8/uint16/int16 per BitsAllocated + PixelRepresentation).
 
-    Raises ValueError naming the transfer syntax for compressed or
-    non-little-endian files (see ``_UNCOMPRESSED_LE_SYNTAXES``)."""
+    RLE Lossless (1.2.840.10008.1.2.5) decodes stdlib-side via the
+    PackBits parser above; other compressed or non-little-endian
+    syntaxes raise ValueError naming the syntax (see
+    ``_STDLIB_SYNTAXES``)."""
     if len(data) < 132 or data[128:132] != b"DICM":
         raise ValueError("not a Part-10 DICOM file")
     pos = 132
     rows = cols = None
     bits, repr_ = 8, 0
     pixel = None
+    rle_frags: list[bytes] | None = None
     n = len(data)
     while pos + 8 <= n:
         group, elem = struct.unpack("<HH", data[pos:pos + 4])
@@ -181,13 +262,19 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
         else:  # implicit VR fallback
             (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
             body = pos + 8
-        if ln == 0xFFFFFFFF:
-            raise ValueError("encapsulated (compressed) PixelData unsupported")
-        val = data[body:body + ln]
         tag = (group, elem)
+        if ln == 0xFFFFFFFF:
+            if tag == _TAG_PIXEL_DATA:
+                # encapsulated PixelData: legal here only for RLE (any
+                # other compressed syntax already raised at its
+                # TransferSyntaxUID element, which precedes PixelData)
+                rle_frags, _ = _encapsulated_fragments(data, body)
+                break
+            raise ValueError("undefined-length element unsupported")
+        val = data[body:body + ln]
         if tag == _TAG_TRANSFER_SYNTAX:
             ts = val.rstrip(b"\x00 ").decode("ascii", "replace")
-            if ts not in _UNCOMPRESSED_LE_SYNTAXES:
+            if ts not in _STDLIB_SYNTAXES:
                 raise ValueError(
                     f"transfer syntax {ts} unsupported by the stdlib "
                     "DICOM reader (compressed or non-little-endian "
@@ -205,7 +292,7 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
             pixel = val
             break
         pos = body + ln
-    if rows is None or cols is None or pixel is None:
+    if rows is None or cols is None or (pixel is None and not rle_frags):
         raise ValueError("missing Rows/Columns/PixelData")
     if bits == 8:
         dt = np.uint8
@@ -213,6 +300,8 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
         dt = np.int16 if repr_ == 1 else np.uint16
     else:
         raise ValueError(f"BitsAllocated={bits} unsupported")
+    if rle_frags is not None:
+        return _rle_decode_frame(rle_frags[0], rows, cols, np.dtype(dt))
     arr = np.frombuffer(pixel[: rows * cols * np.dtype(dt).itemsize], dtype=dt)
     return arr.reshape(rows, cols)
 
@@ -263,5 +352,118 @@ def encode_dicom_gray(arr: np.ndarray) -> bytes:
             b"OB" if bits == 8 else b"OW",
             np.ascontiguousarray(arr).tobytes(),
         )
+    )
+    return b"\x00" * 128 + b"DICM" + meta + meta_body + body
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """PackBits-encode one row (DICOM RLE encoders must not let runs
+    cross row boundaries, PS3.5 G.3.1). Runs of >=3 identical bytes
+    become replicate codes; everything else accumulates into literal
+    chunks of <=128."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            chunk = row[j : min(end, j + 128)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += len(chunk)
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def encode_dicom_rle(arr: np.ndarray) -> bytes:
+    """HxW ndarray → Part-10 RLE Lossless (1.2.840.10008.1.2.5) DICOM:
+    PackBits segments per sample byte (MSB plane first), 64-byte frame
+    header, encapsulated PixelData (empty Basic Offset Table item + one
+    fragment + sequence delimiter). Roundtrips through
+    ``decode_dicom_gray``; fixture/sink counterpart of the RLE decode
+    path."""
+    if arr.ndim != 2:
+        raise ValueError("encode_dicom_rle expects a 2-D array")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    # big-endian sample bytes → one byte plane per segment, MSB first
+    raw = (
+        np.ascontiguousarray(arr).view(np.uint16).astype(">u2").tobytes()
+        if bits == 16
+        else np.ascontiguousarray(arr).tobytes()
+    )
+    nseg = bits // 8
+    planes = [bytes(raw[k::nseg]) for k in range(nseg)]
+    segs = []
+    for plane in planes:
+        seg = b"".join(
+            _packbits_encode_row(plane[r * w : (r + 1) * w])
+            for r in range(h)
+        )
+        if len(seg) % 2:
+            seg += b"\x00"
+        segs.append(seg)
+    offsets = []
+    off = 64
+    for seg in segs:
+        offsets.append(off)
+        off += len(seg)
+    header = struct.pack(
+        "<16I", nseg, *(offsets + [0] * (15 - len(offsets)))
+    )
+    frame = header + b"".join(segs)
+    if len(frame) % 2:
+        frame += b"\x00"
+    item = lambda payload: (  # noqa: E731
+        struct.pack("<HHI", _ITEM_TAG[0], _ITEM_TAG[1], len(payload))
+        + payload
+    )
+    encapsulated = (
+        item(b"")  # empty Basic Offset Table
+        + item(frame)
+        + struct.pack("<HHI", _SEQ_DELIM_TAG[0], _SEQ_DELIM_TAG[1], 0)
+    )
+    meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
+        0x0002, 0x0010, b"UI", _RLE_SYNTAX.encode()
+    )
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    pixel_head = (
+        struct.pack("<HH", _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1])
+        + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+    )
+    body = (
+        _elem(0x0028, 0x0002, b"US", us(1))
+        + _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + _elem(_TAG_ROWS[0], _TAG_ROWS[1], b"US", us(h))
+        + _elem(_TAG_COLS[0], _TAG_COLS[1], b"US", us(w))
+        + _elem(0x0028, 0x0100, b"US", us(bits))
+        + _elem(0x0028, 0x0101, b"US", us(bits))
+        + _elem(0x0028, 0x0102, b"US", us(bits - 1))
+        + _elem(0x0028, 0x0103, b"US", us(repr_))
+        + pixel_head
+        + encapsulated
     )
     return b"\x00" * 128 + b"DICM" + meta + meta_body + body

@@ -278,11 +278,14 @@ def decode_dicom_batch(files: DataFrame) -> DataFrame:
 
 def codec_roundtrip(images: DataFrame) -> DataFrame:
     """O7+O10 in one verifiable chain: pixels → PNG encode → PNG decode →
-    DICOM encode → DICOM decode → pixels. Both codecs execute inside the
-    Arrow batch on executors; the output schema equals the input's, and
-    because both formats are lossless the pixels must come back
+    RLE-Lossless DICOM encode → decode → uncompressed DICOM encode →
+    decode → pixels. All codecs execute inside the Arrow batch on
+    executors; the output schema equals the input's, and because every
+    format in the chain is lossless the pixels must come back
     bit-identical — which ``pixel_stats`` downstream hash-checks against
-    the closed-form oracle."""
+    the closed-form oracle. The RLE leg runs the PackBits
+    encoder/decoder (codecs.py, PS3.5 Annex G) under the driver's
+    correctness gate, not just unit tests."""
     from ..functions import codecs as C
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -293,7 +296,8 @@ def codec_roundtrip(images: DataFrame) -> DataFrame:
                     r.height, r.width
                 )
                 via_png = C.decode_png_gray(encode_png(arr))
-                via_dcm = C.decode_dicom_gray(C.encode_dicom_gray(via_png))
+                via_rle = C.decode_dicom_gray(C.encode_dicom_rle(via_png))
+                via_dcm = C.decode_dicom_gray(C.encode_dicom_gray(via_rle))
                 out.append(
                     (r.img_id, via_dcm.tobytes(), str(via_dcm.dtype),
                      via_dcm.shape[0], via_dcm.shape[1])

@@ -189,3 +189,55 @@ def test_decode_dicom_rejects_compressed_transfer_syntax():
     # the reader's own explicit-LE output still decodes (no false trip)
     arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
     assert np.array_equal(C.decode_dicom_gray(C.encode_dicom_gray(arr)), arr)
+
+
+# ---------------------------------------------------------------------------
+# RLE Lossless (1.2.840.10008.1.2.5) — PS3.5 Annex G PackBits
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_golden_decode():
+    # spec-golden: literal code 2 -> 3 literals; replicate 254 -> 3 copies;
+    # 128 is a no-op
+    stream = bytes([2, 10, 20, 30, 254, 7, 128, 0, 99])
+    got = C._packbits_decode(stream, 7)
+    assert list(got) == [10, 20, 30, 7, 7, 7, 99]
+    with pytest.raises(ValueError, match="truncated"):
+        C._packbits_decode(stream, 20)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16])
+def test_dicom_rle_roundtrip_dtypes(arr, dt):
+    a = arr.astype(dt)
+    blob = C.encode_dicom_rle(a)
+    out = C.decode_dicom_gray(blob)
+    assert out.dtype == a.dtype
+    assert np.array_equal(out, a)
+
+
+def test_dicom_rle_compresses_flat_images():
+    flat = np.full((64, 64), 1000, dtype=np.uint16)
+    rle = C.encode_dicom_rle(flat)
+    raw = C.encode_dicom_gray(flat)
+    assert len(rle) < len(raw) / 4  # runs collapse
+    assert np.array_equal(C.decode_dicom_gray(rle), flat)
+
+
+def test_dicom_rle_rejects_bad_segment_count():
+    a = np.zeros((4, 4), dtype=np.uint16)
+    blob = bytearray(C.encode_dicom_rle(a))
+    # find the frame header (after the empty BOT item) and corrupt nseg
+    marker = struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    bot = blob.find(marker)
+    frag_head = bot + len(marker)
+    payload = frag_head + 8
+    blob[payload:payload + 4] = struct.pack("<I", 3)
+    with pytest.raises(ValueError, match="3 segments"):
+        C.decode_dicom_gray(bytes(blob))
+
+
+def test_jpeg_family_still_rejected_after_rle_support():
+    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.50")
+    data = b"\x00" * 128 + b"DICM" + meta
+    with pytest.raises(ValueError, match="1.2.840.10008.1.2.4.50"):
+        C.decode_dicom_gray(data)
