@@ -109,17 +109,27 @@ def run_bounded_to_parquet(
     PRODUCTION sink shape — ``foreachBatch`` writing each micro-batch's
     result to parquet — and return a batch DataFrame over the files.
 
-    This is the scale-safe counterpart of ``run_bounded``: nothing ever
-    moves to the driver (the memory sink materializes the entire result
-    table in driver RAM — acceptable for a test harness over aggregated
-    output, an anti-pattern for a production stream). In complete mode
-    each micro-batch holds the full state snapshot, so the batch write
-    overwrites; append/update pipelines would append partitioned files
-    instead. The explicit checkpoint directory is what gives exactly-once
-    file output across restarts."""
+    Nothing ever moves to the driver. Sink layout is mode-aware:
+
+    - ``complete``: every micro-batch carries the full state snapshot,
+      so the batch write overwrites the output root — the files always
+      hold exactly the latest snapshot.
+    - ``append`` / ``update``: each micro-batch emits only new/updated
+      rows, so each batch writes its own ``batch_id=N`` partition
+      directory (overwritten on replay of the same batch id — that
+      per-batch overwrite plus the checkpoint is what makes the file
+      output exactly-once across restarts). The union of all batch
+      directories is then the same multiset of rows a memory sink
+      would have accumulated.
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir)
+        if mode == "complete":
+            batch_df.write.mode("overwrite").parquet(out_dir)
+        else:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
 
     q = (
         agg.writeStream.outputMode(mode)
@@ -131,14 +141,52 @@ def run_bounded_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
-    return agg.sparkSession.read.parquet(out_dir)
+    spark = agg.sparkSession
+    has_parts = os.path.isdir(out_dir) and any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(out_dir)
+        for f in files
+    )
+    if not has_parts:
+        # zero micro-batches fired, or every batch was empty — no
+        # parquet footers on disk to infer from
+        return spark.createDataFrame([], agg.schema)
+    out = spark.read.parquet(out_dir)
+    # partition discovery surfaces the batch_id directory key as a
+    # column in append/update layout; it is sink bookkeeping, not data
+    if "batch_id" in out.columns and "batch_id" not in agg.columns:
+        out = out.drop("batch_id")
+    return out
 
 
 def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over its bounded source to
-    completion via a memory sink; return the materialized result.
-    Harness-only: see ``run_bounded_to_parquet`` for the sink shape a
-    production pipeline uses (no driver materialization)."""
+    completion and return the result as a batch DataFrame.
+
+    Delegates to ``run_bounded_to_parquet`` — the replay goes through
+    the PRODUCTION sink shape (``foreachBatch`` → parquet files), so the
+    path every equivalence test and registered query exercises is the
+    path a deployed pipeline runs, not a test-only memory sink. Output
+    and checkpoint live under a per-run unique tmp directory (results
+    are aggregated/metadata-sized)."""
+    run_dir = os.path.join(
+        "/tmp/spark_graft_streams", "runs", uuid.uuid4().hex[:12]
+    )
+    return run_bounded_to_parquet(
+        agg,
+        out_dir=os.path.join(run_dir, "out"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        mode=mode,
+    )
+
+
+def run_bounded_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """MICRO-HARNESS ONLY: drive a bounded stream via Spark's memory
+    sink and collect the table into a local DataFrame. The memory sink
+    materializes the entire result in driver RAM — never a production
+    shape; kept solely to cross-check that the parquet foreachBatch
+    harness (``run_bounded``) and the memory sink agree on one small
+    query (tests/test_streaming.py)."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode(mode)

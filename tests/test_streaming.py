@@ -410,6 +410,20 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
     assert _key(out.collect()) == _key(batch.collect())
 
 
+def test_memory_microharness_agrees_with_parquet_harness(spark, sf_dir):
+    """Cross-check of the harness itself: the production-shape parquet
+    foreachBatch replay (run_bounded, what every other test and
+    registered query uses) and the driver-side memory sink
+    (run_bounded_memory, kept ONLY for this check) must agree row for
+    row on the same bounded aggregation."""
+    agg = lambda: es.hourly_type_agg_stream(  # noqa: E731
+        es.read_events_stream(spark, sf_dir)
+    )
+    via_parquet = es.run_bounded(agg())
+    via_memory = es.run_bounded_memory(agg())
+    assert _key(via_parquet.collect()) == _key(via_memory.collect())
+
+
 def test_session_finalizer_timeout_and_cross_batch_state(spark, sf_dir, tmp_path):
     """The event-time-timeout sessionizer must (a) emit inner sessions
     immediately, (b) hold each user's trailing session open until the
