@@ -1,0 +1,385 @@
+"""Distribution-drift and information statistics (SURVEY.md §2.3 X8+).
+
+The monitoring layer of a training-data pipeline: before a new crawl
+snapshot or feature batch is allowed into the corpus, compare its
+distributions against the serving/previous population (KS, PSI), audit
+label/feature dependence (entropy, mutual information), and attach
+uncertainty to point estimates (bootstrap). None of this exists in the
+reference (its pipeline trusts its inputs); it is the part a 100 TB
+deployment cannot skip.
+
+Exactness discipline (same contract as the rest of the engine): every
+statistic is exported in integer units — cents, micro-nats
+(``round(ln(count) * 1e6)`` of INTEGER counts, bit-stable across
+engines), or exact rational numerator/denominator pairs — so the DuckDB
+oracle hashes bit-for-bit and no float summation order can flip a
+result between partitionings.
+
+Scale notes per operator are in each docstring; the common theme: every
+statistic reduces to counts grouped by a bounded-cardinality key
+(distinct cents values, buckets, categories, replicate ids), so each is
+one map-side-combined shuffle over the fact table plus metadata-sized
+joins. No unpartitioned windows anywhere — the one global prefix sum
+(KS) rides the two-phase ``grouped_running_sum``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import grouped_running_sum
+
+# Truncated-Poisson(1) CDF thresholds in 2^60 units (the range of a
+# 15-hex-digit md5 slice): P(X=k) = e^-1/k! for k<4, remainder mass on
+# k=4. Shared verbatim by the Spark CASE chain and the DuckDB oracle —
+# integer compares, no float CDF evaluation at query time.
+POISSON1_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+)
+_U60 = 1 << 60
+
+
+def cents(value_col: str) -> Column:
+    """Dollars-double → exact integer cents (both engines round the
+    same double product)."""
+    return F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+
+
+def ln_micro(col: str) -> str:
+    """SQL fragment: fixed-point micro-nats of an integer count —
+    ``round(ln(c) * 1e6)`` as BIGINT. ln of an exactly-representable
+    integer is bit-stable across engines (same technique as the bigram
+    cross-entropy and Zipf-slope exports)."""
+    return f"CAST(round(ln({col}) * 1000000) AS BIGINT)"
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of two populations.
+
+    D = max_v |F_a(v) − F_b(v)| is computed without a single float:
+    per distinct cents value, the count difference is cross-multiplied
+    (``ca·n_b − cb·n_a``), prefix-summed in value order, and the max
+    absolute prefix is exactly ``D·n_a·n_b``. Exported as the integer
+    numerator plus ``ks_ppm = num·1e6 DIV (n_a·n_b)`` (non-negative, so
+    Spark's truncating DIV == floor == DuckDB ``//``).
+
+    Scale shape: one map-side-combined shuffle to count per distinct
+    cents value (bounded by value-domain cardinality, not row count), a
+    1-row totals broadcast, then the two-phase global prefix sum
+    (``grouped_running_sum`` with a constant key — range-partitioned,
+    never a single-task window) over the |distinct values| count table.
+    """
+    v = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        cents(value_col).alias("cents"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+        (F.col(group_col) == group_b).cast("long").alias("_b"),
+    )
+    counts = v.groupBy("cents").agg(
+        F.sum("_a").alias("ca"), F.sum("_b").alias("cb")
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "d", F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+        )
+        .withColumn("_g", F.lit(0))
+    )
+    cum = grouped_running_sum(d, "_g", "cents", "d", out_col="cum_d")
+    return (
+        cum.agg(
+            F.any_value("n_a").alias("n_a"),
+            F.any_value("n_b").alias("n_b"),
+            F.max(F.abs(F.col("cum_d"))).alias("ks_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.expr(
+                "CAST(ks_num * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+    )
+
+
+def psi_buckets(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str = "value",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index contributions over equal-width value
+    buckets — the standard "did the feature distribution move between
+    snapshot A and snapshot B" gate (|PSI| > 0.2 ⇒ investigate).
+
+    Buckets come from the pooled min/max (integer floor-division
+    bucketing, exact); counts get Laplace +1 smoothing over the DENSE
+    bucket domain so ln never sees zero (gap-filled via an exploded
+    ``sequence`` — the same dense-domain idiom as ``fill_id_gaps``).
+    Each bucket row exports the smoothed counts, the log-ratio in
+    micro-nats, and the exact PSI-term numerator
+    ``(sa·nb − sb·na)·x_micro`` — the full PSI is
+    ``sum(term_num) / (na·nb·1e6)``, left rational so nothing rounds.
+
+    One shuffle over the fact table (bucket counts, map-side combined);
+    min/max and totals are 1-row broadcasts; the dense domain is
+    ``n_buckets`` rows of metadata.
+    """
+    v = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        cents(value_col).alias("cents"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+        (F.col(group_col) == group_b).cast("long").alias("_b"),
+    )
+    bounds = v.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    bucketed = (
+        v.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"CAST(least({n_buckets - 1},"
+                f" (cents - mn) * {n_buckets} DIV (mx - mn + 1))"
+                " AS INTEGER)"
+            ).alias("bucket"),
+            "_a",
+            "_b",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_a").alias("ca"), F.sum("_b").alias("cb"))
+    )
+    dense = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1))
+            ).alias("bucket")
+        )
+        .join(bucketed, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = dense.agg(
+        (F.sum("ca") + n_buckets).alias("na"),
+        (F.sum("cb") + n_buckets).alias("nb"),
+    )
+    return (
+        dense.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "x_micro",
+            F.expr(
+                "CAST(round((ln(ca + 1) - ln(na) - ln(cb + 1) + ln(nb))"
+                " * 1000000) AS BIGINT)"
+            ),
+        )
+        .select(
+            "bucket",
+            "ca",
+            "cb",
+            "x_micro",
+            F.expr(
+                "((ca + 1) * nb - (cb + 1) * na) * x_micro"
+            ).alias("term_num"),
+            "na",
+            "nb",
+        )
+        .orderBy("bucket")
+    )
+
+
+def categorical_entropy(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Shannon entropy of ``cat_col`` within each ``group_col`` value,
+    in exact micro-nats: H = ln n − (Σ c·ln c)/n, exported as
+    ``entropy_micro = ln_micro(n) − (Σ c·ln_micro(c)) DIV n`` (every
+    term non-negative, trunc == floor both engines).
+
+    The label-balance / source-diversity audit: a collapsing entropy
+    on a corpus slice means one source is taking it over. Two
+    aggregations riding ONE clustering: the (group, cat) counts shuffle
+    once; the per-group rollup reuses that partitioning on its prefix.
+    """
+    c = df.groupBy(group_col, cat_col).agg(F.count("*").alias("c"))
+    return (
+        c.groupBy(group_col)
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.expr(f"c * {ln_micro('c')}")).alias("s"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.expr(
+                f"CAST({ln_micro('n')} - s DIV n AS BIGINT)"
+            ).alias("entropy_micro"),
+        )
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information between two categorical columns, as the exact
+    integer ``mi_sum_micro = Σ c_ab·(L(c_ab) + L(n) − L(c_a) − L(c_b))``
+    with L = micro-nat log of an integer count; MI in nats is
+    ``mi_sum_micro / (n·1e6)``, left rational (the sum may round to a
+    hair below zero for independent columns, and a truncating division
+    on a negative numerator differs between engines — so no quotient is
+    exported).
+
+    The leakage detector: MI(feature, label) near H(label) means the
+    feature IS the label. One (a,b)-count shuffle over the fact table;
+    the marginals are re-aggregations of that (tiny) contingency table,
+    joined back broadcast.
+    """
+    cab = df.groupBy(col_a, col_b).agg(F.count("*").alias("cab"))
+    ca = cab.groupBy(col_a).agg(F.sum("cab").alias("ca"))
+    cb = cab.groupBy(col_b).agg(F.sum("cab").alias("cb"))
+    n = cab.agg(F.sum("cab").alias("n"))
+    return (
+        cab.join(F.broadcast(ca), col_a)
+        .join(F.broadcast(cb), col_b)
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.any_value("n").alias("n"),
+            F.sum(
+                F.expr(
+                    f"cab * ({ln_micro('cab')} + {ln_micro('n')}"
+                    f" - {ln_micro('ca')} - {ln_micro('cb')})"
+                )
+            ).alias("mi_sum_micro"),
+        )
+    )
+
+
+def bootstrap_means(
+    df: DataFrame,
+    key_expr: Column,
+    value_col: str = "value",
+    n_replicates: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap of the mean — B deterministic resample
+    replicates computed in ONE pass, the only bootstrap that works on
+    data too large to index: instead of drawing n rows with replacement
+    (impossible distributed), each row independently contributes
+    Poisson(1)-distributed weight to each replicate, which converges to
+    the classical bootstrap and needs no global state.
+
+    The weight is a pure function of (row key, replicate, salt): a
+    15-hex md5 slice compared against precomputed truncated-Poisson(1)
+    CDF thresholds in 2^60 units (``POISSON1_T``) — reproducible in any
+    engine with md5, identical under retries, repartitioning, and
+    subsetting. Returns one row per replicate: (b, n_eff, mean_cents);
+    the spread of the B means IS the sampling distribution (quantile it
+    driver-side or in a follow-up 32-row agg).
+
+    Cost: the ×B explode never materializes off-heap — it feeds a
+    map-side-combined groupBy(b), so the shuffle carries B×partitions
+    partial rows, not B×n. B is the knob: 32 replicates ≈ ±1 decile
+    accuracy on the CI endpoints, cheap to raise.
+    """
+    t0, t1, t2, t3 = POISSON1_T
+    rep = df.select(
+        key_expr.cast("string").alias("_k"), cents(value_col).alias("cents")
+    ).select(
+        "_k",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("b"),
+    )
+    u = F.expr(
+        f"CAST(conv(substr(md5(concat_ws('|', _k, '{salt}',"
+        " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w = (
+        F.when(u < t0, 0)
+        .when(u < t1, 1)
+        .when(u < t2, 2)
+        .when(u < t3, 3)
+        .otherwise(4)
+    )
+    return (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+        )
+        .select(
+            "b",
+            "n_eff",
+            F.expr("CAST(sum_cents DIV n_eff AS BIGINT)").alias(
+                "mean_cents"
+            ),
+        )
+    )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    value_col: str = "value",
+    k_mads: int = 3,
+) -> DataFrame:
+    """Seasonal robust-outlier counts: per (event_type, hour-of-day)
+    median/MAD baseline, then count the rows where
+    |x − median| > k·MAD — the "is this hour's traffic shaped like this
+    hour usually is" monitor, robust to the outliers it hunts.
+
+    Exactness: medians in doubled cents (``2·median`` is integral for
+    both parities), MAD in quadrupled cents, and the flag compares
+    ``2·|2x − med2| > k·mad4`` — all integers, no float thresholds.
+    Same co-partitioned two-pass shape as ``events_median_mad``: the
+    (type, hour) clustering is established once and both the baseline
+    aggregation and the flag re-aggregation ride it.
+    """
+    v = events.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        cents(value_col).alias("c"),
+    )
+    base = v.groupBy("event_type", "hod").agg(
+        F.expr("CAST(2 * percentile(c, 0.5) AS BIGINT)").alias("med2")
+    )
+    scored = v.join(base, ["event_type", "hod"])
+    mad = scored.groupBy("event_type", "hod").agg(
+        F.any_value("med2").alias("med2"),
+        F.expr(
+            "CAST(2 * percentile(abs(2 * c - med2), 0.5) AS BIGINT)"
+        ).alias("mad4"),
+    )
+    return (
+        scored.join(
+            mad.select("event_type", "hod", "mad4"), ["event_type", "hod"]
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    2 * F.abs(2 * F.col("c") - F.col("med2"))
+                    > k_mads * F.col("mad4")
+                ).cast("long")
+            ).alias("n_anomalies"),
+        )
+    )

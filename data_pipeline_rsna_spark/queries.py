@@ -10062,3 +10062,264 @@ def q_multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as mm
 
     return mm.image_entropy(mm.synth_images(spark, n=200, height=16, width=16))
+
+
+# ---------------------------------------------------------------------------
+# X8+ — distribution drift, information statistics, bootstrap (stats.py).
+# The monitoring layer: KS / PSI drift gates, entropy/MI dependence audits,
+# Poisson-bootstrap uncertainty — everything exported in exact integer units
+# (cents, micro-nats, rational numerators) so both engines hash identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_ks_two_sample",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT cents, sum(a) AS ca, sum(b) AS cb FROM v GROUP BY cents),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+    cum AS (
+        SELECT n_a, n_b,
+               sum(ca * n_b - cb * n_a) OVER (ORDER BY cents) AS cd
+        FROM c CROSS JOIN t
+    ),
+    m AS (SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+                 CAST(max(abs(cd)) AS BIGINT) AS ks_num FROM cum)
+    SELECT n_a, n_b, ks_num,
+           CAST(ks_num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+    FROM m
+    """,
+    doc="X8+ exact two-sample Kolmogorov-Smirnov drift statistic "
+    "(click vs purchase value distributions): per-distinct-cents count "
+    "difference cross-multiplied and prefix-summed via the two-phase "
+    "grouped_running_sum (no unpartitioned window), max |prefix| = "
+    "D*n_a*n_b exported as integer numerator + ppm quotient. The "
+    "new-snapshot-vs-serving-population admission gate.",
+    tags=("stats", "drift"),
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    return st.ks_two_sample(ev, "event_type", "click", "purchase")
+
+
+@register(
+    "drift_psi_buckets",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS a,
+               CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS b,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (SELECT min(cents) AS mn, max(cents) AS mx FROM v),
+    bk AS (
+        SELECT CAST(least(9, (cents - mn) * 10 // (mx - mn + 1))
+                   AS INTEGER) AS bucket, a, b
+        FROM v CROSS JOIN bounds
+    ),
+    cnt AS (SELECT bucket, sum(a) AS ca, sum(b) AS cb FROM bk
+            GROUP BY bucket),
+    dense AS (
+        SELECT g.bucket AS bucket,
+               CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+               CAST(COALESCE(cb, 0) AS BIGINT) AS cb
+        FROM (SELECT unnest(generate_series(0, 9)) AS bucket) g
+        LEFT JOIN cnt ON cnt.bucket = g.bucket
+    ),
+    t AS (SELECT CAST(sum(ca) + 10 AS BIGINT) AS na,
+                 CAST(sum(cb) + 10 AS BIGINT) AS nb FROM dense)
+    SELECT bucket, ca, cb,
+           CAST(round((ln(ca + 1) - ln(na) - ln(cb + 1) + ln(nb))
+                * 1000000) AS BIGINT) AS x_micro,
+           CAST(((ca + 1) * nb - (cb + 1) * na)
+                * CAST(round((ln(ca + 1) - ln(na) - ln(cb + 1) + ln(nb))
+                       * 1000000) AS BIGINT) AS BIGINT) AS term_num,
+           na, nb
+    FROM dense CROSS JOIN t
+    ORDER BY bucket
+    """,
+    doc="X8+ Population Stability Index contributions, first half-month "
+    "vs second over equal-width value buckets: integer floor-division "
+    "bucketing from a 1-row pooled min/max broadcast, Laplace +1 "
+    "smoothing over the dense bucket domain, per-bucket log-ratio in "
+    "micro-nats and exact PSI-term numerators (full PSI = "
+    "sum(term_num)/(na*nb*1e6), left rational). One map-side-combined "
+    "shuffle over the fact table.",
+    tags=("stats", "drift"),
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, "w1").otherwise("w2").alias(
+            "period"
+        ),
+        "value",
+    )
+    return st.psi_buckets(v, "period", "w1", "w2")
+
+
+@register(
+    "categorical_entropy_sources",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, count(*) AS c FROM documents
+        GROUP BY lang, source
+    ),
+    g AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                   AS BIGINT) AS s
+        FROM c GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(CAST(round(ln(n) * 1000000) AS BIGINT) - s // n
+               AS BIGINT) AS entropy_micro
+    FROM g
+    """,
+    doc="X8+ per-language Shannon entropy of the source distribution in "
+    "exact micro-nats (H = ln n - (sum c*ln c)/n over integer counts): "
+    "the source-diversity audit — entropy collapsing toward 0 means "
+    "one crawl source is taking over a language slice. Two aggregates "
+    "riding one (lang, source) clustering.",
+    tags=("stats",),
+)
+def q_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return st.categorical_entropy(docs, "lang", "source")
+
+
+@register(
+    "feature_mutual_information",
+    oracle="""
+    WITH cab AS (
+        SELECT lang, source, count(*) AS cab FROM documents
+        GROUP BY lang, source
+    ),
+    ca AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS ca FROM cab
+           GROUP BY lang),
+    cb AS (SELECT source, CAST(sum(cab) AS BIGINT) AS cb FROM cab
+           GROUP BY source),
+    t AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM cab)
+    SELECT any_value(n) AS n,
+           CAST(sum(cab * (CAST(round(ln(cab) * 1000000) AS BIGINT)
+                           + CAST(round(ln(n) * 1000000) AS BIGINT)
+                           - CAST(round(ln(ca) * 1000000) AS BIGINT)
+                           - CAST(round(ln(cb) * 1000000) AS BIGINT)))
+               AS BIGINT) AS mi_sum_micro
+    FROM cab JOIN ca USING (lang) JOIN cb USING (source) CROSS JOIN t
+    """,
+    doc="X8+ mutual information between document language and source in "
+    "exact integer micro-nat-rows (MI = mi_sum_micro/(n*1e6), left "
+    "rational because the rounded sum can dip below zero for "
+    "independent columns and negative integer division differs between "
+    "engines): the feature/label leakage detector. One contingency "
+    "shuffle; marginals are broadcast re-aggregations of it.",
+    tags=("stats",),
+)
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return st.mutual_information(docs, "lang", "source")
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_linenumber AS VARCHAR) || '|boot|' ||
+                   CAST(bb.b AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS u,
+               bb.b AS b
+        FROM lineitem
+        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb
+    ),
+    w AS (
+        SELECT b, cents,
+               CASE WHEN u < 424136118829305344 THEN 0
+                    WHEN u < 848272237658610688 THEN 1
+                    WHEN u < 1060340297073263360 THEN 2
+                    WHEN u < 1131029650211480960 THEN 3
+                    ELSE 4 END AS w
+        FROM r
+    )
+    SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+    FROM w GROUP BY b
+    """,
+    doc="X8+ Poisson bootstrap of the mean order-line price: 32 "
+    "deterministic resample replicates in ONE pass — each row "
+    "contributes truncated-Poisson(1) weight to each replicate, the "
+    "weight a pure md5 function of (row key, replicate) compared "
+    "against precomputed CDF thresholds in 2^60 units, reproducible in "
+    "any engine and stable under retries/repartitioning. The explode "
+    "feeds a map-side-combined groupBy(b), so the shuffle carries "
+    "B x partitions partial rows, never B x n. The spread of the 32 "
+    "means IS the sampling distribution of the estimator.",
+    tags=("stats", "sampling"),
+)
+def q_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return st.bootstrap_means(li, key, value_col="l_extendedprice")
+
+
+@register(
+    "events_seasonal_anomalies",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, hour(ts) AS hod,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    base AS (
+        SELECT event_type, hod, CAST(2 * median(c) AS BIGINT) AS med2
+        FROM v GROUP BY event_type, hod
+    ),
+    s AS (
+        SELECT v.event_type, v.hod, c, med2
+        FROM v JOIN base USING (event_type, hod)
+    ),
+    mad AS (
+        SELECT event_type, hod,
+               CAST(2 * median(abs(2 * c - med2)) AS BIGINT) AS mad4
+        FROM s GROUP BY event_type, hod
+    )
+    SELECT s.event_type AS event_type, s.hod AS hod, count(*) AS n,
+           CAST(sum(CASE WHEN 2 * abs(2 * c - med2) > 3 * mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM s JOIN mad USING (event_type, hod)
+    GROUP BY s.event_type, s.hod
+    """,
+    doc="X8+ seasonal robust-outlier monitor: per (event_type, "
+    "hour-of-day) median/MAD baseline in doubled/quadrupled integer "
+    "cents, rows flagged where 2*|2x - med2| > 3*mad4 — all-integer "
+    "comparisons, exact for both median parities. Co-partitioned "
+    "two-pass on one (type, hour) clustering, same shape as "
+    "events_median_mad.",
+    tags=("stats", "events"),
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    return st.seasonal_anomalies(ev)

@@ -1,0 +1,114 @@
+"""Drift / information statistics: hand-computed goldens."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline_rsna_spark.operators import stats as st
+
+
+def test_ks_two_sample_hand_check(spark):
+    # A = {1, 2, 3}, B = {3, 4} (values in dollars -> cents 100..400)
+    # F_a steps: 1/3, 2/3, 3/3; F_b: 0, 0, 1/2, 1
+    # D = max|F_a - F_b| = 2/3 at v=2  =>  ks_num = D*n_a*n_b = 4
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = st.ks_two_sample(df, "grp", "a", "b").collect()[0]
+    assert (got.n_a, got.n_b, got.ks_num) == (3, 2, 4)
+    assert got.ks_ppm == 4 * 1_000_000 // 6  # 666666
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = st.ks_two_sample(df, "grp", "a", "b").collect()[0]
+    assert got.ks_num == 0 and got.ks_ppm == 0
+
+
+def test_psi_buckets_hand_check(spark):
+    # Two buckets over cents 100..200: A all in low bucket, B all high.
+    rows = [("a", 1.0)] * 4 + [("b", 2.0)] * 4
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        r.bucket: r
+        for r in st.psi_buckets(
+            df, "grp", "a", "b", n_buckets=2
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    # smoothed: sa=5, sb=1, na=nb=6 -> x = ln5 - ln1 = ln5 micro-nats
+    assert r0.ca == 4 and r0.cb == 0
+    assert r0.x_micro == round(math.log(5) * 1e6)
+    assert r0.term_num == (5 * 6 - 1 * 6) * r0.x_micro
+    # bucket 1 mirrors bucket 0
+    assert out[1].term_num == r0.term_num  # (1*6-5*6)*(-ln5) symmetric
+
+
+def test_categorical_entropy_golden(spark):
+    # group g: 2 cats with counts 2,2 -> H = ln 4 - (2ln2+2ln2)/4 = ln2
+    rows = [("g", "x")] * 2 + [("g", "y")] * 2 + [("h", "x")] * 3
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    out = {
+        r.grp: r for r in st.categorical_entropy(df, "grp", "cat").collect()
+    }
+    ln2_micro = round(math.log(4) * 1e6) - (
+        4 * round(math.log(2) * 1e6) // 4
+    )
+    assert out["g"].entropy_micro == ln2_micro
+    # single-category group: H = 0 exactly
+    assert out["h"].entropy_micro == round(math.log(3) * 1e6) - (
+        3 * round(math.log(3) * 1e6) // 3
+    ) == 0
+
+
+def test_mutual_information_dependence(spark):
+    # perfectly dependent: b == a over 2 symbols, n=4
+    # MI = ln 2; mi_sum = sum c_ab*(L(2)+L(4)-L(2)-L(2)) = 4*(L4-L2)
+    rows = [("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = st.mutual_information(df, "a", "b").collect()[0]
+    l2, l4 = round(math.log(2) * 1e6), round(math.log(4) * 1e6)
+    assert got.n == 4 and got.mi_sum_micro == 4 * (l4 - l2)
+
+
+def test_mutual_information_independent_near_zero(spark):
+    # independent uniform 2x2, counts all equal -> each term exactly 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(3)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = st.mutual_information(df, "a", "b").collect()[0]
+    # c_ab=3, c_a=c_b=6, n=12: L(3)+L(12)-L(6)-L(6) = rounding-only
+    assert abs(got.mi_sum_micro) <= 12  # within 1 micro-nat per row
+
+
+def test_bootstrap_weights_deterministic_and_distributed(spark):
+    df = spark.createDataFrame(
+        [(i, 10.0) for i in range(500)], "k long, value double"
+    )
+    out1 = st.bootstrap_means(df, F.col("k"), n_replicates=8).collect()
+    out2 = st.bootstrap_means(
+        df.repartition(7), F.col("k"), n_replicates=8
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == 8
+    for r in out1:
+        # all values identical -> every replicate mean is exactly 1000
+        assert r.mean_cents == 1000
+        # Poisson(1) total weight concentrates near n
+        assert 350 < r.n_eff < 650
+
+
+def test_seasonal_anomalies_flags_planted_outlier(spark):
+    # 23 calm rows + one 100x spike in the same (type, hour) cell
+    rows = [("click", f"2024-01-01 05:00:{s:02d}", 10.0) for s in range(23)]
+    rows.append(("click", "2024-01-01 05:00:59", 1000.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select("event_type", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = st.seasonal_anomalies(df).collect()
+    assert len(got) == 1
+    assert (got[0].n, got[0].n_anomalies) == (24, 1)
