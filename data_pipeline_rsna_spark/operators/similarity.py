@@ -59,6 +59,7 @@ def partial_topk(
     group_col: str,
     order_col: str = "cosine",
     tiebreak_col: str = "neighbor_id",
+    ascending: bool = False,
 ) -> DataFrame:
     """Map-side partial top-k: reduce each PARTITION to its local top-k
     rows per group, with zero shuffle — the distributed half of an
@@ -76,11 +77,12 @@ def partial_topk(
     all vectorized pandas (no per-row Python). The downstream window
     then shuffles ≤ k·|groups| rows per partition.
 
-    Ordering contract: rows rank by ``order_col`` DESC, ties broken by
-    ``tiebreak_col`` ASC — callers must rank the merged result with the
-    SAME ordering, and ``order_col`` must already hold its final
-    (e.g. rounded) values, or the local cut could drop a row the final
-    rounding would have promoted.
+    Ordering contract: rows rank by ``order_col`` DESC (ASC when
+    ``ascending`` — distance metrics), ties broken by ``tiebreak_col``
+    ASC — callers must rank the merged result with the SAME ordering,
+    and ``order_col`` must already hold its final (e.g. rounded)
+    values, or the local cut could drop a row the final rounding would
+    have promoted.
     """
     schema = scored.schema
 
@@ -94,7 +96,7 @@ def partial_topk(
             cur = pdf if acc is None else pd.concat((acc, pdf))
             acc = (
                 cur.sort_values(
-                    [order_col, tiebreak_col], ascending=[False, True]
+                    [order_col, tiebreak_col], ascending=[ascending, True]
                 )
                 .groupby(group_col, sort=False)
                 .head(k)
@@ -655,3 +657,234 @@ def random_project(emb: DataFrame, out_dim: int, in_dim: int,
         f"(acc, v) -> acc + v) * {scale!r}D) AS z",
         *keep,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory side of large-scale ANN.
+# ---------------------------------------------------------------------------
+
+
+def pq_sample_codebook(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pqs",
+) -> list[list[list[int]]]:
+    """Deterministic sample-initialized PQ codebook: the ``k_cent``
+    corpus vectors smallest in md5('{salt}|'||id) order donate their
+    subvectors as centroids (exactly k-means' sample initialization —
+    data-distributed, so quantization residuals are corpus-scaled, not
+    hypercube-scaled; a Lloyd refinement would train it further the way
+    ``build_ivf`` does for the coarse quantizer).
+
+    Everything stays engine-reproducible: sampling is an md5 order (a
+    k-minimum-values draw, same idiom as ``uniform_k_sample``), and the
+    milli-unit quantization (``cast(round(v*1000) AS bigint)``) runs in
+    Spark itself — the collected codebook is the integer values every
+    engine's round() produces. Returns ``cb[m][j][d]`` ints; the
+    collect is k_cent rows = metadata-sized (same contract as the
+    trained ``IvfIndex`` centroids).
+    """
+    rows = (
+        corpus.selectExpr(
+            f"`{id_col}` AS _id",
+            f"transform(cast(`{vec_col}` AS array<double>), "
+            "v -> cast(round(v * 1000.0D) AS bigint)) AS _xi",
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(salt + "|"), F.col("_id").cast("string"))),
+            F.col("_id"),
+        )
+        .limit(k_cent)
+        .collect()
+    )
+    return [
+        [
+            [int(r._xi[m * sub_dim + d]) for d in range(sub_dim)]
+            for r in rows
+        ]
+        for m in range(m_sub)
+    ]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-style PQ top-k search with an integer ADC pipeline
+    (X3): each corpus vector is stored as M sub-space codes (argmin
+    centroid per subvector — M·log2(K) bits per vector instead of
+    dim·32; the compression that lets a 100 TB embedding corpus live in
+    executor memory), and each query precomputes its M×K distance
+    table; the scored distance is then M table lookups per candidate,
+    never a dim-length loop.
+
+    Exactness contract: vectors quantize to milli-units once
+    (``round(v*1000)``, the established cross-engine rounding), so
+    every subspace distance is an exact BIGINT sum of squares, code
+    assignment ties break to the smaller centroid index on both
+    engines, and the final ranking (adc_dist ASC, neighbor ASC) is
+    fully deterministic — a DuckDB oracle re-derives the codes, the
+    lookup tables, and the ranks bit-for-bit.
+
+    Plan shape: code assignment is one narrow JVM-side pass over the
+    corpus (K aggregate-folds per subspace, array_position argmin —
+    no UDF, no shuffle); the query side (tiny) broadcasts with its
+    distance tables inlined; scoring is M element_at lookups per
+    (query, doc); ``partial_topk(ascending=True)`` cuts each scan
+    partition to k rows per query before the final k·|q|-row ranking
+    window. At scale the codes DataFrame is what you persist — re-used
+    across every query batch without touching raw vectors.
+    """
+    m_sub = len(codebook)
+    k_cent = len(codebook[0])
+    sub_dim = len(codebook[0][0])
+
+    xi = (
+        f"transform(cast(`{vec_col}` AS array<double>), "
+        "v -> cast(round(v * 1000.0D) AS bigint))"
+    )
+
+    def sub_dist(m: int, j: int) -> str:
+        lits = ", ".join(f"{v}L" for v in codebook[m][j])
+        return (
+            f"aggregate(zip_with(slice(_xi, {m * sub_dim + 1}, {sub_dim}), "
+            f"array({lits}), (x, y) -> (x - y) * (x - y)), 0L, "
+            "(acc, v) -> acc + v)"
+        )
+
+    def dist_array(m: int) -> str:
+        return "array(" + ", ".join(
+            sub_dist(m, j) for j in range(k_cent)
+        ) + ")"
+
+    # corpus → per-subspace argmin code (ties → smaller centroid index:
+    # array_position returns the FIRST match)
+    docs = (
+        corpus.selectExpr(f"`{id_col}` AS neighbor_id", f"{xi} AS _xi")
+        .selectExpr(
+            "neighbor_id",
+            *[f"{dist_array(m)} AS _da{m}" for m in range(m_sub)],
+        )
+        .selectExpr(
+            "neighbor_id",
+            "array("
+            + ", ".join(
+                f"cast(array_position(_da{m}, array_min(_da{m})) - 1 "
+                "AS int)"
+                for m in range(m_sub)
+            )
+            + ") AS _codes",
+        )
+    )
+    # queries → full M×K distance table, carried as array<array<bigint>>
+    q = queries.selectExpr(
+        f"`{query_id_col}`", f"{xi} AS _xi"
+    ).selectExpr(
+        f"`{query_id_col}`",
+        "array("
+        + ", ".join(dist_array(m) for m in range(m_sub))
+        + ") AS _qd",
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(docs)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .selectExpr(
+            f"`{query_id_col}`",
+            "neighbor_id",
+            "aggregate(zip_with(_codes, _qd, "
+            "(cd, row) -> element_at(row, cd + 1)), 0L, "
+            "(acc, v) -> acc + v) AS adc_dist",
+        )
+    )
+    reduced = partial_topk(
+        scored, k, group_col=query_id_col,
+        order_col="adc_dist", tiebreak_col="neighbor_id", ascending=True,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def train_pq(
+    corpus: DataFrame,
+    m_sub: int = 32,
+    k_cent: int = 16,
+    sub_dim: int = 2,
+    iters: int = 25,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pqt",
+) -> list[list[list[int]]]:
+    """Trained PQ codebook: per-subspace Lloyd (k-means) on a bounded
+    deterministic sample — the production quantizer, exactly parallel
+    to ``build_ivf`` for the coarse index. ``pq_sample_codebook`` is the
+    engine-reproducible gate variant (its codes/ADC pipeline is what
+    the DuckDB oracle value-checks); this one trades reproducibility-
+    in-SQL for quantization quality: on the weakly-clustered synthetic
+    embeddings, top-10 recall vs exact L2 goes ~0.1 → ~0.5, and on
+    real (clustered) embedding corpora PQ recall is far higher still.
+
+    Scale contract: training reads a ``sample_cap``-row sample chosen
+    by md5 order (a k-minimum-values draw — deterministic, partition-
+    independent), which is the industry-standard shape (codebooks train
+    on 10⁵-ish samples regardless of corpus size); the collect is
+    bounded metadata. Default geometry M=32 × 2 dims × 16 centroids =
+    32 · 4 bits = 16 bytes/vector (vs 256 raw) — the compression that
+    lets the corpus' code table live in memory. Encoding the full
+    corpus and every search stay distributed (``pq_topk``).
+
+    Determinism: init picks evenly-strided rows of the lexicographically
+    sorted sample, iterations are pure numpy — same data → same
+    codebook, any partitioning.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.selectExpr(
+            f"`{id_col}` AS _id",
+            f"transform(cast(`{vec_col}` AS array<double>), "
+            "v -> cast(round(v * 1000.0D) AS bigint)) AS _xi",
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(salt + "|"), F.col("_id").cast("string"))),
+            F.col("_id"),
+        )
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r._xi for r in rows], dtype=np.float64)
+
+    def lloyd(xs: "np.ndarray") -> "np.ndarray":
+        order = np.lexsort(xs.T[::-1])
+        cent = xs[order[:: max(1, len(xs) // k_cent)][:k_cent]].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(len(cent)):
+                mask = assign == j
+                if mask.any():  # empty cluster keeps its old centroid
+                    cent[j] = xs[mask].mean(0)
+        return np.rint(cent)
+
+    return [
+        lloyd(X[:, m * sub_dim : (m + 1) * sub_dim])
+        .astype(np.int64)
+        .tolist()
+        for m in range(m_sub)
+    ]

@@ -10323,3 +10323,93 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return st.seasonal_anomalies(ev)
+
+
+@register(
+    "similarity_pq_topk",
+    # the codebook is a deterministic md5-ordered sample of the corpus
+    # itself and quantization is the established round(v*1000) integer
+    # milli-unit cast, so DuckDB re-derives the centroids, the per-
+    # subspace codes, the query distance tables, and the final ADC
+    # ranks bit-for-bit — a full value oracle for a compressed-domain
+    # ANN search
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              v -> CAST(round(v * 1000) AS BIGINT)) AS xi
+        FROM embeddings
+    ),
+    samp AS (
+        SELECT xi, row_number() OVER (
+                   ORDER BY md5('pqs|' || CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS j
+        FROM vecs
+        ORDER BY md5('pqs|' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8
+    ),
+    grid AS (
+        SELECT m.m AS m, j.j AS j, d.d AS d
+        FROM (SELECT unnest(generate_series(0, 3)) AS m) m
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS d) d
+    ),
+    cent AS (
+        SELECT g.m, g.j, g.d, s.xi[g.m * 16 + g.d + 1] AS c
+        FROM grid g JOIN samp s ON s.j = g.j
+    ),
+    vdist AS (
+        SELECT v.vec_id, c.m, c.j,
+               sum((v.xi[c.m * 16 + c.d + 1] - c.c)
+                   * (v.xi[c.m * 16 + c.d + 1] - c.c)) AS dist
+        FROM vecs v CROSS JOIN cent c
+        GROUP BY v.vec_id, c.m, c.j
+    ),
+    codes AS (
+        SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, j) AS rn
+            FROM vdist
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(qd.dist) AS BIGINT) AS adc_dist
+        FROM codes c
+        JOIN vdist qd ON qd.m = c.m AND qd.j = c.code
+        WHERE qd.vec_id < 5 AND c.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="X3 product-quantization top-k (the memory side of 100 TB ANN): "
+    "corpus vectors stored as 4 subspace codes (argmin of 8 sample-"
+    "initialized centroids per 16-dim subvector), queries precompute "
+    "4x8 integer distance tables, scoring is 4 table lookups per "
+    "candidate (asymmetric-ADC shape) — never a dim-length loop. All "
+    "arithmetic in exact milli-unit BIGINTs; map-side partial top-k "
+    "before the k*|q|-row ranking window. Complements srp_ivf_topk "
+    "(storage pruning) — IVF chooses WHAT to scan, PQ shrinks what "
+    "each scanned row costs. This gate variant value-checks the "
+    "code/ADC pipeline; the production quantizer is train_pq (per-"
+    "subspace Lloyd on a bounded deterministic sample, recall-floor "
+    "tested like build_ivf).",
+    tags=("similarity",),
+)
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cb = sim.pq_sample_codebook(emb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_topk(emb, queries, cb)

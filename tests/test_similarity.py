@@ -223,3 +223,108 @@ def test_random_projection_jl_norm_preservation(spark, sf_dir):
     assert 0.9 < row.m < 1.1, row
     # 16-dim JL has sd ~ 1/sqrt(2*16) ~ 0.18; just pin an upper band
     assert row.sd < 0.3, row
+
+
+def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cb = sim.pq_sample_codebook(emb)
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 16
+    # codebook is a pure function of the data, not of partitioning
+    cb2 = sim.pq_sample_codebook(emb.repartition(5))
+    assert cb == cb2
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out1 = sim.pq_topk(emb, queries, cb, k=5).collect()
+    out2 = sim.pq_topk(emb.repartition(7), queries, cb, k=5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert all(r.adc_dist >= 0 for r in out1)
+    assert {r.rank for r in out1} == {1, 2, 3, 4, 5}
+
+
+def test_pq_identical_vector_ranks_first(spark):
+    # plant an exact duplicate: its ADC distance equals the query's own
+    # quantization residual, which no other vector can beat
+    emb = spark.createDataFrame(
+        [
+            (1, [float(((i * 37) % 200) - 100) / 100.0 for i in range(64)]),
+            (2, [float(((i * 37) % 200) - 100) / 100.0 for i in range(64)]),
+        ]
+        + [
+            (
+                10 + n,
+                [
+                    float((((i + n) * 53) % 200) - 100) / 100.0
+                    for i in range(64)
+                ],
+            )
+            for n in range(20)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cb = sim.pq_sample_codebook(emb)
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = sim.pq_topk(emb, queries, cb, k=3).collect()
+    first = [r for r in top if r.rank == 1][0]
+    assert first.neighbor_id == 2
+
+
+def _exact_l2_topk(emb, queries, k=10):
+    """Exact L2 top-k on the same milli-quantized vectors — the metric
+    PQ approximates, so recall against it isolates quantization error."""
+    from pyspark.sql import Window
+
+    xi = (
+        "transform(cast(embedding as array<double>), "
+        "v -> cast(round(v * 1000.0D) as bigint))"
+    )
+    q = queries.selectExpr("query_id", f"{xi} AS _q")
+    c = emb.selectExpr("vec_id AS neighbor_id", f"{xi} AS _c")
+    d = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter("neighbor_id != query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "aggregate(zip_with(_q, _c, (x,y) -> (x-y)*(x-y)), 0L, "
+            "(a,v) -> a+v) AS l2",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2"), F.col("neighbor_id")
+    )
+    return d.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def test_pq_trained_recall_vs_exact_l2(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    b = {
+        (r.query_id, r.neighbor_id)
+        for r in _exact_l2_topk(emb, queries).collect()
+    }
+    cb = sim.train_pq(emb)  # M=32 x 2 dims x 16 centroids
+    approx = sim.pq_topk(emb, queries, cb, k=10)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    # uniform-random embeddings are PQ's worst case (no cluster
+    # structure); trained Lloyd still must beat 0.4 (chance ~0.02).
+    # The sample-init gate codebook sits ~0.1 — training is the
+    # production difference.
+    assert recall >= 0.4, f"trained PQ recall {recall:.2f} too low"
+
+
+def test_train_pq_deterministic_across_partitionings(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cb1 = sim.train_pq(emb, m_sub=8, k_cent=8, sub_dim=8, iters=5)
+    cb2 = sim.train_pq(
+        emb.repartition(11), m_sub=8, k_cent=8, sub_dim=8, iters=5
+    )
+    assert cb1 == cb2
