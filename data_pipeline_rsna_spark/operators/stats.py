@@ -383,3 +383,169 @@ def seasonal_anomalies(
             ).alias("n_anomalies"),
         )
     )
+
+
+def chi2_categorical(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    cat_col: str,
+) -> DataFrame:
+    """Chi-squared drift test for a CATEGORICAL column between two
+    populations (the companion of the numeric KS): per category,
+    observed-vs-expected contributions for both populations, with
+    chi² = Σ cells (o − e)²/e and e = row_total·col_total/n.
+
+    Number discipline: counts are exact BIGINTs; each cell contribution
+    is exported in micro units through one fixed IEEE op chain
+    (``floor(1e6 · d² / (n·rt·ct))`` with d = o·n − rt·ct evaluated in
+    double, same literal order both engines — the Wilson-bound
+    technique), so the result is bit-identical cross-engine AND immune
+    to bigint overflow at petabyte row counts (d² can pass 2^63; a
+    double carries it with relative error, which micro-unit flooring
+    absorbs identically on both sides).
+
+    One (category)-keyed map-side-combined shuffle; totals are a 1-row
+    broadcast. The contingency table is |categories| rows — metadata.
+    """
+    v = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(cat_col).alias("cat"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+        (F.col(group_col) == group_b).cast("long").alias("_b"),
+    )
+    cells = v.groupBy("cat").agg(
+        F.sum("_a").alias("oa"), F.sum("_b").alias("ob")
+    )
+    totals = cells.agg(
+        F.sum("oa").alias("na"), F.sum("ob").alias("nb")
+    )
+
+    def contrib(o: str, ct: str) -> str:
+        # d and the denominator in ONE double op chain, identical text
+        # in the oracle; rt = oa + ob, n = na + nb
+        return (
+            f"CAST(floor(1000000.0 * "
+            f"(CAST({o} AS DOUBLE) * (na + nb)"
+            f" - CAST(oa + ob AS DOUBLE) * {ct})"
+            f" * (CAST({o} AS DOUBLE) * (na + nb)"
+            f" - CAST(oa + ob AS DOUBLE) * {ct})"
+            f" / (CAST(na + nb AS DOUBLE) * (oa + ob) * {ct}))"
+            " AS BIGINT)"
+        )
+
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "cat",
+            "oa",
+            "ob",
+            f"{contrib('oa', 'na')} AS chi2_a_micro",
+            f"{contrib('ob', 'nb')} AS chi2_b_micro",
+        )
+        .orderBy("cat")
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str = "value",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-D Wasserstein (earth mover's) distance between two
+    empirical distributions — the drift metric that, unlike KS, weighs
+    HOW FAR the mass moved, not just the worst CDF gap:
+    W₁ = ∫|F_a − F_b| dv = Σ_v |cum_d(v)|·gap(v) / (n_a·n_b) with
+    cum_d the integer cross-multiplied CDF difference and gap the
+    distance to the next distinct value. Exported as the exact integer
+    numerator (micro-cent quotient alongside).
+
+    The prefix sum AND the next-value lead are computed in one
+    two-phase pass (the ``grouped_running_sum`` idiom): range-partition
+    by value, one local window per partition serves both ``sum`` and
+    ``lead``, and the two cross-partition fixups — earlier-partition
+    subtotals, next-partition first value — are both |partitions|-row
+    metadata broadcasts off the SAME eagerly-pinned layout. No
+    unpartitioned window at any scale.
+    """
+    v = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        cents(value_col).alias("cents"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+        (F.col(group_col) == group_b).cast("long").alias("_b"),
+    )
+    counts = v.groupBy("cents").agg(
+        F.sum("_a").alias("ca"), F.sum("_b").alias("cb")
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d = counts.crossJoin(F.broadcast(totals)).withColumn(
+        "d", F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    )
+    n = partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    from pyspark.sql import Window
+
+    part = (
+        d.repartitionByRange(int(n), F.col("cents"))
+        .sortWithinPartitions("cents")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local_w = Window.partitionBy("_pid").orderBy("cents")
+    local = part.withColumn(
+        "_lcum",
+        F.sum("d").over(
+            local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("_llead", F.lead("cents").over(local_w))
+    # one metadata row per partition: its running-sum subtotal and its
+    # first value (the lead fill for the previous partition's last row)
+    pmeta = local.groupBy("_pid").agg(
+        F.max_by("_lcum", F.col("cents")).alias("_sub"),
+        F.min("cents").alias("_first"),
+    )
+    earlier = pmeta.select(
+        F.col("_pid").alias("_pid2"), F.col("_sub").alias("_sub2")
+    )
+    offsets = (
+        pmeta.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid", "_first")
+        .agg(F.coalesce(F.sum("_sub2"), F.lit(0)).alias("_offset"))
+    )
+    nxt = pmeta.select((F.col("_pid") - 1).alias("_pid"),
+                       F.col("_first").alias("_next_first"))
+    fixed = (
+        local.join(F.broadcast(offsets.drop("_first")), "_pid")
+        .join(F.broadcast(nxt), "_pid", "left")
+        .select(
+            "n_a",
+            "n_b",
+            (F.col("_lcum") + F.col("_offset")).alias("cum_d"),
+            (F.coalesce("_llead", "_next_first") - F.col("cents")).alias(
+                "gap"
+            ),
+        )
+    )
+    # the globally-last row has no successor: gap NULL, and its cum_d
+    # is the total Σd = n_a·n_b − n_b·n_a = 0 anyway — excluded
+    return (
+        fixed.filter(F.col("gap").isNotNull())
+        .agg(
+            F.any_value("n_a").alias("n_a"),
+            F.any_value("n_b").alias("n_b"),
+            F.sum(F.abs(F.col("cum_d")) * F.col("gap")).alias("w1_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "w1_num",
+            F.expr(
+                "CAST(w1_num * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("w1_micro_cents"),
+        )
+    )

@@ -10413,3 +10413,103 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.pq_topk(emb, queries, cb)
+
+
+@register(
+    "drift_chi2_categorical",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS cat,
+               CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS a,
+               CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS b
+        FROM events
+    ),
+    cells AS (
+        SELECT cat, CAST(sum(a) AS BIGINT) AS oa,
+               CAST(sum(b) AS BIGINT) AS ob
+        FROM v GROUP BY cat
+    ),
+    t AS (SELECT CAST(sum(oa) AS BIGINT) AS na,
+                 CAST(sum(ob) AS BIGINT) AS nb FROM cells)
+    SELECT cat, oa, ob,
+           CAST(floor(1000000.0 * (CAST(oa AS DOUBLE) * (na + nb)
+                - CAST(oa + ob AS DOUBLE) * na)
+                * (CAST(oa AS DOUBLE) * (na + nb)
+                - CAST(oa + ob AS DOUBLE) * na)
+                / (CAST(na + nb AS DOUBLE) * (oa + ob) * na))
+               AS BIGINT) AS chi2_a_micro,
+           CAST(floor(1000000.0 * (CAST(ob AS DOUBLE) * (na + nb)
+                - CAST(oa + ob AS DOUBLE) * nb)
+                * (CAST(ob AS DOUBLE) * (na + nb)
+                - CAST(oa + ob AS DOUBLE) * nb)
+                / (CAST(na + nb AS DOUBLE) * (oa + ob) * nb))
+               AS BIGINT) AS chi2_b_micro
+    FROM cells CROSS JOIN t
+    ORDER BY cat
+    """,
+    doc="X8+ chi-squared categorical drift (event-type mix, first vs "
+    "second half-month) — the companion of the numeric KS gate. "
+    "Per-category observed-vs-expected contributions exported in micro "
+    "units through one fixed IEEE op chain (the Wilson-bound "
+    "technique): bit-identical cross-engine AND overflow-safe at "
+    "petabyte counts where the integer d^2 would pass 2^63. One "
+    "category-keyed map-side-combined shuffle; |categories|-row "
+    "contingency table.",
+    tags=("stats", "drift"),
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("cat"),
+        F.when(F.dayofmonth("ts") <= 15, "w1").otherwise("w2").alias(
+            "period"
+        ),
+    )
+    return st.chi2_categorical(v, "period", "w1", "w2", "cat")
+
+
+@register(
+    "drift_wasserstein_1d",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT cents, sum(a) AS ca, sum(b) AS cb FROM v GROUP BY cents),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+    cum AS (
+        SELECT n_a, n_b,
+               sum(ca * n_b - cb * n_a) OVER (ORDER BY cents) AS cd,
+               lead(cents) OVER (ORDER BY cents) - cents AS gap
+        FROM c CROSS JOIN t
+    ),
+    m AS (
+        SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+               CAST(sum(abs(cd) * gap) AS BIGINT) AS w1_num
+        FROM cum WHERE gap IS NOT NULL
+    )
+    SELECT n_a, n_b, w1_num,
+           CAST(w1_num * 1000000 // (n_a * n_b) AS BIGINT)
+               AS w1_micro_cents
+    FROM m
+    """,
+    doc="X8+ exact 1-D Wasserstein (earth mover's) distance between the "
+    "click and purchase value distributions — weighs how FAR the mass "
+    "moved where KS only sees the worst CDF gap. Integer numerator "
+    "sum(|cum_d|*gap) over distinct values; the prefix sum and the "
+    "next-value lead come from ONE two-phase range-partitioned pass "
+    "(per-partition window + two metadata broadcasts: earlier-"
+    "partition subtotals and next-partition first values) — no "
+    "unpartitioned window at any scale.",
+    tags=("stats", "drift"),
+)
+def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    return st.wasserstein_1d(ev, "event_type", "click", "purchase")

@@ -112,3 +112,48 @@ def test_seasonal_anomalies_flags_planted_outlier(spark):
     got = st.seasonal_anomalies(df).collect()
     assert len(got) == 1
     assert (got[0].n, got[0].n_anomalies) == (24, 1)
+
+
+def test_chi2_categorical_hand_check(spark):
+    # 2x2: cat X (a:3, b:1), cat Y (a:1, b:3); n=8, rt=4, na=nb=4
+    # e = 2 everywhere, chi2 cell = (o-2)^2/2 = 0.5 -> 500000 micro
+    rows = (
+        [("a", "X")] * 3 + [("b", "X")] + [("a", "Y")] + [("b", "Y")] * 3
+    )
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    out = {
+        r.cat: r
+        for r in st.chi2_categorical(df, "grp", "a", "b", "cat").collect()
+    }
+    for cat in "XY":
+        assert out[cat].chi2_a_micro == 500000
+        assert out[cat].chi2_b_micro == 500000
+
+
+def test_chi2_no_drift_is_zero(spark):
+    rows = [("a", c) for c in "XXY"] + [("b", c) for c in "XXY"]
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    out = st.chi2_categorical(df, "grp", "a", "b", "cat").collect()
+    assert all(r.chi2_a_micro == 0 and r.chi2_b_micro == 0 for r in out)
+
+
+def test_wasserstein_point_masses(spark):
+    # A all at 1.00, B all at 3.00: W1 = |100 - 300| = 200 cents exactly
+    rows = [("a", 1.0)] * 4 + [("b", 3.0)] * 2
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = st.wasserstein_1d(df, "grp", "a", "b").collect()[0]
+    # numerator = W1 * n_a * n_b = 200 * 8
+    assert (got.n_a, got.n_b, got.w1_num) == (4, 2, 200 * 8)
+    assert got.w1_micro_cents == 200 * 1_000_000
+
+
+def test_wasserstein_partition_invariant(spark):
+    rows = [("a", float(v % 7)) for v in range(40)] + [
+        ("b", float(v % 5)) for v in range(30)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    r1 = st.wasserstein_1d(df, "grp", "a", "b", partitions=2).collect()
+    r2 = st.wasserstein_1d(
+        df.repartition(9), "grp", "a", "b", partitions=5
+    ).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
