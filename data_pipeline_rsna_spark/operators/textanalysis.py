@@ -675,3 +675,62 @@ def bigram_cross_entropy(
             "CAST(sum(m * x) DIV sum(m) AS BIGINT)"
         ).alias("avg_xent_micro"),
     )
+
+
+# Common English character merges, rank-ordered — the shape of a shipped
+# tokenizer's merges.txt head. bpe_apply treats the table as CONFIG (real
+# tokenizers apply a frozen learned table; learning statistics live in
+# bpe_first_merge_pairs).
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("e", "n"), ("a", "t"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("a", "r"), ("t", "e"), ("n", "d"),
+    ("t", "o"),
+)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passes: int = 2,
+) -> DataFrame:
+    """Apply a frozen BPE merge table to every document and report the
+    resulting symbol counts — the tokenizer-application operator (the
+    cost model behind every token-budget decision; a corpus is priced
+    in post-merge symbols, not characters).
+
+    Mechanics: each word becomes a space-delimited character sequence
+    (`` c a t ``); each merge rule (x, y) then rewrites `` x y `` →
+    `` xy `` via plain string replace, applied in rank order. replace()
+    scans left-to-right over non-overlapping occurrences in BOTH
+    engines, which is exactly BPE's leftmost-greedy order; ``passes``
+    repetitions per rule close the alternation gap where one pass
+    leaves an odd run unmerged (2 passes handle runs ≤ 4 of the same
+    pair — longer uniform runs are noise text by definition).
+
+    Scale shape: the whole computation is a NARROW projection — the
+    per-word fold runs inside higher-order functions (transform +
+    aggregate) on each document row, so there is no explode, no
+    shuffle, no Python; one pass over the corpus emits (doc, n_words,
+    n_chars, n_symbols). The merge table is a literal expression
+    (tokenizer tables are KBs — config, not data).
+    """
+    sym = "concat(' ', regexp_replace(w, '(.)', '$1 '))"
+    for _ in range(passes):
+        for x, y in merges:
+            sym = f"replace({sym}, ' {x} {y} ', ' {x}{y} ')"
+    words = (
+        f"filter(split(lower(`{text_col}`), '\\\\s+'), "
+        "w -> length(w) > 0)"
+    )
+    return docs.selectExpr(
+        f"`{id_col}`",
+        f"size({words}) AS n_words",
+        f"aggregate(transform({words}, w -> length(w)), 0, "
+        "(acc, v) -> acc + v) AS n_chars",
+        f"aggregate(transform({words}, w -> "
+        f"size(split(trim({sym}), ' '))), 0, "
+        "(acc, v) -> acc + v) AS n_symbols",
+    )

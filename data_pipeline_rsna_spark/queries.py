@@ -10513,3 +10513,40 @@ def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return st.wasserstein_1d(ev, "event_type", "click", "purchase")
+
+
+@register(
+    "text_bpe_apply",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           w -> len(w) > 0) AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_words,
+           CAST(list_sum(list_transform(words, w -> len(w)))
+               AS INTEGER) AS n_chars,
+           CAST(list_sum(list_transform(words, w ->
+               len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(concat(' ', regexp_replace(w, '(.)', '\\1 ', 'g')), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' e r ', ' er '), ' a n ', ' an '), ' r e ', ' re '), ' o n ', ' on '), ' e n ', ' en '), ' a t ', ' at '), ' o r ', ' or '), ' e s ', ' es '), ' s t ', ' st '), ' a r ', ' ar '), ' t e ', ' te '), ' n d ', ' nd '), ' t o ', ' to '), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' e r ', ' er '), ' a n ', ' an '), ' r e ', ' re '), ' o n ', ' on '), ' e n ', ' en '), ' a t ', ' at '), ' o r ', ' or '), ' e s ', ' es '), ' s t ', ' st '), ' a r ', ' ar '), ' t e ', ' te '), ' n d ', ' nd '), ' t o ', ' to ')), ' '))))
+               AS INTEGER) AS n_symbols
+    FROM w
+    """,
+    doc="X4 frozen-merge-table BPE application: every word becomes a "
+    "space-delimited symbol sequence and the 16-rule merge table "
+    "rewrites it in rank order (replace() is leftmost-greedy in both "
+    "engines = BPE order; 2 passes per rule close the odd-run "
+    "alternation gap). The whole computation is one NARROW projection "
+    "— per-word folds ride transform/aggregate higher-order functions, "
+    "no explode, no shuffle, no Python — emitting the post-merge "
+    "symbol counts a token-budget planner prices a corpus in. The "
+    "merge table is config (a shipped tokenizer artifact), learning "
+    "statistics live in text_bpe_first_merges.",
+    tags=("text",),
+)
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.bpe_apply(docs)

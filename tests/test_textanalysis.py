@@ -185,3 +185,30 @@ def test_gopher_gates_reason_codes(spark):
     assert flags[4] == "alpha_ratio"
     assert flags[5] == "symbol_ratio"
     assert flags[6] == "stopword_count"
+
+
+def test_bpe_apply_hand_check(spark):
+    from data_pipeline_rsna_spark.operators.textanalysis import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, "the thin tree"), (2, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_apply(df).collect()}
+    # "the" -> t h e -> th e -> the (1); "thin" -> th in (2);
+    # "tree" -> t r e e -> t re e (3)
+    assert (out[1].n_words, out[1].n_chars, out[1].n_symbols) == (3, 11, 6)
+    # no merge applies: symbols == chars
+    assert (out[2].n_words, out[2].n_chars, out[2].n_symbols) == (2, 6, 6)
+
+
+def test_bpe_apply_merges_reduce_monotonically(spark, sf_dir):
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.operators.textanalysis import bpe_apply
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = bpe_apply(docs).collect()
+    assert all(r.n_symbols <= r.n_chars for r in out)
+    assert all(r.n_symbols >= r.n_words for r in out)
+    # the English merge table must actually fire on English-ish text
+    assert sum(r.n_symbols for r in out) < sum(r.n_chars for r in out)
