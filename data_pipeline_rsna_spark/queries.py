@@ -10550,3 +10550,49 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return ta.bpe_apply(docs)
+
+
+@register(
+    "web_url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+        SELECT CASE CAST(doc_id % 4 AS INTEGER)
+ WHEN 0 THEN 'HTTP://Example.COM:80/a/' || CAST(doc_id % 10 AS VARCHAR) || '/?b=2&a=1#frag'
+ WHEN 1 THEN 'http://example.com/a/' || CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2'
+ WHEN 2 THEN 'https://CDN.Example.com:443/img/' || CAST(doc_id % 7 AS VARCHAR) || '/'
+ ELSE 'https://cdn.example.com/img/' || CAST(doc_id % 7 AS VARCHAR)
+ END AS url
+        FROM documents
+    ),
+    c AS (SELECT lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || CASE WHEN lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '') WHEN lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '') ELSE lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END || CASE WHEN regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '^([^?]*)', 1) IN ('', '/') THEN '/' WHEN regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '^([^?]*)', 1) LIKE '%/' THEN substr(regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '^([^?]*)', 1), 1, length(regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '^([^?]*)', 1)) - 1) ELSE regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '^([^?]*)', 1) END || CASE WHEN regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '\\?(.*)$', 1) = '' THEN '' ELSE '?' || array_to_string(list_sort(string_split(regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '\\?(.*)$', 1), '&')), '&') END AS canonical_url, url FROM u)
+    SELECT canonical_url,
+           count(*) AS n_raw,
+           count(DISTINCT url) AS n_variants
+    FROM c GROUP BY canonical_url
+    """,
+    doc="X4+ URL canonicalization + frontier dedup: the safe RFC-3986 "
+    "normalization subset (fragment strip, scheme/host lowercase, "
+    "default-port drop, query-param sort, trailing-slash trim) as ONE "
+    "narrow regex/array expression that inlines into the scan, then a "
+    "map-side-combined groupBy on the canonical string. The synthetic "
+    "URL corpus derives deterministically from doc_id with spelling "
+    "variants that must collapse pairwise — the oracle re-derives "
+    "both the corpus and every normalization rule.",
+    tags=("text", "web"),
+)
+def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import web
+
+    docs = tables.load(spark, sf_dir, "documents")
+    urls = docs.selectExpr(
+        """CASE CAST(doc_id % 4 AS INTEGER)
+ WHEN 0 THEN concat('HTTP://Example.COM:80/a/',
+                    CAST(doc_id % 10 AS STRING), '/?b=2&a=1#frag')
+ WHEN 1 THEN concat('http://example.com/a/',
+                    CAST(doc_id % 10 AS STRING), '?a=1&b=2')
+ WHEN 2 THEN concat('https://CDN.Example.com:443/img/',
+                    CAST(doc_id % 7 AS STRING), '/')
+ ELSE concat('https://cdn.example.com/img/', CAST(doc_id % 7 AS STRING))
+ END AS url"""
+    )
+    return web.url_canonical_dedup(urls)

@@ -133,3 +133,58 @@ def test_incremental_manifest_processes_each_file_once(spark, tmp_path):
     assert len(r3) == 1
     got = sorted(r.v2 for r in spark.read.parquet(out).collect())
     assert got == [2, 4, 6, 20]
+
+
+def test_compaction_coalesce_no_shuffle_and_lossless(spark, tmp_path):
+    from data_pipeline_rsna_spark.sinks import compaction as cp
+
+    src = str(tmp_path / "many")
+    # 40 tiny files
+    spark.range(0, 400).withColumn("v", F.col("id") * 3).repartition(
+        40
+    ).write.parquet(src)
+    assert len(cp.list_data_files(src)) == 40
+
+    out = str(tmp_path / "compact")
+    # tiny target -> a handful of output files, still > 1
+    manifest = cp.compact_parquet_dir(
+        spark, src, out, target_bytes=30_000
+    ).collect()[0]
+    assert manifest.files_before == 40
+    assert manifest.files_after == manifest.files_planned < 40
+
+    # lossless: same multiset of rows
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert a == b
+
+    # the coalesce path must be narrow: no Exchange in the write plan
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(manifest.files_planned)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_compaction_repartition_even_and_lossless(spark, tmp_path):
+    from data_pipeline_rsna_spark.sinks import compaction as cp
+
+    src = str(tmp_path / "skewed")
+    big = spark.range(0, 900).withColumn("v", F.col("id"))
+    dust = spark.range(900, 910).withColumn("v", F.col("id")).repartition(10)
+    big.coalesce(1).write.parquet(src)
+    dust.write.mode("append").parquet(src)
+    n_before = len(cp.list_data_files(src))
+    # AQE may coalesce some dust partitions; still a skewed multi-file dir
+    assert n_before >= 2
+
+    out = str(tmp_path / "rebalanced")
+    cp.compact_parquet_dir(
+        spark, src, out, target_bytes=10_000, mode="repartition"
+    )
+    a = sorted(r.id for r in spark.read.parquet(src).collect())
+    b = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert a == b

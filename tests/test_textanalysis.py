@@ -212,3 +212,41 @@ def test_bpe_apply_merges_reduce_monotonically(spark, sf_dir):
     assert all(r.n_symbols >= r.n_words for r in out)
     # the English merge table must actually fire on English-ish text
     assert sum(r.n_symbols for r in out) < sum(r.n_chars for r in out)
+
+
+def test_url_canonicalization_rules(spark):
+    from data_pipeline_rsna_spark.operators import web
+
+    raw = [
+        # all four spellings of the same resource
+        "HTTP://Example.COM:80/a/1/?b=2&a=1#frag",
+        "http://example.com/a/1?a=1&b=2",
+        "http://EXAMPLE.com:80/a/1",
+        "http://example.com/a/1/",
+        # distinct resources stay distinct
+        "https://example.com/a/1",     # scheme differs
+        "http://example.com/a/1?a=2",  # param value differs
+        "http://example.com:8080/a/1", # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    out = {r.canonical_url: r for r in web.url_canonical_dedup(df).collect()}
+    assert out["http://example.com/a/1?a=1&b=2"].n_raw == 2
+    assert out["http://example.com/a/1"].n_raw == 2
+    assert out["http://example.com/a/1"].n_variants == 2
+    assert "https://example.com/a/1" in out
+    assert "http://example.com/a/1?a=2" in out
+    assert "http://example.com:8080/a/1" in out
+    assert len(out) == 5
+
+
+def test_url_root_path_normalization(spark):
+    from data_pipeline_rsna_spark.operators import web
+
+    df = spark.createDataFrame(
+        [("https://Example.com:443",), ("https://example.com/",)],
+        "url string",
+    )
+    out = web.url_canonical_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0].canonical_url == "https://example.com/"
+    assert out[0].n_raw == 2
