@@ -888,3 +888,66 @@ def train_pq(
         .tolist()
         for m in range(m_sub)
     ]
+
+
+def int8_quantization_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension affine int8 quantization (min/max → 255 levels)
+    with exact reconstruction-error accounting — the serving-side
+    compression audit: before a corpus ships as int8, measure what the
+    rounding costs each vector.
+
+    Determinism discipline: quantize/dequantize is one fixed IEEE op
+    chain per element with ``floor(x + 0.5)`` in place of round() —
+    floor is exact on both engines even on .5 ties, where round()'s
+    BigDecimal-vs-raw-double behavior can differ. Per-element errors
+    are floored to integer micro-units BEFORE summing, so the per-
+    vector totals are order-independent BIGINTs.
+
+    Plan shape: per-dim min/max is a posexplode + 64-group map-side-
+    combined agg (shuffle carries dims × partitions partial rows, not
+    elements); the ranges come back as two broadcast arrays; the
+    quantization pass itself is a narrow transform/aggregate fold —
+    no UDF, no second shuffle. Returns (id, sum_abs_err_micro,
+    max_err_micro).
+    """
+    ve = f"cast(`{vec_col}` AS array<double>)"
+    dims = (
+        emb.selectExpr(f"posexplode({ve}) AS (d, x)")
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    rng = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mn))), "
+            "s -> s.mn)"
+        ).alias("_mn"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mx))), "
+            "s -> s.mx)"
+        ).alias("_mx"),
+    )
+    mn = "element_at(_mn, i + 1)"
+    mx = "element_at(_mx, i + 1)"
+    err_el = (
+        f"CASE WHEN {mx} > {mn} THEN "
+        f"CAST(floor(abs(x - ({mn} + floor((x - {mn}) * 254.0D "
+        f"/ ({mx} - {mn}) + 0.5D) * ({mx} - {mn}) / 254.0D)) "
+        "* 1000000.0D + 0.5D) AS BIGINT) ELSE 0L END"
+    )
+    return (
+        emb.selectExpr(f"`{id_col}`", f"{ve} AS _e")
+        .crossJoin(F.broadcast(rng))
+        .selectExpr(
+            f"`{id_col}`",
+            f"transform(_e, (x, i) -> {err_el}) AS _errs",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "aggregate(_errs, 0L, (a, v) -> a + v) AS sum_abs_err_micro",
+            "array_max(_errs) AS max_err_micro",
+        )
+    )

@@ -734,3 +734,33 @@ def bpe_apply(
         f"size(split(trim({sym}), ' '))), 0, "
         "(acc, v) -> acc + v) AS n_symbols",
     )
+
+
+def temperature_mixture_shares(
+    df: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """Temperature-sampled mixture shares at α = 0.5 — the multilingual
+    rebalancing rule (share ∝ count^α upweights rare languages so they
+    are not drowned by the head language; α=0.5 is the common
+    XLM/mT5-style setting). α=0.5 is implemented EXACTLY: the weight is
+    the integer floor-sqrt of the count (sqrt is IEEE-correctly-rounded
+    in both engines, floor makes it integral) and the share is an
+    integer ppm floor-quotient against the integer weight total — no
+    float normalization, no summation-order hazard. Other temperatures
+    need a pow() chain and stay approximate; the consumer of these
+    shares is ``mixture_resample``/``token-budget`` quota sampling.
+    One count shuffle; the weight table is |groups| rows of metadata.
+    """
+    c = df.groupBy(group_col).agg(F.count("*").alias("c"))
+    w = c.withColumn("w", F.expr("CAST(floor(sqrt(c)) AS BIGINT)"))
+    tot = w.agg(F.sum("w").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            group_col,
+            "c",
+            "w",
+            "CAST(w * 1000000 DIV tw AS BIGINT) AS share_ppm",
+        )
+        .orderBy(group_col)
+    )

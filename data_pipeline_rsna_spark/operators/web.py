@@ -84,3 +84,48 @@ def url_canonical_dedup(
             F.countDistinct("_raw").alias("n_variants"),
         )
     )
+
+
+def strip_html_expr(col: str) -> str:
+    """SQL expression: visible text of an HTML column — the crawl
+    text-extraction step. Removal order matters and is part of the
+    contract: script/style/comment BLOCKS first (their contents are
+    not text; a tag-only pass would leak javascript into the corpus),
+    then remaining tags, then the five entities that appear in
+    plain-text-bearing attributes, then whitespace collapse. All RE2/
+    Java-regex-portable patterns ((?is) flags, non-greedy blocks), one
+    narrow expression — no UDF, no parser dependency. A DOM-accurate
+    extractor (trafilatura-class) is a different fidelity tier; this
+    is the deterministic bulk path that handles the 99% and is
+    cross-engine value-checkable."""
+    x = f"`{col}`"
+    x = f"regexp_replace({x}, '(?is)<script.*?</script>', ' ')"
+    x = f"regexp_replace({x}, '(?is)<style.*?</style>', ' ')"
+    x = f"regexp_replace({x}, '(?s)<!--.*?-->', ' ')"
+    x = f"regexp_replace({x}, '<[^>]*>', ' ')"
+    # &amp; decodes LAST: any other order double-decodes '&amp;lt;'
+    # (escaped markup in the text) into a live '<'
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '\"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        rep = ch.replace("'", "\\'")
+        x = f"replace({x}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({x}, '\\\\s+', ' '))"
+
+
+def html_extract_stats(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Per-document extraction accounting: raw vs visible-text sizes
+    and the retained ratio in ppm — the boilerplate-share metric a
+    curation pipeline tracks per site (a site whose retained ppm
+    collapses is shipping chrome, not content). Narrow projection;
+    integer ppm via floor division."""
+    return df.selectExpr(
+        f"`{id_col}`",
+        f"length(`{html_col}`) AS n_chars_raw",
+        f"length({strip_html_expr(html_col)}) AS n_chars_text",
+        f"CAST(length({strip_html_expr(html_col)}) * 1000000 "
+        f"DIV length(`{html_col}`) AS BIGINT) AS retained_ppm",
+    )

@@ -10596,3 +10596,120 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
  END AS url"""
     )
     return web.url_canonical_dedup(urls)
+
+
+@register(
+    "web_html_extract_stats",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN
+ '<html><head><title>t</title><script>var x = 1 < 2;</script><style>p { color: red; }</style></head><body><!-- nav --><p>' || text || '</p><div>footer &amp; nav &#39;q&#39;</div></body></html>'
+ ELSE
+ '<HTML><BODY><SCRIPT>alert("hi")</SCRIPT><P>' || text || '</P><DIV>&lt;tag&gt; &nbsp;x</DIV></BODY></HTML>'
+ END AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           length(html) AS n_chars_raw,
+           length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))) AS n_chars_text,
+           CAST(length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))) * 1000000 // length(html) AS BIGINT)
+               AS retained_ppm
+    FROM h
+    """,
+    doc="X4+ HTML visible-text extraction + boilerplate accounting: "
+    "script/style/comment BLOCKS removed before tags (a tag-only pass "
+    "leaks javascript into the corpus), single-level entity decode "
+    "with &amp; last (any other order double-decodes escaped markup), "
+    "whitespace collapse — one narrow RE2/Java-portable regex chain, "
+    "no UDF, no parser dependency. Emits per-doc raw/text sizes and "
+    "the retained-ppm boilerplate share a curation pipeline tracks "
+    "per site. Synthetic markup (both tag cases, live script, escaped "
+    "entities) derives deterministically from doc_id; the oracle "
+    "re-derives corpus and extraction.",
+    tags=("text", "web"),
+)
+def q_web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import web
+
+    docs = tables.load(spark, sf_dir, "documents")
+    html = docs.selectExpr(
+        "doc_id",
+        """CASE WHEN doc_id % 2 = 0 THEN
+ concat('<html><head><title>t</title><script>var x = 1 < 2;</script>',
+        '<style>p { color: red; }</style></head><body><!-- nav --><p>',
+        text,
+        '</p><div>footer &amp; nav &#39;q&#39;</div></body></html>')
+ ELSE
+ concat('<HTML><BODY><SCRIPT>alert("hi")</SCRIPT><P>', text,
+        '</P><DIV>&lt;tag&gt; &nbsp;x</DIV></BODY></HTML>')
+ END AS html"""
+    )
+    return web.html_extract_stats(html)
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    w AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+    SELECT lang, c, w,
+           CAST(w * 1000000 // tw AS BIGINT) AS share_ppm
+    FROM w CROSS JOIN t
+    ORDER BY lang
+    """,
+    doc="X4+ temperature-sampled mixture shares (alpha=0.5, the "
+    "XLM/mT5 multilingual rebalancing rule: share proportional to "
+    "count^0.5 upweights rare languages). Exact at alpha=0.5: integer "
+    "floor-sqrt weights (IEEE-correctly-rounded sqrt, both engines) "
+    "and integer ppm floor-quotients — no float normalization sum. "
+    "Feeds mixture_resample / token-budget quota sampling.",
+    tags=("text",),
+)
+def q_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.temperature_mixture_shares(docs, "lang")
+
+
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, d.d AS d, e[d.d + 1] AS x
+        FROM vecs CROSS JOIN
+             (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    rng AS (SELECT d, min(x) AS mn, max(x) AS mx FROM el GROUP BY d),
+    err AS (
+        SELECT vec_id,
+               CASE WHEN mx > mn THEN
+                   CAST(floor(abs(x - (mn + floor((x - mn) * 254.0
+                        / (mx - mn) + 0.5) * (mx - mn) / 254.0))
+                        * 1000000.0 + 0.5) AS BIGINT)
+               ELSE 0 END AS em
+        FROM el JOIN rng USING (d)
+    )
+    SELECT vec_id,
+           CAST(sum(em) AS BIGINT) AS sum_abs_err_micro,
+           CAST(max(em) AS BIGINT) AS max_err_micro
+    FROM err GROUP BY vec_id
+    """,
+    doc="X3+ per-dimension affine int8 quantization audit: exact "
+    "reconstruction-error accounting (micro-unit integer per-element "
+    "errors, floor(x+0.5) in place of round() so .5 ties cannot split "
+    "engines) for the serving-side compression decision. Per-dim "
+    "ranges via a 64-group map-side-combined agg broadcast back as "
+    "arrays; the quantization pass is a narrow transform fold — no "
+    "UDF, one shuffle total.",
+    tags=("similarity",),
+)
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return sim.int8_quantization_stats(emb)

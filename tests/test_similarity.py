@@ -328,3 +328,26 @@ def test_train_pq_deterministic_across_partitionings(spark, sf_dir):
         emb.repartition(11), m_sub=8, k_cent=8, sub_dim=8, iters=5
     )
     assert cb1 == cb2
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = sim.int8_quantization_stats(emb).collect()
+    assert len(out) == emb.count()
+    # max per-element error is bounded by half a quantization step:
+    # (mx-mn)/254/2; embeddings live in roughly [-1.2, 1.2] so a loose
+    # universal ceiling is 3.0/254/2 ~ 0.0059 -> 5906 micro
+    assert all(0 <= r.max_err_micro <= 6000 for r in out)
+    assert all(r.sum_abs_err_micro >= r.max_err_micro for r in out)
+
+
+def test_int8_quantization_constant_dim_is_exact(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.5, float(i)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in sim.int8_quantization_stats(emb).collect()}
+    # dim 0 is constant -> zero error there; dim 1 hits grid points
+    # i*254/7 only at i=0 and i=7, so interior vectors carry some error
+    assert out[0].sum_abs_err_micro == 0
+    assert out[7].sum_abs_err_micro == 0

@@ -250,3 +250,33 @@ def test_url_root_path_normalization(spark):
     assert len(out) == 1
     assert out[0].canonical_url == "https://example.com/"
     assert out[0].n_raw == 2
+
+
+def test_html_strip_rules(spark):
+    from data_pipeline_rsna_spark.operators import web
+
+    cases = [
+        # script/style/comment contents must not leak
+        ("<p>a</p><script>var x = '<b>no</b>';</script>b", "a b"),
+        ("<STYLE>p{}</STYLE><P>Hi</P>", "Hi"),
+        ("x<!-- <p>gone</p> -->y", "x y"),
+        # uppercase + attributes
+        ('<DIV CLASS="z">k</DIV>', "k"),
+        # single-level entity decode: &amp;lt; is literal text "&lt;"
+        ("a &amp;lt; b", "a &lt; b"),
+        ("1 &lt; 2 &amp; 3 &gt; 2", "1 < 2 & 3 > 2"),
+        ("it&#39;s &quot;q&quot;&nbsp;done", "it's \"q\" done"),
+        # whitespace collapse + trim
+        ("  <p> a </p>\n\t<p> b </p> ", "a b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r.i: r.text
+        for r in df.selectExpr(
+            "i", f"{web.strip_html_expr('html')} AS text"
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
