@@ -549,3 +549,31 @@ def wasserstein_1d(
             ).alias("w1_micro_cents"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the
+    data-governance gate a training corpus with people-derived rows
+    must pass before release: every quasi-identifier combination must
+    be shared by ≥ k rows, or those rows re-identify.
+
+    Returns one summary row: equivalence-class counts, how many
+    classes/rows fall below k (the suppression set), and the minimum
+    class size (the worst case the release inherits). One
+    map-side-combined shuffle on the quasi tuple; the class-size
+    histogram is re-aggregated from the (bounded) class table.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count("*").alias("c"))
+    return classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum("c").alias("n_rows"),
+        F.sum((F.col("c") < k).cast("long")).alias("classes_below_k"),
+        F.sum(F.when(F.col("c") < k, F.col("c")).otherwise(0)).alias(
+            "rows_below_k"
+        ),
+        F.min("c").alias("min_class_size"),
+    )

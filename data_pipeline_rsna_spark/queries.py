@@ -10705,7 +10705,11 @@ def q_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines) for the serving-side compression decision. Per-dim "
     "ranges via a 64-group map-side-combined agg broadcast back as "
     "arrays; the quantization pass is a narrow transform fold — no "
-    "UDF, one shuffle total.",
+    "UDF, one shuffle total. Complements embedding_quantize_int8 "
+    "(per-vector SYMMETRIC max-abs codes, zero corpus passes): the "
+    "affine per-dim scheme needs a corpus statistics pass but wastes "
+    "no levels on unused range, and this query is the audit that "
+    "prices that tradeoff.",
     tags=("similarity",),
 )
 def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10713,3 +10717,171 @@ def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     return sim.int8_quantization_stats(emb)
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS c
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           CAST(min(c) AS BIGINT) AS min_class_size
+    FROM classes
+    """,
+    doc="X8+ k-anonymity audit (k=5) over the (nation, market-segment) "
+    "quasi-identifier tuple: equivalence-class census, the below-k "
+    "suppression set, and the worst-case class size — the governance "
+    "gate people-derived training rows pass before release. One "
+    "quasi-tuple shuffle; the class table is metadata-sized.",
+    tags=("stats", "governance"),
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    cust = tables.load(spark, sf_dir, "customer")
+    return st.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pair AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_support
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+    edges AS (
+        SELECT item_a AS src, item_b AS dst
+        FROM pair CROSS JOIN tot
+        WHERE pair_support * 50 >= n_baskets
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tcount AS (
+        SELECT node, count(*) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY node
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg
+        FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+        )
+        GROUP BY node
+    )
+    SELECT d.node AS node, CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN
+               CAST(COALESCE(t.n_triangles, 0) * 2000000
+                    // (d.deg * (d.deg - 1)) AS BIGINT)
+           ELSE 0 END AS cc_ppm
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """,
+    doc="X8+ local clustering coefficient over the co-purchase brand "
+    "graph: cc(v) = 2*T(v)/(deg(v)*(deg(v)-1)) in exact integer ppm "
+    "(floor quotient of triangle counts and degrees) — separates hub "
+    "brands (bridges, low cc) from community cores (high cc). Degrees "
+    "are one union+groupBy on the edge list; triangles reuse the "
+    "ordered two-join; deg<2 defines cc=0.",
+    tags=("graph", "mining"),
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as g
+    from .operators import mining
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    items = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select("l_orderkey", "p_brand")
+    b = mining.baskets(items, "l_orderkey", "p_brand")
+    pair = mining.pair_supports(b)
+    total = b.agg(F.count("*").alias("n_baskets"))
+    edges = (
+        pair.crossJoin(F.broadcast(total))
+        .filter(F.col("pair_support") * 50 >= F.col("n_baskets"))
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    return g.clustering_coefficient(edges)
+
+
+@register(
+    "web_corpus_funnel",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 2 = 0 THEN
+ '<html><head><title>t</title><script>var x = 1 < 2;</script><style>p { color: red; }</style></head><body><!-- nav --><p>' || text || '</p><div>footer &amp; nav &#39;q&#39;</div></body></html>'
+               ELSE
+ '<HTML><BODY><SCRIPT>alert("hi")</SCRIPT><P>' || text || '</P><DIV>&lt;tag&gt; &nbsp;x</DIV></BODY></HTML>'
+               END AS html
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, source, trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS txt FROM h)
+    SELECT source,
+           count(*) AS n_raw,
+           CAST(sum(CASE WHEN length(txt) >= 50 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pass_gate,
+           CAST(count(DISTINCT CASE WHEN length(txt) >= 50
+                    THEN md5(txt) END) AS BIGINT) AS n_unique
+    FROM ex GROUP BY source
+    """,
+    doc="X4+ end-to-end web-corpus admission funnel as ONE lazy DAG: "
+    "markup -> visible-text extraction (strip_html_expr) -> minimum-"
+    "length quality gate -> md5 exact-dedup accounting, rolled up per "
+    "crawl source (raw / passed-gate / unique counts — the per-site "
+    "yield report a curation dashboard tracks). Entirely narrow until "
+    "the single per-source aggregation; the dedup is a count(DISTINCT "
+    "hash) inside that same shuffle, not a second pass.",
+    tags=("text", "web"),
+)
+def q_web_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import web
+
+    docs = tables.load(spark, sf_dir, "documents")
+    html = docs.selectExpr(
+        "doc_id",
+        "source",
+        """CASE WHEN doc_id % 2 = 0 THEN
+ concat('<html><head><title>t</title><script>var x = 1 < 2;</script>',
+        '<style>p {{ color: red; }}</style></head><body><!-- nav --><p>',
+        text,
+        '</p><div>footer &amp; nav &#39;q&#39;</div></body></html>')
+ ELSE
+ concat('<HTML><BODY><SCRIPT>alert("hi")</SCRIPT><P>', text,
+        '</P><DIV>&lt;tag&gt; &nbsp;x</DIV></BODY></HTML>')
+ END AS html"""
+    )
+    ex = html.selectExpr(
+        "doc_id", "source", f"{web.strip_html_expr('html')} AS txt"
+    )
+    return ex.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum((F.length("txt") >= 50).cast("long")).alias("n_pass_gate"),
+        F.countDistinct(
+            F.when(F.length("txt") >= 50, F.md5("txt"))
+        ).alias("n_unique"),
+    )

@@ -126,3 +126,30 @@ def test_bfs_early_termination(spark):
     srcs = spark.createDataFrame([("a",)], "node string")
     out = {r.node: r.hop for r in g.bfs_hops(edges, srcs, max_hops=10).collect()}
     assert out == {"a": 0, "b": 1}
+
+
+def test_clustering_coefficient_k4_and_star(spark):
+    from data_pipeline_rsna_spark.operators import graph as g
+
+    # K4 on {1,2,3,4}: every node deg 3, T=3 -> cc = 2*3/(3*2) = 1
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    # star hub 10 with leaves 11..13: hub deg 3 T=0 -> cc 0; leaves deg 1
+    star = [(10, leaf) for leaf in (11, 12, 13)]
+    edges = spark.createDataFrame(k4 + star, "src long, dst long")
+    out = {r.node: r for r in g.clustering_coefficient(edges).collect()}
+    for v in range(1, 5):
+        assert (out[v].deg, out[v].n_triangles, out[v].cc_ppm) == (3, 3, 1000000)
+    assert (out[10].deg, out[10].n_triangles, out[10].cc_ppm) == (3, 0, 0)
+    for leaf in (11, 12, 13):
+        assert (out[leaf].deg, out[leaf].cc_ppm) == (1, 0)
+
+
+def test_k_anonymity_hand_check(spark):
+    from data_pipeline_rsna_spark.operators import stats as st
+
+    rows = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")]
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    got = st.k_anonymity(df, ["q1", "q2"], k=5).collect()[0]
+    assert (got.n_classes, got.n_rows) == (3, 9)
+    assert (got.classes_below_k, got.rows_below_k) == (2, 3)
+    assert got.min_class_size == 1
