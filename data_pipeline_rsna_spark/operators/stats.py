@@ -577,3 +577,55 @@ def k_anonymity(
         ),
         F.min("c").alias("min_class_size"),
     )
+
+
+def column_profiles(
+    df: DataFrame,
+    group_col: str,
+    cols: dict[str, str],
+) -> DataFrame:
+    """Per-group column profiles — the schema-drift detector: for each
+    (group, column), null count/ppm, distinct count, and min/max as
+    canonical strings. Diffing the profile rows of two snapshots is
+    how a pipeline notices a column silently going all-NULL, a
+    cardinality explosion, or a domain shift BEFORE a model does.
+
+    ``cols`` maps output column names to SQL expressions projecting a
+    comparable scalar (cast money to cents, dates to ISO — the caller
+    owns canonicalization). All profiles compute in ONE aggregation
+    over one shuffle: the multiple count(DISTINCT expr)s plan as a
+    single Expand (rows × |cols| before map-side combine — the
+    standard multi-distinct shape), then ``stack`` unpivots the wide
+    result into (group, col_name) rows. Profile output is
+    |groups|·|cols| rows — metadata.
+    """
+    aggs = []
+    for name, expr in cols.items():
+        aggs += [
+            F.expr(
+                f"sum(CASE WHEN ({expr}) IS NULL THEN 1 ELSE 0 END)"
+            ).alias(f"_null_{name}"),
+            F.expr(f"count(DISTINCT {expr})").alias(f"_nd_{name}"),
+            F.expr(f"CAST(min({expr}) AS STRING)").alias(f"_mn_{name}"),
+            F.expr(f"CAST(max({expr}) AS STRING)").alias(f"_mx_{name}"),
+        ]
+    g = df.groupBy(group_col).agg(F.count("*").alias("_n"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', _null_{name}, _nd_{name}, _mn_{name}, _mx_{name}"
+        for name in cols
+    )
+    return g.selectExpr(
+        group_col,
+        "_n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) "
+        "AS (col_name, n_null, n_distinct, min_str, max_str)",
+    ).selectExpr(
+        group_col,
+        "col_name",
+        "n_rows",
+        "n_null",
+        "CAST(n_null * 1000000 DIV n_rows AS BIGINT) AS null_ppm",
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

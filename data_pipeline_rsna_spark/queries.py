@@ -10885,3 +10885,129 @@ def q_web_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.length("txt") >= 50, F.md5("txt"))
         ).alias("n_unique"),
     )
+
+
+@register(
+    "data_profile_drift",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN o_orderdate < DATE '1995-01-01'
+                    THEN 'early' ELSE 'late' END AS period,
+               o_orderstatus,
+               o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               o_orderdate
+        FROM orders
+    ),
+    p AS (
+        SELECT period, 'status' AS col_name, count(*) AS n_rows,
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT o_orderstatus) AS n_distinct,
+               CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+               CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+        FROM base GROUP BY period
+        UNION ALL
+        SELECT period, 'priority', count(*),
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM base GROUP BY period
+        UNION ALL
+        SELECT period, 'price_cents', count(*),
+               sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT price_cents),
+               CAST(min(price_cents) AS VARCHAR),
+               CAST(max(price_cents) AS VARCHAR)
+        FROM base GROUP BY period
+        UNION ALL
+        SELECT period, 'orderdate', count(*),
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR),
+               CAST(max(o_orderdate) AS VARCHAR)
+        FROM base GROUP BY period
+    )
+    SELECT period, col_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_null * 1000000 // n_rows AS BIGINT) AS null_ppm,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_str, max_str
+    FROM p
+    """,
+    doc="X8+ per-period column-profile drift (the schema-drift "
+    "detector): null count/ppm, distinct cardinality, canonical-"
+    "string min/max for four orders columns across an early/late "
+    "split. All profiles compute in ONE aggregation (multi-distinct "
+    "plans as a single Expand) then stack-unpivot to (period, column) "
+    "rows — a silent all-NULL column, cardinality explosion, or "
+    "domain shift shows up as a profile diff before a model sees it.",
+    tags=("stats", "governance"),
+)
+def q_data_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    orders = tables.load(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "CASE WHEN o_orderdate < DATE '1995-01-01' "
+        "THEN 'early' ELSE 'late' END AS period",
+        "o_orderstatus",
+        "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents",
+        "o_orderdate",
+    )
+    return st.column_profiles(
+        base,
+        "period",
+        {
+            "status": "o_orderstatus",
+            "priority": "o_orderpriority",
+            "price_cents": "price_cents",
+            "orderdate": "o_orderdate",
+        },
+    )
+
+
+@register(
+    "events_attribution_full_outer_streaming",
+    # sentinel-flushed bounded replay emits every click AND every
+    # unattributed purchase exactly once → the batch FULL OUTER join
+    # is a complete value oracle
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    windows AS (
+        SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+               ts + INTERVAL 2 HOUR AS end_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id, w.purchase_id AS purchase_id,
+           COALESCE(c.user_id, w.user_id) AS user_id
+    FROM clicks c
+    FULL JOIN windows w ON c.user_id = w.user_id
+                       AND c.ts >= w.start_ts AND c.ts < w.end_ts
+    """,
+    doc="X6 stream-stream FULL OUTER interval join: both outer "
+    "directions at once — unmatched clicks null-pad when the purchase "
+    "watermark proves no match can arrive, and purchases that drew no "
+    "click inside their 2-hour window null-pad symmetrically. The "
+    "bounded replay (sentinel watermark flush) hashes against the "
+    "batch FULL JOIN.",
+    tags=("events", "streaming"),
+)
+def q_events_attribution_full_outer_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream_with_flush(spark, sf_dir)
+    out = es.run_bounded(
+        es.attribution_full_outer_stream(stream), mode="append"
+    )
+    # drop the sentinel rows (event_id = -1 on either side)
+    return out.filter(
+        (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+    )

@@ -657,3 +657,53 @@ def session_finalizer_stream(events: DataFrame, gap_seconds: int = 1800,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def attribution_full_outer_stream(events: DataFrame,
+                                  watermark: str = "4 hours") -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both directions of the
+    outer contract at once: every click emits exactly once (matched or
+    null-padded like the left-outer variant), AND every purchase that
+    attracted no click inside its 2-hour window emits null-padded too
+    (the "campaign spent, nobody came" rows a marketing feed needs).
+
+    State/eviction mechanics are identical to the one-sided outer: both
+    sides are watermarked, the interval bounds the retained horizon,
+    and each side's null emission waits for the OTHER side's watermark
+    to prove no match can still arrive. The only semantic addition is
+    that unmatched RIGHT rows also survive — which is why user_id must
+    coalesce across sides.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            click_ts >= purchase_ts AND
+            click_ts < purchase_ts + INTERVAL 2 HOURS
+            """
+        ),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+    )

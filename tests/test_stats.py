@@ -157,3 +157,26 @@ def test_wasserstein_partition_invariant(spark):
         df.repartition(9), "grp", "a", "b", partitions=5
     ).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+def test_column_profiles_nulls_and_distincts(spark):
+    rows = [
+        ("g1", "a", 1.0), ("g1", "a", None), ("g1", "b", 3.0),
+        ("g2", None, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, s string, v double")
+    out = {
+        (r.grp, r.col_name): r
+        for r in st.column_profiles(
+            df, "grp", {"s": "s", "v_cents": "CAST(round(v * 100) AS BIGINT)"}
+        ).collect()
+    }
+    g1s = out[("g1", "s")]
+    assert (g1s.n_rows, g1s.n_null, g1s.n_distinct) == (3, 0, 2)
+    assert (g1s.min_str, g1s.max_str) == ("a", "b")
+    g1v = out[("g1", "v_cents")]
+    assert (g1v.n_null, g1v.n_distinct) == (1, 2)
+    assert g1v.null_ppm == 1_000_000 // 3
+    g2s = out[("g2", "s")]
+    assert (g2s.n_rows, g2s.n_null, g2s.n_distinct) == (1, 1, 0)
+    assert g2s.min_str is None and g2s.max_str is None

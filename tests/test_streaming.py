@@ -665,3 +665,45 @@ def test_streaming_multimodal_ingest_equals_batch(spark, tmp_path):
     # multiple micro-batches really happened
     assert got.select("_batch").distinct().count() >= 3
     assert key(got.collect()) == key(batch.collect())
+
+
+def test_stream_full_outer_join_equals_batch_full_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    stream = es.read_events_stream_with_flush(spark, sf_dir)
+    got_df = es.run_bounded(
+        es.attribution_full_outer_stream(stream), mode="append"
+    ).filter(
+        (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+    )
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want_df = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND click_ts >= purchase_ts "
+            "AND click_ts < purchase_ts + INTERVAL 2 HOURS"
+        ),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+    )
+    none_last = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted((tuple(r) for r in got_df.collect()), key=none_last)
+    want = sorted((tuple(r) for r in want_df.collect()), key=none_last)
+    assert got == want
+    # both outer directions must actually occur in the data
+    assert any(r[1] is None for r in got), "no unmatched clicks"
+    assert any(r[0] is None for r in got), "no unmatched purchases"
