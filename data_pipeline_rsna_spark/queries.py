@@ -11011,3 +11011,116 @@ def q_events_attribution_full_outer_streaming(
         (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
         & (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
     )
+
+
+@register(
+    "market_gini_coefficient",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                    * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, l_suppkey) AS rn
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               CAST(sum(rn * cents) AS BIGINT) AS six
+        FROM ranked
+    )
+    SELECT n, sx,
+           CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx)
+               AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+    doc="X8+ Gini coefficient of supplier revenue concentration — the "
+    "companion of the HHI share metric (Gini reads inequality of the "
+    "whole distribution; HHI reads top-heaviness). Exact: per-row "
+    "cents BEFORE summation (no float accumulation), ranks from the "
+    "two-phase global_row_number (never a one-task window; the rank "
+    "key is the unique (cents, suppkey) composite), and the "
+    "(2*Sum(i*x) - (n+1)*Sum(x)) / (n*Sum(x)) identity exported as "
+    "integer numerator/denominator plus a ppm floor quotient.",
+    tags=("stats", "relational"),
+)
+def q_market_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) "
+            "* 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    # unique composite rank key: cents dominate, suppkey breaks ties
+    ranked = rel.global_row_number(
+        rev.withColumn(
+            "_ord", F.expr("cents * 10000000 + l_suppkey")
+        ),
+        "_ord",
+        out_col="rn",
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("rn").cast("bigint") * F.col("cents"))
+        .cast("bigint")
+        .alias("six"),
+    )
+    return s.selectExpr(
+        "n",
+        "sx",
+        "CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num",
+        "CAST(n * sx AS BIGINT) AS gini_den",
+        "CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx) AS BIGINT)"
+        " AS gini_ppm",
+    )
+
+
+@register(
+    "text_feature_hashing",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   w -> len(w) > 0)) AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('fh|' || w), 1, 15))::UBIGINT % 64
+               AS INTEGER) AS bucket,
+           count(*) AS n
+    FROM tok GROUP BY doc_id, bucket
+    """,
+    doc="X4+ feature hashing (the hashing trick): tokens map to a "
+    "fixed 64-bucket feature space via an md5 slice — the stateless, "
+    "vocabulary-free featurization that needs no dictionary build, no "
+    "broadcast, and never grows with corpus size; collisions are the "
+    "documented tradeoff. One explode + map-side-combined groupBy; "
+    "the bucket id is a pure function of the token, so the feature "
+    "space is identical across engines, retries, and corpus subsets.",
+    tags=("text",),
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "explode(filter(split(lower(text), '\\\\s+'), "
+            "w -> length(w) > 0)) AS w",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substr(md5(concat('fh|', w)), 1, 15), 16, 10) "
+            "AS BIGINT) % 64 AS bucket",
+        )
+        .selectExpr("doc_id", "CAST(bucket AS INT) AS bucket")
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
