@@ -11124,3 +11124,49 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "events_props_variant_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT CAST(props->>'k' AS INTEGER)) AS BIGINT)
+               AS distinct_k,
+           CAST(sum(CASE WHEN props->>'missing' IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="X8+ VARIANT-typed semi-structured analytics (Spark 4 native "
+    "path): parse_json lifts props into the binary VARIANT encoding "
+    "ONCE, then variant_get/try_variant_get extract typed fields — "
+    "the schema-FREE twin of events_props_json_agg's declared-schema "
+    "from_json. VARIANT is the 100 TB idiom for heterogeneous/"
+    "evolving payloads: no schema to declare or migrate, the parse "
+    "cost is paid once per row (not per extraction), and at the "
+    "storage layer the encoding shreds to columns. try_variant_get "
+    "on an absent path yields NULL, not an error — counted here as "
+    "the missing-field audit.",
+    tags=("events", "json"),
+)
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props"))
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.variant_get("v", "$.k", "int").cast("long")
+        ).alias("sum_k"),
+        F.countDistinct(F.variant_get("v", "$.k", "int"))
+        .cast("long")
+        .alias("distinct_k"),
+        F.sum(
+            F.when(
+                F.try_variant_get("v", "$.missing", "int").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missing"),
+    )

@@ -707,3 +707,33 @@ def test_stream_full_outer_join_equals_batch_full_join(spark, sf_dir):
     # both outer directions must actually occur in the data
     assert any(r[1] is None for r in got), "no unmatched clicks"
     assert any(r[0] is None for r in got), "no unmatched purchases"
+
+
+def test_transform_with_state_running_totals_equals_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas twin of the
+    applyInPandasWithState running totals — identical semantics,
+    newer state API (typed handles, first-class timers). The TWS
+    state protocol needs protobuf; skip where it is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    events = tables.load(spark, sf_dir, "events")
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    got = es.run_bounded(
+        es.user_running_totals_tws(es.read_events_stream(spark, sf_dir)),
+        mode="update",
+    )
+    final = {}
+    for r in got.collect():
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events >= prev[0]:
+            final[r.user_id] = (r.n_events, round(r.sum_value, 4))
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value, 4))
+        for r in batch.collect()
+    }
+    assert final == want
