@@ -11170,3 +11170,51 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing"),
     )
+
+
+@register(
+    "pyds_synthetic_scan",
+    oracle="""
+    WITH src AS (
+        SELECT i AS event_id,
+               (i * i) % 97 AS user_id,
+               (i * 37) % 10000 + 1 AS cents
+        FROM (SELECT unnest(generate_series(0, 19999)) AS i)
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM src GROUP BY user_bucket
+    """,
+    doc="O44+ custom Python DataSource (Spark 4 extension point): a "
+    "registered format with declared schema, scheduler-distributed "
+    "input partitions, and Arrow-RecordBatch reads built from numpy "
+    "(never per-row tuples — the same vectorization rule as every "
+    "Python boundary in this engine). The source's closed-form rows "
+    "(user = i^2 mod 97, cents = 37i mod 10^4 + 1) let DuckDB "
+    "regenerate the corpus exactly, so the whole source+query "
+    "pipeline is value-checked.",
+    tags=("sources",),
+)
+def q_pyds_synthetic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import pydatasource
+
+    pydatasource.register(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", 20000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        src.selectExpr(
+            "user_id % 10 AS user_bucket", "cents", "event_id"
+        )
+        .groupBy("user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+    )

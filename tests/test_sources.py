@@ -253,3 +253,39 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     rows = {r.id: (r.a, r.b) for r in got.collect()}
     assert rows[0] == (0, None)  # old rows null-fill the new column
     assert rows[5] == (10, 50)
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.count() == 1000
+    # work actually splits across the declared input partitions
+    n_parts = (
+        df.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts == 5
+    # closed form holds row-for-row
+    bad = df.filter(
+        (F.col("user_id") != (F.col("event_id") * F.col("event_id")) % 97)
+        | (F.col("cents") != (F.col("event_id") * 37) % 10000 + 1)
+    ).count()
+    assert bad == 0
+    # two reads agree (pure function of options)
+    again = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 3)
+        .load()
+    )
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
