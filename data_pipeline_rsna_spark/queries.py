@@ -11218,3 +11218,206 @@ def q_pyds_synthetic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("bigint").alias("max_id"),
         )
     )
+
+
+@register(
+    "similarity_recall_eval",
+    # both sub-pipelines reuse the proven oracles of
+    # similarity_topk_cosine and similarity_ivf_topk verbatim; the eval
+    # joins ground truth to the approximate result set
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+    ),
+    bsims AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+        FROM q CROSS JOIN c
+        WHERE neighbor_id <> query_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM bsims
+        ) WHERE rank <= 10
+    ),
+    signs AS (
+        SELECT h.h AS h,
+               list_transform(generate_series(0, 63), j ->
+                   CASE WHEN substr(md5(CAST(h.h AS VARCHAR) || '|' ||
+                                        CAST(j AS VARCHAR)), 1, 1) >= '8'
+                        THEN 1.0 ELSE -1.0 END) AS sv
+        FROM (SELECT unnest(generate_series(0, 3)) AS h) h
+    ),
+    vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    bits AS (
+        SELECT v.vec_id, s.h,
+               CASE WHEN list_dot_product(v.e, s.sv) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM vecs v CROSS JOIN signs s
+    ),
+    cells AS (
+        SELECT vec_id, CAST(sum(bit * (1 << h)) AS INTEGER) AS cell
+        FROM bits GROUP BY vec_id
+    ),
+    qs AS (
+        SELECT v.vec_id AS query_id, v.e AS qe2, c.cell AS qcell
+        FROM vecs v JOIN cells c USING (vec_id) WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, qe2, cell FROM (
+            SELECT q.query_id, q.qe2, a.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY bit_count(CAST(xor(q.qcell, a.cell)
+                                               AS BIGINT)), a.cell
+                   ) AS pr
+            FROM qs q
+            CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cell) a
+        ) WHERE pr <= 4
+    ),
+    isims AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(p.qe2, v.e)
+                     / (sqrt(list_dot_product(p.qe2, p.qe2))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell
+        JOIN vecs v ON v.vec_id = c.vec_id
+        WHERE v.vec_id <> p.query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM isims
+        ) WHERE rank <= 10
+    )
+    SELECT b.query_id AS query_id,
+           count(*) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT)
+               AS recall_ppm,
+           CAST(COALESCE(min(CASE WHEN a.neighbor_id IS NOT NULL
+                                  THEN b.rank END), 0) AS BIGINT)
+               AS first_hit_rank
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="X3+ retrieval evaluation AS a query: per-query recall@10 of "
+    "the SRP-IVF ANN path against the exact brute-force ground truth, "
+    "plus the rank of the first recovered true neighbor — the metric "
+    "loop every ANN deployment runs on every index build, expressed "
+    "as one join of the two result sets (ground truth is k rows per "
+    "query, so the eval join is output-sized, not corpus-sized). "
+    "Exported as integer ppm.",
+    tags=("similarity", "ml-eval"),
+)
+def q_similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    approx = sim.srp_ivf_topk(emb, queries, k=10, nprobe=4).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+    )
+    j = brute.join(
+        approx,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.count("a_nid").alias("n_hit"),
+        F.expr(
+            "CAST(count(a_nid) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(COALESCE(min(CASE WHEN a_nid IS NOT NULL "
+            "THEN rank END), 0) AS BIGINT)"
+        ).alias("first_hit_rank"),
+    )
+
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT)
+                   // 1000000 AS lat_s
+        FROM clicks c
+        JOIN purchases p ON c.user_id = p.user_id
+                        AND c.ts >= p.ts
+                        AND c.ts < p.ts + INTERVAL 2 HOUR
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(min(lat_s) AS BIGINT) AS min_s,
+           CAST(2 * median(lat_s) AS BIGINT) AS med2_s,
+           CAST(max(lat_s) AS BIGINT) AS max_s
+    FROM pairs
+    """,
+    doc="X5+ conversion-latency distribution over the attributed "
+    "click/purchase interval-join pairs (the same bounded range join "
+    "as the attribution queries): per-pair latency in whole seconds "
+    "(integer microsecond floor-division), summarized as min / doubled "
+    "median / max — doubled units keep both median parities exact. "
+    "The interval bound keeps the join linear in matches, and the "
+    "summary is one map-side-combined aggregate.",
+    tags=("events", "temporal"),
+)
+def q_events_conversion_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts "
+            "AND c_ts < p_ts + INTERVAL 2 HOURS"
+        ),
+    ).selectExpr(
+        "(unix_micros(c_ts) - unix_micros(p_ts)) DIV 1000000 AS lat_s"
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("lat_s").cast("bigint").alias("min_s"),
+        F.expr("CAST(2 * percentile(lat_s, 0.5) AS BIGINT)").alias(
+            "med2_s"
+        ),
+        F.max("lat_s").cast("bigint").alias("max_s"),
+    )
