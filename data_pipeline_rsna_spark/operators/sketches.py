@@ -322,3 +322,30 @@ def kmv_join_cardinality(
             F.round(jac * est_u, 2).alias("est_intersection"),
         )
     )
+
+
+def hll_rolling_estimate(regs: DataFrame, window: int = 7) -> DataFrame:
+    """Rolling-window UNION of per-period HLL sketches — the mergeable-
+    sketch property doing real work: "distinct users over the trailing
+    7 days, every day" needs no re-scan of 7 days of raw data, only a
+    max-merge of 7 daily register tables.
+
+    ``regs`` is a ``hll_registers`` table whose ``grp`` is an integer
+    period (e.g. epoch day). The period list is metadata (one row per
+    day — broadcast); the range join fans each register row to at most
+    ``window`` periods, so the merge input is days×m×window rows —
+    sketch-sized, never data-sized. This is the production shape for
+    every rolling-uniques dashboard at any corpus size.
+    """
+    days = regs.select(F.col("grp").alias("_d")).distinct()
+    joined = regs.join(
+        F.broadcast(days),
+        (F.col("grp") <= F.col("_d"))
+        & (F.col("grp") > F.col("_d") - window),
+    )
+    merged = (
+        joined.groupBy("_d", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(F.col("_d").alias("grp"), "register", "max_rho")
+    )
+    return hll_estimate(merged)

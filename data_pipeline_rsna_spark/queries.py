@@ -11421,3 +11421,94 @@ def q_events_conversion_latency(
         ),
         F.max("lat_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "sketch_hll_rolling_distinct",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS grp,
+               ('0x' || substr(md5('hllr|' || CAST(user_id AS VARCHAR)),
+                    1, 2))::UBIGINT::BIGINT AS register,
+               61 - length(ltrim(bin(
+                   ('0x' || substr(md5('hllr|' || CAST(user_id AS VARCHAR)),
+                        3, 15))::UBIGINT::BIGINT), '0')) AS rho
+        FROM events
+    ),
+    regs AS (
+        SELECT grp, register, max(rho) AS max_rho FROM h GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT grp AS d FROM regs),
+    merged AS (
+        SELECT d.d AS grp, r.register, max(r.max_rho) AS max_rho
+        FROM regs r JOIN days d
+          ON r.grp <= d.d AND r.grp > d.d - 7
+        GROUP BY d.d, r.register
+    ),
+    agg AS (
+        SELECT grp,
+               count(*) AS registers_used,
+               sum(CAST(power(2.0, 48 - least(max_rho, 48)) AS BIGINT))
+                   AS used_units
+        FROM merged GROUP BY 1
+    )
+    SELECT grp,
+           registers_used,
+           CAST(256 - registers_used AS INTEGER) AS zero_registers,
+           CAST(floor(1.3249790702834051e+19
+                      / CAST(used_units + (256 - registers_used)
+                             * 281474976710656 AS DOUBLE)
+                      * 1000.0) AS BIGINT) AS est_milli
+    FROM agg
+    """,
+    doc="X8+ rolling 7-day distinct users via HLL sketch UNION — the "
+    "mergeable-sketch property doing real work: each day's estimate "
+    "max-merges the trailing 7 daily register tables (days x 256 x 7 "
+    "rows — sketch-sized, never a re-scan of raw data). The "
+    "production shape of every rolling-uniques dashboard; estimates "
+    "in the same exact integer-unit export as sketch_hll_distinct.",
+    tags=("sketch", "events"),
+)
+def q_sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+        "user_id",
+    )
+    regs = sketches.hll_registers(daily, "day", "user_id", salt="hllr")
+    return sketches.hll_rolling_estimate(regs, window=7)
+
+
+@register(
+    "events_fingerprint_streaming",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+                   CAST(event_id AS VARCHAR) || '|' ||
+                   CAST(user_id AS VARCHAR) || '|' ||
+                   CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 15))::UBIGINT % 1152921504606846976)
+               % 1152921504606846976 AS BIGINT) AS fingerprint
+    FROM events
+    """,
+    doc="X6+ streaming table fingerprint: the commutative 60-bit md5 "
+    "fold maintained as a two-number streaming aggregate — the "
+    "anti-entropy checksum an ingest pipeline exports continuously so "
+    "replicas verify without re-reading the source. Commutativity IS "
+    "the streamability: the sum mod 2^60 is arrival-order- and "
+    "micro-batch-boundary-insensitive, so the bounded replay equals "
+    "the batch fold bit-for-bit.",
+    tags=("events", "streaming"),
+)
+def q_events_fingerprint_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    return es.run_bounded(es.fingerprint_stream(stream), mode="complete")

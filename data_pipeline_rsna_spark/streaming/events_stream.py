@@ -777,3 +777,36 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def fingerprint_stream(events: DataFrame) -> DataFrame:
+    """Streaming table fingerprint: the commutative 60-bit md5 fold
+    (``table_fingerprint``) maintained over a stream — an anti-entropy
+    checksum the ingest side exports continuously so a consumer can
+    verify a replicated/filtered copy WITHOUT re-reading the source.
+    Commutativity is what makes it streamable: the running sum mod 2^60
+    is insensitive to arrival order and micro-batch boundaries, so the
+    bounded replay's final value equals the batch fold exactly. State
+    is two numbers."""
+    row_h = F.expr(
+        "CAST(conv(substr(md5(concat_ws('|',"
+        " CAST(event_id AS STRING), CAST(user_id AS STRING),"
+        " CAST(CAST(round(value * 100) AS BIGINT) AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) % 1152921504606846976"
+    )
+    return (
+        events.select(row_h.alias("_h"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_rows"),
+            # decimal(38,0) accumulator: int64 overflows after ~8 of
+            # the <2^60 row terms under ANSI mode (same fix as the
+            # batch table_fingerprint); the mod folds back to 60 bits
+            (
+                F.sum(F.col("_h").cast("decimal(38,0)"))
+                % F.lit(1152921504606846976)
+            )
+            .cast("bigint")
+            .alias("fingerprint"),
+        )
+    )
