@@ -1300,3 +1300,45 @@ def scd2_history(snapshots: DataFrame, key_col: str, version_col: str,
         F.max(version_col).alias("valid_to"),
         *[F.first(c).alias(c) for c in attr_cols],
     ).drop("_island")
+
+
+def exact_auc_by_group(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Per-group EXACT tie-aware ROC AUC — the segment-level model
+    evaluation (per fold, per cohort, per data source) that catches a
+    model scoring 0.9 globally and 0.55 on one slice.
+
+    Same rank-sum identity and integer discipline as ``exact_auc``;
+    the running negative count now keys on ``group_col``, which is
+    precisely what ``grouped_running_sum`` exists for: one group can
+    span many partitions, no group ever pins a task. Groups with no
+    positives or no negatives report NULL auc_ppm (undefined), with
+    counts still exported.
+    """
+    g = df.groupBy(group_col, score_col).agg(
+        F.sum(label_col).cast("bigint").alias("pos"),
+        (F.count("*") - F.sum(label_col)).cast("bigint").alias("neg"),
+    )
+    c = grouped_running_sum(
+        g, group_col, score_col, "neg", "cum_neg"
+    ).withColumn("below", F.col("cum_neg") - F.col("neg"))
+    return (
+        c.groupBy(group_col)
+        .agg(
+            F.sum("pos").cast("bigint").alias("npos"),
+            F.sum("neg").cast("bigint").alias("nneg"),
+            F.sum(F.col("pos") * (2 * F.col("below") + F.col("neg")))
+            .cast("bigint")
+            .alias("auc_num2"),
+        )
+        .selectExpr(
+            f"`{group_col}`",
+            "npos",
+            "nneg",
+            "auc_num2",
+            "CASE WHEN npos > 0 AND nneg > 0 THEN "
+            "CAST((1000000 * auc_num2) DIV (2 * npos * nneg) AS BIGINT) "
+            "END AS auc_ppm",
+        )
+    )

@@ -11512,3 +11512,59 @@ def q_events_fingerprint_streaming(
 
     stream = es.read_events_stream(spark, sf_dir)
     return es.run_bounded(es.fingerprint_stream(stream), mode="complete")
+
+
+@register(
+    "model_auc_by_fold",
+    oracle="""
+    WITH s AS (
+        SELECT (('0x' || substr(md5('cv|' || CAST(o_custkey AS VARCHAR)),
+                    1, 8))::UBIGINT % 5)::INTEGER AS fold,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+        FROM orders
+    ),
+    g AS (
+        SELECT fold, score,
+               CAST(sum(lab) AS BIGINT) AS pos,
+               CAST(count(*) - sum(lab) AS BIGINT) AS neg
+        FROM s GROUP BY fold, score
+    ),
+    c AS (
+        SELECT fold, pos, neg,
+               CAST(coalesce(sum(neg) OVER (PARTITION BY fold
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below
+        FROM g
+    )
+    SELECT fold,
+           CAST(sum(pos) AS BIGINT) AS npos,
+           CAST(sum(neg) AS BIGINT) AS nneg,
+           CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS auc_num2,
+           CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+               CAST((1000000 * sum(pos * (2 * below + neg)))
+                    // (2 * sum(pos) * sum(neg)) AS BIGINT)
+           END AS auc_ppm
+    FROM c GROUP BY fold
+    """,
+    doc="X8+ per-fold exact AUC: the segment-level model evaluation "
+    "(rank-sum identity, doubled-unit tie credit, integer ppm) "
+    "grouped by the leakage-safe md5 customer fold of "
+    "kfold_split_assignment — a model scoring 0.9 globally and 0.55 "
+    "on one fold is a leak or a shift, and this is the query that "
+    "sees it. The keyed running count rides grouped_running_sum: one "
+    "fold spans many partitions, no fold pins a task.",
+    tags=("relational", "ml-eval"),
+)
+def q_model_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr(
+            "CAST(conv(substr(md5(concat('cv|', CAST(o_custkey AS STRING))),"
+            " 1, 8), 16, 10) % 5 AS INT)"
+        ).alias("fold"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("lab"),
+    )
+    return rel.exact_auc_by_group(s, "fold", "score", "lab")

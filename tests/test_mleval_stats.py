@@ -109,3 +109,30 @@ def test_linear_trend_known_slope(spark):
         (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("den"),
     ).collect()[0]
     assert int(row["num"]) == 7 * int(row["den"])
+
+
+def test_exact_auc_by_group_matches_global_and_handles_degenerate(spark):
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    # group A: perfect separation -> AUC 1.0; group B: inverted -> 0.0;
+    # group C: all positive -> undefined (NULL)
+    rows = (
+        [("A", s, 1) for s in (10, 11, 12)]
+        + [("A", s, 0) for s in (1, 2, 3)]
+        + [("B", s, 0) for s in (10, 11)]
+        + [("B", s, 1) for s in (1, 2)]
+        + [("C", s, 1) for s in (5, 6)]
+    )
+    df = spark.createDataFrame(rows, "g string, score long, lab int")
+    out = {
+        r.g: r for r in rel.exact_auc_by_group(df, "g", "score", "lab").collect()
+    }
+    assert out["A"].auc_ppm == 1_000_000
+    assert out["B"].auc_ppm == 0
+    assert out["C"].auc_ppm is None and out["C"].nneg == 0
+    # a single-group frame must agree with the global exact_auc
+    one = df.filter("g = 'A'")
+    glob = rel.exact_auc(one, "score", "lab").collect()[0]
+    assert (out["A"].npos, out["A"].nneg, out["A"].auc_num2) == (
+        glob.npos, glob.nneg, glob.auc_num2,
+    )
