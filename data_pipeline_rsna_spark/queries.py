@@ -11568,3 +11568,115 @@ def q_model_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("lab"),
     )
     return rel.exact_auc_by_group(s, "fold", "score", "lab")
+
+
+@register(
+    "model_calibration_bins",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+        FROM orders
+    ),
+    bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
+    b AS (
+        SELECT CAST(least(9, (score - mn) * 10 // (mx - mn + 1))
+                   AS INTEGER) AS bin,
+               score, lab
+        FROM s CROSS JOIN bounds
+    )
+    SELECT bin,
+           count(*) AS n,
+           CAST(sum(lab) AS BIGINT) AS n_pos,
+           CAST(sum(lab) * 1000000 // count(*) AS BIGINT)
+               AS pos_rate_ppm,
+           CAST(sum(score) // count(*) AS BIGINT) AS mean_score_cents
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    doc="X8+ calibration (reliability) bins: equal-width score buckets "
+    "with observed positive rate vs mean score per bin — the "
+    "complement of the rank-ordered lift table (lift asks 'does "
+    "ordering work', calibration asks 'do the VALUES mean what they "
+    "say'). Integer floor-division bucketing from a 1-row min/max "
+    "broadcast, all exports integer ppm/cents — no float anywhere.",
+    tags=("relational", "ml-eval"),
+)
+def q_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("lab"),
+    )
+    bounds = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    return (
+        s.crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "CAST(least(9, (score - mn) * 10 DIV (mx - mn + 1)) "
+            "AS INTEGER) AS bin",
+            "score",
+            "lab",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("lab").cast("bigint").alias("n_pos"),
+            F.expr(
+                "CAST(sum(lab) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+            F.expr(
+                "CAST(sum(score) DIV count(*) AS BIGINT)"
+            ).alias("mean_score_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "model_brier_score",
+    oracle="""
+    WITH s AS (
+        SELECT CAST((('0x' || substr(md5('p|' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+                   % 10001) AS BIGINT) AS p_bp,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+        FROM orders
+    )
+    SELECT count(*) AS n,
+           CAST(sum((p_bp - 10000 * lab) * (p_bp - 10000 * lab))
+               AS BIGINT) AS brier_num_bp2,
+           CAST(sum((p_bp - 10000 * lab) * (p_bp - 10000 * lab))
+               // count(*) AS BIGINT) AS brier_bp2
+    FROM s
+    """,
+    doc="X8+ exact Brier score: mean squared error between a predicted "
+    "probability (deterministic md5-derived basis points, the "
+    "stand-in for a model output column) and the outcome, entirely "
+    "in integer basis-point-squared units — Sum((p_bp - 10000y)^2) "
+    "DIV n. The proper-scoring-rule companion of AUC (AUC can't see "
+    "miscalibration; Brier penalizes it). One map-side-combined "
+    "aggregate.",
+    tags=("relational", "ml-eval"),
+)
+def q_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr(
+            "CAST(conv(substr(md5(concat('p|', "
+            "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) % 10001 "
+            "AS BIGINT)"
+        ).alias("p_bp"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("lab"),
+    )
+    return s.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("p_bp") - 10000 * F.col("lab"))
+            * (F.col("p_bp") - 10000 * F.col("lab"))
+        )
+        .cast("bigint")
+        .alias("brier_num_bp2"),
+        F.expr(
+            "CAST(sum((p_bp - 10000 * lab) * (p_bp - 10000 * lab)) "
+            "DIV count(*) AS BIGINT)"
+        ).alias("brier_bp2"),
+    )
