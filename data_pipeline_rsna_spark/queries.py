@@ -11680,3 +11680,82 @@ def q_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV count(*) AS BIGINT)"
         ).alias("brier_bp2"),
     )
+
+
+@register(
+    "feature_information_value",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+        FROM orders
+    ),
+    c AS (
+        SELECT cat,
+               CAST(sum(lab) AS BIGINT) AS pos,
+               CAST(count(*) - sum(lab) AS BIGINT) AS neg
+        FROM s GROUP BY cat
+    ),
+    t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                 CAST(sum(neg) AS BIGINT) AS tn FROM c)
+    SELECT cat, pos, neg,
+           CAST(round((ln(pos + 1) - ln(tp + 1) - ln(neg + 1)
+                + ln(tn + 1)) * 1000000) AS BIGINT) AS woe_micro,
+           CAST(((pos + 1) * (tn + 1) - (neg + 1) * (tp + 1))
+                * CAST(round((ln(pos + 1) - ln(tp + 1) - ln(neg + 1)
+                       + ln(tn + 1)) * 1000000) AS BIGINT)
+               AS BIGINT) AS iv_term_num,
+           tp, tn
+    FROM c CROSS JOIN t
+    ORDER BY cat
+    """,
+    doc="X8+ Weight of Evidence / Information Value per category (the "
+    "credit-scoring feature-strength metric; IV > 0.3 = strong "
+    "predictor, > 0.5 = suspicious leak): WoE in exact micro-nats "
+    "with +1 Laplace smoothing (the PSI technique — ln never sees an "
+    "empty cell) and the exact IV-term numerator "
+    "(pos_share - neg_share)*WoE kept rational, IV = sum(iv_term_num)"
+    "/((tp+1)(tn+1)*1e6). One category shuffle + a 1-row totals "
+    "broadcast.",
+    tags=("stats", "ml-eval"),
+)
+def q_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    c = (
+        orders.select(
+            F.col("o_orderpriority").alias("cat"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("lab"),
+        )
+        .groupBy("cat")
+        .agg(
+            F.sum("lab").cast("bigint").alias("pos"),
+            (F.count("*") - F.sum("lab")).cast("bigint").alias("neg"),
+        )
+    )
+    t = c.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum("neg").cast("bigint").alias("tn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .withColumn(
+            "woe_micro",
+            F.expr(
+                "CAST(round((ln(pos + 1) - ln(tp + 1) - ln(neg + 1)"
+                " + ln(tn + 1)) * 1000000) AS BIGINT)"
+            ),
+        )
+        .selectExpr(
+            "cat",
+            "pos",
+            "neg",
+            "woe_micro",
+            "CAST(((pos + 1) * (tn + 1) - (neg + 1) * (tp + 1))"
+            " * woe_micro AS BIGINT) AS iv_term_num",
+            "tp",
+            "tn",
+        )
+        .orderBy("cat")
+    )
