@@ -532,14 +532,21 @@ def wasserstein_1d(
         )
     )
     # the globally-last row has no successor: gap NULL, and its cum_d
-    # is the total Σd = n_a·n_b − n_b·n_a = 0 anyway — excluded
-    return (
+    # is the total Σd = n_a·n_b − n_b·n_a = 0 anyway — excluded. The
+    # totals come from the 1-row totals subtree, NOT from any_value
+    # over the gap rows: with a single distinct value there ARE no gap
+    # rows (both samples sit on one point, W1 = 0) and an aggregate
+    # over the empty set would return NULLs.
+    num = (
         fixed.filter(F.col("gap").isNotNull())
         .agg(
-            F.any_value("n_a").alias("n_a"),
-            F.any_value("n_b").alias("n_b"),
-            F.sum(F.abs(F.col("cum_d")) * F.col("gap")).alias("w1_num"),
+            F.coalesce(
+                F.sum(F.abs(F.col("cum_d")) * F.col("gap")), F.lit(0)
+            ).alias("w1_num")
         )
+    )
+    return (
+        num.crossJoin(F.broadcast(totals))
         .select(
             "n_a",
             "n_b",

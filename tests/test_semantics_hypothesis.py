@@ -137,3 +137,51 @@ def test_ring_successor_matches_bruteforce(spark, point_hashes, target_hashes):
         if succ is None:
             succ = f"p{by_hash[0][1]}"
         assert got[f"t{i}"] == succ, (t, sorted(point_hashes))
+
+
+def _ks_reference(a: list[int], b: list[int]) -> tuple[int, int, int]:
+    """Pure-Python exact KS: (n_a, n_b, ks_num = D*n_a*n_b)."""
+    na, nb = len(a), len(b)
+    best = 0
+    for v in sorted(set(a) | set(b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        best = max(best, abs(ca * nb - cb * na))
+    return na, nb, best
+
+
+def _w1_reference(a: list[int], b: list[int]) -> int:
+    """Pure-Python exact W1 numerator = sum |cumA*nb - cumB*na| * gap."""
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    total = 0
+    for v, nxt in zip(vals, vals[1:]):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        total += abs(ca * nb - cb * na) * (nxt - v)
+    return total
+
+
+_cents = st.integers(min_value=-500, max_value=500)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_cents, min_size=1, max_size=40),
+    st.lists(_cents, min_size=1, max_size=40),
+)
+def test_ks_and_wasserstein_match_reference(spark, a, b):
+    """The two-phase distributed KS/W1 must agree with a brute-force
+    reference on arbitrary integer samples — the property that the
+    prefix-sum decomposition, the partition fixups, and the
+    cross-multiplied integer form introduce no edge-case drift
+    (ties, duplicates, single-element sides, disjoint supports)."""
+    from data_pipeline_rsna_spark.operators import stats as stx
+
+    rows = [("a", v / 100.0) for v in a] + [("b", v / 100.0) for v in b]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    ks = stx.ks_two_sample(df, "grp", "a", "b").collect()[0]
+    na, nb, num = _ks_reference(a, b)
+    assert (ks.n_a, ks.n_b, ks.ks_num) == (na, nb, num)
+    w1 = stx.wasserstein_1d(df, "grp", "a", "b", partitions=3).collect()[0]
+    assert (w1.n_a, w1.n_b, w1.w1_num) == (na, nb, _w1_reference(a, b))
