@@ -185,3 +185,50 @@ def test_ks_and_wasserstein_match_reference(spark, a, b):
     assert (ks.n_a, ks.n_b, ks.ks_num) == (na, nb, num)
     w1 = stx.wasserstein_1d(df, "grp", "a", "b", partitions=3).collect()[0]
     assert (w1.n_a, w1.n_b, w1.w1_num) == (na, nb, _w1_reference(a, b))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("uvw")),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_entropy_and_mi_match_reference(spark, pairs):
+    """Micro-nat entropy and MI must equal the reference computed with
+    the SAME integer-log rounding — the property that every count path
+    (singleton categories, one-row groups, full dependence) rounds
+    identically."""
+    import math
+
+    from data_pipeline_rsna_spark.operators import stats as stx
+
+    L = lambda c: round(math.log(c) * 1e6)  # noqa: E731
+    df = spark.createDataFrame(pairs, "a string, b string")
+
+    ent = {
+        r.grp: (r.n, r.entropy_micro)
+        for r in stx.categorical_entropy(
+            df.selectExpr("a AS grp", "b AS cat"), "grp", "cat"
+        ).collect()
+    }
+    from collections import Counter
+
+    by_a = Counter(a for a, _ in pairs)
+    for a in by_a:
+        cnt = Counter(b for x, b in pairs if x == a)
+        n = by_a[a]
+        want = L(n) - sum(c * L(c) for c in cnt.values()) // n
+        assert ent[a] == (n, want), (a, ent[a], want)
+
+    mi = stx.mutual_information(df, "a", "b").collect()[0]
+    n = len(pairs)
+    cab = Counter(pairs)
+    ca = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    want_mi = sum(
+        c * (L(c) + L(n) - L(ca[a]) - L(cb[b]))
+        for (a, b), c in cab.items()
+    )
+    assert (mi.n, mi.mi_sum_micro) == (n, want_mi)
