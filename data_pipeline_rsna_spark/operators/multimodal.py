@@ -699,3 +699,46 @@ def image_entropy(images: DataFrame) -> DataFrame:
     return images.mapInPandas(
         run, "img_id long, n_levels int, entropy_nats double"
     )
+
+
+def audio_frame_features(clips: DataFrame, frame: int = 256) -> DataFrame:
+    """Frame-level waveform features — the framing step every audio
+    pipeline runs before any spectral transform: split each clip into
+    fixed ``frame``-sample windows (full frames only; the ragged tail
+    carries no complete window) and emit per-frame integer energy and
+    zero-crossing counts.
+
+    Same integer-exactness contract as ``audio_features``: Σs² and
+    sign-flip counts are int64, so a closed-form synthetic corpus is
+    re-derivable exactly by any engine. One Arrow-batched pass, output
+    rows = clips × n_frames; the reshape is a numpy view (no copy),
+    per-frame reductions vectorized over the frame axis.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                s = np.frombuffer(
+                    r.samples, dtype=np.dtype(r.dtype)
+                ).astype(np.int64)
+                n_frames = len(s) // frame
+                if n_frames == 0:
+                    continue
+                fr = s[: n_frames * frame].reshape(n_frames, frame)
+                energy = (fr * fr).sum(axis=1)
+                nonneg = fr >= 0
+                zc = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+                for k in range(n_frames):
+                    out.append(
+                        (int(r.clip_id), k, int(energy[k]), int(zc[k]))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["clip_id", "frame_idx", "energy", "n_zero_cross"],
+            )
+
+    return clips.mapInPandas(
+        feats,
+        "clip_id long, frame_idx int, energy long, n_zero_cross long",
+    )

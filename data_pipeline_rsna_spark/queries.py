@@ -11759,3 +11759,43 @@ def q_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat")
     )
+
+
+@register(
+    "multimodal_audio_frame_features",
+    oracle="""
+    WITH samp AS (
+        SELECT c.c AS clip_id, i.i AS i,
+               ((c.c * 17 + i.i * 13) % 2048) - 1024 AS s
+        FROM (SELECT unnest(generate_series(0, 99)) AS c) c
+        CROSS JOIN (SELECT unnest(generate_series(0, 1999)) AS i) i
+    ),
+    framed AS (
+        SELECT clip_id, CAST(i // 256 AS INTEGER) AS frame_idx, i, s
+        FROM samp WHERE i < 1792
+    ),
+    nxt AS (
+        SELECT clip_id, frame_idx, s,
+               lead(s) OVER (PARTITION BY clip_id, frame_idx
+                             ORDER BY i) AS s2
+        FROM framed
+    )
+    SELECT clip_id, frame_idx,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN s2 IS NOT NULL
+                         AND ((s >= 0) <> (s2 >= 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+    FROM nxt GROUP BY clip_id, frame_idx
+    """,
+    doc="X7 frame-level audio features (the framing step before any "
+    "spectral transform): 256-sample windows per clip, per-frame "
+    "integer energy and zero-crossing counts — numpy view reshape, "
+    "vectorized frame-axis reductions inside one Arrow-batched pass. "
+    "The closed-form synthetic waveform lets DuckDB re-derive every "
+    "frame exactly (full frames only: 7 of a 2000-sample clip).",
+    tags=("multimodal",),
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    return mm.audio_frame_features(mm.synth_audio(spark, n=100))

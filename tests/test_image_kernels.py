@@ -374,3 +374,22 @@ def test_zoom_cubic_identity_and_shapes(img):
 def test_scale_image_cubic_routes(img):
     out = ik.scale_image(img, 1.25, interp="cubic")
     assert out.shape == img.shape and out.dtype == img.dtype
+
+
+def test_audio_frame_features_consistent_with_clip_totals(spark):
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+
+    clips = mm.synth_audio(spark, n=10, n_samples=1024)
+    frames = mm.audio_frame_features(clips, frame=256).collect()
+    whole = {r.clip_id: r for r in mm.audio_features(clips).collect()}
+    by_clip = {}
+    for r in frames:
+        e, z = by_clip.get(r.clip_id, (0, 0))
+        by_clip[r.clip_id] = (e + r.energy, z + r.n_zero_cross)
+    for cid, (e, z) in by_clip.items():
+        # 1024 = 4 exact frames: energies sum exactly; zero-crossings
+        # differ only by the (up to 3) crossings AT frame boundaries
+        assert e == whole[cid].energy
+        assert 0 <= whole[cid].zero_crossings - z <= 3
+    assert all(len([r for r in frames if r.clip_id == c]) == 4
+               for c in by_clip)
