@@ -296,3 +296,51 @@ def test_dynamic_partition_pruning_on_dim_filtered_join(spark, sf_dir, tmp_path)
         ).groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling must actually engage: join a table where
+    one key holds ~half the rows against a uniform side, with
+    thresholds lowered to make the hot partition legibly 'skewed' at
+    test scale. After execution the adaptive final plan must mark the
+    sort-merge join skew=true — the runtime protection that keeps one
+    hot key from pinning a 100 TB join on one straggler task."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        # force SMJ: broadcast would dodge the skew path entirely
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 40000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 7 ELSE id END AS k",
+            "id AS payload",
+        )
+        right = spark.range(0, 40000).selectExpr(
+            "id AS k", "id * 2 AS rv"
+        )
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's query execution, so the
+        # adaptive plan we inspect afterwards is the finalized one
+        # (count() would plan and execute a separate aggregate)
+        rows = joined.collect()
+        assert len(rows) == 40000  # every left row matches one right key
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
