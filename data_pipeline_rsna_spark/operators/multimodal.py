@@ -742,3 +742,51 @@ def audio_frame_features(clips: DataFrame, frame: int = 256) -> DataFrame:
         feats,
         "clip_id long, frame_idx int, energy long, n_zero_cross long",
     )
+
+
+def hist_equalize_stats(images: DataFrame) -> DataFrame:
+    """Per-image histogram equalization (the classic contrast
+    normalizer: remap each gray level through the image's own CDF so
+    levels spread over the full range) with integer-exact accounting:
+    ``lut[v] = (cdf[v] − cdf_min)·255 // (npx − cdf_min)`` — pure
+    integer floor arithmetic, so the equalized pixel sum and the
+    post-equalization level count are bit-reproducible and a closed-
+    form corpus is re-derivable by any engine.
+
+    One numpy bincount + cumsum + LUT gather per image inside the
+    Arrow batch — the same kernel shape OpenCV's equalizeHist runs,
+    minus the float rounding that would break the differential gate.
+    """
+
+    def eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = np.frombuffer(r.pixels, dtype=np.uint8).astype(
+                    np.int64
+                )
+                npx = px.size
+                hist = np.bincount(px, minlength=256)
+                cdf = hist.cumsum()
+                occupied = cdf[hist > 0]
+                cdf_min = int(occupied[0]) if occupied.size else 0
+                den = npx - cdf_min
+                if den <= 0:  # constant image: everything maps to 0
+                    eqpx = np.zeros_like(px)
+                else:
+                    lut = ((cdf - cdf_min).clip(min=0) * 255) // den
+                    eqpx = lut[px]
+                out.append(
+                    (
+                        int(r.img_id),
+                        int(eqpx.sum()),
+                        int(np.unique(eqpx).size),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "eq_pixel_sum", "n_levels"]
+            )
+
+    return images.mapInPandas(
+        eq, "img_id long, eq_pixel_sum long, n_levels int"
+    )

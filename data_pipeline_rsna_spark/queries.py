@@ -11799,3 +11799,47 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as mm
 
     return mm.audio_frame_features(mm.synth_audio(spark, n=100))
+
+
+@register(
+    "multimodal_hist_equalize",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 31 + i.i * 7) % 256 AS v
+        FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) i
+    ),
+    hist AS (SELECT img_id, v, count(*) AS c FROM px GROUP BY img_id, v),
+    cdf AS (
+        SELECT img_id, v, c,
+               sum(c) OVER (PARTITION BY img_id ORDER BY v) AS cdf
+        FROM hist
+    ),
+    m AS (SELECT img_id, min(cdf) AS cdf_min FROM cdf GROUP BY img_id),
+    eq AS (
+        SELECT c.img_id, c.c,
+               ((c.cdf - m.cdf_min) * 255) // (256 - m.cdf_min) AS eqv
+        FROM cdf c JOIN m USING (img_id)
+    )
+    SELECT img_id,
+           CAST(sum(eqv * c) AS BIGINT) AS eq_pixel_sum,
+           CAST(count(DISTINCT eqv) AS INTEGER) AS n_levels
+    FROM eq GROUP BY img_id
+    """,
+    doc="X7 per-image histogram equalization with integer-exact "
+    "accounting: lut[v] = (cdf[v]-cdf_min)*255 // (npx-cdf_min) — "
+    "the classic contrast normalizer as pure integer floor "
+    "arithmetic (OpenCV's equalizeHist kernel shape minus the float "
+    "rounding that would break a differential gate). One bincount + "
+    "cumsum + LUT gather per image inside the Arrow batch; the "
+    "closed-form corpus lets DuckDB re-derive the CDF remap exactly.",
+    tags=("multimodal",),
+)
+def q_multimodal_hist_equalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as mm
+
+    return mm.hist_equalize_stats(
+        mm.synth_images(spark, n=200, height=16, width=16)
+    )

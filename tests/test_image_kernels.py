@@ -393,3 +393,30 @@ def test_audio_frame_features_consistent_with_clip_totals(spark):
         assert 0 <= whole[cid].zero_crossings - z <= 3
     assert all(len([r for r in frames if r.clip_id == c]) == 4
                for c in by_clip)
+
+
+def test_hist_equalize_uniform_and_constant_images(spark):
+    import numpy as np
+
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+
+    # image 0: perfectly uniform histogram (v = i % 256 over 256 px)
+    # -> equalization is (nearly) identity up to the floor formula;
+    # image 1: constant -> everything maps to 0
+    import pandas as pd  # noqa: F401
+
+    px_uniform = np.arange(256, dtype=np.uint8)
+    px_const = np.full(256, 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (0, px_uniform.tobytes(), "uint8", 16, 16),
+            (1, px_const.tobytes(), "uint8", 16, 16),
+        ],
+        "img_id long, pixels binary, dtype string, height int, width int",
+    )
+    out = {r.img_id: r for r in mm.hist_equalize_stats(df).collect()}
+    # reference: lut[v] = (cdf - cdf_min)*255 // (256 - cdf_min),
+    # cdf = v+1, cdf_min = 1 -> lut[v] = v*255 // 255 = v (identity)
+    assert out[0].eq_pixel_sum == int(px_uniform.astype(int).sum())
+    assert out[0].n_levels == 256
+    assert out[1].eq_pixel_sum == 0 and out[1].n_levels == 1
