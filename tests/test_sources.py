@@ -289,3 +289,24 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in again.collect())
     assert a == b
+
+
+def test_cli_list_run_and_oracle(spark, sf_dir, tmp_path, capsys):
+    from data_pipeline_rsna_spark import cli
+
+    assert cli.main(["list", "--tag", "drift"]) == 0
+    listed = capsys.readouterr().out
+    assert "drift_ks_two_sample" in listed
+
+    assert cli.main(["oracle", "drift_ks_two_sample"]) == 0
+    assert "ks_num" in capsys.readouterr().out
+
+    out = str(tmp_path / "cli_out")
+    assert cli.main(
+        ["run", "drift_ks_two_sample", "--sf-dir", sf_dir, "--out", out]
+    ) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].ks_num >= 0
+
+    assert cli.main(["run", "no_such_query"]) == 2
