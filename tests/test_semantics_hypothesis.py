@@ -232,3 +232,42 @@ def test_entropy_and_mi_match_reference(spark, pairs):
         for (a, b), c in cab.items()
     )
     assert (mi.n, mi.mi_sum_micro) == (n, want_mi)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_cents, min_size=1, max_size=40),
+    st.lists(_cents, min_size=1, max_size=40),
+    st.integers(min_value=2, max_value=8),
+)
+def test_psi_buckets_match_reference(spark, a, b, nb):
+    """PSI terms must equal a reference computed with the same integer
+    bucketing, Laplace smoothing, and micro-nat rounding — including
+    empty buckets on either side and single-value domains."""
+    import math
+
+    from data_pipeline_rsna_spark.operators import stats as stx
+
+    rows = [("a", v / 100.0) for v in a] + [("b", v / 100.0) for v in b]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {
+        r.bucket: r
+        for r in stx.psi_buckets(df, "grp", "a", "b", n_buckets=nb).collect()
+    }
+    mn, mx = min(a + b), max(a + b)
+    ca = [0] * nb
+    cb = [0] * nb
+    for v in a:
+        ca[min(nb - 1, (v - mn) * nb // (mx - mn + 1))] += 1
+    for v in b:
+        cb[min(nb - 1, (v - mn) * nb // (mx - mn + 1))] += 1
+    na, nbt = sum(ca) + nb, sum(cb) + nb
+    assert set(got) == set(range(nb))
+    for k in range(nb):
+        x = round(
+            (math.log(ca[k] + 1) - math.log(na)
+             - math.log(cb[k] + 1) + math.log(nbt)) * 1e6
+        )
+        assert (got[k].ca, got[k].cb) == (ca[k], cb[k])
+        assert got[k].x_micro == x, (k, got[k].x_micro, x)
+        assert got[k].term_num == ((ca[k] + 1) * nbt - (cb[k] + 1) * na) * x
