@@ -344,3 +344,63 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observe_metrics_accounting(spark, sf_dir):
+    """O34 progress accounting, engine-native: df.observe() attaches
+    named metrics to a plan node and reports them WITH the action that
+    ran — no second pass, no extra job (the reference prints counters
+    it accumulates imperatively; here the metrics ride the same
+    execution). The numbers must equal a direct aggregation."""
+    from pyspark.sql import Observation
+
+    from data_pipeline_rsna_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    obs = Observation("ingest")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(value * 100) AS BIGINT)")
+        ).alias("sum_cents"),
+        F.count(F.when(F.col("value") > 100.0, 1)).alias("n_high"),
+    )
+    # one action drives both the pipeline and the metrics
+    out = observed.groupBy("event_type").count().collect()
+    assert len(out) == 5
+    m = obs.get
+    direct = ev.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s"),
+        F.count(F.when(F.col("value") > 100.0, 1)).alias("h"),
+    ).collect()[0]
+    assert (m["n_rows"], m["sum_cents"], m["n_high"]) == (
+        direct.n, direct.s, direct.h,
+    )
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """Selecting one subfield of a nested struct must prune the scan's
+    ReadSchema down to that subfield — nested-column pruning is what
+    keeps a wide-metadata corpus (multimodal rows with big nested
+    annotation structs) readable at interactive cost."""
+    src = str(tmp_path / "nested")
+    spark.range(100).selectExpr(
+        "id",
+        "named_struct('a', id * 2, 'b', repeat('x', 100), "
+        "'c', named_struct('d', id + 1, 'e', 'payload')) AS meta",
+    ).write.parquet(src)
+    df = spark.read.parquet(src).select("meta.c.d")
+    rep = audit.plan_report(df)
+    schema_lines = [
+        ln for ln in rep.text.splitlines() if "ReadSchema" in ln
+    ]
+    assert schema_lines, rep.text
+    line = schema_lines[0]
+    # pruned schema keeps only meta.c.d; the wide b and the sibling e
+    # must be gone from the scan entirely
+    assert "d:" in line and "b:" not in line and "e:" not in line, line
+    assert [r.d for r in df.collect()] == [
+        r.id + 1 for r in spark.read.parquet(src).select("id").collect()
+    ]
