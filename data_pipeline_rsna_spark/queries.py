@@ -11843,3 +11843,94 @@ def q_multimodal_hist_equalize(
     return mm.hist_equalize_stats(
         mm.synth_images(spark, n=200, height=16, width=16)
     )
+
+
+@register(
+    "dedup_minhash_pr_eval",
+    # truth and candidates share one shingles CTE; both sub-pipelines
+    # reuse the proven dedup_ngram_jaccard / dedup_minhash_lsh oracles
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+    ),
+    mh AS (
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+               CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+               CAST((SELECT count(*) FROM cand JOIN truth
+                     USING (doc_a, doc_b)) AS BIGINT) AS n_hit
+    )
+    SELECT n_truth, n_cand, n_hit,
+           CAST(n_hit * 1000000 // n_cand AS BIGINT) AS precision_ppm,
+           CAST(n_hit * 1000000 // n_truth AS BIGINT) AS recall_ppm
+    FROM m
+    """,
+    doc="X2+ dedup-pipeline evaluation AS a query: precision/recall of "
+    "the MinHash-LSH candidate set against the exact >=0.5-Jaccard "
+    "ground truth on the planted corpus — the measure-your-dedup loop "
+    "every banding-parameter change should re-run (precision prices "
+    "wasted verification, recall prices missed duplicates; the "
+    "S-curve trade is b x r). Both sub-pipelines share one shingle "
+    "scan; the eval join touches only the two pair sets.",
+    tags=("dedup", "ml-eval"),
+)
+def q_dedup_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    truth = dedup.ngram_jaccard_pairs(
+        corpus, shingle_n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    cand = (
+        dedup.minhash_lsh_candidates(
+            corpus, num_hashes=12, rows_per_band=2, shingle_n=3
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    j = cand.withColumn("_c", F.lit(1)).join(
+        truth.withColumn("_t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return (
+        j.agg(
+            F.sum("_t").cast("bigint").alias("n_truth"),
+            F.sum("_c").cast("bigint").alias("n_cand"),
+            F.sum(F.col("_c") * F.col("_t")).cast("bigint").alias("n_hit"),
+        )
+        .selectExpr(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            "CAST(n_hit * 1000000 DIV n_cand AS BIGINT) AS precision_ppm",
+            "CAST(n_hit * 1000000 DIV n_truth AS BIGINT) AS recall_ppm",
+        )
+    )
