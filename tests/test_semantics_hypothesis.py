@@ -271,3 +271,38 @@ def test_psi_buckets_match_reference(spark, a, b, nb):
         assert (got[k].ca, got[k].cb) == (ca[k], cb[k])
         assert got[k].x_micro == x, (k, got[k].x_micro, x)
         assert got[k].term_num == ((ca[k] + 1) * nbt - (cb[k] + 1) * na) * x
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10000),
+                min_size=2, max_size=50))
+def test_gini_identity_matches_reference(spark, cents):
+    """The rank-identity Gini (two-phase global ranks over a composite
+    key) must equal the classic sorted-form reference on arbitrary
+    nonnegative revenue vectors — including ties and zeros."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "l_suppkey long, cents long"
+    )
+    ranked = rel.global_row_number(
+        df.withColumn("_ord", F.expr("cents * 10000000 + l_suppkey")),
+        "_ord",
+        out_col="rn",
+    )
+    got = ranked.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(sum(cents) AS BIGINT) AS sx",
+        "CAST(sum(CAST(rn AS BIGINT) * cents) AS BIGINT) AS six",
+    ).collect()[0]
+    n, sx = len(cents), sum(cents)
+    xs = sorted(cents)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    assert (got.n, got.sx, got.six) == (n, sx, six)
+    if sx > 0:
+        num = 2 * six - (n + 1) * sx
+        # mean-difference identity: sum_ij |xi - xj| = 2*(2*six-(n+1)*sx)
+        brute = sum(abs(a - b) for a in cents for b in cents)
+        assert num * 2 == brute
