@@ -40,7 +40,6 @@ POISSON1_T = (
     1060340297073263360,
     1131029650211480960,
 )
-_U60 = 1 << 60
 
 
 def cents(value_col: str) -> Column:
