@@ -11934,3 +11934,82 @@ def q_dedup_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_hit * 1000000 DIV n_truth AS BIGINT) AS recall_ppm",
         )
     )
+
+
+@register(
+    "privacy_deletion_cascade",
+    oracle="""
+    WITH del AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    ev AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purged
+        FROM events
+    ),
+    cust AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purged
+        FROM customer c LEFT JOIN del d ON c.c_custkey = d.user_id
+    )
+    SELECT 'events' AS tbl, n_rows, n_purged,
+           CAST(n_purged * 1000000 // n_rows AS BIGINT) AS purged_ppm
+    FROM ev
+    UNION ALL
+    SELECT 'customer', n_rows, n_purged,
+           CAST(n_purged * 1000000 // n_rows AS BIGINT)
+    FROM cust
+    """,
+    doc="X8+ deletion-cascade audit (the right-to-erasure workflow): "
+    "given a deletion set (here the deterministic user_id % 97 == 0 "
+    "cohort), report per table how many rows the purge touches and "
+    "the remaining row counts — the pre-flight accounting a "
+    "compliance pipeline runs before the destructive anti-join, and "
+    "the post-flight proof afterwards. The deletion set drives a "
+    "broadcast semi/anti join per table; counts are one aggregate "
+    "each.",
+    tags=("stats", "governance"),
+)
+def q_privacy_deletion_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    cust = tables.load(spark, sf_dir, "customer")
+    del_set = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    ev_row = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("user_id") % 97 == 0).cast("long")).alias(
+            "n_purged"
+        ),
+    ).selectExpr(
+        "'events' AS tbl",
+        "n_rows",
+        "n_purged",
+        "CAST(n_purged * 1000000 DIV n_rows AS BIGINT) AS purged_ppm",
+    )
+    cust_row = (
+        cust.join(
+            F.broadcast(del_set),
+            cust.c_custkey == del_set.user_id,
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("user_id").isNotNull().cast("long")).alias(
+                "n_purged"
+            ),
+        )
+        .selectExpr(
+            "'customer' AS tbl",
+            "n_rows",
+            "n_purged",
+            "CAST(n_purged * 1000000 DIV n_rows AS BIGINT) AS purged_ppm",
+        )
+    )
+    return ev_row.unionAll(cust_row)
