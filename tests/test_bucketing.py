@@ -188,3 +188,50 @@ def test_compaction_repartition_even_and_lossless(spark, tmp_path):
     a = sorted(r.id for r in spark.read.parquet(src).collect())
     b = sorted(r.id for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    """partitionOverwriteMode=dynamic: overwriting a partitioned table
+    with a frame that holds SOME partitions must replace exactly those
+    and leave the rest intact — the idempotent-backfill write contract
+    (re-running day N's job cannot clobber days it didn't compute).
+    Static mode (the default) would truncate the whole table first."""
+    out = str(tmp_path / "by_day")
+    base = spark.createDataFrame(
+        [(d, v) for d in ("d1", "d2", "d3") for v in range(5)],
+        "day string, v int",
+    )
+    base.write.partitionBy("day").parquet(out)
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        # backfill recomputes ONLY d2, with different contents
+        fix = spark.createDataFrame(
+            [("d2", v) for v in range(100, 103)], "day string, v int"
+        )
+        fix.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", saved
+            )
+
+    back = spark.read.parquet(out)
+    got = {
+        r.day: r.n
+        for r in back.groupBy("day").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # d1/d3 untouched, d2 replaced by the 3-row backfill
+    assert got == {"d1": 5, "d2": 3, "d3": 5}
+    assert sorted(
+        r.v for r in back.filter("day = 'd2'").collect()
+    ) == [100, 101, 102]
