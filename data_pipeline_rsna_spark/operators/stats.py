@@ -138,7 +138,13 @@ def psi_buckets(
 
     One shuffle over the fact table (bucket counts, map-side combined);
     min/max and totals are 1-row broadcasts; the dense domain is
-    ``n_buckets`` rows of metadata.
+    ``n_buckets`` rows of metadata. Honest cost note: equal-width
+    bucketing needs the pooled min/max BEFORE bucketing, so the fact
+    table is scanned twice (a stats pass, then the bucket pass) — the
+    standard price of equal-width; at 100 TB either cache the
+    projected cents column between the passes or feed the bounds from
+    the table's existing min/max statistics (parquet footers serve
+    them via aggregate pushdown).
     """
     v = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         cents(value_col).alias("cents"),
