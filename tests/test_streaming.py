@@ -737,3 +737,34 @@ def test_transform_with_state_running_totals_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert final == want
+
+
+def test_available_now_trigger_drains_and_self_terminates(
+    spark, sf_dir, tmp_path
+):
+    """Trigger.AvailableNow is the production backfill switch: the query
+    processes everything available in rate-limited micro-batches and
+    then STOPS ON ITS OWN (processAllAvailable is a test-harness wait;
+    AvailableNow is what a scheduled catch-up job runs). The drained
+    result must equal the batch aggregate, and the query must have
+    terminated without an explicit stop()."""
+    out = str(tmp_path / "an_out")
+    ckpt = str(tmp_path / "an_ckpt")
+    agg = es.hourly_type_agg_stream(es.read_events_stream(spark, sf_dir))
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "AvailableNow query did not terminate"
+    assert not q.isActive
+
+    got = spark.read.parquet(out)
+    batch = ev.hourly_type_agg(tables.load(spark, sf_dir, "events"))
+    assert _key(got.collect()) == _key(batch.collect())
