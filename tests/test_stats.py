@@ -180,3 +180,39 @@ def test_column_profiles_nulls_and_distincts(spark):
     g2s = out[("g2", "s")]
     assert (g2s.n_rows, g2s.n_null, g2s.n_distinct) == (1, 1, 0)
     assert g2s.min_str is None and g2s.max_str is None
+
+
+def test_bootstrap_weights_match_python_md5_reference(spark):
+    """End-to-end weight check: bootstrap_means' md5/threshold chain
+    must produce exactly the truncated-Poisson weights a direct Python
+    md5 evaluation yields — per replicate, for arbitrary keys."""
+    import hashlib
+
+    from data_pipeline_rsna_spark.operators.stats import POISSON1_T
+
+    def w_of(key: str, b: int) -> int:
+        u = int(
+            hashlib.md5(f"{key}|boot|{b}".encode()).hexdigest()[:15], 16
+        )
+        for k, t in enumerate(POISSON1_T):
+            if u < t:
+                return k
+        return 4
+
+    keys = [str(i * 7919) for i in range(50)]
+    df = spark.createDataFrame(
+        [(k, (i + 1) * 1.0) for i, k in enumerate(keys)],
+        "k string, value double",
+    )
+    got = {
+        r.b: (r.n_eff, r.mean_cents)
+        for r in st.bootstrap_means(
+            df, F.col("k"), n_replicates=4
+        ).collect()
+    }
+    for b in range(4):
+        ws = [w_of(k, b) for k in keys]
+        n_eff = sum(ws)
+        cents = [(i + 1) * 100 for i in range(50)]
+        mean = sum(w * c for w, c in zip(ws, cents)) // n_eff
+        assert got[b] == (n_eff, mean), (b, got[b], (n_eff, mean))
