@@ -169,15 +169,32 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     path a deployed pipeline runs, not a test-only memory sink. Output
     and checkpoint live under a per-run unique tmp directory (results
     are aggregated/metadata-sized)."""
-    run_dir = os.path.join(
-        "/tmp/spark_graft_streams", "runs", uuid.uuid4().hex[:12]
-    )
+    runs_root = os.path.join("/tmp/spark_graft_streams", "runs")
+    _prune_old_runs(runs_root, keep=64)
+    run_dir = os.path.join(runs_root, uuid.uuid4().hex[:12])
     return run_bounded_to_parquet(
         agg,
         out_dir=os.path.join(run_dir, "out"),
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         mode=mode,
     )
+
+
+def _prune_old_runs(runs_root: str, keep: int = 64) -> None:
+    """Best-effort cap on the replay scratch space: each bounded run
+    leaves ~MBs of checkpoint log; across hundreds of gate runs that
+    compounds. Keep the newest ``keep`` run dirs (recent results may
+    still be lazily referenced by their returned DataFrames — 64 is far
+    beyond any consumer's window), delete the rest, ignore races."""
+    try:
+        entries = sorted(
+            (e for e in os.scandir(runs_root) if e.is_dir()),
+            key=lambda e: e.stat().st_mtime,
+        )
+        for e in entries[:-keep] if len(entries) > keep else []:
+            shutil.rmtree(e.path, ignore_errors=True)
+    except OSError:
+        pass
 
 
 def run_bounded_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
