@@ -862,8 +862,21 @@ def cogrouped_reconcile(
     exercised). Shuffle cost equals the equivalent join's: both sides
     exchange on the key once; worker memory is bounded by the largest
     single key, the operator's real scale limit (salt the key first if
-    one key can exceed an executor)."""
+    one key can exceed an executor).
+
+    Lineage guard: when ``old`` and ``new`` are two filters of the SAME
+    DataFrame (the normal snapshot-diff shape), their columns carry
+    identical attribute ids, and Spark's cogroup attribute
+    deduplication can hand the Python worker a right-side frame holding
+    ONLY the grouping key (observed: sf-dependent, because an upstream
+    normalization projection re-mints ids on some inputs). Both sides
+    are therefore passed through an explicit re-aliasing projection,
+    which mints fresh attribute ids and costs nothing (a narrow
+    Project the optimizer keeps because the ids differ)."""
     import pandas as pd
+
+    old = old.select(*[F.col(c).alias(c) for c in old.columns])
+    new = new.select(*[F.col(c).alias(c) for c in new.columns])
 
     def reconcile(kdf_old: pd.DataFrame, kdf_new: pd.DataFrame) -> pd.DataFrame:
         ko = (

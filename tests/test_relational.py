@@ -465,3 +465,42 @@ def test_scd2_history_hand_example(spark):
     assert hist[("k", 4)] == (4, 20, "B")
     assert hist[("j", 1)] == (2, 5, "A")
     assert len(hist) == 4
+
+
+def test_cogrouped_reconcile_shared_lineage_regression(spark, sf_dir):
+    """Regression: old/new as two filters of the SAME DataFrame (shared
+    attribute ids) used to hand the Python worker a right-side frame
+    holding only the grouping key at some SFs. The re-aliasing guard
+    must keep full frames on both sides; result verified against the
+    pure-JVM snapshot_diff-style expectation."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    old = ev.filter(F.col("event_id") % 7 != 0)
+    new = ev.filter(F.col("event_id") % 3 != 0)
+    out = rel.cogrouped_reconcile(old, new).collect()
+    assert len(out) > 0
+    # expectation for one user via plain python
+    uid = out[0].user_id
+    o = {
+        r.event_id: r.value
+        for r in old.filter(F.col("user_id") == uid).collect()
+    }
+    n = {
+        r.event_id: r.value
+        for r in new.filter(F.col("user_id") == uid).collect()
+    }
+    row = next(r for r in out if r.user_id == uid)
+    common = o.keys() & n.keys()
+    changed = sum(1 for i in common if o[i] != n[i])
+    assert (row.n_added, row.n_removed, row.n_changed, row.n_same) == (
+        len(n.keys() - o.keys()),
+        len(o.keys() - n.keys()),
+        changed,
+        len(common) - changed,
+    )
