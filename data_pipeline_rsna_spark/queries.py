@@ -12013,3 +12013,150 @@ def q_privacy_deletion_cascade(
         )
     )
     return ev_row.unionAll(cust_row)
+
+
+@register(
+    "drift_topk_churn",
+    oracle="""
+    WITH spend AS (
+        SELECT CASE WHEN day(ts) <= 15 THEN 'w1' ELSE 'w2' END AS period,
+               user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY period, user_id
+    ),
+    ranked AS (
+        SELECT period, user_id, cents,
+               row_number() OVER (PARTITION BY period
+                                  ORDER BY cents DESC, user_id) AS rnk
+        FROM spend
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= 10),
+    j AS (
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               a.rnk AS rnk_w1, b.rnk AS rnk_w2
+        FROM (SELECT * FROM top WHERE period = 'w1') a
+        FULL JOIN (SELECT * FROM top WHERE period = 'w2') b
+          ON a.user_id = b.user_id
+    )
+    SELECT user_id,
+           CAST(COALESCE(rnk_w1, 0) AS BIGINT) AS rnk_w1,
+           CAST(COALESCE(rnk_w2, 0) AS BIGINT) AS rnk_w2,
+           CASE WHEN rnk_w1 IS NULL THEN 'entrant'
+                WHEN rnk_w2 IS NULL THEN 'dropout'
+                ELSE 'stayed' END AS status
+    FROM j
+    """,
+    doc="X8+ top-k churn report: the leaderboard diff every monitoring "
+    "dashboard runs — top-10 spenders per half-month, full-outer "
+    "joined into entrants / dropouts / stayers with both ranks "
+    "(rank 0 = absent). Deterministic tie-break on (cents DESC, "
+    "user_id); the churn join touches only the two k-row leaderboards.",
+    tags=("stats", "drift"),
+)
+def q_drift_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    spend = (
+        ev.select(
+            F.when(F.dayofmonth("ts") <= 15, "w1")
+            .otherwise("w2")
+            .alias("period"),
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("period", "user_id")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.col("cents").desc(), F.col("user_id")
+    )
+    top = spend.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    a = top.filter("period = 'w1'").select(
+        F.col("user_id").alias("u1"), F.col("rnk").alias("rnk_w1")
+    )
+    b = top.filter("period = 'w2'").select(
+        F.col("user_id").alias("u2"), F.col("rnk").alias("rnk_w2")
+    )
+    j = a.join(b, a.u1 == b.u2, "full_outer")
+    return j.select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        F.coalesce("rnk_w1", F.lit(0)).cast("bigint").alias("rnk_w1"),
+        F.coalesce("rnk_w2", F.lit(0)).cast("bigint").alias("rnk_w2"),
+        F.when(F.col("rnk_w1").isNull(), "entrant")
+        .when(F.col("rnk_w2").isNull(), "dropout")
+        .otherwise("stayed")
+        .alias("status"),
+    )
+
+
+@register(
+    "sketch_hll_error_eval",
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag AS grp,
+               l_partkey,
+               ('0x' || substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 2))
+                   ::UBIGINT::BIGINT AS register,
+               61 - length(ltrim(bin(
+                   ('0x' || substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 3, 15))
+                       ::UBIGINT::BIGINT), '0')) AS rho
+        FROM lineitem
+    ),
+    regs AS (
+        SELECT grp, register, max(rho) AS max_rho FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT grp,
+               count(*) AS registers_used,
+               sum(CAST(power(2.0, 48 - least(max_rho, 48)) AS BIGINT))
+                   AS used_units
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT grp,
+               CAST(floor(1.3249790702834051e+19
+                          / CAST(used_units + (256 - registers_used)
+                                 * 281474976710656 AS DOUBLE)
+                          * 1000.0) AS BIGINT) AS est_milli
+        FROM agg
+    ),
+    exact AS (
+        SELECT grp, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+        FROM h GROUP BY grp
+    )
+    SELECT e.grp AS grp, n_exact, est_milli,
+           CAST(abs(est_milli - n_exact * 1000) * 1000
+                // (n_exact * 1000) AS BIGINT) AS abs_err_milli
+    FROM est e JOIN exact USING (grp)
+    """,
+    doc="X8+ sketch-accuracy evaluation AS a query: the HLL estimate "
+    "joined to the exact distinct count per group, with the relative "
+    "error in integer milli units — the honesty check a sketch rollout "
+    "ships with (m=256 promises ~6.5% standard error; this query IS "
+    "the evidence, re-runnable on any slice). The exact side is the "
+    "expensive pass the sketch replaces — run at validation scale, "
+    "trusted beyond it.",
+    tags=("sketch", "ml-eval"),
+)
+def q_sketch_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    est = sketches.hll_distinct(li, "l_returnflag", "l_partkey").select(
+        "grp", "est_milli"
+    )
+    exact = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.countDistinct("l_partkey").cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, "grp").selectExpr(
+        "grp",
+        "n_exact",
+        "est_milli",
+        "CAST(abs(est_milli - n_exact * 1000) * 1000 "
+        "DIV (n_exact * 1000) AS BIGINT) AS abs_err_milli",
+    )
