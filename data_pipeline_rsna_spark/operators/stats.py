@@ -641,3 +641,57 @@ def column_profiles(
         "min_str",
         "max_str",
     )
+
+
+def ks_two_sample_by_group(
+    df: DataFrame,
+    seg_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-segment exact KS — ``ks_two_sample`` computed independently
+    for every value of ``seg_col`` in ONE pass: the drift gate sliced
+    by data source / cohort, which is where drift actually starts (a
+    global KS can stay flat while one source's distribution walks off).
+
+    Same integer machinery; the prefix sum keys on the segment, which
+    is exactly ``grouped_running_sum``'s contract — a segment spans
+    many partitions, no segment pins a task. Totals are per-segment
+    rows (metadata) joined back broadcast. Segments where either side
+    is empty report NULL ks_ppm (undefined), counts intact.
+    """
+    v = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(seg_col).alias("seg"),
+        cents(value_col).alias("cents"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+        (F.col(group_col) == group_b).cast("long").alias("_b"),
+    )
+    counts = v.groupBy("seg", "cents").agg(
+        F.sum("_a").alias("ca"), F.sum("_b").alias("cb")
+    )
+    totals = counts.groupBy("seg").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d = counts.join(F.broadcast(totals), "seg").withColumn(
+        "d", F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    )
+    cum = grouped_running_sum(d, "seg", "cents", "d", out_col="cum_d")
+    return (
+        cum.groupBy("seg")
+        .agg(
+            F.any_value("n_a").alias("n_a"),
+            F.any_value("n_b").alias("n_b"),
+            F.max(F.abs(F.col("cum_d"))).alias("ks_num"),
+        )
+        .selectExpr(
+            "seg",
+            "n_a",
+            "n_b",
+            "ks_num",
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "CAST(ks_num * 1000000 DIV (n_a * n_b) AS BIGINT) "
+            "END AS ks_ppm",
+        )
+    )

@@ -12160,3 +12160,58 @@ def q_sketch_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(abs(est_milli - n_exact * 1000) * 1000 "
         "DIV (n_exact * 1000) AS BIGINT) AS abs_err_milli",
     )
+
+
+@register(
+    "drift_ks_by_segment",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 's0'
+                    WHEN user_id % 3 = 1 THEN 's1'
+                    ELSE 's2' END AS seg,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT seg, cents, sum(a) AS ca, sum(b) AS cb
+          FROM v GROUP BY seg, cents),
+    t AS (SELECT seg, CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b FROM c GROUP BY seg),
+    cum AS (
+        SELECT c.seg, n_a, n_b,
+               sum(ca * n_b - cb * n_a) OVER (PARTITION BY c.seg
+                                              ORDER BY cents) AS cd
+        FROM c JOIN t ON t.seg = c.seg
+    )
+    SELECT seg, any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+           CAST(max(abs(cd)) AS BIGINT) AS ks_num,
+           CASE WHEN any_value(n_a) > 0 AND any_value(n_b) > 0 THEN
+               CAST(max(abs(cd)) * 1000000
+                    // (any_value(n_a) * any_value(n_b)) AS BIGINT)
+           END AS ks_ppm
+    FROM cum GROUP BY seg
+    """,
+    doc="X8+ per-segment exact KS in one pass — the drift gate sliced "
+    "by cohort, where drift actually starts (a global KS stays flat "
+    "while one source's distribution walks off). The keyed prefix sum "
+    "is grouped_running_sum's contract: segments span partitions, no "
+    "segment pins a task; per-segment totals join back broadcast; "
+    "one-sided segments report NULL ks_ppm with counts intact.",
+    tags=("stats", "drift"),
+)
+def q_drift_ks_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr(
+            "CASE WHEN user_id % 3 = 0 THEN 's0' "
+            "WHEN user_id % 3 = 1 THEN 's1' ELSE 's2' END"
+        ).alias("segment"),
+        "event_type",
+        "value",
+    )
+    return st.ks_two_sample_by_group(
+        v, "segment", "event_type", "click", "purchase"
+    )

@@ -216,3 +216,29 @@ def test_bootstrap_weights_match_python_md5_reference(spark):
         cents = [(i + 1) * 100 for i in range(50)]
         mean = sum(w * c for w, c in zip(ws, cents)) // n_eff
         assert got[b] == (n_eff, mean), (b, got[b], (n_eff, mean))
+
+
+def test_ks_by_group_matches_per_segment_global(spark):
+    """Per-segment KS must equal running ks_two_sample independently on
+    each segment's slice, and one-sided segments report NULL ks_ppm."""
+    rows = (
+        [("s1", "a", float(v)) for v in (1, 2, 3)]
+        + [("s1", "b", float(v)) for v in (3, 4)]
+        + [("s2", "a", float(v)) for v in (5, 5, 6)]
+        + [("s2", "b", float(v)) for v in (5, 6)]
+        + [("s3", "a", 9.0)]  # no b side
+    )
+    df = spark.createDataFrame(rows, "seg string, grp string, value double")
+    out = {
+        r.seg: r
+        for r in st.ks_two_sample_by_group(
+            df, "seg", "grp", "a", "b"
+        ).collect()
+    }
+    for seg in ("s1", "s2"):
+        solo = st.ks_two_sample(
+            df.filter(F.col("seg") == seg), "grp", "a", "b"
+        ).collect()[0]
+        got = out[seg]
+        assert (got.n_a, got.n_b, got.ks_num, got.ks_ppm) == tuple(solo)
+    assert out["s3"].ks_ppm is None and out["s3"].n_b == 0
