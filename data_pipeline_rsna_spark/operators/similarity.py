@@ -951,3 +951,64 @@ def int8_quantization_stats(
             "array_max(_errs) AS max_err_micro",
         )
     )
+
+
+def centered_norm_outliers(
+    emb: DataFrame,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding outlier scan: the ``top_n`` vectors farthest from the
+    corpus centroid, by squared distance — the cheap gate that catches
+    corrupt rows (all-zero vectors, NaN-scrubbed junk, off-manifold
+    encoder failures) before they poison a similarity index or a
+    contrastive batch.
+
+    Exactness discipline: values quantize to micro-units (bigint), the
+    per-dim deviation is scaled by n (dev = n·x − Σx, an integer — no
+    centroid division), and the score Σ_d dev² accumulates in
+    decimal(38,0) — bit-identical across engines and partitionings; at
+    n = 1e9 vectors dev ≈ 1e15, dev² ≈ 1e30, comfortably inside
+    decimal(38,0).
+
+    Shape: per-dim sums via one posexplode + groupBy(dim) (map-side
+    combined, d accumulator rows per task); the d-row sum table
+    broadcast-joins back; scoring is a second narrow pass; ranking is
+    ``sort().limit()`` — Spark plans TakeOrdered (per-partition top-n +
+    driver merge), never a global sort, so the only full shuffles at
+    any scale are the two d-bounded aggregations.
+    """
+    v = emb.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"transform(cast(`{vec_col}` AS array<double>), "
+        "x -> CAST(round(x * 1000000) AS BIGINT)) AS _m",
+    )
+    dim_sums = (
+        v.selectExpr("posexplode(_m) AS (dim, xm)")
+        .groupBy("dim")
+        .agg(F.sum("xm").alias("sx"), F.count("*").alias("n"))
+        .groupBy()
+        .agg(
+            F.any_value("n").cast("bigint").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "sx"))
+            ).alias("_sx_arr"),
+        )
+        .selectExpr(
+            "n", "transform(_sx_arr, s -> s.sx) AS sx"
+        )
+    )
+    scored = v.crossJoin(F.broadcast(dim_sums)).selectExpr(
+        "vec_id",
+        "aggregate(zip_with(_m, sx, (x, s) -> "
+        "CAST(CAST(n * x - s AS DECIMAL(38,0)) "
+        "* CAST(n * x - s AS DECIMAL(38,0)) AS DECIMAL(38,0))), "
+        "CAST(0 AS DECIMAL(38,0)), "
+        "(acc, d2) -> CAST(acc + d2 AS DECIMAL(38,0))) AS score",
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(top_n)
+        .select("vec_id", "score")
+    )

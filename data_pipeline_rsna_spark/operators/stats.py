@@ -695,3 +695,148 @@ def ks_two_sample_by_group(
             "END AS ks_ppm",
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two raters over the same items — the
+    inter-annotator-agreement gate for labeled training data (and for
+    pairs of heuristic quality filters: high kappa means the second
+    filter adds no information; near-zero means at least one is
+    noise). Categories are whatever values the two columns take; the
+    label spaces need not be declared up front.
+
+    kappa = (po - pe) / (1 - pe) ships as the exact rational pair
+    (kappa_num, kappa_den) = (n·agree − Σ_c ma(c)·mb(c),
+    n² − Σ_c ma(c)·mb(c)) in decimal(38,0) — no float division, so
+    the oracle hashes bit-for-bit and negative kappa (worse than
+    chance) keeps its sign exactly. po additionally exports as ppm
+    (both engines truncate non-negative integer division alike).
+
+    Scale: one map-side-combined shuffle over the fact table onto the
+    (|A-categories| × |B-categories|) confusion-cell table; marginals
+    and the pe sum are re-aggregations of those metadata-sized cells.
+    """
+    cells = (
+        df.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("c"))
+    )
+    ma = cells.groupBy("_a").agg(F.sum("c").alias("na"))
+    mb = cells.groupBy("_b").agg(F.sum("c").alias("nb"))
+    pe_num = (
+        ma.join(mb, F.col("_a") == F.col("_b"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("na").cast("decimal(38,0)") * F.col("nb"))
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("pe_num")
+        )
+    )
+    totals = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    return totals.crossJoin(pe_num).selectExpr(
+        "n",
+        "agree",
+        "CAST(agree * 1000000 DIV n AS BIGINT) AS po_ppm",
+        "CAST(CAST(n AS DECIMAL(38,0)) * agree - pe_num "
+        "AS DECIMAL(38,0)) AS kappa_num",
+        "CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num "
+        "AS DECIMAL(38,0)) AS kappa_den",
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's sibling: every quasi-identifier
+    equivalence class must contain ≥ l DISTINCT values of the sensitive
+    attribute, or membership in the class reveals the sensitive value
+    even when the class itself is large (the homogeneity attack
+    k-anonymity misses).
+
+    Returns one summary row mirroring ``k_anonymity``: class counts,
+    classes/rows below l, and the minimum diversity observed. Two
+    map-side-combined shuffles, both onto bounded keys: (quasi tuple,
+    sensitive) for the distinct census, then the quasi tuple.
+    """
+    per_class = (
+        df.groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count("*").alias("c"))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.count("*").alias("n_sensitive"),
+            F.sum("c").alias("n_rows"),
+        )
+    )
+    return per_class.agg(
+        F.count("*").alias("n_classes"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum((F.col("n_sensitive") < l).cast("long")).alias(
+            "classes_below_l"
+        ),
+        F.sum(F.when(F.col("n_sensitive") < l, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_l"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM change-point locator over an ordered integer series (one
+    row per period, e.g. hourly event counts): the period t maximizing
+    |Σ_{i≤t} (x_i − mean)| — where the cumulative deviation from the
+    global mean peaks — is the classic single-change-point estimate,
+    and the peak height is the shift evidence a monitor alarms on.
+
+    Exactness: the deviation is scaled by T (c_t = Σ T·x_i − t·S,
+    = T × the unscaled CUSUM), keeping every intermediate an exact
+    integer — no mean division anywhere. Output: T, S, the argmax
+    period (earliest on ties), and max |c_t| (callers divide by T to
+    read it in value units).
+
+    Scale: the series is an already-aggregated bounded table, but the
+    prefix sum still rides the two-phase ``grouped_running_sum`` (with
+    a constant key) rather than an unpartitioned window, per the
+    engine-wide contract — the same code path serves a series of any
+    length. Totals join back broadcast.
+    """
+    v = series.select(
+        F.lit(0).alias("_g"),
+        F.col(order_col).alias("_t"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    totals = v.agg(
+        F.count("*").cast("bigint").alias("t_periods"),
+        F.sum("_x").cast("bigint").alias("s_total"),
+    )
+    d = v.crossJoin(F.broadcast(totals)).withColumn(
+        "_d", F.col("t_periods") * F.col("_x") - F.col("s_total")
+    )
+    cum = grouped_running_sum(d, "_g", "_t", "_d", out_col="_c")
+    return cum.groupBy("_g").agg(
+        F.any_value("t_periods").alias("t_periods"),
+        F.any_value("s_total").alias("s_total"),
+        F.min_by(
+            "_t", F.struct((-F.abs(F.col("_c"))).alias("k"), F.col("_t"))
+        ).alias("changepoint_at"),
+        F.max(F.abs(F.col("_c"))).cast("bigint").alias("cusum_max_scaled"),
+    ).drop("_g").select(
+        "t_periods", "s_total", "changepoint_at", "cusum_max_scaled"
+    )

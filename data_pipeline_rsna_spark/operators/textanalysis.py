@@ -764,3 +764,53 @@ def temperature_mixture_shares(
         )
         .orderBy(group_col)
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's
+    distinct word n-grams appear in NO other document. Low novelty is
+    the boilerplate/template signal (near-zero: the page is assembled
+    from corpus-common fragments); high novelty marks genuinely fresh
+    content worth its token budget — the doc-level complement of
+    ``boilerplate_ngrams``'s corpus-level view.
+
+    Shape: the shared ``dedup.exploded_shingles`` inverted-index base
+    (distinct shingles per doc, tokenized map-side), one
+    groupBy(shingle) document-frequency count, a shuffle join back on
+    shingle, then a groupBy(doc). Both aggregations map-side combine;
+    nothing is ever pairwise. At 100 TB the hot key is a
+    corpus-universal shingle — its df row is one accumulator per task
+    (combine), and the join back fans it out read-only; cap shingle df
+    first (as minhash does) if the join side itself skews.
+
+    Docs with fewer than ``n`` tokens have no shingles and drop out
+    (no row), matching the SQL twin. novelty_ppm truncates (both
+    engines agree on non-negative integer division).
+    """
+    from . import dedup
+
+    sh = dedup.exploded_shingles(docs, id_col=id_col, text_col=text_col,
+                                 n=n)
+    df_counts = sh.groupBy("shingle").agg(
+        F.count("*").alias("_df")
+    )
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_novel"),
+        )
+        .selectExpr(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            "CAST(n_novel * 1000000 DIV n_shingles AS BIGINT) "
+            "AS novelty_ppm",
+        )
+    )

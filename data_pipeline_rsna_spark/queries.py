@@ -12215,3 +12215,223 @@ def q_drift_ks_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.ks_two_sample_by_group(
         v, "segment", "event_type", "click", "purchase"
     )
+
+
+@register(
+    "annotation_agreement_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN n_chars >= 500 THEN 'keep' ELSE 'drop' END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         >= 79 THEN 'keep' ELSE 'drop' END AS b
+        FROM documents
+    ),
+    cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY a, b),
+    ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY b),
+    pe AS (
+        SELECT coalesce(sum(CAST(na AS DECIMAL(38,0)) * nb),
+                        CAST(0 AS DECIMAL(38,0))) AS pe_num
+        FROM ma JOIN mb ON ma.a = mb.b
+    ),
+    t AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM cells
+    )
+    SELECT n, agree,
+           CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(CAST(n AS DECIMAL(38,0)) * agree - pe_num
+                AS DECIMAL(38,0)) AS kappa_num,
+           CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num
+                AS DECIMAL(38,0)) AS kappa_den
+    FROM t CROSS JOIN pe
+    """,
+    doc="X8+ inter-annotator agreement (Cohen's kappa) between two "
+    "heuristic quality raters over the same documents — length-based "
+    "vs word-count-based keep/drop. High kappa means the second "
+    "filter adds no information; near zero flags a noisy gate. Exact "
+    "rational (kappa_num, kappa_den) export, confusion cells are the "
+    "only shuffle (map-side combined, |A|x|B| rows).",
+    tags=("stats", "quality"),
+)
+def q_annotation_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import stats as st
+
+    docs = tables.load(spark, sf_dir, "documents")
+    rated = docs.selectExpr(
+        "CASE WHEN n_chars >= 500 THEN 'keep' ELSE 'drop' END AS rater_a",
+        "CASE WHEN length(text) - length(replace(text, ' ', '')) >= 79 "
+        "THEN 'keep' ELSE 'drop' END AS rater_b",
+    )
+    return st.cohens_kappa(rated, "rater_a", "rater_b")
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH per_class AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                   AS n_sensitive,
+               count(*) AS n_rows
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n_sensitive < 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_below_l,
+           CAST(sum(CASE WHEN n_sensitive < 8 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_below_l,
+           CAST(min(n_sensitive) AS BIGINT) AS min_diversity
+    FROM per_class
+    """,
+    doc="X8+ l-diversity audit (k-anonymity's sibling): every "
+    "(nation, market segment) quasi-identifier class must span >= l "
+    "distinct sensitive buckets (account balance in whole thousands) "
+    "or class membership reveals the balance band — the homogeneity "
+    "attack k-anonymity misses. Two bounded-key map-side-combined "
+    "shuffles; summary is one row.",
+    tags=("stats", "governance"),
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    cust = tables.load(spark, sf_dir, "customer").withColumn(
+        "bal_k", F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")
+    )
+    return st.l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_k", l=8
+    )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS t_periods,
+               CAST(sum(x) AS BIGINT) AS s_total
+        FROM s
+    ),
+    c AS (
+        SELECT t, t_periods, s_total,
+               sum(t_periods * x - s_total)
+                   OVER (ORDER BY t) AS c
+        FROM s CROSS JOIN tot
+    ),
+    m AS (SELECT t, t_periods, s_total, abs(c) AS ac,
+                 max(abs(c)) OVER () AS mx FROM c)
+    SELECT any_value(t_periods) AS t_periods,
+           any_value(s_total) AS s_total,
+           min(CASE WHEN ac = mx THEN t END) AS changepoint_at,
+           CAST(max(ac) AS BIGINT) AS cusum_max_scaled
+    FROM m
+    """,
+    doc="X8+ CUSUM change-point locator on the hourly event-count "
+    "series: the hour where the cumulative deviation from the global "
+    "mean peaks (earliest on ties) plus the peak height — the "
+    "single-shift estimate a volume monitor alarms on. All-integer "
+    "(deviations scaled by T, no mean division); the prefix sum rides "
+    "the two-phase grouped_running_sum, never an unpartitioned "
+    "window.",
+    tags=("stats", "events", "drift"),
+)
+def q_events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.expr(
+            "CAST(to_unix_timestamp(date_trunc('HOUR', ts)) AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    return st.cusum_changepoint(series, "t", "x")
+
+
+@register(
+    "embedding_outlier_scan",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * 1000000) AS BIGINT)) AS m
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, d, m[d] AS xm
+        FROM (SELECT vec_id, m,
+                     unnest(generate_series(1, len(m))) AS d
+              FROM v)
+    ),
+    s AS (SELECT d, sum(xm) AS sx, count(*) AS n FROM ex GROUP BY d),
+    sc AS (
+        SELECT vec_id,
+               sum(CAST((n * xm - sx) * (n * xm - sx) AS HUGEINT))
+                   AS score
+        FROM ex JOIN s USING (d)
+        GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(score AS DECIMAL(38,0)) AS score
+    FROM sc ORDER BY score DESC, vec_id LIMIT 20
+    """,
+    doc="X3+ embedding outlier scan: top-20 vectors farthest from the "
+    "corpus centroid by squared distance — the corrupt-row gate "
+    "(all-zero vectors, encoder failures) before a similarity index "
+    "is built. Integer-exact: micro-unit quantization, n-scaled "
+    "deviations (no centroid division), decimal(38,0) accumulation; "
+    "the only full shuffles are two d-bounded aggregations and the "
+    "ranking is TakeOrdered, never a global sort.",
+    tags=("similarity", "quality"),
+)
+def q_embedding_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return sim.centered_norm_outliers(emb, top_n=20)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS ws
+              FROM documents)
+        WHERE len(ws) >= 3
+    ),
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN dfc USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="X4+ per-document trigram novelty: the fraction of a doc's "
+    "distinct word 3-grams appearing in no other document — the "
+    "doc-level boilerplate/template signal (complement of the "
+    "corpus-level boilerplate_ngrams). Inverted-index shape on the "
+    "shared exploded_shingles base: df count + join back + per-doc "
+    "agg, all map-side combined, nothing pairwise.",
+    tags=("text", "quality"),
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.ngram_novelty(docs, n=3)

@@ -351,3 +351,32 @@ def test_int8_quantization_constant_dim_is_exact(spark):
     # i*254/7 only at i=0 and i=7, so interior vectors carry some error
     assert out[0].sum_abs_err_micro == 0
     assert out[7].sum_abs_err_micro == 0
+
+
+def test_centered_norm_outliers_planted(spark):
+    """Three near-centroid vectors + one far outlier: the outlier must
+    rank first, and the score must equal the hand-computed n-scaled
+    integer (micro-units, dev = n*x - sum)."""
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [0.1, 0.0]),
+        (3, [-0.1, 0.0]),
+        (4, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.centered_norm_outliers(df, top_n=2).collect()
+    assert [r.vec_id for r in out] == [4, 3]
+    # dim sums (micro): sx = [10_000_000, 10_000_000]; n = 4
+    # vec 4 dev: 4*10_000_000 - 10_000_000 = 30_000_000 per dim
+    assert int(out[0].score) == 2 * 30_000_000**2
+    # vec 3 devs: 4*(-100_000) - 10_000_000 and -10_000_000
+    assert int(out[1].score) == 10_400_000**2 + 10_000_000**2
+
+
+def test_centered_norm_outliers_partition_invariance(spark):
+    rows = [(i, [float(i % 7) / 3, float((i * 13) % 5) - 2.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = [tuple(r) for r in sim.centered_norm_outliers(df.coalesce(1), 5).collect()]
+    b = [tuple(r) for r in sim.centered_norm_outliers(df.repartition(9), 5).collect()]
+    assert a == b

@@ -242,3 +242,57 @@ def test_ks_by_group_matches_per_segment_global(spark):
         got = out[seg]
         assert (got.n_a, got.n_b, got.ks_num, got.ks_ppm) == tuple(solo)
     assert out["s3"].ks_ppm is None and out["s3"].n_b == 0
+
+
+def test_cohens_kappa_golden_and_negative(spark):
+    """Hand-computed kappa: 2x2 confusion [[20,5],[10,15]] -> n=50,
+    agree=35, pe_num = 25*30 + 25*20 = 1250, num = 50*35-1250 = 500,
+    den = 2500-1250 = 1250 (kappa = 0.4). Perfect disagreement on a
+    2x2 flips the sign exactly."""
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = st.cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.agree, r.po_ppm) == (50, 35, 700000)
+    assert (int(r.kappa_num), int(r.kappa_den)) == (500, 1250)
+    anti = spark.createDataFrame(
+        [("y", "n")] * 3 + [("n", "y")] * 3, "a string, b string"
+    )
+    r2 = st.cohens_kappa(anti, "a", "b").collect()[0]
+    # po=0, pe_num = 3*3+3*3 = 18, num = -18, den = 36-18 -> kappa = -1
+    assert (int(r2.kappa_num), int(r2.kappa_den)) == (-18, 18)
+
+
+def test_l_diversity_summary(spark):
+    """Class (q=1) has sensitive {a,b,c} (diverse), class (q=2) only
+    {a} twice (below l=2) -> 1 class below, 2 rows below, min 1."""
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "a")],
+        "q int, s string",
+    )
+    r = st.l_diversity(df, ["q"], "s", l=2).collect()[0]
+    assert (
+        r.n_classes, r.n_rows, r.classes_below_l,
+        r.rows_below_l, r.min_diversity,
+    ) == (2, 5, 1, 2, 1)
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """Level shift 10->20 after t=5 on 10 periods: mean 15, cumulative
+    deviation peaks (|c|) at t=5 with T-scaled height 10*25 = 250."""
+    rows = [(t, 10) for t in range(1, 6)] + [(t, 20) for t in range(6, 11)]
+    df = spark.createDataFrame(rows, "t int, x int")
+    r = st.cusum_changepoint(df, "t", "x").collect()[0]
+    assert (r.t_periods, r.s_total) == (10, 150)
+    assert (r.changepoint_at, r.cusum_max_scaled) == (5, 250)
+
+
+def test_cusum_changepoint_partition_invariance(spark):
+    """Same answer at 1 and 7 input partitions (two-phase prefix sum)."""
+    rows = [(t, (t * 37) % 11) for t in range(1, 40)]
+    df = spark.createDataFrame(rows, "t int, x int")
+    a = st.cusum_changepoint(df.coalesce(1), "t", "x").collect()[0]
+    b = st.cusum_changepoint(df.repartition(7), "t", "x").collect()[0]
+    assert tuple(a) == tuple(b)

@@ -280,3 +280,24 @@ def test_html_strip_rules(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """doc 1 and doc 2 share the trigram 'a b c'; each also has one
+    unique trigram -> 50% novelty each. doc 3 is too short (2 tokens)
+    and must drop out."""
+    from data_pipeline_rsna_spark.operators import textanalysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # trigrams: 'a b c', 'b c d'
+            (2, "a b c e"),   # trigrams: 'a b c', 'b c e'
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ta.ngram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert (out[d].n_shingles, out[d].n_novel) == (2, 1)
+        assert out[d].novelty_ppm == 500000
