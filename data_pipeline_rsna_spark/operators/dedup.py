@@ -789,3 +789,37 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("containment") >= threshold)
         .select("doc_small", "doc_big", "shared", "containment")
     )
+
+
+def lsh_bucket_histogram(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", num_hashes: int = 12,
+                         rows_per_band: int = 2,
+                         shingle_n: int = 3) -> DataFrame:
+    """LSH load diagnostic: per band, the histogram of bucket sizes —
+    (band, bucket_size, n_buckets). This is how ``max_bucket`` for
+    ``minhash_lsh_candidates`` gets TUNED instead of guessed: the tail
+    of this histogram is exactly the mega-bucket mass (k² pair fan-out
+    per bucket of size k), and a healthy corpus shows sizes 1-2 with a
+    short tail. Run it on a sample before committing the full dedup
+    job's reducer budget.
+
+    Cost: the same narrow signature/banding pipeline as the dedup job
+    itself, one map-side-combined shuffle onto (band, band_hash), and a
+    second onto (band, size) — both bounded-cardinality reduce keys.
+    Never materializes pairs, so it is safe on exactly the corpora
+    where the dedup job wouldn't be.
+    """
+    bands = lsh_band_buckets(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    )
+    sizes = bands.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return (
+        sizes.groupBy("band", "bucket_size")
+        .agg(F.count("*").cast("bigint").alias("n_buckets"))
+        .select("band", F.col("bucket_size").cast("bigint").alias("bucket_size"), "n_buckets")
+    )

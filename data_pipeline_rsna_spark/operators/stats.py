@@ -840,3 +840,58 @@ def cusum_changepoint(
     ).drop("_g").select(
         "t_periods", "s_total", "changepoint_at", "cusum_max_scaled"
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    expected_weights: dict[str, int],
+) -> DataFrame:
+    """Sample-ratio-mismatch audit for an experiment assignment: per
+    arm, the distinct-unit count observed vs the design weight, plus
+    the arm's chi-squared contribution — the first thing to check
+    before reading ANY experiment result, because a biased assignment
+    (bot filtering hitting one arm, a bucketing bug) invalidates every
+    downstream metric silently.
+
+    chi² term for arm i (weights w_i summing to W, n total units):
+    (W·o_i − w_i·n)² / (W·w_i·n), shipped in integer micro-units with
+    both engines truncating alike (all terms non-negative). Arms the
+    design expects but the data never shows still appear (o = 0) —
+    that IS the worst mismatch.
+
+    Scale: distinct units per arm is one exact distinct aggregation
+    (two map-side-combined shuffles on (arm, unit) then arm); the arm
+    table is design-sized and the expected weights join broadcast.
+    """
+    spark = df.sparkSession
+    w_total = sum(expected_weights.values())
+    design = spark.createDataFrame(
+        [(a, int(w)) for a, w in sorted(expected_weights.items())],
+        "arm string, w long",
+    )
+    observed = (
+        df.select(
+            F.col(arm_col).alias("arm"), F.col(unit_col).alias("_u")
+        )
+        .distinct()
+        .groupBy("arm")
+        .agg(F.count("*").alias("o"))
+    )
+    totals = observed.agg(F.sum("o").cast("bigint").alias("n"))
+    return (
+        design.join(observed, "arm", "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "arm",
+            "o AS n_units",
+            f"CAST(w * 1000000 DIV {w_total} AS BIGINT) AS expected_ppm",
+            "CAST(o * 1000000 DIV n AS BIGINT) AS observed_ppm",
+            f"CAST(CAST({w_total} * o - w * n AS DECIMAL(38,0)) "
+            f"* CAST({w_total} * o - w * n AS DECIMAL(38,0)) * 1000000 "
+            f"DIV CAST({w_total} AS DECIMAL(38,0)) DIV w DIV n "
+            "AS BIGINT) AS chi2_term_micro",
+        )
+    )

@@ -814,3 +814,58 @@ def ngram_novelty(
             "AS novelty_ppm",
         )
     )
+
+
+def unigram_doc_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's own unigram
+    LM — the cheap perplexity proxy quality filters rank on: junk
+    (mojibake, random ids, boilerplate-free noise) scores high because
+    its tokens are corpus-rare; templated text scores low. Unlike a
+    real LM pass it needs no model and one corpus scan to train.
+
+    mean surprisal = ln(T) − (Σ_tokens ln c(w)) / len  (nats), shipped
+    in integer micro-nats: per-token ln c(w) is the bit-stable
+    ``ln_micro`` of an integer count, the per-doc sum is an exact
+    integer, and the division truncates identically in both engines
+    (all terms non-negative).
+
+    Shape: token explode → groupBy(w) count (map-side combined, the
+    unigram "training" pass) → shuffle join tokens⋈freq on w → per-doc
+    sum. The join's hot keys are stopwords — their freq rows are
+    single accumulators map-side and fan out read-only; at extreme
+    skew, broadcast the top-k freq rows and join only the tail (the
+    standard split-join), which preserves this exact output.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(
+        F.sum("c").cast("bigint").alias("t_tokens")
+    ).selectExpr(
+        "t_tokens",
+        "CAST(round(ln(t_tokens) * 1000000) AS BIGINT) AS ln_t_micro",
+    )
+    per_doc = (
+        toks.join(freq, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("CAST(round(ln(c) * 1000000) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_ln_c_micro"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).selectExpr(
+        id_col,
+        "n_tokens",
+        "CAST(ln_t_micro - sum_ln_c_micro DIV n_tokens AS BIGINT) "
+        "AS surprisal_micro",
+    )

@@ -12435,3 +12435,146 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return ta.ngram_novelty(docs, n=3)
+
+
+@register(
+    "experiment_srm_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT
+               CASE WHEN h < 5 THEN 'control'
+                    WHEN h < 8 THEN 'variant_a'
+                    ELSE 'variant_b' END AS arm,
+               user_id
+        FROM (
+            SELECT user_id,
+                   (('0x' || substr(md5('arm|' || CAST(user_id AS VARCHAR)),
+                        1, 8))::UBIGINT % 10)::INTEGER AS h
+            FROM events
+        )
+    ),
+    obs AS (SELECT arm, CAST(count(*) AS BIGINT) AS o
+            FROM assigned GROUP BY arm),
+    design AS (
+        SELECT * FROM (VALUES ('control', CAST(5 AS BIGINT)),
+                              ('variant_a', CAST(3 AS BIGINT)),
+                              ('variant_b', CAST(2 AS BIGINT))) d(arm, w)
+    ),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT design.arm AS arm,
+           CAST(coalesce(o, 0) AS BIGINT) AS n_units,
+           CAST(w * 1000000 // 10 AS BIGINT) AS expected_ppm,
+           CAST(coalesce(o, 0) * 1000000 // n AS BIGINT) AS observed_ppm,
+           CAST(CAST(10 * coalesce(o, 0) - w * n AS HUGEINT)
+                * CAST(10 * coalesce(o, 0) - w * n AS HUGEINT)
+                * 1000000 // (10 * w * n) AS BIGINT) AS chi2_term_micro
+    FROM design LEFT JOIN obs ON design.arm = obs.arm
+    CROSS JOIN t
+    """,
+    doc="X8+ sample-ratio-mismatch audit: distinct users per md5-hashed "
+    "experiment arm vs the 5/3/2 design split, with per-arm chi-squared "
+    "contributions in exact integer micro-units — the validity gate "
+    "read before ANY experiment metric. Distinct-units is two "
+    "map-side-combined shuffles; design and totals join broadcast.",
+    tags=("stats", "quality"),
+)
+def q_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    assigned = ev.selectExpr(
+        "user_id",
+        "CASE WHEN CAST(conv(substr(md5(concat('arm|', "
+        "CAST(user_id AS STRING))), 1, 8), 16, 10) % 10 AS INT) < 5 "
+        "THEN 'control' "
+        "WHEN CAST(conv(substr(md5(concat('arm|', "
+        "CAST(user_id AS STRING))), 1, 8), 16, 10) % 10 AS INT) < 8 "
+        "THEN 'variant_a' ELSE 'variant_b' END AS arm",
+    )
+    return st.srm_check(
+        assigned, "user_id", "arm",
+        {"control": 5, "variant_a": 3, "variant_b": 2},
+    )
+
+
+@register(
+    "dedup_lsh_bucket_histogram",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    mh AS (
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    ),
+    sizes AS (
+        SELECT band, band_hash, CAST(count(*) AS BIGINT) AS bucket_size
+        FROM bands GROUP BY band, band_hash
+    )
+    SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+    FROM sizes GROUP BY band, bucket_size
+    """,
+    doc="X2+ LSH load diagnostic: per band, the bucket-size histogram "
+    "of the MinHash(12)/2-row banding — the tail IS the mega-bucket "
+    "mass (k-squared pair fan-out per size-k bucket), so this is how "
+    "max_bucket gets tuned instead of guessed, and it never "
+    "materializes pairs so it is safe exactly where the dedup job "
+    "is not. Two bounded-key map-side-combined shuffles past the "
+    "narrow signature pipeline.",
+    tags=("dedup",),
+)
+def q_dedup_lsh_bucket_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.lsh_bucket_histogram(
+        corpus, num_hashes=12, rows_per_band=2, shingle_n=3
+    )
+
+
+@register(
+    "text_doc_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (
+        SELECT CAST(round(ln(CAST(sum(c) AS BIGINT)) * 1000000) AS BIGINT)
+                   AS ln_t
+        FROM freq
+    ),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM toks JOIN freq USING (w)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(ln_t - s // n_tokens AS BIGINT) AS surprisal_micro
+    FROM per CROSS JOIN tot
+    """,
+    doc="X4+ per-document mean token surprisal under the corpus's own "
+    "unigram LM — the model-free perplexity proxy quality filters rank "
+    "on (junk scores high: corpus-rare tokens; templates score low). "
+    "Integer micro-nats end to end (ln of integer counts, exact sums, "
+    "truncating division both engines agree on). Token-frequency "
+    "'training' is one map-side-combined shuffle; the score join's hot "
+    "keys are stopwords (split-join them at extreme skew).",
+    tags=("text", "quality"),
+)
+def q_text_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.unigram_doc_surprisal(docs)

@@ -416,3 +416,30 @@ def test_remove_duplicate_spans_matches_reference(spark):
             for r in dedup.remove_duplicate_spans(df, window=5).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_lsh_bucket_histogram_accounts_all_docs(spark):
+    """Histogram invariants on a corpus with exact duplicate pairs:
+    per band, sum(bucket_size * n_buckets) == number of shingled docs,
+    and identical docs must land in a size>=2 bucket in EVERY band."""
+    from data_pipeline_rsna_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "an entirely different document about spark engines"),
+            (4, "yet another unrelated piece of text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    hist = dedup.lsh_bucket_histogram(
+        docs, num_hashes=12, rows_per_band=2, shingle_n=3
+    ).collect()
+    per_band = {}
+    for r in hist:
+        per_band.setdefault(r.band, []).append(r)
+    assert len(per_band) == 6
+    for band, rows in per_band.items():
+        assert sum(r.bucket_size * r.n_buckets for r in rows) == 4
+        assert any(r.bucket_size >= 2 for r in rows), band

@@ -296,3 +296,26 @@ def test_cusum_changepoint_partition_invariance(spark):
     a = st.cusum_changepoint(df.coalesce(1), "t", "x").collect()[0]
     b = st.cusum_changepoint(df.repartition(7), "t", "x").collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_srm_check_detects_mismatch_and_missing_arm(spark):
+    """30/10 observed against a 50/25/25 design: arm 'c' never appears
+    (o=0 row present), and the hand-computed chi2 terms match.
+    n=40, W=4. a: w=2 -> (4*30-2*40)^2*1e6/(4*2*40) = 1600e6/320;
+    b: w=1 -> (40-40)^2 = 0; c: w=1 -> (0-40)^2*1e6/160."""
+    rows = [(f"u{i}", "a") for i in range(30)] + [
+        (f"v{i}", "b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "unit string, arm string")
+    out = {
+        r.arm: r
+        for r in st.srm_check(
+            df, "unit", "arm", {"a": 2, "b": 1, "c": 1}
+        ).collect()
+    }
+    assert out["a"].n_units == 30 and out["a"].chi2_term_micro == 1600 * 10**6 // 320
+    assert out["b"].chi2_term_micro == 0
+    assert out["c"].n_units == 0
+    assert out["c"].chi2_term_micro == 1600 * 10**6 // 160
+    assert out["a"].expected_ppm == 500000
+    assert out["a"].observed_ppm == 750000

@@ -301,3 +301,27 @@ def test_ngram_novelty_hand_computed(spark):
     for d in (1, 2):
         assert (out[d].n_shingles, out[d].n_novel) == (2, 1)
         assert out[d].novelty_ppm == 500000
+
+
+def test_unigram_doc_surprisal_rare_scores_higher(spark):
+    """A doc of corpus-unique tokens must out-score a doc of repeated
+    common tokens, and the all-same-token corpus-of-one-word case is
+    exactly ln(T) - ln(T) = 0."""
+    from data_pipeline_rsna_spark.operators import textanalysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rareword1 rareword2 rareword3 rareword4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ta.unigram_doc_surprisal(docs).collect()}
+    assert out[2].surprisal_micro > out[1].surprisal_micro
+    # doc 1: tokens all 'common' with c=4, T=8: ln(8)-ln(4) = ln 2
+    import math
+    assert out[1].surprisal_micro == round(math.log(8) * 1e6) - round(
+        math.log(4) * 1e6
+    )
+    # doc 2: each c=1 -> surprisal = ln(8) exactly
+    assert out[2].surprisal_micro == round(math.log(8) * 1e6)
