@@ -531,3 +531,61 @@ def ohlc_bars(events: DataFrame, bar_seconds: int = 3600) -> DataFrame:
         F.max_by("last_c", "t_us").alias("close_cents"),
         F.sum("n").cast("bigint").alias("n_events"),
     )
+
+
+def acf_lags(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Autocorrelation function over an integer-indexed series, lags
+    1..``max_lag`` in ONE pass — the seasonality detector (a spike at
+    lag 24 on hourly data is daily rhythm; at 168, weekly) that
+    generalizes the single-lag ``events_autocorr_lag1`` export.
+
+    Per lag, Pearson r ships as exact rational sufficient statistics
+    (corr_num, var_x, var_y in decimal(38,0)) over integer values —
+    the same unevaluated-quotient discipline as every correlation in
+    the engine. Lag pairing is a single band join (0 < Δ ≤ max_lag) of
+    the aggregated series with itself, grouped by Δ: the series is
+    already metadata-sized (one row per period), so the band join
+    costs |T|·max_lag pair rows, never touching fact data.
+    """
+    a = series.select(
+        F.col(order_col).alias("_ta"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    b = series.select(
+        F.col(order_col).alias("_tb"),
+        F.col(value_col).cast("bigint").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("_tb") > F.col("_ta"))
+        & (F.col("_tb") <= F.col("_ta") + max_lag),
+    ).select((F.col("_tb") - F.col("_ta")).alias("lag"), "x", "y")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("x").cast("decimal(38,0)").alias("_sx"),
+            F.sum("y").cast("decimal(38,0)").alias("_sy"),
+            F.sum(F.col("x") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("_sxy"),
+            F.sum(F.col("x") * F.col("x"))
+            .cast("decimal(38,0)")
+            .alias("_sxx"),
+            F.sum(F.col("y") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("_syy"),
+        )
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "CAST(n_pairs * _sxy - _sx * _sy AS DECIMAL(38,0)) AS corr_num",
+            "CAST(n_pairs * _sxx - _sx * _sx AS DECIMAL(38,0)) AS var_x",
+            "CAST(n_pairs * _syy - _sy * _sy AS DECIMAL(38,0)) AS var_y",
+        )
+    )

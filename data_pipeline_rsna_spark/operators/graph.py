@@ -184,3 +184,65 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             "ELSE 0 END AS cc_ppm",
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of an undirected graph (edges as src<dst
+    pairs): the Pearson correlation between the degrees at the two ends
+    of every edge — positive means hubs link to hubs (social-network
+    shape), negative means hubs link to leaves (hub-and-spoke / star
+    shape). The single number that says which topology a co-occurrence
+    graph grew into, and therefore which skew strategy its downstream
+    joins need.
+
+    Exactness: degrees are integers, so r = corr_num /
+    sqrt(var_x·var_y) ships as unevaluated decimal(38,0) sufficient
+    statistics (the engine-wide rational-export discipline). Each
+    undirected edge contributes BOTH orientations, the standard
+    Newman convention; by that symmetry var_x = var_y, and both are
+    still exported so the oracle twin stays a plain Pearson.
+
+    Shape: one union+groupBy for degrees (map-side combined), two
+    joins of the edge list against the (node, degree) table — at
+    100 TB the hot side is the power-law hub's degree row, a
+    broadcast-sized table per join probe — then a one-row exact
+    aggregate. Nothing materializes beyond the edge list itself.
+    """
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("_u"), F.col("deg").alias("deg_u")
+    )
+    dv = deg.select(
+        F.col("node").alias("_v"), F.col("deg").alias("deg_v")
+    )
+    pairs = (
+        edges.join(du, edges.src == du._u)
+        .join(dv, edges.dst == dv._v)
+        .select("deg_u", "deg_v")
+    )
+    # both orientations: n = 2E; symmetric sums fold to doubled terms
+    return pairs.agg(
+        (F.count("*") * 2).cast("bigint").alias("n_ends"),
+        F.sum(F.col("deg_u") + F.col("deg_v"))
+        .cast("decimal(38,0)")
+        .alias("_s"),
+        F.sum(F.col("deg_u") * F.col("deg_v"))
+        .cast("decimal(38,0)")
+        .alias("_sxy"),
+        F.sum(
+            F.col("deg_u") * F.col("deg_u")
+            + F.col("deg_v") * F.col("deg_v")
+        )
+        .cast("decimal(38,0)")
+        .alias("_sxx"),
+    ).selectExpr(
+        "n_ends",
+        "CAST(n_ends * (2 * _sxy) - _s * _s AS DECIMAL(38,0)) AS corr_num",
+        "CAST(n_ends * _sxx - _s * _s AS DECIMAL(38,0)) AS var_x",
+        "CAST(n_ends * _sxx - _s * _s AS DECIMAL(38,0)) AS var_y",
+    )

@@ -1355,3 +1355,58 @@ def exact_auc_by_group(
             "END AS auc_ppm",
         )
     )
+
+
+def oof_target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    fold_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Out-of-fold target encoding table — the leakage-safe form of the
+    classic "replace category with its mean target" feature: the
+    encoding served to fold f for category c is the mean target over
+    every OTHER fold's rows of c, so no row's own target leaks into
+    its own feature (the mistake that makes offline AUC lie).
+
+    Returns one row per (category, fold): out-of-fold count and the
+    mean as an exact rational (enc_num = Σtarget − Σtarget_fold,
+    enc_den = n − n_fold) — serving joins this metadata-sized table
+    back broadcast and divides at the edge. Folds with no
+    out-of-fold rows (a category seen in only one fold) export NULL
+    ppm with the zero den intact, so the consumer sees "no safe
+    encoding" instead of a silent global fallback.
+
+    Shape: ONE map-side-combined shuffle on (category, fold); the
+    per-category roll-up re-aggregates those cells (grouping-sets
+    style), and the final table is |categories|·|folds| rows of
+    metadata at any fact scale.
+    """
+    cells = (
+        df.select(
+            F.col(cat_col).alias("cat"),
+            F.col(fold_col).alias("fold"),
+            F.col(target_col).cast("bigint").alias("t"),
+        )
+        .groupBy("cat", "fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_f"),
+            F.sum("t").cast("bigint").alias("s_f"),
+        )
+    )
+    cat_tot = cells.groupBy("cat").agg(
+        F.sum("n_f").cast("bigint").alias("n_c"),
+        F.sum("s_f").cast("bigint").alias("s_c"),
+    )
+    return (
+        cells.join(cat_tot, "cat")
+        .selectExpr(
+            "cat",
+            "fold",
+            "CAST(s_c - s_f AS BIGINT) AS enc_num",
+            "CAST(n_c - n_f AS BIGINT) AS enc_den",
+            "CASE WHEN n_c > n_f THEN "
+            "CAST(sign(s_c - s_f) * (abs(s_c - s_f) * 1000000 "
+            "DIV (n_c - n_f)) AS BIGINT) END AS enc_mean_ppm",
+        )
+    )

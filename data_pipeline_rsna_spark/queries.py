@@ -12578,3 +12578,188 @@ def q_text_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return ta.unigram_doc_surprisal(docs)
+
+
+@register(
+    "feature_target_encoding_oof",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS cat,
+               (('0x' || substr(md5('cv|' || CAST(o_custkey AS VARCHAR)),
+                    1, 8))::UBIGINT % 5)::INTEGER AS fold,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS t
+        FROM orders
+    ),
+    cells AS (
+        SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_f,
+               CAST(sum(t) AS BIGINT) AS s_f
+        FROM s GROUP BY cat, fold
+    ),
+    tot AS (
+        SELECT cat, CAST(sum(n_f) AS BIGINT) AS n_c,
+               CAST(sum(s_f) AS BIGINT) AS s_c
+        FROM cells GROUP BY cat
+    )
+    SELECT cat, fold,
+           CAST(s_c - s_f AS BIGINT) AS enc_num,
+           CAST(n_c - n_f AS BIGINT) AS enc_den,
+           CASE WHEN n_c > n_f THEN
+               CAST(sign(s_c - s_f) * (abs(s_c - s_f) * 1000000
+                    // (n_c - n_f)) AS BIGINT) END AS enc_mean_ppm
+    FROM cells JOIN tot USING (cat)
+    """,
+    doc="X8+ leakage-safe out-of-fold target encoding table: per "
+    "(order priority, md5 customer fold), the mean target (total "
+    "price, cents) over every OTHER fold as an exact rational + "
+    "trunc-consistent ppm — the feature a serving join broadcasts "
+    "back. One map-side-combined shuffle on (cat, fold); everything "
+    "downstream is |cats|x|folds| metadata.",
+    tags=("relational", "ml-eval"),
+)
+def q_feature_target_encoding_oof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('cv|', CAST(o_custkey AS STRING))),"
+            " 1, 8), 16, 10) % 5 AS INT)"
+        ).alias("fold"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("t"),
+    )
+    return rel.oof_target_encoding(s, "cat", "fold", "t")
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pair AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_support
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+    edges AS (
+        SELECT item_a AS src, item_b AS dst
+        FROM pair CROSS JOIN tot
+        WHERE pair_support * 50 >= n_baskets
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT src AS node FROM edges
+              UNION ALL SELECT dst FROM edges)
+        GROUP BY node
+    ),
+    p AS (
+        SELECT du.deg AS deg_u, dv.deg AS deg_v
+        FROM edges JOIN deg du ON edges.src = du.node
+                   JOIN deg dv ON edges.dst = dv.node
+    )
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_ends,
+           CAST(CAST(2 * count(*) AS DECIMAL(38,0))
+                    * (2 * CAST(sum(deg_u * deg_v) AS DECIMAL(38,0)))
+                - CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
+                    * CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
+                AS DECIMAL(38,0)) AS corr_num,
+           CAST(CAST(2 * count(*) AS DECIMAL(38,0))
+                    * CAST(sum(deg_u * deg_u + deg_v * deg_v)
+                        AS DECIMAL(38,0))
+                - CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
+                    * CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
+                AS DECIMAL(38,0)) AS var_x,
+           CAST(CAST(2 * count(*) AS DECIMAL(38,0))
+                    * CAST(sum(deg_u * deg_u + deg_v * deg_v)
+                        AS DECIMAL(38,0))
+                - CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
+                    * CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
+                AS DECIMAL(38,0)) AS var_y
+    FROM p
+    """,
+    doc="X8+ degree assortativity of the brand co-purchase graph "
+    "(Newman convention, both orientations per undirected edge): "
+    "positive = hubs link hubs, negative = hub-and-spoke — the one "
+    "number that says which topology the graph grew into and which "
+    "skew strategy downstream joins need. Exact rational r export "
+    "(corr_num / sqrt(var_x*var_y) left unevaluated in "
+    "decimal(38,0)).",
+    tags=("graph", "stats"),
+)
+def q_graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import graph as g
+    from .operators import mining
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    items = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select("l_orderkey", "p_brand")
+    b = mining.baskets(items, "l_orderkey", "p_brand")
+    pair = mining.pair_supports(b)
+    total = b.agg(F.count("*").alias("n_baskets"))
+    edges = (
+        pair.crossJoin(F.broadcast(total))
+        .filter(F.col("pair_support") * 50 >= F.col("n_baskets"))
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    return g.degree_assortativity(edges)
+
+
+@register(
+    "events_acf_lags",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY d
+    ),
+    pairs AS (
+        SELECT b.d - a.d AS lag, a.cents AS x, b.cents AS y
+        FROM daily a JOIN daily b
+          ON b.d > a.d AND b.d <= a.d + 7
+    )
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * y)
+                    AS DECIMAL(38,0))
+                - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(y)
+                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS corr_num,
+           CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * x)
+                    AS DECIMAL(38,0))
+                - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(x)
+                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_x,
+           CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(y * y)
+                    AS DECIMAL(38,0))
+                - CAST(sum(y) AS DECIMAL(38,0)) * CAST(sum(y)
+                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_y
+    FROM pairs GROUP BY lag
+    """,
+    doc="X5+ autocorrelation function of the daily revenue series, "
+    "lags 1..7 in one band self-join of the metadata-sized day "
+    "aggregate — the seasonality detector generalizing "
+    "events_autocorr_lag1. Per-lag Pearson ships as exact rational "
+    "sufficient statistics (decimal(38,0)); pair volume is |T|*7, "
+    "never fact data.",
+    tags=("events", "stats", "timeseries"),
+)
+def q_events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return ev_ops.acf_lags(daily, "d", "cents", max_lag=7)

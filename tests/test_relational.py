@@ -504,3 +504,23 @@ def test_cogrouped_reconcile_shared_lineage_regression(spark, sf_dir):
         changed,
         len(common) - changed,
     )
+
+
+def test_oof_target_encoding_leakage_safe(spark):
+    """The served mean for (cat, fold) must exclude that fold's own
+    rows exactly, and a single-fold category exports NULL ppm with
+    den 0 (no safe encoding), never a global fallback."""
+    rows = [
+        ("a", 0, 10), ("a", 0, 20), ("a", 1, 40),
+        ("b", 2, 7),
+    ]
+    df = spark.createDataFrame(rows, "cat string, fold int, t long")
+    out = {(r.cat, r.fold): r
+           for r in rel.oof_target_encoding(df, "cat", "fold", "t").collect()}
+    # (a,0): other folds = {40}/1; (a,1): {10,20}/2 -> 15
+    assert (out[("a", 0)].enc_num, out[("a", 0)].enc_den) == (40, 1)
+    assert out[("a", 0)].enc_mean_ppm == 40_000000
+    assert (out[("a", 1)].enc_num, out[("a", 1)].enc_den) == (30, 2)
+    assert out[("a", 1)].enc_mean_ppm == 15_000000
+    assert out[("b", 2)].enc_den == 0
+    assert out[("b", 2)].enc_mean_ppm is None

@@ -200,3 +200,30 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     # noon click: purchase 30 min old -> fresh; 18:00 click: 6.5h old -> null
     assert got[1] == 7.0 and got[2] is None
+
+
+def test_acf_lags_matches_numpy_pearson(spark):
+    """Per-lag rational stats must reproduce numpy's Pearson r for a
+    deterministic series at every lag, and n_pairs = T - lag."""
+    import math
+
+    from data_pipeline_rsna_spark.operators import events as ev_ops
+
+    xs = [((i * 7) % 13) * 3 + (i % 5) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d int, x int"
+    )
+    out = {r.lag: r for r in ev_ops.acf_lags(df, "d", "x", 4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for lag in (1, 2, 3, 4):
+        a = xs[:-lag]
+        b = xs[lag:]
+        n = len(a)
+        assert out[lag].n_pairs == n == 30 - lag
+        num = n * sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b)
+        vx = n * sum(x * x for x in a) - sum(a) ** 2
+        vy = n * sum(y * y for y in b) - sum(b) ** 2
+        assert (int(out[lag].corr_num), int(out[lag].var_x),
+                int(out[lag].var_y)) == (num, vx, vy)
+        # sanity: the rational evaluates to a valid correlation
+        assert abs(num / math.sqrt(vx * vy)) <= 1.0

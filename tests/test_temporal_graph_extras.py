@@ -153,3 +153,29 @@ def test_k_anonymity_hand_check(spark):
     assert (got.n_classes, got.n_rows) == (3, 9)
     assert (got.classes_below_k, got.rows_below_k) == (2, 3)
     assert got.min_class_size == 1
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    """A star (hub 0 - leaves 1..4): every edge pairs deg 4 with deg 1,
+    so r = -1 exactly: corr_num = -var (perfect anticorrelation)."""
+    from data_pipeline_rsna_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = g.degree_assortativity(edges).collect()[0]
+    assert r.n_ends == 8
+    assert int(r.var_x) == int(r.var_y)
+    assert int(r.corr_num) == -int(r.var_x) and int(r.var_x) > 0
+
+
+def test_degree_assortativity_regular_graph_degenerate(spark):
+    """A 4-cycle is 2-regular: zero degree variance, corr_num = 0 and
+    var = 0 (r undefined, consumer sees the 0/0 explicitly)."""
+    from data_pipeline_rsna_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    r = g.degree_assortativity(edges).collect()[0]
+    assert int(r.corr_num) == 0 and int(r.var_x) == 0
