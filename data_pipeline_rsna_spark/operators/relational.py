@@ -1410,3 +1410,48 @@ def oof_target_encoding(
             "DIV (n_c - n_f)) AS BIGINT) END AS enc_mean_ppm",
         )
     )
+
+
+def blocked_levenshtein_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fact-fact fuzzy name matching the record-linkage way: an
+    equi-join on a BLOCKING key (the first whitespace token) makes the
+    candidate set tractable, a cheap length-difference predicate prunes
+    it further (an edit distance ≤ d cannot bridge a length gap > d),
+    and only surviving candidates pay the O(len²) ``levenshtein``.
+    Without blocking this is a |L|·|R| nested loop — the thing
+    ``fuzzy_string_match``'s broadcast-dim shape explicitly is not for.
+
+    Returns (left name, right name, dist ≤ ``max_dist``) distinct
+    pairs. Recall bound is explicit: a typo INSIDE the first token
+    changes the block and the pair is missed — standard practice is a
+    second pass with a different key (e.g. last token, or a phonetic
+    code) unioned in; this operator is one such pass. Skew: a hot
+    first token (brand prefix) concentrates one block — salt it or cap
+    block size upstream, exactly like the LSH mega-bucket guard.
+    """
+    lb = left.select(
+        F.col(left_name).alias("_ln"),
+        F.expr(f"split(`{left_name}`, ' ')[0]").alias("_blk"),
+        F.length(left_name).alias("_ll"),
+    ).distinct()
+    rb = right.select(
+        F.col(right_name).alias("_rn"),
+        F.expr(f"split(`{right_name}`, ' ')[0]").alias("_blk"),
+        F.length(right_name).alias("_rl"),
+    ).distinct()
+    return (
+        lb.join(rb, "_blk")
+        .filter(F.abs(F.col("_ll") - F.col("_rl")) <= max_dist)
+        .select(
+            F.col("_ln").alias(left_name),
+            F.col("_rn").alias(right_name),
+            F.levenshtein("_ln", "_rn").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -895,3 +895,57 @@ def srm_check(
             "AS BIGINT) AS chi2_term_micro",
         )
     )
+
+
+def mutual_information_ranking(
+    df: DataFrame,
+    target_col: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    """MI(feature, target) for MANY candidate features in ONE fact-table
+    pass — the feature-selection / leakage-screening sweep
+    (``mutual_information`` for a single pair; this is the version a
+    pipeline actually runs: every candidate against the label, ranked).
+
+    The features unpivot via ``stack`` BEFORE the exchange, so one
+    map-side-combined shuffle on (feature, value, target) serves all k
+    features — vs k separate jobs each re-scanning the facts. Marginals
+    re-aggregate the contingency cells. Same exact integer export as
+    ``mutual_information`` (Σ c·(L(c)+L(n)−L(cv)−L(ct)), L = micro-nat
+    log of a count), one row per feature; no quotient, so near-zero MI
+    keeps its exact (possibly hair-negative) rounding.
+
+    Scale: cell cardinality is Σ_f |dom(f)|·|dom(T)| — bounded; the
+    unpivot multiplies fact ROWS by k but each unpivoted row is two
+    short strings, and the k-fold blowup buys back k-1 full scans.
+    """
+    k = len(feature_cols)
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in feature_cols)
+    cells = (
+        df.selectExpr(
+            f"stack({k}, {pairs}) AS (feature, v)",
+            f"CAST(`{target_col}` AS STRING) AS t",
+        )
+        .groupBy("feature", "v", "t")
+        .agg(F.count("*").alias("cvt"))
+    )
+    cv = cells.groupBy("feature", "v").agg(F.sum("cvt").alias("cv"))
+    ct = cells.groupBy("feature", "t").agg(F.sum("cvt").alias("ct"))
+    n = cells.groupBy("feature").agg(F.sum("cvt").alias("n"))
+    return (
+        cells.join(F.broadcast(cv), ["feature", "v"])
+        .join(F.broadcast(ct), ["feature", "t"])
+        .join(F.broadcast(n), "feature")
+        .groupBy("feature")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    f"cvt * ({ln_micro('cvt')} + {ln_micro('n')}"
+                    f" - {ln_micro('cv')} - {ln_micro('ct')})"
+                )
+            )
+            .cast("bigint")
+            .alias("mi_sum_micro"),
+        )
+    )

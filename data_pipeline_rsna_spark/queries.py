@@ -12763,3 +12763,101 @@ def q_events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return ev_ops.acf_lags(daily, "d", "cents", max_lag=7)
+
+
+@register(
+    "feature_mi_ranking",
+    oracle="""
+    WITH base AS (
+        SELECT 'linestatus' AS feature, CAST(l_linestatus AS VARCHAR) AS v,
+               CAST(l_returnflag AS VARCHAR) AS t FROM lineitem
+        UNION ALL
+        SELECT 'ship_month', CAST(month(l_shipdate) AS VARCHAR),
+               CAST(l_returnflag AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'discount_pct',
+               CAST(CAST(round(l_discount * 100) AS INTEGER) AS VARCHAR),
+               CAST(l_returnflag AS VARCHAR) FROM lineitem
+    ),
+    cells AS (
+        SELECT feature, v, t, count(*) AS cvt
+        FROM base GROUP BY feature, v, t
+    ),
+    cvm AS (SELECT feature, v, sum(cvt) AS cv FROM cells
+            GROUP BY feature, v),
+    ctm AS (SELECT feature, t, sum(cvt) AS ct FROM cells
+            GROUP BY feature, t),
+    nm AS (SELECT feature, sum(cvt) AS n FROM cells GROUP BY feature)
+    SELECT feature, CAST(any_value(n) AS BIGINT) AS n,
+           CAST(sum(cvt * (CAST(round(ln(cvt) * 1000000) AS BIGINT)
+                           + CAST(round(ln(n) * 1000000) AS BIGINT)
+                           - CAST(round(ln(cv) * 1000000) AS BIGINT)
+                           - CAST(round(ln(ct) * 1000000) AS BIGINT)))
+                AS BIGINT) AS mi_sum_micro
+    FROM cells
+    JOIN cvm USING (feature, v)
+    JOIN ctm USING (feature, t)
+    JOIN nm USING (feature)
+    GROUP BY feature
+    """,
+    doc="X8+ feature-selection sweep: MI(feature, return flag) for "
+    "three candidate lineitem features (line status, ship month, "
+    "discount percent) in ONE fact pass — the "
+    "features unpivot via stack before the exchange, so one "
+    "map-side-combined shuffle on (feature, value, target) serves "
+    "all of them instead of k scans. Same exact micro-nat integer "
+    "export as feature_mutual_information, one row per feature, "
+    "rational (no quotient).",
+    tags=("stats", "ml-eval"),
+)
+def q_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    li = tables.load(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "l_linestatus AS linestatus",
+        "CAST(month(l_shipdate) AS STRING) AS ship_month",
+        "CAST(CAST(round(l_discount * 100) AS INT) AS STRING)"
+        " AS discount_pct",
+    )
+    return st.mutual_information_ranking(
+        li, "l_returnflag", ["linestatus", "ship_month", "discount_pct"]
+    )
+
+
+@register(
+    "record_linkage_blocked",
+    oracle="""
+    WITH noisy AS (
+        SELECT DISTINCT
+               CASE WHEN p_partkey % 2 = 0
+                    THEN substring(p_name, 1, length(p_name) - 1)
+                    ELSE p_name || 'x' END AS noisy_name
+        FROM part WHERE p_partkey % 13 = 0
+    ),
+    names AS (SELECT DISTINCT p_name FROM part)
+    SELECT noisy_name, p_name,
+           levenshtein(noisy_name, p_name) AS dist
+    FROM noisy JOIN names
+      ON split_part(noisy_name, ' ', 1) = split_part(p_name, ' ', 1)
+     AND abs(length(noisy_name) - length(p_name)) <= 2
+     AND levenshtein(noisy_name, p_name) <= 2
+    """,
+    doc="X8+ fact-fact record linkage: noisy part names matched back "
+    "to the catalog by first-token BLOCKING (hash equi-join), a "
+    "length-gap prune, and Levenshtein <= 2 only inside surviving "
+    "candidates — never a |L|x|R| nested loop. The recall bound "
+    "(first-token typos escape the block) and the hot-block salt "
+    "note are in the operator docstring.",
+    tags=("relational", "dedup"),
+)
+def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables.load(spark, sf_dir, "part")
+    noisy = part.filter(F.col("p_partkey") % 13 == 0).selectExpr(
+        "CASE WHEN p_partkey % 2 = 0 "
+        "THEN substring(p_name, 1, length(p_name) - 1) "
+        "ELSE concat(p_name, 'x') END AS noisy_name"
+    )
+    return rel.blocked_levenshtein_join(
+        noisy, part.select("p_name"), "noisy_name", "p_name", max_dist=2
+    )

@@ -524,3 +524,27 @@ def test_oof_target_encoding_leakage_safe(spark):
     assert out[("a", 1)].enc_mean_ppm == 15_000000
     assert out[("b", 2)].enc_den == 0
     assert out[("b", 2)].enc_mean_ppm is None
+
+
+def test_blocked_levenshtein_join_blocks_and_matches(spark):
+    """Within-block typo matches at its distance; a first-token typo
+    escapes the block (documented recall bound); a distance-3 name in
+    the same block is filtered out."""
+    noisy = spark.createDataFrame(
+        [("golden lace",), ("golden lacquer",), ("golben lace",)],
+        "noisy string",
+    )
+    names = spark.createDataFrame(
+        [("golden lacy",), ("golden shore",)], "name string"
+    )
+    got = {
+        (r.noisy, r.name): r.dist
+        for r in rel.blocked_levenshtein_join(
+            noisy, names, "noisy", "name", max_dist=2
+        ).collect()
+    }
+    assert got == {
+        ("golden lace", "golden lacy"): 1,
+        # 'golden lacquer' -> 'golden lacy' is distance 3: filtered.
+        # 'golben lace' blocks under 'golben': never a candidate.
+    }

@@ -319,3 +319,24 @@ def test_srm_check_detects_mismatch_and_missing_arm(spark):
     assert out["c"].chi2_term_micro == 1600 * 10**6 // 160
     assert out["a"].expected_ppm == 500000
     assert out["a"].observed_ppm == 750000
+
+
+def test_mi_ranking_matches_single_pair_mi(spark):
+    """The one-pass multi-feature sweep must equal mutual_information
+    run per feature, including the perfectly-dependent (mi = sum over
+    cells, high) and independent (near-zero) cases."""
+    rows = [(t, t, v) for t in ("x", "y") for v in ("p", "q") for _ in range(5)]
+    df = spark.createDataFrame(rows, "t string, dep string, ind string")
+    out = {
+        r.feature: r
+        for r in st.mutual_information_ranking(
+            df, "t", ["dep", "ind"]
+        ).collect()
+    }
+    for feat in ("dep", "ind"):
+        solo = st.mutual_information(df, feat, "t").collect()[0]
+        assert (out[feat].n, out[feat].mi_sum_micro) == (
+            solo.n, solo.mi_sum_micro,
+        ), feat
+    assert out["dep"].mi_sum_micro > out["ind"].mi_sum_micro
+    assert abs(out["ind"].mi_sum_micro) <= 40  # rounding only
