@@ -823,3 +823,96 @@ def lsh_bucket_histogram(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.count("*").cast("bigint").alias("n_buckets"))
         .select("band", F.col("bucket_size").cast("bigint").alias("bucket_size"), "n_buckets")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ ``threshold`` via PREFIX
+    FILTERING (Chaudhuri/Xiao PPJoin family) — the other classical
+    route to n²-free set similarity, complementary to MinHash-LSH:
+    deterministic and exact (no probabilistic recall), best when the
+    threshold is high and token frequencies are skewed.
+
+    The filter: order every doc's distinct tokens by one GLOBAL rarity
+    order (document frequency asc, token asc); if J(x,y) ≥ t, the
+    first ``|x| − ceil(t·|x|) + 1`` tokens of x and the analogous
+    prefix of y must share at least one token — so only PREFIX tokens
+    enter the inverted index, and rare-token prefixes generate few,
+    high-precision candidates (stopwords almost never index).
+    Candidates then verify exactly against the full token sets
+    (array_intersect of two doc-bounded arrays), so the output is
+    EXACT — an oracle can recompute it with a plain inverted-index
+    join and must agree pair-for-pair.
+
+    Scale: df count and the per-doc rank window (partitioned by doc)
+    are one shuffle each; the candidate join carries only prefix
+    postings (≈ (1−t)·tokens); verification touches candidate pairs
+    only. The known adversary is a rare token shared by many docs —
+    bucket-cap the posting list like the LSH mega-bucket guard if a
+    corpus manufactures one.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.selectExpr(
+        f"`{id_col}` AS _id",
+        f"explode(array_distinct(split(lower(`{text_col}`), '\\\\s+'))) AS w",
+    )
+    dfc = toks.groupBy("w").agg(F.count("*").alias("_dfw"))
+    w_doc = Window.partitionBy("_id").orderBy("_dfw", "w")
+    ranked = (
+        toks.join(dfc, "w")
+        .withColumn("_rn", F.row_number().over(w_doc))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_sz") - F.expr(f"CAST(ceil({threshold} * _sz) AS INT)") + 1
+    ).select("_id", "w")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("_id").agg(
+        F.sort_array(F.collect_set("w")).alias("_ws"),
+        F.count("*").cast("bigint").alias("_sz"),
+    )
+    sa = sets.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_ws").alias("_wsa"),
+        F.col("_sz").alias("_sza"),
+    )
+    sb = sets.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_ws").alias("_wsb"),
+        F.col("_sz").alias("_szb"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "overlap",
+            F.size(F.array_intersect("_wsa", "_wsb")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("overlap")
+                / (F.col("_sza") + F.col("_szb") - F.col("overlap")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "overlap", "jaccard")
+    )

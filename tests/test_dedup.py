@@ -443,3 +443,40 @@ def test_lsh_bucket_histogram_accounts_all_docs(spark):
     for band, rows in per_band.items():
         assert sum(r.bucket_size * r.n_buckets for r in rows) == 4
         assert any(r.bucket_size >= 2 for r in rows), band
+
+
+def test_prefix_filter_jaccard_equals_full_inverted_index(spark):
+    """Prefix-filter blocking must lose NOTHING: on a corpus with
+    planted high-overlap pairs, the result equals the brute-force
+    token-Jaccard over all pairs (python reference), including exact
+    duplicates (j=1.0) and a pair exactly at the threshold boundary."""
+    from data_pipeline_rsna_spark.operators import dedup
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",        # exact dup of 1
+        3: "alpha beta gamma delta zeta",            # j=4/6 with 1
+        4: "totally different words here now",
+        5: "alpha beta gamma delta epsilon eta",     # j=5/6 with 1
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    t = 0.66
+    got = {
+        (r.doc_a, r.doc_b): (r.overlap, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, threshold=t
+        ).collect()
+    }
+    expected = {}
+    sets = {k: set(v.lower().split()) for k, v in texts.items()}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b:
+                ov = len(sets[a] & sets[b])
+                j = round(ov / len(sets[a] | sets[b]), 6)
+                if j >= t:
+                    expected[(a, b)] = (ov, j)
+    assert got == expected
+    assert (1, 2) in got and got[(1, 2)][1] == 1.0
