@@ -869,3 +869,143 @@ def unigram_doc_surprisal(
         "CAST(ln_t_micro - sum_ln_c_micro DIV n_tokens AS BIGINT) "
         "AS surprisal_micro",
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each k, what share of all token
+    OCCURRENCES the top-k most frequent types cover — the tokenizer /
+    vocab-size diagnostic (coverage@32k is the question "is a 32k
+    vocab enough for this corpus", and a fast-saturating curve means
+    templated text). Returns (k, covered_types, covered_mass,
+    mass_ppm).
+
+    The global rank never windows over the vocabulary: rank = the
+    zipf-slope trick — an exclusive running sum over the
+    O(sqrt(tokens))-row frequency-of-frequencies table gives each
+    distinct frequency's rank offset, broadcast back, plus a
+    row_number within the frequency group (partitioned window,
+    parallel by frequency). Coverage per k is then one filtered
+    aggregation; all counts integral, ppm truncates identically in
+    both engines.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        docs.selectExpr(
+            f"explode(split(lower(`{text_col}`), '\\\\s+')) AS w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w_off = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        freq.groupBy("f")
+        .agg(F.count("*").alias("nf"))
+        .select(
+            "f",
+            F.coalesce(F.sum("nf").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias("_off"),
+        )
+    )
+    w_rank = Window.partitionBy("f").orderBy("w")
+    ranked = freq.join(F.broadcast(offsets), "f").withColumn(
+        "r", F.col("_off") + F.row_number().over(w_rank).cast("bigint")
+    )
+    total = freq.agg(F.sum("f").cast("bigint").alias("t_mass"))
+    ks_df = docs.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks_df))
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("covered_types"),
+            F.sum("f").cast("bigint").alias("covered_mass"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "k",
+            "covered_types",
+            "covered_mass",
+            "CAST(covered_mass * 1000000 DIV t_mass AS BIGINT) AS mass_ppm",
+        )
+    )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: adjacent token pairs ranked by pointwise
+    mutual information — the phrase detector ("new york", "machine
+    learning") a tokenizer-merge or stopword-phrase list is built
+    from. High PMI = the pair co-occurs far above chance.
+
+    pmi·1e6 ≈ L(c_ab) − L(M) − L(c_a) − L(c_b) + 2·L(N) with L the
+    micro-nat log of an integer count (c_ab bigram count, M total
+    bigrams, c_a/c_b unigram counts, N total tokens) — the sum of
+    five bit-stable integers, so ranking ties are impossible to get
+    wrong across engines; ``min_count`` kills the degenerate
+    hapax-pair PMI spike. Ranking is TakeOrdered (top_n), never a
+    global sort.
+
+    Shape: one bigram-count shuffle + one unigram-count shuffle (both
+    map-side combined), two joins of the bigram table against the
+    unigram table (hot keys are stopwords — single accumulator rows
+    fanned out read-only), two 1-row broadcasts.
+    """
+    toks = docs.selectExpr(
+        f"split(lower(`{text_col}`), '\\\\s+') AS _ws"
+    ).filter(F.size("_ws") >= 2)
+    bigrams = (
+        toks.selectExpr(
+            "explode(zip_with(slice(_ws, 1, size(_ws) - 1), "
+            "slice(_ws, 2, size(_ws) - 1), "
+            "(a, b) -> struct(a, b))) AS bg"
+        )
+        .groupBy("bg.a", "bg.b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        docs.selectExpr(
+            f"explode(split(lower(`{text_col}`), '\\\\s+')) AS w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    m_big = toks.selectExpr(
+        "CAST(size(_ws) - 1 AS BIGINT) AS nb"
+    ).agg(F.sum("nb").cast("bigint").alias("m"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    ln = "CAST(round(ln({x}) * 1000000) AS BIGINT)"
+    return (
+        bigrams.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_big))
+        .selectExpr(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            f"CAST({ln.format(x='c_ab')} - {ln.format(x='m')}"
+            f" - {ln.format(x='c_a')} - {ln.format(x='c_b')}"
+            f" + 2 * {ln.format(x='n')} AS BIGINT) AS pmi_micro",
+        )
+        .orderBy(F.col("pmi_micro").desc(), F.col("a"), F.col("b"))
+        .limit(top_n)
+    )

@@ -12901,3 +12901,94 @@ def q_dedup_prefix_filter_jaccard(
 
     corpus = _planted_corpus(spark, sf_dir)
     return dedup.prefix_filter_jaccard_pairs(corpus, threshold=0.95)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freq
+    ),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS t_mass FROM freq),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS covered_types,
+           CAST(sum(f) AS BIGINT) AS covered_mass,
+           CAST(sum(f) * 1000000 // t_mass AS BIGINT) AS mass_ppm
+    FROM ranked CROSS JOIN ks CROSS JOIN tot
+    WHERE r <= k
+    GROUP BY k, t_mass
+    """,
+    doc="X4+ vocabulary coverage curve: share of token occurrences "
+    "covered by the top-k types (k = 10/100/1000) — the vocab-size / "
+    "tokenizer diagnostic. The global rank uses the zipf-slope trick "
+    "(frequency-of-frequencies exclusive prefix + within-frequency "
+    "row_number), never a window over the vocabulary.",
+    tags=("text",),
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.vocab_coverage(docs, ks=(10, 100, 1000))
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH ws AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS ws
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT ws[i] AS a, ws[i + 1] AS b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM ws WHERE len(ws) >= 2)
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    nm AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               (SELECT CAST(sum(len(ws) - 1) AS BIGINT)
+                FROM ws WHERE len(ws) >= 2) AS m
+        FROM uni
+    )
+    SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST(CAST(round(ln(c_ab) * 1000000) AS BIGINT)
+                - CAST(round(ln(m) * 1000000) AS BIGINT)
+                - CAST(round(ln(ua.c) * 1000000) AS BIGINT)
+                - CAST(round(ln(ub.c) * 1000000) AS BIGINT)
+                + 2 * CAST(round(ln(n) * 1000000) AS BIGINT)
+                AS BIGINT) AS pmi_micro
+    FROM bigrams
+    JOIN uni ua ON ua.w = a
+    JOIN uni ub ON ub.w = b
+    CROSS JOIN nm
+    ORDER BY pmi_micro DESC, a, b
+    LIMIT 30
+    """,
+    doc="X4+ collocation mining: adjacent token pairs ranked by PMI "
+    "in exact integer micro-nats (five bit-stable log terms; "
+    "min_count 5 kills the hapax spike; deterministic tiebreak so "
+    "both engines cut the same top-30). Two map-side-combined count "
+    "shuffles + stopword-hot joins; ranking is TakeOrdered.",
+    tags=("text",),
+)
+def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.collocations_pmi(docs, min_count=5, top_n=30)

@@ -325,3 +325,44 @@ def test_unigram_doc_surprisal_rare_scores_higher(spark):
     )
     # doc 2: each c=1 -> surprisal = ln(8) exactly
     assert out[2].surprisal_micro == round(math.log(8) * 1e6)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Corpus 'a'x5 'b'x3 'c'x1 'd'x1: top-1 covers 5/10, top-2 8/10,
+    top-3 9/10 (ties broken by token order: c before d)."""
+    from data_pipeline_rsna_spark.operators import textanalysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a b d")], "doc_id long, text string"
+    )
+    out = {r.k: r for r in ta.vocab_coverage(docs, ks=(1, 2, 3)).collect()}
+    assert (out[1].covered_types, out[1].covered_mass, out[1].mass_ppm) == (
+        1, 5, 500000,
+    )
+    assert (out[2].covered_mass, out[2].mass_ppm) == (8, 800000)
+    assert (out[3].covered_mass, out[3].mass_ppm) == (9, 900000)
+
+
+def test_collocations_pmi_ranks_true_phrase_first(spark):
+    """'neural network' always co-occurs; 'the cat'/'the dog' share the
+    stopword 'the' — the dedicated phrase must out-PMI the stopword
+    bigrams, with the exact micro-nat value."""
+    import math
+
+    from data_pipeline_rsna_spark.operators import textanalysis as ta
+
+    rows = [(i, "neural network beats the cat and the dog often")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ta.collocations_pmi(docs, min_count=5, top_n=8).collect()
+    pmis = {(r.a, r.b): r.pmi_micro for r in out}
+    # counts: c_ab=6, c_a=c_b=6, M=6*8=48, N=6*9=54
+    expect = (round(math.log(6) * 1e6) - round(math.log(48) * 1e6)
+              - 2 * round(math.log(6) * 1e6) + 2 * round(math.log(54) * 1e6))
+    assert pmis[("neural", "network")] == expect
+    # every pair free of the doubled stopword ties at the top —
+    # alphabetical tiebreak puts ('cat','and') first deterministically
+    assert (out[0].a, out[0].b) == ("cat", "and")
+    assert out[0].pmi_micro == expect
+    # any pair touching 'the' (c=12) scores strictly lower
+    assert pmis[("the", "cat")] < expect
