@@ -306,3 +306,91 @@ def test_gini_identity_matches_reference(spark, cents):
         # mean-difference identity: sum_ij |xi - xj| = 2*(2*six-(n+1)*sx)
         brute = sum(abs(a - b) for a in cents for b in cents)
         assert num * 2 == brute
+
+
+# ---------------------------------------------------------------------------
+# round-5 statistics operators vs brute-force Python references
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xyz"), st.sampled_from("xyz")),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_cohens_kappa_matches_bruteforce(spark, pairs):
+    """kappa_num/kappa_den must equal the textbook confusion-matrix
+    computation for arbitrary rater pairs (including skewed and
+    perfectly-agreeing samples)."""
+    from collections import Counter
+
+    from data_pipeline_rsna_spark.operators import stats as stt
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = stt.cohens_kappa(df, "a", "b").collect()[0]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ma = Counter(a for a, _ in pairs)
+    mb = Counter(b for _, b in pairs)
+    pe_num = sum(ma[c] * mb[c] for c in set(ma) | set(mb))
+    assert (r.n, r.agree) == (n, agree)
+    assert (int(r.kappa_num), int(r.kappa_den)) == (
+        n * agree - pe_num, n * n - pe_num,
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50),
+             min_size=2, max_size=40)
+)
+def test_cusum_changepoint_matches_bruteforce(spark, xs):
+    """Scaled CUSUM argmax/max must equal the direct O(T^2)-free python
+    scan for arbitrary integer series."""
+    from data_pipeline_rsna_spark.operators import stats as stt
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t int, x int"
+    )
+    r = stt.cusum_changepoint(df, "t", "x").collect()[0]
+    t_n, s = len(xs), sum(xs)
+    c, best_t, best = 0, None, -1
+    for i, x in enumerate(xs):
+        c += t_n * x - s
+        if abs(c) > best:
+            best, best_t = abs(c), i
+    assert (r.t_periods, r.s_total) == (t_n, s)
+    assert (r.changepoint_at, r.cusum_max_scaled) == (best_t, best)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_vocab_coverage_matches_bruteforce(spark, tokens):
+    """coverage@k must equal the python sort-by-(freq desc, token)
+    prefix sums for arbitrary token multisets at every k."""
+    from collections import Counter
+
+    from data_pipeline_rsna_spark.operators import textanalysis as ta
+
+    docs = spark.createDataFrame([(1, " ".join(tokens))],
+                                 "doc_id long, text string")
+    ks = (1, 3, 10)
+    out = {r.k: r for r in ta.vocab_coverage(docs, ks=ks).collect()}
+    freq = Counter(tokens)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    for k in ks:
+        types = min(k, len(ranked))
+        mass = sum(f for _, f in ranked[:k])
+        assert (out[k].covered_types, out[k].covered_mass,
+                out[k].mass_ppm) == (types, mass,
+                                     mass * 1000000 // total), k
