@@ -790,3 +790,43 @@ def hist_equalize_stats(images: DataFrame) -> DataFrame:
     return images.mapInPandas(
         eq, "img_id long, eq_pixel_sum long, n_levels int"
     )
+
+
+def audio_silence_gate(
+    clips: DataFrame,
+    frame: int = 256,
+    energy_threshold: int = 89_000_000,
+) -> DataFrame:
+    """VAD-style silence gate per clip — the audio-corpus quality
+    filter: frame the waveform (``audio_frame_features``'s framing),
+    call a frame "silent" when its integer energy Σs² falls below
+    ``energy_threshold``, and report per-clip frame counts plus the
+    silence ratio in ppm. Mostly-silent clips are dead weight in a
+    speech corpus; an all-silent clip is usually a decode failure.
+
+    Composition, not new kernel code: the Arrow-batched framing pass
+    emits integer energies, and everything after is a JVM-side
+    aggregation — so the gate inherits ``audio_frame_features``'s
+    exactness (a closed-form synthetic corpus re-derives it in SQL)
+    and its scale shape (one mapInPandas pass, one
+    map-side-combined groupBy(clip)).
+    """
+    frames = audio_frame_features(clips, frame=frame)
+    return (
+        frames.groupBy("clip_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(
+                (F.col("energy") < energy_threshold).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_silent"),
+        )
+        .selectExpr(
+            "clip_id",
+            "n_frames",
+            "n_silent",
+            "CAST(n_silent * 1000000 DIV n_frames AS BIGINT) "
+            "AS silence_ppm",
+        )
+    )

@@ -12992,3 +12992,45 @@ def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return ta.collocations_pmi(docs, min_count=5, top_n=30)
+
+
+@register(
+    "multimodal_audio_silence_gate",
+    oracle="""
+    WITH samp AS (
+        SELECT c.c AS clip_id, i.i AS i,
+               ((c.c * 17 + i.i * 13) % 2048) - 1024 AS s
+        FROM (SELECT unnest(generate_series(0, 99)) AS c) c
+        CROSS JOIN (SELECT unnest(generate_series(0, 1999)) AS i) i
+    ),
+    framed AS (
+        SELECT clip_id, CAST(i // 256 AS INTEGER) AS frame_idx, s
+        FROM samp WHERE i < 1792
+    ),
+    e AS (
+        SELECT clip_id, frame_idx, sum(s * s) AS energy
+        FROM framed GROUP BY clip_id, frame_idx
+    )
+    SELECT clip_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN energy < 89000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_silent,
+           CAST(sum(CASE WHEN energy < 89000000 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS silence_ppm
+    FROM e GROUP BY clip_id
+    """,
+    doc="X7+ VAD-style audio silence gate: per clip, the share of "
+    "256-sample frames whose integer energy falls below threshold — "
+    "the speech-corpus dead-weight filter (an all-silent clip is "
+    "usually a decode failure). Pure composition over the "
+    "Arrow-batched framing pass + one map-side-combined "
+    "groupBy(clip); the closed-form synthetic corpus re-derives "
+    "every frame in SQL.",
+    tags=("multimodal", "quality"),
+)
+def q_multimodal_audio_silence_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as mm
+
+    return mm.audio_silence_gate(mm.synth_audio(spark, n=100))

@@ -15,3 +15,30 @@ def test_arrow_stats_match_pandas_stats(spark):
     p = {r.img_id: (r.sum_px, r.mean_px, r.min_px, r.max_px)
          for r in mm.pixel_stats(imgs).collect()}
     assert a == p and len(a) == 40
+
+
+def test_audio_silence_gate_thresholds_consistently(spark):
+    """The gate must equal recomputing frame energies and thresholding
+    in python for the synthetic corpus, and a clip of all-zero samples
+    is 100% silent."""
+    import numpy as np
+
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+
+    clips = mm.synth_audio(spark, n=8)
+    out = {r.clip_id: r for r in mm.audio_silence_gate(clips).collect()}
+    for cid in range(8):
+        i = np.arange(2000, dtype=np.int64)
+        s = ((cid * 17 + i * 13) % 2048) - 1024
+        fr = s[:1792].reshape(7, 256)
+        en = (fr * fr).sum(axis=1)
+        silent = int((en < 89_000_000).sum())
+        r = out[cid]
+        assert (r.n_frames, r.n_silent) == (7, silent)
+        assert r.silence_ppm == silent * 1000000 // 7
+    zero = spark.createDataFrame(
+        [(999, np.zeros(512, dtype=np.int16).tobytes(), "int16", 512)],
+        "clip_id long, samples binary, dtype string, n_samples int",
+    )
+    z = mm.audio_silence_gate(zero).collect()[0]
+    assert (z.n_frames, z.n_silent, z.silence_ppm) == (2, 2, 1000000)
