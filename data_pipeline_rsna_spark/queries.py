@@ -13034,3 +13034,33 @@ def q_multimodal_audio_silence_gate(
     from .operators import multimodal as mm
 
     return mm.audio_silence_gate(mm.synth_audio(spark, n=100))
+
+
+@register(
+    "events_srm_streaming",
+    oracle="""
+    SELECT CASE WHEN h < 5 THEN 'control'
+                WHEN h < 8 THEN 'variant_a'
+                ELSE 'variant_b' END AS arm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
+    FROM (
+        SELECT user_id,
+               (('0x' || substr(md5('arm|' || CAST(user_id AS VARCHAR)),
+                    1, 8))::UBIGINT % 10)::INTEGER AS h
+        FROM events
+    )
+    GROUP BY 1
+    """,
+    doc="X6+ streaming SRM monitor: distinct experiment units per "
+    "md5 arm maintained live (dropDuplicates state bounded by the "
+    "watermark, design-sized complete-mode agg) — the "
+    "assignment-health number watched WHILE an experiment runs "
+    "instead of discovered at readout. Bounded replay equals the "
+    "batch distinct-count exactly.",
+    tags=("events", "streaming", "quality"),
+)
+def q_events_srm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    return es.run_bounded(es.srm_monitor_stream(stream), mode="complete")

@@ -827,3 +827,38 @@ def fingerprint_stream(events: DataFrame) -> DataFrame:
             .alias("fingerprint"),
         )
     )
+
+
+def srm_monitor_stream(events: DataFrame,
+                       watermark: str = "24 hours") -> DataFrame:
+    """Streaming sample-ratio-mismatch monitor (X6 twin of the batch
+    ``stats.srm_check``): distinct experiment units per md5-hashed arm,
+    maintained continuously — the assignment-health dashboard number
+    that must hold its design ratio while an experiment runs, watched
+    live instead of discovered at readout.
+
+    ``dropDuplicates`` on (arm, user) keeps one state row per unit
+    inside the watermark horizon (same state-bounding contract as
+    ``dedup_counts_stream``); the downstream per-arm count is a
+    complete-mode aggregate of design-sized cardinality. The chi²
+    terms stay a serving-layer division — the stream exports the exact
+    counts, which is what makes the bounded replay equal the batch
+    distinct-count bit-for-bit.
+    """
+    assigned = events.selectExpr(
+        "ts",
+        "user_id",
+        "CASE WHEN CAST(conv(substr(md5(concat('arm|', "
+        "CAST(user_id AS STRING))), 1, 8), 16, 10) % 10 AS INT) < 5 "
+        "THEN 'control' "
+        "WHEN CAST(conv(substr(md5(concat('arm|', "
+        "CAST(user_id AS STRING))), 1, 8), 16, 10) % 10 AS INT) < 8 "
+        "THEN 'variant_a' ELSE 'variant_b' END AS arm",
+    )
+    deduped = (
+        assigned.withWatermark("ts", watermark)
+        .dropDuplicates(["arm", "user_id"])
+    )
+    return deduped.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_units")
+    )

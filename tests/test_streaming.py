@@ -768,3 +768,37 @@ def test_available_now_trigger_drains_and_self_terminates(
     got = spark.read.parquet(out)
     batch = ev.hourly_type_agg(tables.load(spark, sf_dir, "events"))
     assert _key(got.collect()) == _key(batch.collect())
+
+
+def test_srm_monitor_stream_equals_batch_distinct(spark, sf_dir):
+    """The bounded replay of the streaming SRM monitor must equal the
+    batch distinct-count per arm on the same events."""
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    got = {
+        r.arm: r.n_units
+        for r in es.run_bounded(
+            es.srm_monitor_stream(stream), mode="complete"
+        ).collect()
+    }
+    ev = tables.load(spark, sf_dir, "events")
+    want = {
+        r.arm: r.n
+        for r in ev.selectExpr(
+            "CASE WHEN CAST(conv(substr(md5(concat('arm|', "
+            "CAST(user_id AS STRING))), 1, 8), 16, 10) % 10 AS INT) < 5 "
+            "THEN 'control' "
+            "WHEN CAST(conv(substr(md5(concat('arm|', "
+            "CAST(user_id AS STRING))), 1, 8), 16, 10) % 10 AS INT) < 8 "
+            "THEN 'variant_a' ELSE 'variant_b' END AS arm",
+            "user_id",
+        )
+        .distinct()
+        .groupBy("arm")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want and len(got) == 3
