@@ -25,6 +25,8 @@ for sketching; it is NOT a security choice.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -898,12 +900,27 @@ def prefix_filter_jaccard_pairs(
         F.col("_ws").alias("_wsb"),
         F.col("_sz").alias("_szb"),
     )
+    # The threshold as an exact rational (0.95 -> 19/20): str() recovers
+    # the decimal the caller wrote, so the integer filter below tests
+    # the INTENDED threshold, not the float's binary neighbor.
+    _t = Fraction(str(threshold))
+    _t_num, _t_den = _t.numerator, _t.denominator
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
             "overlap",
             F.size(F.array_intersect("_wsa", "_wsb")).cast("bigint"),
+        )
+        # Threshold test in EXACT integer arithmetic: overlap/union >= t
+        # iff overlap * t_den >= t_num * union for t = t_num/t_den.
+        # Filtering on a float rounded to 6 decimals would admit pairs
+        # up to 5e-7 BELOW threshold, contradicting the exact contract;
+        # `jaccard` stays rounded for display only.
+        .filter(
+            F.col("overlap") * F.lit(_t_den)
+            >= F.lit(_t_num)
+            * (F.col("_sza") + F.col("_szb") - F.col("overlap"))
         )
         .withColumn(
             "jaccard",
@@ -913,6 +930,5 @@ def prefix_filter_jaccard_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "overlap", "jaccard")
     )

@@ -24,8 +24,16 @@ _MID_PART_BITS = 33
 _MID_ROW_MASK = (1 << _MID_PART_BITS) - 1
 
 
+def _order_cols(order_col) -> list[str]:
+    """Normalize a rank key spec — one column name or a sequence of
+    names (a composite key ranked lexicographically) — to a list."""
+    if isinstance(order_col, str):
+        return [order_col]
+    return list(order_col)
+
+
 def _ranked_by_mid(
-    df: DataFrame, order_col: str, partitions: int | None = None
+    df: DataFrame, order_col, partitions: int | None = None
 ) -> DataFrame:
     """Range-partition + local sort, with ``(_pid, _local_rn)`` derived
     from ``monotonically_increasing_id`` instead of a WindowExec.
@@ -49,9 +57,10 @@ def _ranked_by_mid(
         partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    cols = _order_cols(order_col)
     part = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(n, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
@@ -100,7 +109,7 @@ def _offset_col(offsets: dict[int, int]) -> Column:
 
 
 def global_row_number(
-    df: DataFrame, order_col: str, out_col: str = "rn", partitions: int | None = None
+    df: DataFrame, order_col, out_col: str = "rn", partitions: int | None = None
 ) -> DataFrame:
     """Scalable deterministic global 1-based rank by ``order_col``.
 
@@ -116,7 +125,10 @@ def global_row_number(
 
     Exact sampling boundaries of the range partitioner don't affect the
     result — the rank depends only on the total order, which any boundary
-    placement preserves. ``order_col`` must be unique for a stable rank.
+    placement preserves. ``order_col`` is one column name or a sequence
+    of names (a composite key, ranked lexicographically — preferred over
+    arithmetic key-packing, which silently corrupts on overflow); the
+    key must be unique for a stable rank.
     """
     ranked = _ranked_by_mid(df, order_col, partitions)
     offsets, _ = _partition_offsets(ranked)

@@ -121,11 +121,13 @@ def html_extract_stats(
     and the retained ratio in ppm — the boilerplate-share metric a
     curation pipeline tracks per site (a site whose retained ppm
     collapses is shipping chrome, not content). Narrow projection;
-    integer ppm via floor division."""
+    integer ppm via floor division. Empty documents yield NULL ppm
+    (guarded: Spark 4's ANSI mode raises DIVIDE_BY_ZERO otherwise)."""
     return df.selectExpr(
         f"`{id_col}`",
         f"length(`{html_col}`) AS n_chars_raw",
         f"length({strip_html_expr(html_col)}) AS n_chars_text",
+        f"CASE WHEN length(`{html_col}`) > 0 THEN "
         f"CAST(length({strip_html_expr(html_col)}) * 1000000 "
-        f"DIV length(`{html_col}`) AS BIGINT) AS retained_ppm",
+        f"DIV length(`{html_col}`) AS BIGINT) END AS retained_ppm",
     )

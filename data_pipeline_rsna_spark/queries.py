@@ -8705,7 +8705,11 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs_max = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # doc-count bound as a broadcast 1-row aggregate (projection-pruned
+    # doc_id-only scan), NOT a driver pre-collect: the old scalar
+    # .collect() serialized one extra job-floor latency ahead of the
+    # real pass — this form is ONE Spark action end to end.
+    bound = docs.agg((F.max("doc_id") + F.lit(1)).alias("_n_docs"))
     first_seen = (
         docs.select(
             "doc_id",
@@ -8721,12 +8725,13 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         deciles.crossJoin(first_seen)
+        .crossJoin(F.broadcast(bound))
         .groupBy("decile")
         .agg(
             F.sum(
                 F.when(
                     F.col("first_doc") * 10
-                    < F.col("decile") * F.lit(n_docs_max),
+                    < F.col("decile") * F.col("_n_docs"),
                     1,
                 ).otherwise(0)
             )
@@ -10517,7 +10522,7 @@ def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_apply",
-    oracle="""
+    oracle=r"""
     WITH w AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -10529,7 +10534,7 @@ def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(words, w -> len(w)))
                AS INTEGER) AS n_chars,
            CAST(list_sum(list_transform(words, w ->
-               len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(concat(' ', regexp_replace(w, '(.)', '\\1 ', 'g')), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' e r ', ' er '), ' a n ', ' an '), ' r e ', ' re '), ' o n ', ' on '), ' e n ', ' en '), ' a t ', ' at '), ' o r ', ' or '), ' e s ', ' es '), ' s t ', ' st '), ' a r ', ' ar '), ' t e ', ' te '), ' n d ', ' nd '), ' t o ', ' to '), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' e r ', ' er '), ' a n ', ' an '), ' r e ', ' re '), ' o n ', ' on '), ' e n ', ' en '), ' a t ', ' at '), ' o r ', ' or '), ' e s ', ' es '), ' s t ', ' st '), ' a r ', ' ar '), ' t e ', ' te '), ' n d ', ' nd '), ' t o ', ' to ')), ' '))))
+               len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(concat(' ', regexp_replace(w, '(.)', '\1 ', 'g')), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' e r ', ' er '), ' a n ', ' an '), ' r e ', ' re '), ' o n ', ' on '), ' e n ', ' en '), ' a t ', ' at '), ' o r ', ' or '), ' e s ', ' es '), ' s t ', ' st '), ' a r ', ' ar '), ' t e ', ' te '), ' n d ', ' nd '), ' t o ', ' to '), ' t h ', ' th '), ' th e ', ' the '), ' i n ', ' in '), ' e r ', ' er '), ' a n ', ' an '), ' r e ', ' re '), ' o n ', ' on '), ' e n ', ' en '), ' a t ', ' at '), ' o r ', ' or '), ' e s ', ' es '), ' s t ', ' st '), ' a r ', ' ar '), ' t e ', ' te '), ' n d ', ' nd '), ' t o ', ' to ')), ' '))))
                AS INTEGER) AS n_symbols
     FROM w
     """,
@@ -10600,7 +10605,7 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "web_html_extract_stats",
-    oracle="""
+    oracle=r"""
     WITH h AS (
         SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN
  '<html><head><title>t</title><script>var x = 1 < 2;</script><style>p { color: red; }</style></head><body><!-- nav --><p>' || text || '</p><div>footer &amp; nav &#39;q&#39;</div></body></html>'
@@ -10612,7 +10617,7 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(html) AS n_chars_raw,
            length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))) AS n_chars_text,
-           CAST(length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))) * 1000000 // length(html) AS BIGINT)
+           CASE WHEN length(html) > 0 THEN CAST(length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))) * 1000000 // length(html) AS BIGINT) END
                AS retained_ppm
     FROM h
     """,
@@ -10830,7 +10835,7 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "web_corpus_funnel",
-    oracle="""
+    oracle=r"""
     WITH h AS (
         SELECT doc_id, source,
                CASE WHEN doc_id % 2 = 0 THEN
@@ -11058,14 +11063,11 @@ def q_market_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 100) AS BIGINT)) AS BIGINT)"
         ).alias("cents")
     )
-    # unique composite rank key: cents dominate, suppkey breaks ties
-    ranked = rel.global_row_number(
-        rev.withColumn(
-            "_ord", F.expr("cents * 10000000 + l_suppkey")
-        ),
-        "_ord",
-        out_col="rn",
-    )
+    # unique composite rank key: cents dominate, suppkey breaks ties.
+    # Ranked lexicographically on the two columns — an arithmetic
+    # packed key (cents * K + suppkey) silently corrupts once suppkey
+    # >= K or the multiply overflows int64 at large SF.
+    ranked = rel.global_row_number(rev, ("cents", "l_suppkey"), out_col="rn")
     s = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("sx"),
@@ -12882,7 +12884,7 @@ def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(overlap / (sa.sz + sb.sz - overlap), 6) >= 0.95
+    WHERE overlap * 20 >= 19 * (sa.sz + sb.sz - overlap)
     """,
     doc="X2+ exact token-set Jaccard pairs (>= 0.95) via PREFIX "
     "FILTERING: only the rarity-ordered first |x|-ceil(t|x|)+1 tokens "

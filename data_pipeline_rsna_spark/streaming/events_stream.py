@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import pathlib
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,8 +170,15 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     path a deployed pipeline runs, not a test-only memory sink. Output
     and checkpoint live under a per-run unique tmp directory (results
     are aggregated/metadata-sized)."""
-    runs_root = os.path.join("/tmp/spark_graft_streams", "runs")
+    # Per-process runs root: a concurrent session (parallel pytest /
+    # CLI) pruning a SHARED directory could delete another process's
+    # run dir whose returned DataFrame is still lazily unread; scoping
+    # by pid makes the prune touch only this process's own runs.
+    runs_root = os.path.join(
+        "/tmp/spark_graft_streams", f"runs_pid{os.getpid()}"
+    )
     _prune_old_runs(runs_root, keep=64)
+    _prune_stale_roots("/tmp/spark_graft_streams")
     run_dir = os.path.join(runs_root, uuid.uuid4().hex[:12])
     return run_bounded_to_parquet(
         agg,
@@ -193,6 +201,35 @@ def _prune_old_runs(runs_root: str, keep: int = 64) -> None:
         )
         for e in entries[:-keep] if len(entries) > keep else []:
             shutil.rmtree(e.path, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _prune_stale_roots(base: str, max_age_s: float = 24 * 3600) -> None:
+    """Reap OTHER processes' per-pid runs roots, but only once they are
+    both old (>24 h — far past any lazy DataFrame's lifetime) AND their
+    owning pid is gone. Age + liveness together make the cross-process
+    delete safe where a count-based prune was not."""
+    try:
+        now = time.time()
+        for e in os.scandir(base):
+            if not (e.is_dir() and e.name.startswith("runs_pid")):
+                continue
+            try:
+                pid = int(e.name[len("runs_pid"):])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            if now - e.stat().st_mtime < max_age_s:
+                continue
+            try:
+                os.kill(pid, 0)  # raises if the owner is gone
+                continue  # owner alive: never touch its runs
+            except ProcessLookupError:
+                shutil.rmtree(e.path, ignore_errors=True)
+            except OSError:
+                continue
     except OSError:
         pass
 
@@ -837,12 +874,20 @@ def srm_monitor_stream(events: DataFrame,
     that must hold its design ratio while an experiment runs, watched
     live instead of discovered at readout.
 
-    ``dropDuplicates`` on (arm, user) keeps one state row per unit
-    inside the watermark horizon (same state-bounding contract as
-    ``dedup_counts_stream``); the downstream per-arm count is a
-    complete-mode aggregate of design-sized cardinality. The chi²
-    terms stay a serving-layer division — the stream exports the exact
-    counts, which is what makes the bounded replay equal the batch
+    ``dropDuplicates`` on (arm, user) keeps one state row per DISTINCT
+    unit for the lifetime of the query — watermark eviction does NOT
+    apply here because the event-time column is deliberately absent
+    from the dedup subset. That unbounded-in-distinct-units state is
+    the contract: an SRM readout is an EXACT distinct count over the
+    whole experiment, and a unit re-arriving after any horizon must
+    not double-count (state is one small row per enrolled unit —
+    bounded by enrollment, not by traffic). Deployments that prefer
+    horizon-bounded state at the cost of exactness should swap in
+    ``dropDuplicatesWithinWatermark([\"arm\", \"user_id\"])`` — the
+    bounded replay would then no longer equal the batch twin when a
+    unit spans watermark horizons. The chi² terms stay a
+    serving-layer division — the stream exports the exact counts,
+    which is what makes the bounded replay equal the batch
     distinct-count bit-for-bit.
     """
     assigned = events.selectExpr(
