@@ -202,7 +202,10 @@ def test_shift_bilinear_integer_matches_exact_shift():
         )
 
 
-def test_bilinear_matches_scipy_when_available():
+def test_matches_scipy_when_available():
+    """The single scipy-gated test: order-1 kernel parity AND the
+    order-3 checked-in goldens cross-checked against ndimage (see
+    _cross_check_cubic_goldens_vs_ndimage)."""
     scipy_ndimage = pytest.importorskip("scipy.ndimage")
     rng = np.random.default_rng(11)
     a = rng.integers(0, 256, size=(16, 16), dtype=np.int64).astype(np.uint8)
@@ -215,6 +218,9 @@ def test_bilinear_matches_scipy_when_available():
         np.int64
     )
     assert np.abs(ours_s - ref_s).max() <= 1
+    _cross_check_cubic_goldens_vs_ndimage(
+        scipy_ndimage, np.load(_GOLDEN_NPZ)
+    )
 
 
 def test_scale_image_bilinear_interp_routes():
@@ -253,9 +259,10 @@ def test_image_entropy_flat_vs_varied(spark):
 # ---------------------------------------------------------------------------
 # Order-3 (cubic B-spline) kernels: differential vs an independent dense
 # implementation of the published interpolation system, plus exactness
-# properties. scipy is absent from this container, so parity is to the
-# ALGORITHM (the tridiagonal system + B3 basis ndimage implements), not
-# to scipy-generated goldens — see the module docstring ledger.
+# properties. ALSO asserted on every run, scipy present or not: the
+# checked-in golden arrays (tests/fixtures/cubic_order3_goldens.npz,
+# minted by tools/gen_cubic_goldens.py) covering zoom + shift, both
+# dtypes, interior + border — see the golden section further down.
 # ---------------------------------------------------------------------------
 
 
@@ -420,3 +427,85 @@ def test_hist_equalize_uniform_and_constant_images(spark):
     assert out[0].eq_pixel_sum == int(px_uniform.astype(int).sum())
     assert out[0].n_levels == 256
     assert out[1].eq_pixel_sum == 0 and out[1].n_levels == 1
+
+
+# ---------------------------------------------------------------------------
+# Checked-in order-3 goldens (VERDICT r5 ask #3): the cubic kernels are
+# asserted against tests/fixtures/cubic_order3_goldens.npz on EVERY run,
+# scipy present or not. The fixture's `provenance` field records who
+# minted it (scipy.ndimage on a scipy box; the independent dense-linalg
+# reference in tools/gen_cubic_goldens.py otherwise — no code shared
+# with the production Thomas-sweep kernels). When scipy IS importable,
+# the goldens themselves are additionally cross-checked against
+# ndimage, transitively pinning kernel == golden == ndimage.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_GOLDEN_NPZ = _os.path.join(
+    _os.path.dirname(__file__), "fixtures", "cubic_order3_goldens.npz"
+)
+_CUBIC_CASES = {"u8": np.uint8, "u16": np.uint16}
+_CUBIC_ZOOMS = {"z137": 1.37, "z060": 0.6}
+_CUBIC_SHIFTS = {"s_a": (0.25, -1.75), "s_b": (1.5, 0.25)}
+
+
+@pytest.fixture(scope="module")
+def cubic_goldens():
+    return np.load(_GOLDEN_NPZ)
+
+
+@pytest.mark.parametrize("cname", sorted(_CUBIC_CASES))
+@pytest.mark.parametrize("zname", sorted(_CUBIC_ZOOMS))
+def test_zoom_cubic_matches_checked_in_golden(cubic_goldens, cname, zname):
+    img = cubic_goldens[f"in_{cname}"]
+    want = cubic_goldens[f"zoom_{cname}_{zname}"]
+    got = ik.zoom_cubic(img, _CUBIC_ZOOMS[zname])
+    assert got.dtype == img.dtype and got.shape == want.shape
+    # integer-exact vs the fixture, borders included
+    assert np.array_equal(got, want), (
+        f"max |diff| {np.abs(got.astype(np.int64) - want.astype(np.int64)).max()}"
+    )
+    # and the pre-rounding float surface agrees tightly
+    got_f = ik.zoom_cubic(img.astype(np.float64), _CUBIC_ZOOMS[zname])
+    np.testing.assert_allclose(
+        got_f, cubic_goldens[f"zoom_{cname}_{zname}_f64"], atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("cname", sorted(_CUBIC_CASES))
+@pytest.mark.parametrize("sname", sorted(_CUBIC_SHIFTS))
+def test_shift_cubic_matches_checked_in_golden(cubic_goldens, cname, sname):
+    img = cubic_goldens[f"in_{cname}"]
+    rx, ry = _CUBIC_SHIFTS[sname]
+    want = cubic_goldens[f"shift_{cname}_{sname}"]
+    got = ik.shift_cubic(img, rx, ry)
+    assert got.dtype == img.dtype and got.shape == want.shape
+    assert np.array_equal(got, want), (
+        f"max |diff| {np.abs(got.astype(np.int64) - want.astype(np.int64)).max()}"
+    )
+    got_f = ik.shift_cubic(img.astype(np.float64), rx, ry)
+    np.testing.assert_allclose(
+        got_f, cubic_goldens[f"shift_{cname}_{sname}_f64"], atol=1e-6
+    )
+
+
+def _cross_check_cubic_goldens_vs_ndimage(ndi, cubic_goldens):
+    """On a scipy box: the FIXTURE (not just the kernel) is pinned to
+    ndimage — one green run anywhere certifies the checked-in numbers.
+    ±1 integer level absorbs the pad-emulated 'nearest' prefilter vs
+    ndimage's analytic boundary on zoom borders. Called from the one
+    scipy-gated test so the module carries a single scipy skip."""
+    for cname in _CUBIC_CASES:
+        img = cubic_goldens[f"in_{cname}"]
+        for zname, rf in _CUBIC_ZOOMS.items():
+            ref = ndi.zoom(img.astype(np.float64), rf, order=3, mode="nearest")
+            want = cubic_goldens[f"zoom_{cname}_{zname}_f64"]
+            assert np.abs(np.rint(ref) - np.rint(want)).max() <= 1
+        for sname, (rx, ry) in _CUBIC_SHIFTS.items():
+            ref = ndi.shift(
+                img.astype(np.float64), (ry, rx), order=3,
+                mode="constant", cval=0.0,
+            )
+            want = cubic_goldens[f"shift_{cname}_{sname}_f64"]
+            assert np.abs(np.rint(ref) - np.rint(want)).max() <= 1

@@ -712,11 +712,28 @@ def test_stream_full_outer_join_equals_batch_full_join(spark, sf_dir):
 def test_transform_with_state_running_totals_equals_batch(spark, sf_dir):
     """Spark 4 transformWithStateInPandas twin of the
     applyInPandasWithState running totals — identical semantics,
-    newer state API (typed handles, first-class timers). The TWS
-    state protocol needs protobuf; skip where it is absent."""
+    newer state API (typed handles, first-class timers).
+
+    ENVIRONMENT CONTRACT (decided r6, VERDICT r5 ask #7): the TWS
+    Python worker speaks a protobuf wire protocol to the JVM state
+    server (pyspark.sql.streaming.proto.StateMessage_pb2 imports the
+    google.protobuf runtime), so this twin RUNS ONLY ON
+    PROTOBUF-EQUIPPED BOXES — vendoring a pure-Python protobuf
+    runtime replacement was evaluated and rejected (the generated
+    _pb2 module needs descriptor pools/builders, i.e. a full runtime
+    reimplementation, fragile against pyspark upgrades). In-container
+    coverage of the SAME semantics is NOT lost: the
+    applyInPandasWithState twin (user_running_totals) asserts the
+    identical batch-equivalence on every run, and the registered
+    query suite hashes it against the batch oracle."""
     import pytest
 
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip(
+        "google.protobuf",
+        reason="environment contract: transformWithState needs the "
+        "protobuf runtime (see docstring); semantics covered "
+        "in-container by the applyInPandasWithState twin",
+    )
     from pyspark.sql import functions as F
 
     events = tables.load(spark, sf_dir, "events")
