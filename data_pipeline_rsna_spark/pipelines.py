@@ -20,8 +20,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .operators import augmentation as aug
 from .operators import labels as labels_ops
@@ -73,13 +74,24 @@ def run_rsna_pipeline(
     # with empty box lists. One conditional-collect pass preserves that:
     # collect_list drops the null struct of masked-out boxes, so every
     # image keeps exactly its valid boxes (possibly none).
+    #
+    # skipped-box accounting rides the assembly pass as an observe()
+    # metric — the previous two standalone count() actions re-executed
+    # the whole ingest->split->augment DAG twice just for one number
+    # (r5 verdict ask #4; see SCALING.md E2E audit).
+    obs = Observation("rsna_skip_accounting")
     with_split = augmented.join(
         split.select("patient_id", "split"), "patient_id"
+    ).observe(
+        obs,
+        F.sum(
+            F.when(
+                F.col("x").isNotNull()
+                & ~rel.box_valid(image_w, image_h),
+                1,
+            ).otherwise(0)
+        ).alias("skipped"),
     )
-    boxed = with_split.filter(F.col("x").isNotNull())
-    skipped = boxed.count() - boxed.filter(
-        rel.box_valid(image_w, image_h)
-    ).count()
 
     mask = F.col("x").isNotNull() & rel.box_valid(image_w, image_h)
     x, y, w, h = (F.col(c) for c in ("x", "y", "width", "height"))
@@ -125,11 +137,36 @@ def run_rsna_pipeline(
             "image/object/class/label": [1] * row.n_boxes,
         }
 
-    train = records.filter(F.col("split") == "train")
-    val = records.filter(F.col("split") == "val")
-    n_train, n_val = train.count(), val.count()
-    tfr.write_tfrecord_shards(
-        train, f"{out_dir}/train", train_shards, to_features
-    )
-    tfr.write_tfrecord_shards(val, f"{out_dir}/val", val_shards, to_features)
+    # Materialize the assembled records ONCE: counts and both shard
+    # writes fan out from the cache instead of re-running the
+    # ingest->split->augment->assembly DAG per consumer (it ran 6x
+    # before — 2 skip counts + 2 split counts + 2 writes). At cluster
+    # scale the same staging is a write to a parquet scratch table;
+    # MEMORY_AND_DISK spills rather than recomputing when records
+    # outgrow executor memory.
+    records = records.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = {
+            r["split"]: r["n"]
+            for r in records.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_train = int(counts.get("train", 0))
+        n_val = int(counts.get("val", 0))
+        skipped = int(obs.get["skipped"] or 0)
+        tfr.write_tfrecord_shards(
+            records.filter(F.col("split") == "train"),
+            f"{out_dir}/train",
+            train_shards,
+            to_features,
+        )
+        tfr.write_tfrecord_shards(
+            records.filter(F.col("split") == "val"),
+            f"{out_dir}/val",
+            val_shards,
+            to_features,
+        )
+    finally:
+        records.unpersist()
     return PipelineResult(n_train, n_val, skipped, out_dir)

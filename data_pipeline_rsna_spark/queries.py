@@ -3816,16 +3816,23 @@ def q_rsna_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="rsna_e2e_")
     res = run_rsna_pipeline(spark, raw, out, train_shards=4, val_shards=2)
     # count back what the sink actually wrote - the result reflects files
-    # on disk, not just the pre-sink DataFrame
+    # on disk, not just the pre-sink DataFrame. The CRC-verified frame
+    # walk runs ON EXECUTORS (one task per shard file): driver-side
+    # pure-Python CRC over every record was 11 of this query's 40
+    # seconds at sf0.1 (SCALING.md E2E audit).
     import glob as _glob
 
-    n_train = sum(
-        len(tfr.read_tfrecords(f))
-        for f in _glob.glob(f"{out}/train/*.tfrecord")
-    )
-    n_val = sum(
-        len(tfr.read_tfrecords(f)) for f in _glob.glob(f"{out}/val/*.tfrecord")
-    )
+    def _count_shards(files: list[str]) -> int:
+        if not files:
+            return 0
+        return (
+            spark.sparkContext.parallelize(files, len(files))
+            .map(tfr.count_tfrecords)
+            .sum()
+        )
+
+    n_train = _count_shards(sorted(_glob.glob(f"{out}/train/*.tfrecord")))
+    n_val = _count_shards(sorted(_glob.glob(f"{out}/val/*.tfrecord")))
     labels = _lineitem_as_raw_labels(spark, sf_dir).filter(
         F.col("patientId").cast("bigint") % 101 == 0
     )

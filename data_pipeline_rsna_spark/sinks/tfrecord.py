@@ -150,16 +150,49 @@ def read_tfrecords(path: str) -> list[bytes]:
             out.append(payload)
 
 
+def count_tfrecords(path: str) -> int:
+    """CRC-verified record count of one shard file — the frame walk of
+    ``read_tfrecords`` without materializing payload lists. Runs on
+    executors for distributed shard verification (see
+    queries.rsna_pipeline_counts)."""
+    n = 0
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                return n
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            assert hcrc == _masked_crc(header), "corrupt length crc"
+            payload = f.read(length)
+            (pcrc,) = struct.unpack("<I", f.read(4))
+            assert pcrc == _masked_crc(payload), "corrupt payload crc"
+            n += 1
+
+
 def write_tfrecord_shards(df, out_dir: str, num_shards: int,
                           to_features) -> None:
-    """O33: ``df.repartition(n)`` then one ``-%05d-of-%05d.tfrecord`` file
-    per partition (the reference's shard filename pattern,
-    images_to_tfrecord.py:229). ``to_features(row) -> dict[str, list]``
-    maps a row to its Example feature dict. Runs on executors via
-    foreachPartition — no driver materialization."""
+    """O33: one ``-%05d-of-%05d.tfrecord`` file per shard (the
+    reference's shard filename pattern, images_to_tfrecord.py:229).
+    ``to_features(row) -> dict[str, list]`` maps a row to its Example
+    feature dict. Runs on executors — no driver materialization.
+
+    The Python proto encode runs at the INPUT's parallelism (a map on
+    the source partitions), and only then do the framed byte blobs
+    shuffle into ``num_shards`` writer tasks that concatenate bytes to
+    disk. Encoding inside the writer tasks — the previous shape —
+    pinned the CPU-heavy step to num_shards tasks, which starves a
+    small-shard-count gate (4 writers on a 32-core box) and at cluster
+    scale couples encode parallelism to the file-count contract."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+
+    framed = df.rdd.map(
+        lambda row: frame_record(encode_example(to_features(row)))
+    )
+    if framed.getNumPartitions() != num_shards:
+        framed = framed.repartition(num_shards)
 
     def write_partition(it):
         from pyspark import TaskContext
@@ -169,7 +202,7 @@ def write_tfrecord_shards(df, out_dir: str, num_shards: int,
             out_dir, f"data-{pid:05d}-of-{num_shards:05d}.tfrecord"
         )
         with open(fname, "wb") as f:
-            for row in it:
-                f.write(frame_record(encode_example(to_features(row))))
+            for blob in it:
+                f.write(blob)
 
-    df.repartition(num_shards).foreachPartition(write_partition)
+    framed.foreachPartition(write_partition)
