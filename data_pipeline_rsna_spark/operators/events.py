@@ -589,3 +589,71 @@ def acf_lags(
             "CAST(n_pairs * _syy - _sy * _sy AS DECIMAL(38,0)) AS var_y",
         )
     )
+
+
+def frequent_event_sequences(
+    events: DataFrame, min_support_ppm: int = 100_000, max_len: int = 3
+) -> DataFrame:
+    """Frequent ordered event-type sequences (length 2..max_len) per
+    user stream: a sequence counts once per user that exhibits it as
+    consecutive events in (ts, event_id) order; support is reported in
+    ppm of the user population.
+
+    This is the bounded-length core of sequential pattern mining
+    (GSP/PrefixSpan restricted to contiguous sequences), which is the
+    variant that needs NO candidate-generation iteration: lead() over
+    the per-user window materializes every length-l window in one pass,
+    so the whole mining job is one shuffle (the user window) plus one
+    sequence groupBy. Distinct-per-user semantics come from a
+    (user, seq) distinct before the support count — the standard
+    mining definition that makes support robust to one user looping.
+
+    Scale: the window shuffle partitions by user_id (even fan-out at
+    any corpus size); the sequence aggregation partial-aggregates
+    map-side, so the second shuffle carries at most the distinct
+    sequence vocabulary per partition (bounded by |event_type|^max_len,
+    a few hundred rows here, never the event count).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nexts = [
+        F.lead("event_type", i).over(w).alias(f"_n{i}")
+        for i in range(1, max_len)
+    ]
+    base = events.select("user_id", "event_type", *nexts)
+    pop = events.select("user_id").distinct().groupBy().agg(
+        F.count("*").alias("n_users")
+    )
+    outs = []
+    for length in range(2, max_len + 1):
+        parts = [F.col("event_type")] + [
+            F.col(f"_n{i}") for i in range(1, length)
+        ]
+        seq = F.concat_ws(">", *parts)
+        per_user = (
+            base.where(F.col(f"_n{length-1}").isNotNull())
+            .select("user_id", seq.alias("seq"))
+            .distinct()
+        )
+        counted = per_user.groupBy("seq").agg(
+            F.count("*").alias("n_users_with")
+        )
+        outs.append(
+            counted.withColumn("seq_len", F.lit(length))
+        )
+    allseq = outs[0]
+    for o in outs[1:]:
+        allseq = allseq.unionAll(o)
+    return (
+        allseq.join(F.broadcast(pop))
+        .select(
+            "seq",
+            "seq_len",
+            "n_users_with",
+            F.floor(
+                F.col("n_users_with") * F.lit(1_000_000.0) / F.col("n_users")
+            )
+            .cast("bigint")
+            .alias("support_ppm"),
+        )
+        .where(F.col("support_ppm") >= min_support_ppm)
+    )

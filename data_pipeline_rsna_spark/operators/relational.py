@@ -1467,3 +1467,48 @@ def blocked_levenshtein_join(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    file_col: str = "file_id",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance job
+    that turns a long tail of undersized files into target-sized
+    rewrite groups (the same planning step Delta OPTIMIZE / Iceberg
+    rewrite_data_files runs before launching rewrite tasks).
+
+    Deterministic sorted-fill binning: files ordered by (size desc,
+    file_id) are assigned bin = floor(cumulative_size_before / target),
+    a single window cumsum — files larger than the target land alone in
+    their own bin(s), small files pack together, every bin except
+    possibly the last holds >= target/2. This is the streaming analogue
+    of first-fit-decreasing that is expressible as ONE window pass (FFD
+    proper needs a mutable bin table — O(n^2) semantics that don't
+    distribute); sorted-fill's bound (each bin's deficit is covered by
+    the next file's spill) is what production table services use.
+
+    The file INVENTORY is metadata (one row per file — millions of rows
+    at 100 TB, not billions), so the unpartitioned cumsum window is a
+    metadata-sized sort, the same contract as the histogram windows
+    pinned in test_plans. Returns one row per planned bin:
+    (bin, n_files, total_bytes, min_file, max_file).
+    """
+    w = (
+        Window.orderBy(F.col(size_col).desc(), F.col(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    binned = files.select(
+        file_col,
+        size_col,
+        F.floor(before / F.lit(float(target_bytes))).cast("bigint").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum(size_col).alias("total_bytes"),
+        F.min(file_col).alias("min_file"),
+        F.max(file_col).alias("max_file"),
+    )

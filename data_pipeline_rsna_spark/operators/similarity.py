@@ -1012,3 +1012,52 @@ def centered_norm_outliers(
         .limit(top_n)
         .select("vec_id", "score")
     )
+
+
+def pca_top_component(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      iterations: int = 15) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration on the d×d covariance matrix — distributed where the data
+    is, exact where the math is.
+
+    The DISTRIBUTED work is ``covariance_matrix`` (per-partition Gram
+    partials over Arrow batches; the corpus is touched exactly once).
+    The resulting d² matrix is metadata-sized (64 dims here; even
+    d=4096 is 128 MB), so the power iteration itself runs on the
+    driver, the same split MLlib's ``RowMatrix.computePrincipalComponents``
+    makes (corpus → covariance distributed, eigensolve local).
+
+    Determinism/oracle contract: iterate v ← C·v / ‖C·v‖₁ from the
+    uniform vector, ROUNDING v to 9 decimals each step — the rounding
+    re-anchors both engines to the same grid every iteration, so a SQL
+    twin replaying the identical recurrence (recursive CTE) reproduces
+    the trajectory bit-for-bit instead of drifting on summation order.
+    After ``iterations`` rounds (fixed — past convergence the step is
+    identity on the 9-decimal grid), the reported loading is the
+    L2-normalized vector (6 decimals) and the eigenvalue the Rayleigh
+    quotient (6 decimals). Returns (dim, loading, eigval) ordered by
+    |loading| desc, dim."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cov_rows = covariance_matrix(emb, id_col, vec_col).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov_val"]
+        C[r["j"], r["i"]] = r["cov_val"]
+    v = np.full(d, round(1.0 / d, 9))
+    for _ in range(iterations):
+        u = C @ v
+        v = np.round(u / np.abs(u).sum(), 9)
+    l2 = float(np.sqrt((v * v).sum()))
+    eig = float(v @ C @ v) / float(v @ v)
+    rows = [
+        (int(i), round(float(v[i] / l2), 6) + 0.0, round(eig, 6) + 0.0)
+        for i in range(d)
+    ]
+    rows.sort(key=lambda r: (-abs(r[1]), r[0]))
+    return spark.createDataFrame(
+        rows, "dim long, loading double, eigval double"
+    )

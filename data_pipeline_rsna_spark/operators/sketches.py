@@ -349,3 +349,89 @@ def hll_rolling_estimate(regs: DataFrame, window: int = 7) -> DataFrame:
         .select(F.col("_d").alias("grp"), "register", "max_rho")
     )
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / space-saving heavy hitters (deterministic guarantee)
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: each partition keeps at most
+    ``k-1`` counters, decrementing all of them whenever a new key
+    arrives with no free counter (Misra & Gries 1982).
+
+    Guarantee used downstream: any key with GLOBAL frequency > n/k has,
+    by averaging, frequency > n_p/k in at least one partition p, and MG
+    with k counters never evicts such a key from that partition's
+    summary. The union of per-partition candidate keys is therefore a
+    SUPERSET of the true phi=1/k heavy hitters — deterministically, not
+    probabilistically.
+
+    Scale: the mapInPandas pass streams Arrow batches with O(k) state
+    per partition and emits at most (k-1) rows per partition — the
+    shuffle that follows carries partitions x k candidate rows, never
+    the key set. This is the classic two-pass exact heavy-hitter shape
+    for data too large to groupBy on the full key domain (e.g. corpus
+    vocabulary at 100 TB: the full term dictionary is shuffle-hostile,
+    the MG candidate set is a few KB).
+    """
+    out_schema = f"{key_col} string"
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key in pdf[key_col].astype(str):
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k - 1:
+                    counters[key] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(F.col(key_col).cast("string")).mapInPandas(
+        summarize, schema=out_schema
+    )
+
+
+def spacesaving_heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Exact phi=1/k heavy hitters in two passes without a full-domain
+    shuffle: (1) per-partition Misra-Gries candidate generation (a
+    deterministic superset of every key with count*k > n), (2) exact
+    recount restricted to the candidate set via a broadcast semi join,
+    then the exact threshold filter count*k > n.
+
+    The result is EXACTLY the set {key : freq(key) * k > n} with exact
+    counts — the sketch only bounds which keys need recounting, so the
+    output is oracle-checkable with plain GROUP BY SQL. Output columns:
+    key, cnt, n_total; sorted consumers should order by (cnt desc, key).
+    """
+    cand = misra_gries_candidates(df, key_col, k).distinct()
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+    exact = (
+        keyed.join(
+            F.broadcast(cand.withColumnRenamed(key_col, "key")), "key", "left_semi"
+        )
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = df.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        exact.join(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("n_total"))
+        .select("key", "cnt", "n_total")
+    )

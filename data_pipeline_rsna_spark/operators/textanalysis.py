@@ -1009,3 +1009,119 @@ def collocations_pmi(
         .orderBy(F.col("pmi_micro").desc(), F.col("a"), F.col("b"))
         .limit(top_n)
     )
+
+
+def bm25_rank(docs, id_col: str = "doc_id", text_col: str = "text",
+              n_query_terms: int = 3, k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 document ranking against a deterministic query: the
+    ``n_query_terms`` highest-document-frequency corpus terms (ties by
+    term) form the query, every document is scored with the standard
+    Okapi BM25 formula, and the global top-``k`` (score desc, doc_id)
+    is returned.
+
+    idf uses the non-negative Robertson form ln(1 + (N-df+0.5)/(df+0.5)).
+    Plan shape mirrors ``tfidf_top_terms``: exploded inverted index,
+    per-(doc,term) tf aggregation, a broadcast 3-row query-term/idf
+    table, one groupBy(doc) score sum, TakeOrderedAndProject for the
+    global top-k — no global sort, no full-vocabulary shuffle beyond the
+    df aggregation (which partial-aggregates map-side). avgdl is a 1-row
+    broadcast aggregate, not a driver collect, so one DAG serves the
+    whole query at any corpus size.
+    """
+    toks = docs.select(
+        id_col, F.explode(whitespace_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = doclen.groupBy().agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = toks.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    qterms = (
+        df_.orderBy(F.col("df").desc(), "term")
+        .limit(n_query_terms)
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(doclen, id_col)
+        .select(
+            id_col,
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+        .select(id_col, "bm25")
+    )
+
+
+def readability_scores(docs, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Flesch reading-ease per document from three exact counts —
+    sentences (maximal [.!?]+ runs, minimum 1), words (whitespace
+    tokens), syllables (maximal [aeiouy]+ vowel groups per word,
+    minimum 1 per word) — then
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words).
+
+    All three counts are integer regexp aggregations inside whole-stage
+    codegen (no UDF); the score is one rounded double expression. The
+    vowel-group heuristic is the standard public approximation used
+    when no pronunciation dictionary is available; it is deterministic
+    and engine-portable, which is what a 100 TB quality-scoring pass
+    needs (the score feeds corpus filtering, so two engines must agree
+    bit-for-bit)."""
+    lower = F.lower(F.col(text_col))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    words = F.filter(
+        F.split(lower, r"\s+"), lambda t: t != F.lit("")
+    )
+    n_words = F.greatest(F.size(words), F.lit(1))
+    syl_of = lambda w: F.greatest(  # noqa: E731
+        F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0)), F.lit(1)
+    )
+    n_syll = F.aggregate(
+        F.transform(words, syl_of), F.lit(0), lambda acc, x: acc + x
+    )
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words),
+        4,
+    )
+    return docs.select(
+        id_col,
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        score.alias("flesch"),
+    )

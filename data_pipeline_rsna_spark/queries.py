@@ -13073,3 +13073,350 @@ def q_events_srm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = es.read_events_stream(spark, sf_dir)
     return es.run_bounded(es.srm_monitor_stream(stream), mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Round 6 — deterministic sketch heavy hitters, ranking, mining, graph
+# core decomposition, lakehouse maintenance, distributed PCA.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_spacesaving_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS key
+        FROM documents
+    ),
+    t AS (SELECT key FROM tok WHERE key <> ''),
+    n AS (SELECT count(*) AS n_total FROM t)
+    SELECT key, count(*) AS cnt, n.n_total
+    FROM t CROSS JOIN n
+    GROUP BY key, n.n_total
+    HAVING count(*) * 40 > n.n_total
+    """,
+    doc="Exact phi=1/40 heavy-hitter vocabulary terms via two-pass "
+    "Misra-Gries/space-saving: per-partition MG summaries (O(k) state "
+    "per partition, mapInPandas) yield a DETERMINISTIC candidate "
+    "superset of every term with count*k > n; a broadcast-semi-join "
+    "recount restricted to candidates gives exact counts, so the "
+    "output equals plain GROUP BY ... HAVING cnt*k > n without ever "
+    "shuffling the full term domain. The 100 TB shape for frequent-"
+    "vocabulary mining where the dictionary itself is shuffle-hostile.",
+    tags=("sketch", "text"),
+)
+def q_sketch_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sketches.spacesaving_heavy_hitters(toks, "tok", k=40)
+
+
+@register(
+    "text_bm25_ranking",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    q AS (
+        SELECT term,
+               round(ln(1.0 + (st.n_docs - df + 0.5) / (df + 0.5)), 6)
+                   AS idf,
+               st.avgdl
+        FROM df CROSS JOIN st
+        ORDER BY df DESC, term LIMIT 3
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    s AS (
+        SELECT tf.doc_id,
+               round(q.idf * (tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / q.avgdl)),
+                     6) AS term_score
+        FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+    ),
+    sc AS (
+        SELECT doc_id, round(sum(term_score), 6) AS bm25
+        FROM s GROUP BY 1
+    )
+    SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="X4 Okapi BM25 (k1=1.2, b=0.75) top-20 documents for the "
+    "3 highest-df corpus terms: inverted-index tf/df aggregations, a "
+    "broadcast 3-row query-term table with Robertson idf, one "
+    "groupBy(doc) score sum, TakeOrderedAndProject global top-k — the "
+    "lexical-retrieval scorer (and the sparse half of hybrid search) "
+    "with zero full-vocabulary shuffles past the df agg.",
+    tags=("text",),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ta.bm25_rank(docs)
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lower(text) AS lt FROM documents
+    ),
+    words AS (
+        SELECT doc_id, lt,
+               list_filter(string_split_regex(lt, '\\s+'),
+                           w -> w <> '') AS ws
+        FROM base
+    ),
+    cnt AS (
+        SELECT doc_id,
+               greatest(len(regexp_extract_all(lt, '[.!?]+')), 1)
+                   AS n_sentences,
+               greatest(len(ws), 1) AS n_words,
+               list_sum(list_transform(ws,
+                   w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                                 1)))::BIGINT AS n_syllables
+        FROM words
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+               AS flesch
+    FROM cnt
+    """,
+    doc="X4 Flesch reading-ease quality score per document from three "
+    "exact integer counts (sentence runs, whitespace words, vowel-"
+    "group syllables) — all regexp aggregations in whole-stage "
+    "codegen, no UDF, no shuffle (embarrassingly parallel map). The "
+    "deterministic readability gate of a corpus-filtering pass.",
+    tags=("text", "quality"),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ta.readability_scores(docs)
+
+
+@register(
+    "events_sequence_mining",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS n1,
+               lead(event_type, 2) OVER w AS n2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pop AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    seqs AS (
+        SELECT DISTINCT user_id, event_type || '>' || n1 AS seq, 2 AS seq_len
+        FROM ordered WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT DISTINCT user_id,
+               event_type || '>' || n1 || '>' || n2 AS seq, 3 AS seq_len
+        FROM ordered WHERE n2 IS NOT NULL
+    ),
+    sup AS (
+        SELECT seq, seq_len, count(*) AS n_users_with
+        FROM seqs GROUP BY 1, 2
+    )
+    SELECT seq, seq_len, n_users_with,
+           CAST(floor(n_users_with * 1000000.0 / pop.n_users) AS BIGINT)
+               AS support_ppm
+    FROM sup CROSS JOIN pop
+    WHERE floor(n_users_with * 1000000.0 / pop.n_users) >= 100000
+    """,
+    doc="X5 contiguous sequential-pattern mining (GSP/PrefixSpan "
+    "bounded to length 2-3): lead() over the per-user (ts, event_id) "
+    "window materializes every candidate window in ONE pass — no "
+    "candidate-generation iteration — distinct-per-user support, "
+    "ppm-thresholded. Two shuffles total (user window + map-side-"
+    "combined sequence agg whose key domain is |event_type|^3).",
+    tags=("events", "mining"),
+)
+def q_events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    return ev_ops.frequent_event_sequences(ev)
+
+
+@register(
+    "graph_kcore_decomposition",
+    oracle="""
+    WITH RECURSIVE m AS (
+        SELECT 13 * (1 + max(user_id)) AS nb FROM events
+    ),
+    raw AS (
+        SELECT user_id AS a,
+               (('0x' || substr(md5('kc|' || CAST(event_id AS VARCHAR)),
+                     1, 8))::UBIGINT % m.nb)::BIGINT AS b
+        FROM events CROSS JOIN m
+    ),
+    pairs AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+    ),
+    surv(iter, v) AS (
+        SELECT 0, src FROM (SELECT DISTINCT src FROM edges)
+        UNION ALL
+        SELECT s1.iter + 1, e.src
+        FROM edges e
+        JOIN surv s1 ON s1.v = e.src
+        JOIN surv s2 ON s2.v = e.dst AND s2.iter = s1.iter
+        WHERE s1.iter < 12
+        GROUP BY s1.iter + 1, e.src
+        HAVING count(*) >= 9
+    )
+    SELECT s1.v AS vertex, count(*) AS core_degree
+    FROM edges e
+    JOIN surv s1 ON s1.v = e.src AND s1.iter = 12
+    JOIN surv s2 ON s2.v = e.dst AND s2.iter = 12
+    GROUP BY s1.v
+    """,
+    doc="X8 9-core of a deterministic interaction graph (events hashed "
+    "to partner ids, symmetrized, self-loops dropped) by synchronous "
+    "peeling: 12 fixed rounds of degree-within-survivors recompute + "
+    "threshold — past convergence (round 4 here) each round is the "
+    "identity, so the fixed count IS the fixpoint and a recursive-CTE "
+    "twin replays it exactly. Per round: two SEMI joins (AQE "
+    "broadcasts the shrinking survivor side) + one groupBy; "
+    "localCheckpoint every 4 rounds truncates the iterative lineage. "
+    "Returns each core vertex with its within-core degree.",
+    tags=("graph", "iterative"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as g
+
+    ev = tables.load(spark, sf_dir, "events")
+    nb = ev.groupBy().agg(
+        (F.lit(13) * (F.lit(1) + F.max("user_id"))).alias("nb")
+    )
+    raw = ev.join(F.broadcast(nb)).select(
+        F.col("user_id").alias("a"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kc|"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("nb")
+        ).alias("b"),
+    )
+    pairs = raw.where(F.col("a") != F.col("b")).distinct()
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return g.kcore_vertices(edges, k=9, iterations=12)
+
+
+@register(
+    "lakehouse_compaction_plan",
+    oracle="""
+    WITH files AS (
+        SELECT l_orderkey // 64 AS file_id,
+               96 + sum(l_linenumber) AS size_bytes
+        FROM lineitem GROUP BY 1
+    ),
+    binned AS (
+        SELECT file_id, size_bytes,
+               CAST(floor(
+                   coalesce(sum(size_bytes) OVER (
+                       ORDER BY size_bytes DESC, file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 4096.0) AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT bin, count(*) AS n_files, sum(size_bytes) AS total_bytes,
+           min(file_id) AS min_file, max(file_id) AS max_file
+    FROM binned GROUP BY bin
+    """,
+    doc="X8 lakehouse small-file compaction planning (the Delta "
+    "OPTIMIZE / Iceberg rewrite_data_files planning step): a synthetic "
+    "file inventory (one row per file — metadata-sized at any table "
+    "size) is packed into target-sized rewrite groups by sorted-fill "
+    "binning, ONE window cumsum, the distributable analogue of first-"
+    "fit-decreasing. The unpartitioned window runs over the file "
+    "inventory, never the data — the same metadata-window contract "
+    "test_plans pins for histograms.",
+    tags=("relational", "lakehouse"),
+)
+def q_lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.floor(F.col("l_orderkey") / 64).cast("bigint").alias("file_id")
+    ).agg((F.lit(96) + F.sum("l_linenumber")).alias("size_bytes"))
+    return rel.compaction_plan(files, target_bytes=4096)
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle="""
+    WITH RECURSIVE v0 AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    x AS (SELECT e, unnest(generate_series(1, len(e))) AS i FROM v0),
+    p AS (SELECT e, i, unnest(generate_series(i, len(e))) AS j FROM x),
+    tri AS (
+        SELECT i - 1 AS oi, j - 1 AS oj,
+               round(covar_pop(e[i], e[j]), 6) + 0.0 AS val
+        FROM p GROUP BY oi, oj
+    ),
+    covfull AS (
+        SELECT oi AS i, oj AS j, val FROM tri
+        UNION ALL
+        SELECT oj, oi, val FROM tri WHERE oi <> oj
+    ),
+    d AS (SELECT count(DISTINCT i) AS d FROM covfull),
+    pv(iter, i, v) AS (
+        SELECT 0, i, round(1.0 / d.d, 9)
+        FROM (SELECT DISTINCT i FROM covfull) CROSS JOIN d
+        UNION ALL
+        SELECT iter, i, round(u / sum(abs(u)) OVER (PARTITION BY iter), 9)
+        FROM (
+            SELECT t.iter + 1 AS iter, c.i AS i, sum(c.val * t.v) AS u
+            FROM pv t JOIN covfull c ON c.j = t.i
+            WHERE t.iter < 15
+            GROUP BY 1, 2
+        )
+    ),
+    fin AS (SELECT i, v FROM pv WHERE iter = 15),
+    l2 AS (SELECT sqrt(sum(v * v)) AS nrm FROM fin),
+    ray AS (
+        SELECT sum(a.v * c.val * b.v) / (SELECT sum(v * v) FROM fin)
+            AS eig
+        FROM covfull c JOIN fin a ON a.i = c.i JOIN fin b ON b.i = c.j
+    )
+    SELECT f.i AS dim, round(f.v / l2.nrm, 6) + 0.0 AS loading,
+           round(ray.eig, 6) + 0.0 AS eigval
+    FROM fin f, l2, ray
+    """,
+    doc="X3 top principal component by power iteration: covariance via "
+    "distributed per-partition Gram partials (one corpus pass, "
+    "mapInPandas), then 15 driver-side v <- Cv/|Cv|_1 rounds on the "
+    "metadata-sized d x d matrix — the MLlib computePrincipalComponents "
+    "split. Rounding v to 9 decimals each round re-anchors every "
+    "engine to the same grid, so a recursive-CTE twin replays the "
+    "trajectory exactly; reported loading is L2-normalized, eigenvalue "
+    "is the Rayleigh quotient.",
+    tags=("similarity", "ml", "iterative"),
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return sim.pca_top_component(emb)
