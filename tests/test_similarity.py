@@ -27,6 +27,49 @@ def test_cosine_topk_identical_vector(spark):
     assert by_rank[3].neighbor_id == 2 and by_rank[3].cosine == 0.0
 
 
+def test_cosine_topk_blas_matches_fold_path(spark, sf_dir):
+    """The SIMD (matmul) path must return exactly what the HOF-fold
+    path returns — same neighbors, ranks, and round-6 cosines — and be
+    invariant to corpus partitioning (the running per-partition top-k
+    must not drop a row the global ranking would keep)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(
+        map(tuple, sim.cosine_topk(emb, q, k=7).collect())
+    )
+    for nparts in (1, 5):
+        got = sorted(
+            map(
+                tuple,
+                sim.cosine_topk_blas(
+                    emb.repartition(nparts), q, k=7
+                ).collect(),
+            )
+        )
+        assert got == want
+
+
+def test_cosine_topk_blas_tie_break_across_batches(spark):
+    """Equal-cosine ties must keep the LOWEST neighbor id even when the
+    tied rows arrive in different partitions/batches."""
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [1.0, 0.0]) for i in range(1, 8)  # all identical direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.cosine_topk_blas(emb.repartition(4), q, k=3).collect()
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == [
+        1,
+        2,
+        3,
+    ]
+    assert all(r.cosine == 1.0 for r in got)
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
