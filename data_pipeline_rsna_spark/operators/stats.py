@@ -949,3 +949,95 @@ def mutual_information_ranking(
             .alias("mi_sum_micro"),
         )
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the shared semantics of
+    Spark ``DIV`` and DuckDB ``//`` (both truncate; Python ``//``
+    floors, which differs for negative gradients)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def logreg_gd_hard_sigmoid(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    steps: int = 3,
+    lr_div: int = 16,
+) -> DataFrame:
+    """Distributed full-batch logistic regression, fixed-point and
+    exact: K gradient-descent steps where each step is ONE map-side-
+    combined scalar aggregation over the fact table (d+2 BIGINT sums),
+    so the per-step shuffle is a single row regardless of data size —
+    the canonical "driver loop over distributed gradients" pattern
+    every Spark ML optimizer uses (one job per step, no data movement,
+    no caching requirement beyond the scan).
+
+    Exactness contract: features are BIGINT, the label is ppm (0 or
+    1_000_000), weights are ppm, and the link is the HARD sigmoid
+    ``clamp(500000 + z DIV 4, 0, 1e6)`` — piecewise-linear, so every
+    prediction, gradient and update is integer arithmetic (associative
+    BIGINT sums, truncating division) and a DuckDB twin unrolled as K
+    CTEs reproduces the trajectory bit-for-bit. No transcendental
+    evaluation at query time anywhere.
+
+    Update rule per step: ``w_j <- w_j - ((g_j DIV n) DIV lr_div)``
+    with ``g_j = sum((p - y) * x_j)`` in ppm·feature units.
+
+    Returns one row: n, the final weights (ppm), and the training-set
+    accuracy of the final model (one extra aggregation pass).
+
+    At 100 TB: K+1 scans (or K+1 passes over a cached/checkpointed
+    projection), each reducing to one row — bandwidth-bound, no skew
+    surface, no shuffle. The projection pushed into the scan is just
+    the feature columns (ReadSchema stays narrow).
+    """
+    d = len(feature_cols)
+    w = [0] * d
+    wb = 0
+
+    def p_expr() -> str:
+        z = " + ".join(
+            [f"(CAST({w[j]} AS BIGINT) * {c})"
+             for j, c in enumerate(feature_cols)]
+            + [f"CAST({wb} AS BIGINT)"]
+        )
+        return (
+            "greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT), "
+            f"CAST(500000 AS BIGINT) + ({z}) DIV 4))"
+        )
+
+    n = 0
+    for _ in range(steps):
+        p = p_expr()
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"{p} - {label_col}")).alias("gb"),
+            *[
+                F.sum(F.expr(f"({p} - {label_col}) * {c}")).alias(f"g{j}")
+                for j, c in enumerate(feature_cols)
+            ],
+        ).collect()[0]
+        n = int(row["n"])
+        wb -= _tdiv(_tdiv(int(row["gb"]), n), lr_div)
+        w = [
+            w[j] - _tdiv(_tdiv(int(row[f"g{j}"]), n), lr_div)
+            for j in range(d)
+        ]
+
+    p = p_expr()
+    acc = df.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN ({p} >= 500000) = ({label_col} = 1000000) "
+                "THEN 1 ELSE 0 END"
+            )
+        ).alias("n_correct")
+    ).collect()[0]
+    spark = df.sparkSession
+    cols = ", ".join(f"w_{c} bigint" for c in feature_cols)
+    return spark.createDataFrame(
+        [(n, wb, *w, int(acc["n_correct"]))],
+        f"n bigint, w_bias bigint, {cols}, n_correct bigint",
+    )

@@ -1125,3 +1125,111 @@ def readability_scores(docs, id_col: str = "doc_id",
         n_syll.alias("n_syllables"),
         score.alias("flesch"),
     )
+
+
+def naive_bayes_lang_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    train_mod: int = 5,
+    train_lt: int = 4,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored in one distributed
+    DAG — the counts-based quality/language classifier pattern
+    (fastText-style corpus routing) expressed relationally: the model
+    IS a distributed table of (token, class) counts, never a
+    driver-side object, so vocabulary size is unbounded by driver
+    memory and training is one map-side-combined shuffle.
+
+    Split: ``doc_id % train_mod < train_lt`` trains, the rest scores.
+    Score(d, c) = ln(docs_c) − |d| · ln(tok_c + V)
+                  + Σ_t∈d  k_t · ln(cnt(t,c) + 1)
+    (add-one smoothing; the constant −ln(docs_total) is dropped — it
+    cancels in the argmax). All ln terms are integer micro-nats
+    (``round(ln(int) * 1e6)``, bit-stable across engines), summed as
+    BIGINT — deterministic argmax with (score DESC, class ASC)
+    tie-break. Output: the (true, predicted) confusion counts.
+
+    Scale shape: token counting is one shuffle keyed by (token,class);
+    scoring joins test doc-term counts × |C| classes against the count
+    table on (token,class) — a standard shuffle join whose left side
+    is |test tokens|·|C|; classes / per-class totals / vocab size ride
+    broadcast 1-row or |C|-row aggregates. The final window partitions
+    by doc_id (argmax over |C| rows per doc). No driver-side model, no
+    collect of anything data-sized.
+    """
+    ln = "CAST(round(ln({x}) * 1000000) AS BIGINT)"
+    is_train = F.pmod(F.col(id_col), F.lit(train_mod)) < F.lit(train_lt)
+    toks = docs.select(
+        id_col,
+        class_col,
+        F.explode(whitespace_tokens(text_col)).alias("w"),
+    )
+    tr = toks.filter(F.pmod(F.col(id_col), F.lit(train_mod)) < train_lt)
+    te = toks.filter(F.pmod(F.col(id_col), F.lit(train_mod)) >= train_lt)
+
+    cnt = tr.groupBy("w", class_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tok_c = tr.groupBy(class_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tok_c")
+    )
+    docs_c = docs.filter(is_train).groupBy(class_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_c")
+    )
+    vocab = tr.agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+
+    tt = te.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    dlen = te.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+
+    classes = tok_c.join(F.broadcast(docs_c), class_col).crossJoin(
+        F.broadcast(vocab)
+    )
+    terms = (
+        tt.crossJoin(F.broadcast(classes.select(class_col)))
+        .join(cnt, ["w", class_col], "left")
+        .groupBy(id_col, class_col)
+        .agg(
+            F.sum(
+                F.expr("k * " + ln.format(x="coalesce(cnt, 0) + 1"))
+            )
+            .cast("bigint")
+            .alias("s_term")
+        )
+    )
+    scores = (
+        terms.join(dlen, id_col)
+        .join(F.broadcast(classes), class_col)
+        .select(
+            id_col,
+            class_col,
+            (
+                F.expr(ln.format(x="docs_c"))
+                - F.col("n_tok") * F.expr(ln.format(x="tok_c + v"))
+                + F.col("s_term")
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col(class_col).asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col(class_col).alias("lang_pred"))
+    )
+    truth = docs.filter(~is_train).select(
+        id_col, F.col(class_col).alias("lang_true")
+    )
+    return (
+        pred.join(truth, id_col)
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -13468,3 +13468,172 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     return sim.pca_top_component(emb)
+
+
+def _logreg_oracle_sql(steps: int = 3, lr_div: int = 16) -> str:
+    """Unroll the fixed-point hard-sigmoid GD trajectory as K CTE
+    rounds (gradient scalar-agg -> weight update), matching
+    stats.logreg_gd_hard_sigmoid step for step. Pure integer
+    arithmetic: DuckDB ``//`` and Spark ``DIV`` both truncate toward
+    zero, BIGINT sums are associative, so the replay is bit-exact."""
+
+    def p_expr(s: str) -> str:
+        z = f"{s}.wb + {s}.w1 * x_qty + {s}.w2 * x_disc"
+        return (
+            "greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT), "
+            f"CAST(500000 AS BIGINT) + ({z}) // 4))"
+        )
+
+    parts = [
+        """f AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x_qty,
+               CAST(round(l_discount * 100) AS BIGINT) AS x_disc,
+               CASE WHEN l_returnflag = 'R'
+                    THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS y
+        FROM lineitem
+    )""",
+        """s0 AS (SELECT CAST(0 AS BIGINT) AS wb,
+                   CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2)""",
+    ]
+    for k in range(1, steps + 1):
+        prev = f"s{k - 1}"
+        parts.append(f"""g{k} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p - y) AS BIGINT) AS gb,
+               CAST(sum((p - y) * x_qty) AS BIGINT) AS gq,
+               CAST(sum((p - y) * x_disc) AS BIGINT) AS gd
+        FROM (SELECT y, x_qty, x_disc, {p_expr(prev)} AS p
+              FROM f CROSS JOIN {prev})
+    )""")
+        parts.append(f"""s{k} AS (
+        SELECT {prev}.wb - g{k}.gb // g{k}.n // {lr_div} AS wb,
+               {prev}.w1 - g{k}.gq // g{k}.n // {lr_div} AS w1,
+               {prev}.w2 - g{k}.gd // g{k}.n // {lr_div} AS w2
+        FROM {prev} CROSS JOIN g{k}
+    )""")
+    last = f"s{steps}"
+    parts.append(f"""acc AS (
+        SELECT CAST(sum(CASE WHEN (p >= 500000) = (y = 1000000)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM (SELECT y, {p_expr(last)} AS p FROM f CROSS JOIN {last})
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT g1.n AS n, {last}.wb AS w_bias, {last}.w1 AS w_x_qty,
+           {last}.w2 AS w_x_disc, acc.n_correct AS n_correct
+    FROM g1 CROSS JOIN {last} CROSS JOIN acc
+    """
+    )
+
+
+@register(
+    "model_logreg_gd_fixed_point",
+    oracle=_logreg_oracle_sql(steps=3, lr_div=16),
+    doc="X8+ distributed full-batch logistic regression (hard-sigmoid "
+    "link, ppm fixed point): each GD step is ONE map-side-combined "
+    "scalar aggregation (d+2 BIGINT sums -> a single shuffled row), "
+    "the driver holds only the d+1 weights — the canonical Spark ML "
+    "optimizer shape, exact in integers so the DuckDB twin (K "
+    "unrolled CTE rounds) replays the trajectory bit-for-bit. "
+    "Predicts l_returnflag='R' from quantity + discount; reports "
+    "final weights and training accuracy.",
+    tags=("ml", "iterative", "scale"),
+)
+def q_model_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    f = tables.load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x_qty",
+        "CAST(round(l_discount * 100) AS BIGINT) AS x_disc",
+        "CASE WHEN l_returnflag = 'R' THEN CAST(1000000 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS y",
+    )
+    return st.logreg_gd_hard_sigmoid(
+        f, ["x_qty", "x_disc"], "y", steps=3, lr_div=16
+    )
+
+
+@register(
+    "text_naive_bayes_lang",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents
+    ),
+    tr AS (SELECT * FROM toks WHERE doc_id % 5 < 4),
+    te AS (SELECT * FROM toks WHERE doc_id % 5 >= 4),
+    cnt AS (
+        SELECT w, lang, CAST(count(*) AS BIGINT) AS cnt
+        FROM tr GROUP BY 1, 2
+    ),
+    tokc AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS tok_c
+        FROM tr GROUP BY 1
+    ),
+    docsc AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS docs_c
+        FROM documents WHERE doc_id % 5 < 4 GROUP BY 1
+    ),
+    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tr),
+    tt AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        FROM te GROUP BY 1, 2
+    ),
+    dlen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM te GROUP BY 1
+    ),
+    terms AS (
+        SELECT tt.doc_id, c.lang,
+               CAST(sum(tt.k * CAST(round(ln(coalesce(cnt.cnt, 0) + 1)
+                   * 1000000) AS BIGINT)) AS BIGINT) AS s_term
+        FROM tt
+        CROSS JOIN tokc c
+        LEFT JOIN cnt ON cnt.w = tt.w AND cnt.lang = c.lang
+        GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT t.doc_id, t.lang,
+               CAST(round(ln(d.docs_c) * 1000000) AS BIGINT)
+               - dl.n_tok * CAST(round(ln(tc.tok_c + v.v) * 1000000)
+                                 AS BIGINT)
+               + t.s_term AS score
+        FROM terms t
+        JOIN dlen dl ON dl.doc_id = t.doc_id
+        JOIN tokc tc ON tc.lang = t.lang
+        JOIN docsc d ON d.lang = t.lang
+        CROSS JOIN v
+    ),
+    pred AS (
+        SELECT doc_id, lang AS lang_pred,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scores
+    ),
+    truth AS (
+        SELECT doc_id, lang AS lang_true
+        FROM documents WHERE doc_id % 5 >= 4
+    )
+    SELECT truth.lang_true, pred.lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred JOIN truth USING (doc_id)
+    WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    doc="X4+ multinomial Naive Bayes language classifier, trained AND "
+    "scored in one distributed DAG: the model is a (token, class) "
+    "count TABLE (one map-side-combined shuffle), never a driver "
+    "object — the fastText-style counts-based corpus router at "
+    "unbounded vocabulary. Add-one smoothing, integer micro-nat log "
+    "scores, deterministic argmax (score DESC, class ASC). 80/20 "
+    "doc_id-hash split; output is the test-split confusion matrix.",
+    tags=("text", "ml"),
+)
+def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.naive_bayes_lang_confusion(docs)

@@ -38,6 +38,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # region/nation are bounded by the world's geography, not by SF.
 BROADCASTABLE_DIMS = frozenset({"region", "nation"})
 
+# Tables whose per-row downstream work is EXPLOSIVE (token/shingle
+# explode, vector arithmetic): a parquet scan's task count is sized by
+# on-disk bytes and row groups, which undercounts post-explode work by
+# orders of magnitude (dictionary-encoded text compresses ~100:1; a 50k
+# -doc corpus arrives as one 877 KB row group = ONE scan task, then
+# explodes to ~25M token rows inside that single task — measured: a
+# partial aggregation over that fan-out serialized a whole sweep).
+# When such a table arrives as a near-unsplittable scan, ``load``
+# round-robin rebalances it to cluster parallelism BEFORE operators fan
+# it out. At production scale these tables have thousands of splits and
+# the guard never fires — it exists for exactly the small-file
+# degenerate case that local SFs (and real-world over-compacted text
+# corpora) exhibit.
+FANOUT_TABLES = frozenset({"documents", "embeddings"})
+
 
 # Columns that have shipped as raw int64 epoch-NANOS in at least one
 # testdata generation (read as long under the nanosAsLong legacy conf).
@@ -62,10 +77,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     every recorded oracle hash stable under any future regeneration."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    rebalance = (
+        spark.conf.get("spark.graft.fanoutRebalance", "true") == "true"
+    )
     key = (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
         name,
+        rebalance,
     )
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
@@ -74,6 +93,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     out = _normalize_temporal(raw)
+    if rebalance and name in FANOUT_TABLES:
+        parts = out.rdd.getNumPartitions()
+        cores = spark.sparkContext.defaultParallelism
+        if parts * 4 <= cores:
+            out = out.repartition(cores)
     _LOAD_CACHE[key] = out
     return out
 

@@ -136,3 +136,48 @@ def test_exact_auc_by_group_matches_global_and_handles_degenerate(spark):
     assert (out["A"].npos, out["A"].nneg, out["A"].auc_num2) == (
         glob.npos, glob.nneg, glob.auc_num2,
     )
+
+
+def test_logreg_gd_matches_pure_python_replay(spark):
+    """The distributed fixed-point GD trajectory must equal a pure-
+    Python replay of the same spec (hard sigmoid, ppm weights, BIGINT
+    sums, truncating division) — the property the DuckDB oracle also
+    asserts, checked here on a handcrafted frame."""
+    from data_pipeline_rsna_spark.operators import stats as st
+
+    rows = [(3, 7, 1_000_000), (5, 1, 0), (2, 9, 1_000_000),
+            (8, 2, 0), (1, 4, 1_000_000), (6, 6, 0), (4, 3, 0)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    out = st.logreg_gd_hard_sigmoid(
+        df, ["x1", "x2"], "y", steps=3, lr_div=16
+    ).collect()[0]
+
+    def clamp(z):
+        return max(0, min(1_000_000, 500_000 + st._tdiv(z, 4)))
+
+    wb = w1 = w2 = 0
+    n = len(rows)
+    for _ in range(3):
+        gb = g1 = g2 = 0
+        for x1, x2, y in rows:
+            p = clamp(wb + w1 * x1 + w2 * x2)
+            gb += p - y
+            g1 += (p - y) * x1
+            g2 += (p - y) * x2
+        wb -= st._tdiv(st._tdiv(gb, n), 16)
+        w1 -= st._tdiv(st._tdiv(g1, n), 16)
+        w2 -= st._tdiv(st._tdiv(g2, n), 16)
+    correct = sum(
+        1 for x1, x2, y in rows
+        if (clamp(wb + w1 * x1 + w2 * x2) >= 500_000) == (y == 1_000_000)
+    )
+    assert (out.n, out.w_bias, out.w_x1, out.w_x2, out.n_correct) == (
+        n, wb, w1, w2, correct
+    )
+
+
+def test_tdiv_truncates_toward_zero():
+    from data_pipeline_rsna_spark.operators.stats import _tdiv
+
+    assert _tdiv(7, 2) == 3 and _tdiv(-7, 2) == -3
+    assert _tdiv(7, -2) == -3 and _tdiv(-7, -2) == 3

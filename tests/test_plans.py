@@ -6,6 +6,7 @@ decide whether a query survives a 100× scale-up.
 
 from __future__ import annotations
 
+import contextlib
 from pyspark.sql import functions as F
 
 from data_pipeline_rsna_spark import tables
@@ -167,10 +168,42 @@ def test_deterministic_split_plan_no_window_no_joins(spark, sf_dir):
     assert rep.n_shuffle_exchanges <= 1, rep.text
 
 
+@contextlib.contextmanager
+def _no_rebalance(spark):
+    """Pin the OPERATOR's plan shape alone: the loader's fan-out
+    rebalance (an input-layout guard for unsplittable small scans,
+    no-op at production split counts) adds one round-robin exchange at
+    test SFs, which is not part of the operator contract under test.
+    Its own contract is pinned by test_fanout_rebalance_guard."""
+    spark.conf.set("spark.graft.fanoutRebalance", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.graft.fanoutRebalance", "true")
+
+
+def test_fanout_rebalance_guard(spark, sf_dir):
+    """documents/embeddings arrive as ONE row group at local SFs — an
+    unsplittable scan whose downstream token/vector fan-out would
+    serialize into a single task (measured: a partial aggregation over
+    a one-task 25M-row token explode ran 40+ minutes). The loader must
+    rebalance such scans to cluster parallelism, and must NOT touch
+    relational tables (their plans are pinned elsewhere)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() == cores
+    with _no_rebalance(spark):
+        raw = tables.load(spark, sf_dir, "documents")
+        assert raw.rdd.getNumPartitions() * 4 <= cores
+    li = tables.load(spark, sf_dir, "lineitem")
+    assert li.rdd.getNumPartitions() < cores  # untouched
+
+
 def test_chunk_windows_plan_is_narrow(spark, sf_dir):
     """The RAG chunker must be a pure narrow plan: zero exchanges of any
     kind — chunking rides the scan at any scale."""
-    df = REGISTRY["text_chunk_windows"].spark_fn(spark, sf_dir)
+    with _no_rebalance(spark):
+        df = REGISTRY["text_chunk_windows"].spark_fn(spark, sf_dir)
     rep = audit.plan_report(df)
     assert rep.n_shuffle_exchanges == 0, rep.text
     assert rep.n_broadcast_exchanges == 0, rep.text
@@ -227,7 +260,8 @@ def test_duplicate_spans_shuffle_budget(spark, sf_dir):
     """3 exchanges, no joins: the doc repartition, the hash-partitioned
     occurrence window, the per-doc islands window. The groupBy+join-back
     alternative would add two more shuffles of the window table."""
-    df = REGISTRY["text_duplicate_spans"].spark_fn(spark, sf_dir)
+    with _no_rebalance(spark):
+        df = REGISTRY["text_duplicate_spans"].spark_fn(spark, sf_dir)
     rep = audit.plan_report(df)
     assert rep.n_shuffle_exchanges <= 3, rep.text
     assert rep.n_sort_merge_joins == 0 and rep.n_broadcast_hash_joins == 0
@@ -236,7 +270,8 @@ def test_duplicate_spans_shuffle_budget(spark, sf_dir):
 def test_dim_moments_single_shuffle_partial_agg(spark, sf_dir):
     """The d-fold explode aggregates map-side: exactly one exchange, and
     it carries per-task accumulator rows, never exploded elements."""
-    df = REGISTRY["embedding_dim_moments"].spark_fn(spark, sf_dir)
+    with _no_rebalance(spark):
+        df = REGISTRY["embedding_dim_moments"].spark_fn(spark, sf_dir)
     rep = audit.plan_report(df)
     assert rep.n_shuffle_exchanges == 1, rep.text
     assert "partial" in rep.text.lower() or "HashAggregate" in rep.text
@@ -245,7 +280,8 @@ def test_dim_moments_single_shuffle_partial_agg(spark, sf_dir):
 def test_weighted_sample_single_shuffle_and_pushdown(spark, sf_dir):
     """One group-key exchange for the per-group rank; the positive-weight
     filter reaches the parquet scan."""
-    df = REGISTRY["weighted_sample_ares"].spark_fn(spark, sf_dir)
+    with _no_rebalance(spark):
+        df = REGISTRY["weighted_sample_ares"].spark_fn(spark, sf_dir)
     rep = audit.plan_report(df)
     assert rep.n_shuffle_exchanges == 1, rep.text
     audit.assert_filter_pushed(df, "n_chars")

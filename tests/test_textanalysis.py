@@ -366,3 +366,20 @@ def test_collocations_pmi_ranks_true_phrase_first(spark):
     assert out[0].pmi_micro == expect
     # any pair touching 'the' (c=12) scores strictly lower
     assert pmis[("the", "cat")] < expect
+
+
+def test_naive_bayes_separable_corpus_perfect_diagonal(spark):
+    """On a corpus whose classes use disjoint vocabularies, the NB
+    confusion matrix must be exactly diagonal, and every test doc must
+    appear exactly once."""
+    rows = []
+    for i in range(20):
+        lang = "aa" if i % 2 == 0 else "bb"
+        word = "alpha" if lang == "aa" else "beta"
+        rows.append((i, f"{word} {word} common", lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = tx.naive_bayes_lang_confusion(docs).collect()
+    got = {(r.lang_true, r.lang_pred): r.n for r in out}
+    n_test = sum(1 for i in range(20) if i % 5 == 4)
+    assert sum(got.values()) == n_test
+    assert all(t == p for (t, p) in got)
