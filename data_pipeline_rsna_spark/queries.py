@@ -13637,3 +13637,237 @@ def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return ta.naive_bayes_lang_confusion(docs)
+
+
+def _trunc_recall_oracle(dims: tuple[int, ...] = (8, 16)) -> str:
+    """Per-dims CTE pairs reusing the proven brute-force cosine oracle
+    shape, with ``list_slice`` truncation (= Spark ``slice``)."""
+    blocks = []
+    unions = []
+    for d in dims:
+        blocks.append(f"""t{d} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   round(list_dot_product(list_slice(q.qe, 1, {d}),
+                                          list_slice(c.ce, 1, {d}))
+                         / (sqrt(list_dot_product(list_slice(q.qe, 1, {d}),
+                                                  list_slice(q.qe, 1, {d})))
+                            * sqrt(list_dot_product(
+                                  list_slice(c.ce, 1, {d}),
+                                  list_slice(c.ce, 1, {d})))), 6) AS cosine
+            FROM q CROSS JOIN c
+            WHERE c.neighbor_id <> q.query_id
+        ) s
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) <= 10
+    )""")
+        unions.append(f"""
+    SELECT CAST({d} AS BIGINT) AS dims, b.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(t.neighbor_id) * 1000000 // count(*) AS BIGINT)
+               AS recall_ppm
+    FROM brute b
+    LEFT JOIN t{d} t
+      ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id""")
+    return (
+        """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   round(list_dot_product(q.qe, c.ce)
+                         / (sqrt(list_dot_product(q.qe, q.qe))
+                            * sqrt(list_dot_product(c.ce, c.ce))), 6)
+                       AS cosine
+            FROM q CROSS JOIN c
+            WHERE c.neighbor_id <> q.query_id
+        ) s
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) <= 10
+    ),
+    """
+        + ",\n    ".join(blocks)
+        + "\n"
+        + "\n    UNION ALL\n".join(unions)
+    )
+
+
+@register(
+    "similarity_truncated_dim_recall",
+    oracle=_trunc_recall_oracle(dims=(8, 16)),
+    doc="X3+ matryoshka-style truncation evaluation: recall@10 of "
+    "exact cosine top-k computed on PREFIX-truncated embeddings (8 and "
+    "16 dims) against the full-width ground truth — the dimensionality"
+    "-vs-quality trade-off every embedding deployment measures before "
+    "shipping a cheaper index. Reuses the exact top-k operator on "
+    "sliced vectors (slice = list_slice, bit-identical float->double "
+    "widening both engines); the eval join is output-sized (k rows "
+    "per query per width).",
+    tags=("similarity", "ml-eval"),
+)
+def q_similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    outs = []
+    for d in (8, 16):
+        te = emb.select(
+            "vec_id", F.expr(f"slice(embedding, 1, {d})").alias("embedding")
+        )
+        tq = queries.select(
+            "query_id",
+            F.expr(f"slice(embedding, 1, {d})").alias("embedding"),
+        )
+        t = sim.cosine_topk(te, tq, k=10).select(
+            F.col("query_id").alias("t_qid"),
+            F.col("neighbor_id").alias("t_nid"),
+        )
+        j = brute.join(
+            t,
+            (F.col("t_qid") == F.col("query_id"))
+            & (F.col("t_nid") == F.col("neighbor_id")),
+            "left",
+        )
+        outs.append(
+            j.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("k"),
+                F.count("t_nid").cast("bigint").alias("n_hit"),
+                F.expr(
+                    "CAST(count(t_nid) * 1000000 DIV count(1) AS BIGINT)"
+                ).alias("recall_ppm"),
+            ).select(
+                F.lit(d).cast("bigint").alias("dims"),
+                "query_id", "k", "n_hit", "recall_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "incremental_join_view_maintenance",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k, o_orderpriority AS g,
+               o_orderkey % 7 AS ha
+        FROM orders
+    ),
+    b AS (
+        SELECT l_orderkey AS k,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents,
+               l_linenumber % 3 AS hb
+        FROM lineitem
+    ),
+    full_v AS (
+        SELECT g, CAST(sum(cents) AS BIGINT) AS full_cents
+        FROM a JOIN b USING (k) GROUP BY g
+    ),
+    old_v AS (
+        SELECT g, CAST(sum(cents) AS BIGINT) AS c
+        FROM a JOIN b USING (k) WHERE ha < 5 AND hb < 2 GROUP BY g
+    ),
+    d1 AS (
+        SELECT g, CAST(sum(cents) AS BIGINT) AS c
+        FROM a JOIN b USING (k) WHERE ha >= 5 AND hb < 2 GROUP BY g
+    ),
+    d2 AS (
+        SELECT g, CAST(sum(cents) AS BIGINT) AS c
+        FROM a JOIN b USING (k) WHERE ha < 5 AND hb >= 2 GROUP BY g
+    ),
+    d3 AS (
+        SELECT g, CAST(sum(cents) AS BIGINT) AS c
+        FROM a JOIN b USING (k) WHERE ha >= 5 AND hb >= 2 GROUP BY g
+    ),
+    incr AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS incr_cents
+        FROM (SELECT * FROM old_v UNION ALL SELECT * FROM d1
+              UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) u
+        GROUP BY g
+    )
+    SELECT f.g AS o_orderpriority, f.full_cents, i.incr_cents,
+           CAST(i.incr_cents - coalesce(o.c, 0) AS BIGINT) AS delta_cents,
+           CAST(f.full_cents = i.incr_cents AS INTEGER) AS is_consistent
+    FROM full_v f
+    JOIN incr i ON i.g = f.g
+    LEFT JOIN old_v o ON o.g = f.g
+    """,
+    doc="X8+ incremental view maintenance for a join-aggregate view "
+    "(the lakehouse refresh pattern): with both join sides split into "
+    "(old, delta), SUM over the join distributes over the disjoint "
+    "cells, so the refreshed view = materialized old cell + three "
+    "delta joins (dA><B_old, A_old><dB, dA><dB) — each shuffling only "
+    "delta-sized inputs, never re-joining old><old. The query executes "
+    "the delta plan AND the full recompute and proves them equal per "
+    "group (is_consistent), with the deltas' contribution exported. "
+    "At 100 TB the full recompute arm is exactly what IVM avoids; the "
+    "old cell reads from the materialized view instead.",
+    tags=("relational", "lakehouse", "scale"),
+)
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = tables.load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k", "o_orderpriority AS g",
+        "pmod(o_orderkey, 7) AS ha",
+    )
+    b = tables.load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS k",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        " AS cents",
+        "pmod(l_linenumber, 3) AS hb",
+    )
+
+    def view(af, bf) -> DataFrame:
+        return (
+            a.filter(af).join(b.filter(bf), "k")
+            .groupBy("g")
+            .agg(F.sum("cents").cast("bigint").alias("c"))
+        )
+
+    ha, hb = F.col("ha"), F.col("hb")
+    full = (
+        a.join(b, "k").groupBy("g")
+        .agg(F.sum("cents").cast("bigint").alias("full_cents"))
+    )
+    old = view(ha < 5, hb < 2)
+    deltas = [view(ha >= 5, hb < 2), view(ha < 5, hb >= 2),
+              view(ha >= 5, hb >= 2)]
+    u = old
+    for dv in deltas:
+        u = u.unionByName(dv)
+    incr = u.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("incr_cents")
+    )
+    return (
+        full.join(incr, "g")
+        .join(old.withColumnRenamed("c", "old_c"), "g", "left")
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            "full_cents",
+            "incr_cents",
+            (F.col("incr_cents") - F.coalesce(F.col("old_c"), F.lit(0)))
+            .cast("bigint")
+            .alias("delta_cents"),
+            (F.col("full_cents") == F.col("incr_cents"))
+            .cast("int")
+            .alias("is_consistent"),
+        )
+    )
