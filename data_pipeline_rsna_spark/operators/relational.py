@@ -700,6 +700,23 @@ def grouped_running_sum(
     pattern as the iterative localCheckpoint in connected_components);
     the cost is one extra write of the projected columns.
     """
+    return grouped_running_sums(
+        df, key, order_col, {out_col: value_col}, partitions=partitions
+    )
+
+
+def grouped_running_sums(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    sums: dict[str, str],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column form of ``grouped_running_sum``: one range exchange
+    carries ALL the requested running sums (``sums`` maps out_col →
+    value_col). Consumers that need several aligned prefix sums over the
+    same order (e.g. the PR curve's cumulative positives AND cumulative
+    total) would otherwise pay one full range shuffle per column."""
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     part = (
         df.repartitionByRange(int(n), F.col(key), F.col(order_col))
@@ -712,7 +729,12 @@ def grouped_running_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("_local_cum", F.sum(value_col).over(local_w))
+    out_cols = list(sums)
+    local = part
+    for i, out_col in enumerate(out_cols):
+        local = local.withColumn(
+            f"_lc{i}", F.sum(sums[out_col]).over(local_w)
+        )
     # slice subtotal = the slice's LAST running value (max_by order, NOT
     # max — values may be negative): aggregating the window output keys
     # the groupBy on the same (_pid, key) distribution the WindowExec
@@ -720,11 +742,15 @@ def grouped_running_sum(
     # instead of paying its own full-data shuffle of the checkpoint
     # (one data exchange total)
     subtotals = local.groupBy("_pid", key).agg(
-        F.max_by("_local_cum", F.col(order_col)).alias("_sub")
+        *[
+            F.max_by(f"_lc{i}", F.col(order_col)).alias(f"_sub{i}")
+            for i in range(len(out_cols))
+        ]
     )
     earlier = subtotals.select(
-        F.col("_pid").alias("_pid2"), F.col(key).alias("_key2"),
-        F.col("_sub").alias("_sub2"),
+        F.col("_pid").alias("_pid2"),
+        F.col(key).alias("_key2"),
+        *[F.col(f"_sub{i}").alias(f"_sub{i}b") for i in range(len(out_cols))],
     )
     offsets = (
         subtotals.join(
@@ -733,12 +759,20 @@ def grouped_running_sum(
             "left",
         )
         .groupBy("_pid", key)
-        .agg(F.coalesce(F.sum("_sub2"), F.lit(0)).alias("_offset"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_sub{i}b"), F.lit(0)).alias(f"_off{i}")
+                for i in range(len(out_cols))
+            ]
+        )
     )
-    return (
-        local.join(F.broadcast(offsets), ["_pid", key])
-        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
-        .drop("_pid", "_local_cum", "_offset")
+    out = local.join(F.broadcast(offsets), ["_pid", key])
+    for i, out_col in enumerate(out_cols):
+        out = out.withColumn(out_col, F.col(f"_lc{i}") + F.col(f"_off{i}"))
+    return out.drop(
+        "_pid",
+        *[f"_lc{i}" for i in range(len(out_cols))],
+        *[f"_off{i}" for i in range(len(out_cols))],
     )
 
 
@@ -1164,6 +1198,57 @@ def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.expr(
             "CAST((1000000 * auc_num2) DIV (2 * npos * nneg) AS BIGINT)"
         ).alias("auc_ppm"),
+    )
+
+
+def exact_average_precision(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """EXACT tie-aware average precision (PR-AUC companion of
+    ``exact_auc``), one row: npos, n_total, ap_num, ap_ppm.
+
+    Tie convention: a tied score block is scored at the block's END
+    precision (descending order, cumulative counts inclusive of the
+    whole block) — every positive inside a tie contributes
+    precision@block-end, the pessimistic-and-deterministic reading a
+    ranking eval needs when scores collide. AP =
+    (1/npos) * sum over blocks of pos_s * precision_micro(s), with
+    precision_micro = (1e6 * cum_pos) DIV cum_all — all-bigint floor
+    division (every quantity non-negative, so Spark's truncating DIV
+    and the oracle's flooring // agree).
+
+    Scale: aggregates to distinct scores first (map-side combined;
+    shuffle = |distinct scores|), then ONE range exchange carries both
+    cumulative counts via ``grouped_running_sums`` — never an
+    unpartitioned ``OVER (ORDER BY score)``. ``score_col`` must be an
+    exact integer type; ``label_col`` 0/1 int.
+    """
+    g = df.groupBy(score_col).agg(
+        F.sum(label_col).cast("bigint").alias("pos"),
+        F.count("*").cast("bigint").alias("all"),
+    )
+    # descending score order = ascending negated score
+    c = grouped_running_sums(
+        g.withColumn("_g", F.lit(1)).withColumn(
+            "_ord", -F.col(score_col)
+        ),
+        "_g",
+        "_ord",
+        {"cum_pos": "pos", "cum_all": "all"},
+    )
+    term = F.expr("pos * ((1000000 * cum_pos) DIV cum_all)")
+    return (
+        c.agg(
+            F.sum("pos").cast("bigint").alias("npos"),
+            F.sum("all").cast("bigint").alias("n_total"),
+            F.sum(term).cast("bigint").alias("ap_num"),
+        )
+        .select(
+            "npos",
+            "n_total",
+            "ap_num",
+            F.expr("CAST(ap_num DIV npos AS BIGINT)").alias("ap_ppm"),
+        )
     )
 
 

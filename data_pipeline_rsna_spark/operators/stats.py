@@ -897,6 +897,74 @@ def srm_check(
     )
 
 
+def cuped_adjusted_means(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13
+    — public): per arm, the raw post-period mean AND the covariate-
+    adjusted mean  Ŷ_a = mean(Y_a) − θ·(mean(X_a) − mean(X)),
+    θ = cov(X, Y) / var(X) pooled over all units. The pre-period
+    covariate X soaks up between-user variance, shrinking the CI of
+    the treatment effect without touching its expectation (θ is
+    assignment-independent because X predates assignment).
+
+    Exactness: per-unit X/Y must arrive as integer units (cents).
+    θ ships as theta_ppm = (1e6·cov_num) div var_num over exact
+    decimal(38,0) sufficient statistics (cov_num = n·Σxy − Σx·Σy,
+    var_num = n·Σxx − Σx², both mergeable — incremental-view-
+    friendly); the adjustment is pure bigint fixed-point arithmetic.
+    Spark's ``div`` and DuckDB's hugeint ``//`` BOTH truncate toward
+    zero, so negative covariances stay bit-identical cross-engine.
+
+    Scale: one map-side-combined per-unit aggregation (shuffle =
+    |units|), then a 1-row global moment aggregate broadcast back to
+    the |arms|-row per-arm table — no data-sized move after the first.
+    """
+    per_unit = df.groupBy(
+        F.col(unit_col).alias("_u"), F.col(arm_col).alias("arm")
+    ).agg(
+        F.coalesce(F.sum(pre_col), F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce(F.sum(post_col), F.lit(0)).cast("bigint").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    glob = per_unit.agg(
+        F.count("*").cast(d38).alias("n_g"),
+        F.sum("x").cast(d38).alias("sx_g"),
+        F.sum("y").cast(d38).alias("sy_g"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy_g"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx_g"),
+    ).selectExpr(
+        "CAST(n_g AS BIGINT) AS n_g",
+        "CAST(sx_g AS BIGINT) AS sx_g",
+        "CAST((1000000 * (n_g * sxy_g - sx_g * sy_g)) "
+        "div (n_g * sxx_g - sx_g * sx_g) AS BIGINT) AS theta_ppm",
+    )
+    arms = per_unit.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    return arms.crossJoin(F.broadcast(glob)).selectExpr(
+        "arm",
+        "n_units",
+        "sum_x AS sum_x_cents",
+        "sum_y AS sum_y_cents",
+        "theta_ppm",
+        "CAST((1000000 * sum_y) DIV n_units AS BIGINT) AS mean_y_micro",
+        # correction = θ · (mean(X_a) − mean(X)) in micro units; the
+        # centered difference can be negative — div truncation matches
+        # the oracle's // exactly (both toward zero)
+        "CAST((1000000 * sum_y) DIV n_units "
+        "- (theta_ppm * ((1000000 * sum_x) DIV n_units "
+        "- (1000000 * sx_g) DIV n_g)) div 1000000 AS BIGINT) "
+        "AS adj_mean_micro",
+    )
+
+
 def mutual_information_ranking(
     df: DataFrame,
     target_col: str,

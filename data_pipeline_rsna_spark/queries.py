@@ -13871,3 +13871,145 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_consistent"),
         )
     )
+
+
+@register(
+    "model_pr_auc_exact",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+        FROM orders
+    ),
+    g AS (
+        SELECT score,
+               CAST(sum(lab) AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS alln
+        FROM s GROUP BY score
+    ),
+    c AS (
+        SELECT pos,
+               CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT)
+                   AS cum_pos,
+               CAST(sum(alln) OVER (ORDER BY score DESC) AS BIGINT)
+                   AS cum_all
+        FROM g
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS npos,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS n_total,
+           CAST(sum(pos * ((1000000 * cum_pos) // cum_all)) AS BIGINT)
+               AS ap_num,
+           CAST(sum(pos * ((1000000 * cum_pos) // cum_all))
+                // sum(pos) AS BIGINT) AS ap_ppm
+    FROM c
+    """,
+    doc="EXACT tie-aware average precision (PR-AUC) — the ranking "
+    "metric that matters when positives are rare and ROC AUC "
+    "saturates: AP = mean over positives of precision at that "
+    "positive's rank, tied blocks scored at block-end precision. "
+    "Distinct-score aggregation (map-side combined), then ONE range "
+    "exchange carries BOTH cumulative counts "
+    "(relational.grouped_running_sums) — the oracle's unpartitioned "
+    "OVER (ORDER BY score DESC) would pin 100 TB of distinct scores "
+    "on one task. All-bigint floor arithmetic (every term "
+    "non-negative, so DIV == //).",
+    tags=("relational", "ml-eval"),
+)
+def q_model_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("lab"),
+    )
+    return rel.exact_average_precision(s, "score", "lab")
+
+
+@register(
+    "experiment_cuped_adjustment",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substr(md5('cuped|'
+                        || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+                        % 2) = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               CASE WHEN datediff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) % 2 = 0
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END AS pre_cents,
+               CASE WHEN datediff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) % 2 = 1
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END AS post_cents
+        FROM events
+    ),
+    pu AS (
+        SELECT user_id, arm,
+               CAST(sum(pre_cents) AS BIGINT) AS x,
+               CAST(sum(post_cents) AS BIGINT) AS y
+        FROM v GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n_g,
+               CAST(sum(x) AS HUGEINT) AS sx_g,
+               CAST(sum(y) AS HUGEINT) AS sy_g,
+               CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                    AS HUGEINT) AS sxy_g,
+               CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                    AS HUGEINT) AS sxx_g
+        FROM pu
+    ),
+    t AS (
+        SELECT CAST(n_g AS BIGINT) AS n_g2,
+               CAST(sx_g AS BIGINT) AS sx_g2,
+               CAST((1000000 * (n_g * sxy_g - sx_g * sy_g))
+                    // (n_g * sxx_g - sx_g * sx_g) AS BIGINT)
+                   AS theta_ppm
+        FROM g
+    ),
+    a AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y
+        FROM pu GROUP BY arm
+    )
+    SELECT arm, n_units,
+           sum_x AS sum_x_cents,
+           sum_y AS sum_y_cents,
+           theta_ppm,
+           CAST((1000000 * sum_y) // n_units AS BIGINT) AS mean_y_micro,
+           CAST((1000000 * sum_y) // n_units
+                - (theta_ppm * ((1000000 * sum_x) // n_units
+                                - (1000000 * sx_g2) // n_g2)) // 1000000
+                AS BIGINT) AS adj_mean_micro
+    FROM a CROSS JOIN t
+    """,
+    doc="X8+ CUPED variance-reduced experiment readout (Deng et al. "
+    "WSDM'13): md5-bucketed 50/50 arms over event users, pre/post "
+    "periods split on epoch-day parity, theta = cov(X,Y)/var(X) from "
+    "exact decimal(38,0) sufficient statistics (mergeable — the "
+    "moments are incremental-view-friendly), adjusted per-arm means "
+    "in pure bigint fixed-point. Spark div and DuckDB // both "
+    "truncate toward zero, so negative covariances stay "
+    "bit-identical. One |units| shuffle; the global moment row "
+    "broadcasts back to the 2-row arm table.",
+    tags=("stats", "ml-eval"),
+)
+def q_experiment_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    day = "datediff(to_date(ts), DATE '1970-01-01')"
+    v = ev.selectExpr(
+        "user_id",
+        "CASE WHEN CAST(conv(substr(md5(concat('cuped|', "
+        "CAST(user_id AS STRING))), 1, 8), 16, 10) % 2 AS INT) = 0 "
+        "THEN 'control' ELSE 'treatment' END AS arm",
+        f"CASE WHEN pmod({day}, 2) = 0 "
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS pre_cents",
+        f"CASE WHEN pmod({day}, 2) = 1 "
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS post_cents",
+    )
+    return st.cuped_adjusted_means(
+        v, "user_id", "arm", "pre_cents", "post_cents"
+    )

@@ -548,3 +548,73 @@ def test_blocked_levenshtein_join_blocks_and_matches(spark):
         # 'golden lacquer' -> 'golden lacy' is distance 3: filtered.
         # 'golben lace' blocks under 'golben': never a candidate.
     }
+
+
+def test_grouped_running_sums_multi_col_matches_two_windows(spark):
+    """The multi-column prefix sum must equal two independent naive
+    window sums — with negative values so the max_by subtotal logic is
+    exercised, and more partitions than keys so slices split."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    rng = random.Random(11)
+    rows = [
+        (f"k{i % 2}", i, rng.randint(-50, 50), rng.randint(-5, 5))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "key string, ord long, a long, b long")
+    got = {
+        (r.key, r.ord): (r.ca, r.cb)
+        for r in rel.grouped_running_sums(
+            df, "key", "ord", {"ca": "a", "cb": "b"}, partitions=16
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.key, r.ord): (r.ca, r.cb)
+        for r in df.withColumn("ca", F.sum("a").over(w))
+        .withColumn("cb", F.sum("b").over(w))
+        .collect()
+    }
+    assert got == want
+
+
+def test_exact_average_precision_matches_bruteforce(spark):
+    """AP against a brute-force python reference using the same
+    tie convention (tied block scored at block-end precision),
+    including a heavily tied score distribution."""
+    import random
+
+    from data_pipeline_rsna_spark.operators import relational as rel
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 20), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "score long, lab int")
+    got = rel.exact_average_precision(df, "score", "lab").collect()[0]
+
+    # brute force: group by score desc, block-end precision
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    for s, l in rows:
+        g[s][0] += l
+        g[s][1] += 1
+    cum_pos = cum_all = ap_num = 0
+    for s in sorted(g, reverse=True):
+        pos, alln = g[s]
+        cum_pos += pos
+        cum_all += alln
+        ap_num += pos * ((1000000 * cum_pos) // cum_all)
+    npos = sum(l for _, l in rows)
+    assert got.npos == npos
+    assert got.n_total == len(rows)
+    assert got.ap_num == ap_num
+    assert got.ap_ppm == ap_num // npos

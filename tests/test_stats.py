@@ -340,3 +340,75 @@ def test_mi_ranking_matches_single_pair_mi(spark):
         ), feat
     assert out["dep"].mi_sum_micro > out["ind"].mi_sum_micro
     assert abs(out["ind"].mi_sum_micro) <= 40  # rounding only
+
+
+def test_cuped_adjustment_reduces_to_raw_mean_when_theta_zero(spark):
+    """With a pre-period covariate that is CONSTANT across units,
+    var(X) > 0 fails, so build instead: X uncorrelated-by-symmetry
+    cases are fragile — assert the exact arithmetic contract directly
+    against a python fixed-point reference on a small frame."""
+    from data_pipeline_rsna_spark.operators import stats as st
+
+    rows = [
+        # (unit, arm, x_cents, y_cents)
+        (1, "control", 100, 500),
+        (2, "control", 200, 900),
+        (3, "treatment", 150, 800),
+        (4, "treatment", 250, 1200),
+    ]
+    df = spark.createDataFrame(rows, "u long, arm string, x long, y long")
+    got = {
+        r.arm: r
+        for r in st.cuped_adjusted_means(df, "u", "arm", "x", "y").collect()
+    }
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    xs = [r[2] for r in rows]
+    ys = [r[3] for r in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    theta_ppm = tdiv(1000000 * (n * sxy - sx * sy), n * sxx - sx * sx)
+    for arm in ("control", "treatment"):
+        sub = [r for r in rows if r[1] == arm]
+        na = len(sub)
+        sxa = sum(r[2] for r in sub)
+        sya = sum(r[3] for r in sub)
+        mean_y = (1000000 * sya) // na
+        adj = mean_y - tdiv(
+            theta_ppm * ((1000000 * sxa) // na - (1000000 * sx) // n),
+            1000000,
+        )
+        assert got[arm].theta_ppm == theta_ppm
+        assert got[arm].mean_y_micro == mean_y
+        assert got[arm].adj_mean_micro == adj
+        assert got[arm].n_units == na
+
+
+def test_cuped_adjusted_grand_mean_is_preserved(spark):
+    """CUPED must not move the pooled mean (up to fixed-point floors):
+    sum over arms of n_a * (adj - raw) is the theta-weighted sum of
+    centered X means, which is 0 by construction when arms partition
+    the units. Verified within the 1-micro-per-arm floor tolerance."""
+    import random
+
+    from data_pipeline_rsna_spark.operators import stats as st
+
+    rng = random.Random(5)
+    rows = [
+        (i, "control" if i % 2 == 0 else "treatment",
+         rng.randint(0, 1000), rng.randint(0, 2000))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "u long, arm string, x long, y long")
+    out = st.cuped_adjusted_means(df, "u", "arm", "x", "y").collect()
+    drift = sum(r.n_units * (r.adj_mean_micro - r.mean_y_micro) for r in out)
+    total_n = sum(r.n_units for r in out)
+    # each arm's correction floors twice (mean_x floor + /1e6 floor)
+    assert abs(drift) <= 2 * total_n * max(
+        1, max(abs(r.theta_ppm) for r in out) // 1000000 + 1
+    )
