@@ -355,19 +355,51 @@ def embedding_neardup_pairs(
         id_col, "_ve", "_norm", F.explode("_blocks").alias("bb")
     ).select(id_col, "_ve", "_norm", "bb.blk", "bb.blk_val")
     blocks = blocks.persist()  # self-join below: materialize once
+    # Salt the bucket self-join: the join key domain is only
+    # n_blocks * 2^(n_bits/n_blocks) values (64 here), and the join
+    # OUTPUT is quadratic per bucket while its INPUT is tiny — AQE
+    # coalesces the small shuffle to ~1 partition and the whole
+    # verification runs single-threaded (observed at sf1: 1e8 pairs on
+    # one core). Slicing the A side by id-hash and replicating the B
+    # side into every slice keeps each pair produced exactly once per
+    # block collision but fans the work out over
+    # n_blocks * 2^bits * n_slices join cells.
+    n_slices = 16
     a = blocks.select(
         F.col(id_col).alias("doc_a"), F.col("_ve").alias("_va"),
         F.col("_norm").alias("_na"), "blk", "blk_val",
+    ).withColumn(
+        "_slice", F.pmod(F.hash(F.col("doc_a")), F.lit(n_slices))
     )
     b = blocks.select(
         F.col(id_col).alias("doc_b"), F.col("_ve").alias("_vb"),
         F.col("_norm").alias("_nb"), "blk", "blk_val",
+    ).withColumn(
+        "_slice",
+        F.explode(F.array(*[F.lit(s) for s in range(n_slices)])),
     )
+    # Verify INSIDE the join's output stream: cosine + threshold run in
+    # the same whole-stage-codegen stage as the bucket join, so the
+    # candidate set (quadratic per bucket — the block domain is only
+    # 2^(bits/blocks) values, so buckets grow linearly with the corpus)
+    # is never materialized or shuffled. Deduplicating the ≤max_hamming+1
+    # block collisions happens AFTER the filter, on the tiny survivor
+    # set — a distinct() before verification would shuffle every
+    # candidate row with both vectors attached (the r6 sf1 stall: ~1e8
+    # wide rows AQE-coalesced onto one task).
+    # Pin the join parallelism with explicit numbered repartitions: AQE
+    # coalesces shuffle reads by INPUT bytes, but this join's cost is
+    # its quadratic OUTPUT — left to AQE the ~1024 salted cells collapse
+    # onto a handful of tasks (6 of 32 cores busy at sf1). A
+    # REPARTITION_BY_NUM exchange is exempt from AQE coalescing, and
+    # because both sides share the full join key the join reuses the
+    # partitioning without an extra exchange.
+    n_part = max(n_slices * 4, 64)
+    a = a.repartition(n_part, "blk", "blk_val", "_slice")
+    b = b.repartition(n_part, "blk", "blk_val", "_slice")
     return (
-        a.join(b, ["blk", "blk_val"])
+        a.join(b, ["blk", "blk_val", "_slice"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_va", "_vb", "_na", "_nb")
-        .distinct()
         .withColumn(
             "cosine",
             F.round(
@@ -377,6 +409,7 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
+        .distinct()
     )
 
 
