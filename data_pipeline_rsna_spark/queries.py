@@ -1225,10 +1225,14 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
     """,
-    doc="X3 exact top-k cosine similarity search: broadcast query batch "
-    "x one corpus scan, zip_with/aggregate dot products (JVM-side, no "
-    "UDF), deterministic tie-break. The brute-force baseline every ANN "
-    "method is measured against.",
+    doc="X3 exact top-k cosine similarity search — the deployed scale "
+    "path: one Arrow-batched mapInPandas pass scores each query-batch x "
+    "corpus-batch block as a single numpy matmul (BLAS/SIMD) and folds "
+    "a running per-query top-k, so the final window merge shuffles "
+    "<= k*|q| rows per partition. The brute-force baseline every ANN "
+    "method is measured against; its HOF-fold twin "
+    "(similarity_topk_fold) is the bit-reproducibility differential "
+    "baseline and is pinned equal in tests.",
     tags=("similarity", "headline"),
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,11 +1242,11 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.cosine_topk(emb, queries, k=10)
+    return sim.cosine_topk_blas(emb, queries, k=10)
 
 
 @register(
-    "similarity_topk_blas",
+    "similarity_topk_fold",
     oracle="""
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -1269,24 +1273,23 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
     """,
-    doc="X3 exact top-k cosine — the SIMD scale path: one mapInPandas "
-    "pass computes each Arrow batch's query x corpus similarity block "
-    "as a single numpy matmul (BLAS) and folds a running top-k per "
-    "query, emitting <= k*|q| rows per partition for the final window "
-    "merge. Same output contract as similarity_topk_cosine (round-6 "
-    "before ranking, id tie-break); the HOF-fold twin stays as the "
-    "bit-reproducibility baseline. ~20x faster scoring per row — at "
-    "100 TB the scoring pass is the entire cost.",
+    doc="X3 exact top-k cosine — the HOF-fold twin: zip_with/aggregate "
+    "dot products, JVM-side whole-stage codegen, sequential "
+    "left-to-right double adds matching DuckDB's list_dot_product term "
+    "order exactly. Same output contract as similarity_topk_cosine "
+    "(round-6 before ranking, id tie-break); kept registered as the "
+    "bit-reproducibility differential baseline for the BLAS scale path "
+    "that the headline query deploys.",
     tags=("similarity",),
 )
-def q_similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_similarity_topk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity as sim
 
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.cosine_topk_blas(emb, queries, k=10)
+    return sim.cosine_topk(emb, queries, k=10)
 
 
 @register(
