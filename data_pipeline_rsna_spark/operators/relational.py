@@ -213,20 +213,44 @@ def _bucketed_stats(
 ) -> tuple[int, int, list]:
     """ONE aggregation job that serves as both the stats pass and the
     first histogram round of the order-statistic search: per-bucket
-    (count, min, max) with bucket = value >> 52. Arithmetic shift-right
-    is floor division by 2^52 (two's-complement safe for negatives), so
-    bucket ids are order-preserving over the FULL int64 domain and at
-    most 4096 groups exist — a metadata-sized partial aggregation, no
-    data shuffle. NULL keys land in the NULL bucket, giving the null
-    count for free. Returns (total_rows, non_null_rows, non-null bucket
-    rows sorted by bucket id). Fusing the two passes matters because k
-    itself depends on the total count (e.g. a train/val cutoff): the
-    unfused form cannot start bucketing until a whole stats job
-    completes, so every call pays one extra job-floor latency."""
+    (count, min, max) under an order-preserving EXPONENTIAL bucketing —
+    bucket = (bit_length(u) * 128 + top-7-bits(u)), sign-folded so
+    negatives map below zero in reverse magnitude order (u = v for
+    v >= 0, else ~v, both nonnegative; more-negative v → larger u →
+    smaller folded id). Within one bit-length the shift amount is
+    constant, so the top-bits slice is monotone; across bit-lengths the
+    bl*128 term dominates — order-preserving over the FULL int64 domain
+    with ≤ ~8192 groups, a metadata-sized partial aggregation, no data
+    shuffle.
+
+    Why log-scale instead of the earlier fixed ``value >> 52``: a plain
+    high-bit shift only refines when the key range spans > 2^52 — for
+    every real id domain (0..1e9 order keys, row numbers, cents) ALL
+    keys share bucket 0 and the first round learns nothing beyond
+    global min/max/count, forcing a full extra histogram job. The
+    exponential bucket spans at most 1/64 of its value's magnitude, so
+    round one always narrows the candidate range ~two orders of
+    magnitude regardless of domain width, and with per-bucket min/max
+    the typical search finishes in stats → TakeOrdered (two jobs
+    total). ``bin()`` gives the exact integer bit length (string length
+    of the binary form — no double log2, which would misbucket near
+    power-of-two boundaries past 2^53).
+
+    NULL keys land in the NULL bucket, giving the null count for free.
+    Returns (total_rows, non_null_rows, non-null bucket rows sorted by
+    bucket id). Fusing the two passes matters because k itself depends
+    on the total count (e.g. a train/val cutoff): the unfused form
+    cannot start bucketing until a whole stats job completes, so every
+    call pays one extra job-floor latency."""
+    v = f"cast(`{col}` AS bigint)"
+    u = f"(CASE WHEN {v} >= 0 THEN {v} ELSE ~{v} END)"
+    idp = (
+        f"(length(bin({u})) * 128 + "
+        f"shiftright({u}, greatest(length(bin({u})) - 7, 0)))"
+    )
+    bucket = f"CASE WHEN {v} >= 0 THEN {idp} ELSE -1 - {idp} END"
     rows = (
-        df.groupBy(
-            F.shiftright(F.col(col).cast("long"), 52).alias("_b")
-        )
+        df.groupBy(F.expr(bucket).alias("_b"))
         .agg(
             F.count("*").alias("_c"),
             F.min(col).alias("_lo"),
