@@ -51,7 +51,14 @@ BROADCASTABLE_DIMS = frozenset({"region", "nation"})
 # the guard never fires — it exists for exactly the small-file
 # degenerate case that local SFs (and real-world over-compacted text
 # corpora) exhibit.
-FANOUT_TABLES = frozenset({"documents", "embeddings"})
+#
+# `embeddings` is deliberately NOT here: float arrays store ~raw
+# (4 bytes/value, no 100:1 dictionary win), so scan bytes already track
+# downstream FLOPs, and every vector kernel is numpy-batch per
+# partition (matmul/Gram/quantize) — forcing a 0.5 MB scan onto 32
+# tasks just pays 32 Python+Arrow task floors to move ~60 rows each
+# (measured: exact cosine top-k 2.3x slower rebalanced at sf0.1).
+FANOUT_TABLES = frozenset({"documents"})
 
 
 # Columns that have shipped as raw int64 epoch-NANOS in at least one
