@@ -1621,3 +1621,61 @@ def compaction_plan(
         F.min(file_col).alias("min_file"),
         F.max(file_col).alias("max_file"),
     )
+
+
+def join_skew_diagnosis(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight skew audit for a planned equi-join: per-key output
+    cardinality estimate (|left rows| × |right rows| per key — exact,
+    not sampled), each hot key's share of the total join output, and a
+    recommended salt factor (how many average keys this key equals —
+    the fan-out a salted repartition should use for it).
+
+    This is the query an engineer runs BEFORE a 100 TB join: a key
+    holding 5% of the output lands 5% of the shuffle on one reducer,
+    and AQE's skew splitting only helps sort-merge inputs, not the
+    n_l × n_r pair explosion itself. Plan shape: two map-side-combined
+    per-key counts (each output ≤ |distinct keys|), an equi-join of
+    those two COUNT tables (never the data tables), a broadcast 1-row
+    total, and a TakeOrdered top-k — cost is two scans plus a
+    distinct-key-sized shuffle regardless of data size.
+
+    Returns (join_key, n_left, n_right, est_rows, share_ppm,
+    salt_factor), est_rows DESC / key ASC, exact integer arithmetic.
+    """
+    lc = left.groupBy(F.col(left_key).alias("join_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("join_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    per_key = lc.join(rc, "join_key").selectExpr(
+        "join_key",
+        "n_left",
+        "n_right",
+        "CAST(n_left * n_right AS BIGINT) AS est_rows",
+    )
+    totals = per_key.agg(
+        F.sum("est_rows").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "join_key",
+            "n_left",
+            "n_right",
+            "est_rows",
+            "CAST((1000000 * est_rows) DIV _total AS BIGINT) AS share_ppm",
+            # ceil(est * n_keys / total): 1 for an average key
+            "CAST((est_rows * _n_keys + _total - 1) DIV _total AS BIGINT) "
+            "AS salt_factor",
+        )
+        .orderBy(F.col("est_rows").desc(), F.col("join_key"))
+        .limit(top_k)
+    )

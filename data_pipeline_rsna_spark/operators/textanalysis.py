@@ -1233,3 +1233,79 @@ def naive_bayes_lang_confusion(
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much more likely its hashed-unigram
+    features are under the TARGET domain's distribution than under the
+    raw corpus's — the standard model-free way to up-sample target-like
+    pretraining data at corpus scale.
+
+    weight(doc) = Σ_tokens ln( p_target(bucket(w)) / p_raw(bucket(w)) )
+    with add-one smoothing over ``n_buckets`` hashed feature buckets.
+    bucket(w) = first 4 hex chars of md5(w) mod n_buckets — the same
+    engine-portable hash family the SRP/fold kernels use, so an oracle
+    re-derives every bucket exactly. Shipped as integer micro-nats: the
+    log of each (integer) smoothed count rounds to a micro-nat int once,
+    per-doc sums are exact integer arithmetic, so the score is
+    bit-identical across engines and partitionings.
+
+    Plan shape (two shuffles, both map-side combined):
+      1. token explode → groupBy(bucket): ≤ n_buckets rows AFTER the
+         partial agg — the "training" pass for BOTH distributions at
+         once (the target's counts are a conditional sum in the same
+         aggregate, not a second scan).
+      2. tokens ⋈ broadcast(bucket log-ratio dim) → groupBy(doc).
+    At 100 TB both passes stream; the only materialized state is the
+    n_buckets-row dim. Raising n_buckets (e.g. 65536 for real corpora)
+    changes nothing structurally.
+    """
+    bucket = (
+        f"CAST(conv(substr(md5(w), 1, 4), 16, 10) AS BIGINT) "
+        f"% {n_buckets}"
+    )
+    toks = docs.selectExpr(
+        f"`{id_col}`",
+        f"CAST(({target_pred}) AS BOOLEAN) AS _is_t",
+        f"explode(split(lower(`{text_col}`), '\\\\s+')) AS w",
+    ).selectExpr(f"`{id_col}`", "_is_t", f"{bucket} AS bkt")
+    counts = toks.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+        F.sum(F.expr("CAST(_is_t AS BIGINT)")).cast("bigint").alias("c_t"),
+    )
+    # ln((c_t+1)/(T_t+B)) - ln((c_raw+1)/(T_raw+B)) splits into a
+    # per-bucket term and a per-token constant; both are micro-nat ints.
+    const = counts.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t")
+    ).selectExpr(
+        "CAST(round(ln(t_raw + {b}) * 1000000) AS BIGINT) - "
+        "CAST(round(ln(t_t + {b}) * 1000000) AS BIGINT) AS const_micro"
+        .format(b=n_buckets)
+    )
+    diff = counts.selectExpr(
+        "bkt",
+        "CAST(round(ln(c_t + 1) * 1000000) AS BIGINT) - "
+        "CAST(round(ln(c_raw + 1) * 1000000) AS BIGINT) AS d_micro",
+    )
+    return (
+        toks.join(F.broadcast(diff), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("d_micro").cast("bigint").alias("_sd"),
+        )
+        .crossJoin(F.broadcast(const))
+        .selectExpr(
+            f"`{id_col}`",
+            "n_tokens",
+            "CAST(_sd + n_tokens * const_micro AS BIGINT) "
+            "AS dsir_weight_micro",
+        )
+    )

@@ -14013,3 +14013,105 @@ def q_experiment_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.cuped_adjusted_means(
         v, "user_id", "arm", "pre_cents", "post_cents"
     )
+
+
+@register(
+    "corpus_dsir_selection",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, is_t,
+               CAST(('0x' || substr(md5(w), 1, 4))::UBIGINT % 256
+                    AS BIGINT) AS bkt
+        FROM toks
+    ),
+    b AS (
+        SELECT bkt, CAST(count(*) AS BIGINT) AS c_raw,
+               CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS c_t
+        FROM tb GROUP BY bkt
+    ),
+    tot AS (
+        SELECT CAST(round(ln(sum(c_raw) + 256) * 1000000) AS BIGINT)
+             - CAST(round(ln(sum(c_t) + 256) * 1000000) AS BIGINT)
+               AS const_micro
+        FROM b
+    ),
+    d AS (
+        SELECT bkt,
+               CAST(round(ln(c_t + 1) * 1000000) AS BIGINT)
+             - CAST(round(ln(c_raw + 1) * 1000000) AS BIGINT) AS d_micro
+        FROM b
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(d_micro) + count(*) * const_micro AS BIGINT)
+               AS dsir_weight_micro
+    FROM tb JOIN d USING (bkt) CROSS JOIN tot
+    GROUP BY doc_id, const_micro
+    """,
+    doc="X4+ DSIR data selection (Xie et al. 2023, Data Selection via "
+    "Importance Resampling): per-document hashed-unigram importance "
+    "weight ln(p_target/p_raw) with the 'en' slice as the target "
+    "domain, add-one smoothing over 256 md5 feature buckets, integer "
+    "micro-nats end to end. Both n-gram distributions train in ONE "
+    "map-side-combined pass (the target's counts are a conditional sum "
+    "in the same aggregate); scoring joins a broadcast 256-row "
+    "log-ratio dim. The canonical way to up-sample domain-matched "
+    "pretraining data at 100 TB without a model in the loop.",
+    tags=("text", "quality", "selection"),
+)
+def q_corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.dsir_importance_weights(docs, target_pred="lang = 'en'")
+
+
+@register(
+    "join_skew_diagnosis",
+    oracle="""
+    WITH lc AS (
+        SELECT l_partkey AS join_key, CAST(count(*) AS BIGINT) AS n_left
+        FROM lineitem GROUP BY 1
+    ),
+    rc AS (
+        SELECT l_partkey AS join_key, CAST(count(*) AS BIGINT) AS n_right
+        FROM lineitem GROUP BY 1
+    ),
+    pk AS (
+        SELECT join_key, n_left, n_right,
+               CAST(n_left * n_right AS BIGINT) AS est_rows
+        FROM lc JOIN rc USING (join_key)
+    ),
+    t AS (
+        SELECT CAST(sum(est_rows) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM pk
+    )
+    SELECT join_key, n_left, n_right, est_rows,
+           CAST((1000000 * est_rows) // total AS BIGINT) AS share_ppm,
+           CAST((est_rows * n_keys + total - 1) // total AS BIGINT)
+               AS salt_factor
+    FROM pk CROSS JOIN t
+    ORDER BY est_rows DESC, join_key
+    LIMIT 10
+    """,
+    doc="X8+ pre-flight join-skew audit: exact per-key output "
+    "cardinality (n_left x n_right) for a planned self-join of "
+    "lineitem on part key (the co-purchase pair explosion), each hot "
+    "key's output share in ppm, and the salt factor a skew-aware "
+    "repartition should use. Runs on the per-key COUNT tables, never "
+    "the data tables - two map-side-combined aggregations plus a "
+    "distinct-key-sized join, so the audit costs two scans at any "
+    "data size. AQE splits oversized sort-merge inputs but not the "
+    "pair explosion itself; this query is how you see it coming.",
+    tags=("relational", "scale"),
+)
+def q_join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational as rel
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return rel.join_skew_diagnosis(li, li, "l_partkey", "l_partkey")

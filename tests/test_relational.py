@@ -618,3 +618,25 @@ def test_exact_average_precision_matches_bruteforce(spark):
     assert got.n_total == len(rows)
     assert got.ap_num == ap_num
     assert got.ap_ppm == ap_num // npos
+
+
+def test_join_skew_diagnosis_hand_computed(spark):
+    left = spark.createDataFrame(
+        [("hot",)] * 6 + [("a",)] * 2 + [("b",)],
+        "k string",
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 4 + [("a",)] * 1 + [("b",)] * 3 + [("only_right",)],
+        "k string",
+    )
+    rows = rel.join_skew_diagnosis(left, right, "k", "k", top_k=5).collect()
+    # est: hot 24, b 3, a 2 -> total 29, n_keys 3 (only_right drops: no
+    # left rows means no join output, so it cannot skew anything)
+    assert [(r.join_key, r.est_rows) for r in rows] == [
+        ("hot", 24), ("b", 3), ("a", 2)
+    ]
+    hot = rows[0]
+    assert (hot.n_left, hot.n_right) == (6, 4)
+    assert hot.share_ppm == (1_000_000 * 24) // 29
+    assert hot.salt_factor == (24 * 3 + 28) // 29  # ceil(24*3/29) = 3
+    assert rows[1].salt_factor == 1 and rows[2].salt_factor == 1

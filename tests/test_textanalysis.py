@@ -383,3 +383,47 @@ def test_naive_bayes_separable_corpus_perfect_diagonal(spark):
     n_test = sum(1 for i in range(20) if i % 5 == 4)
     assert sum(got.values()) == n_test
     assert all(t == p for (t, p) in got)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs wording-identical to the target slice must outscore docs
+    made of tokens the target slice never uses; a brute-force python
+    rederivation pins the exact micro-nat value."""
+    import hashlib
+    import math
+
+    rows = [
+        (1, "alpha beta gamma alpha", "en"),
+        (2, "alpha beta beta gamma", "en"),
+        (3, "zulu yankee xray won", "de"),
+        (4, "alpha beta gamma gamma", "de"),  # target-like, non-target
+        (5, "zulu zulu yankee xray", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r
+        for r in tx.dsir_importance_weights(docs, "lang = 'en'").collect()
+    }
+
+    def bkt(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 256
+
+    c_raw, c_t = {}, {}
+    for _, text, lang in rows:
+        for w in text.lower().split():
+            b = bkt(w)
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if lang == "en":
+                c_t[b] = c_t.get(b, 0) + 1
+    t_raw, t_t = sum(c_raw.values()), sum(c_t.values())
+    ln_micro = lambda x: round(math.log(x) * 1_000_000)  # noqa: E731
+    const = ln_micro(t_raw + 256) - ln_micro(t_t + 256)
+    for doc_id, text, _ in rows:
+        want = sum(
+            ln_micro(c_t.get(bkt(w), 0) + 1) - ln_micro(c_raw[bkt(w)] + 1)
+            for w in text.lower().split()
+        ) + len(text.split()) * const
+        assert got[doc_id].dsir_weight_micro == want, doc_id
+    # ordering: target-vocab docs above never-in-target vocab docs
+    assert got[4].dsir_weight_micro > got[5].dsir_weight_micro
+    assert got[1].dsir_weight_micro > got[3].dsir_weight_micro
