@@ -1109,3 +1109,196 @@ def logreg_gd_hard_sigmoid(
         [(n, wb, *w, int(acc["n_correct"]))],
         f"n bigint, w_bias bigint, {cols}, n_correct bigint",
     )
+
+
+def split_conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cal_pred: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; Lei et al. 2018): fit a
+    point model on the calibration slice, take the ceil((n+1)(1-α))-th
+    smallest absolute residual as the conformal half-width q, and
+    report empirical coverage of ±q on the held-out slice. The
+    finite-sample guarantee (coverage ≥ 1-α under exchangeability) is
+    THE distribution-free way to attach honest error bars to a model
+    feeding a data pipeline.
+
+    The "model" is the group-conditional mean of ``value_col`` (integer
+    cents) per ``group_col``, trained on rows where ``cal_pred`` holds;
+    residuals are exact |v·1e6 − mean_micro| integers, the rank index
+    k = ceil((1-α)(n+1)) is computed in pure integer arithmetic
+    (``((aden-anum)(n+1) + aden-1) DIV aden``, clamped to n), and the
+    k-th smallest residual comes from the histogram order-statistic
+    (``relational.exact_rank_statistic`` — narrow metadata-sized jobs,
+    never a global sort). Coverage ships in ppm.
+
+    Plan shape at 100 TB: one broadcast-joined residual pass (the group
+    dim is bounded), the order-statistic's ~2 histogram aggregations
+    over the calibration slice (filter pushed to the scan), and one
+    final aggregate over the test slice. No full-data sort anywhere.
+
+    Returns ONE row: (n_cal, n_test, q_micro, coverage_ppm).
+    """
+    from .relational import exact_rank_statistic
+
+    base = df.selectExpr(
+        f"`{group_col}` AS _g",
+        f"CAST(round(`{value_col}` * 100) AS BIGINT) AS _v",
+        f"CAST(({cal_pred}) AS BOOLEAN) AS _is_cal",
+    )
+    means = (
+        base.filter("_is_cal")
+        .groupBy("_g")
+        .agg(
+            F.sum("_v").cast("bigint").alias("_s"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+        )
+        .selectExpr(
+            "_g", "CAST((1000000 * _s) DIV _n AS BIGINT) AS _mean_micro"
+        )
+    )
+    resid = base.join(F.broadcast(means), "_g").selectExpr(
+        "_is_cal",
+        "CAST(abs(_v * 1000000 - _mean_micro) AS BIGINT) AS r",
+    )
+    keep = alpha_den - alpha_num
+
+    def _k(n: int) -> int:
+        return min((keep * (n + 1) + alpha_den - 1) // alpha_den, n)
+
+    n_cal, q = exact_rank_statistic(resid.filter("_is_cal"), "r", _k)
+    return resid.filter("NOT _is_cal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.expr(f"CAST(r <= {q} AS BIGINT)")).cast("bigint").alias("_c"),
+    ).selectExpr(
+        f"CAST({n_cal} AS BIGINT) AS n_cal",
+        "n_test",
+        f"CAST({q} AS BIGINT) AS q_micro",
+        "CAST((1000000 * _c) DIV n_test AS BIGINT) AS coverage_ppm",
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    sample_n: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_h ∝ N_h·σ_h —
+    the allocation minimizing the variance of the stratified mean
+    estimator for a fixed total budget (Neyman 1934). This is the plan
+    a 100 TB profiling job computes FIRST, so the expensive sampled
+    pass spends its budget where the variance lives instead of
+    proportionally.
+
+    Exactness: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — the whole weight
+    reduces to ONE sqrt of an exact integer (cents², decimal(38,0)
+    accumulators, overflow-safe at any scale). Each stratum's
+    micro-weight rounds that sqrt once (per-row deterministic, no
+    cross-row float sums), the grand total is an INTEGER sum of those
+    micro-weights (order-free), and shares/allocations are truncating
+    integer division — bit-identical across engines and partitionings.
+
+    One map-side-combined shuffle on the stratum key plus a broadcast
+    1-row total. Returns (stratum, n_rows, w_micro, alloc_ppm,
+    alloc_n) — alloc_n out of ``sample_n``, largest-remainder NOT
+    applied (truncation may undershoot by ≤ #strata; callers that need
+    the exact budget add the remainder to the largest stratum).
+    """
+    per = (
+        df.selectExpr(
+            f"`{stratum_col}` AS stratum",
+            f"CAST(round(`{value_col}` * 100) AS BIGINT) AS _v",
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+            F.sum(
+                (F.col("_v") * F.col("_v")).cast("decimal(38,0)")
+            ).alias("_ss"),
+        )
+        .selectExpr(
+            "stratum",
+            "n_rows",
+            "CAST(round(sqrt(CAST(n_rows * _ss - _s * _s AS DOUBLE)) "
+            "* 1000000) AS BIGINT) AS w_micro",
+        )
+    )
+    total = per.agg(
+        F.sum(F.col("w_micro").cast("decimal(38,0)")).alias("_t")
+    )
+    # share arithmetic in decimal(38,0) with explicit floor: 1e6·w
+    # overflows int64 once weights pass ~9e12 (a few TB of cents²),
+    # and decimal division would otherwise round HALF_UP where DuckDB's
+    # // truncates
+    return per.crossJoin(F.broadcast(total)).selectExpr(
+        "stratum",
+        "n_rows",
+        "w_micro",
+        "CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * 1000000) / _t) "
+        "AS BIGINT) AS alloc_ppm",
+        f"CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * {sample_n}) / _t) "
+        "AS BIGINT) AS alloc_n",
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    arm_pred: str,
+    post_pred: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator over a 2×2 (arm × period)
+    design: DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post −
+    ȳ_ctrl,pre) — the parallel-trends causal readout for a rollout
+    that switched on at a known time with a held-out control.
+
+    All four cell means are exact fixed-point: integer cent sums and
+    counts from ONE full-table aggregate (four conditional sums — no
+    groupBy, no join, a single map-side-combined 1-row reduction), the
+    means are truncating micro-cent divisions both engines share, and
+    the estimate is their exact integer combination. At 100 TB this is
+    one streaming pass.
+
+    Returns ONE row: the four cell counts, four mean_micro columns,
+    and did_micro.
+    """
+    cell = (
+        "CAST(CASE WHEN ({a}) = {av} AND ({p}) = {pv} "
+        "THEN {x} ELSE 0 END AS BIGINT)"
+    )
+    v = f"CAST(round(`{value_col}` * 100) AS BIGINT)"
+    aggs = []
+    for name, av, pv in (
+        ("c_pre", "FALSE", "FALSE"),
+        ("c_post", "FALSE", "TRUE"),
+        ("t_pre", "TRUE", "FALSE"),
+        ("t_post", "TRUE", "TRUE"),
+    ):
+        aggs.append(
+            F.sum(
+                F.expr(cell.format(a=arm_pred, av=av, p=post_pred, pv=pv, x=1))
+            ).cast("bigint").alias(f"n_{name}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(cell.format(a=arm_pred, av=av, p=post_pred, pv=pv, x=v))
+            ).cast("bigint").alias(f"s_{name}")
+        )
+    mean = "CAST((1000000 * s_{c}) DIV n_{c} AS BIGINT) AS m_{c}_micro"
+    return df.agg(*aggs).selectExpr(
+        "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        mean.format(c="c_pre"),
+        mean.format(c="c_post"),
+        mean.format(c="t_pre"),
+        mean.format(c="t_post"),
+    ).selectExpr(
+        "*",
+        "CAST((m_t_post_micro - m_t_pre_micro) "
+        "- (m_c_post_micro - m_c_pre_micro) AS BIGINT) AS did_micro",
+    )

@@ -14115,3 +14115,154 @@ def q_join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = tables.load(spark, sf_dir, "lineitem")
     return rel.join_skew_diagnosis(li, li, "l_partkey", "l_partkey")
+
+
+@register(
+    "model_conformal_calibration",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               event_id % 2 = 0 AS is_cal
+        FROM events
+    ),
+    m AS (
+        SELECT g, CAST((1000000 * sum(v)) // count(*) AS BIGINT)
+                      AS mean_micro
+        FROM base WHERE is_cal GROUP BY g
+    ),
+    r AS (
+        SELECT is_cal, CAST(abs(v * 1000000 - mean_micro) AS BIGINT) AS r
+        FROM base JOIN m USING (g)
+    ),
+    calr AS (
+        SELECT r, row_number() OVER (ORDER BY r) AS rn,
+               count(*) OVER () AS n
+        FROM r WHERE is_cal
+    ),
+    q AS (
+        SELECT CAST(n AS BIGINT) AS n_cal, CAST(r AS BIGINT) AS q_micro
+        FROM calr
+        WHERE rn = least((9 * (n + 1) + 9) // 10, n)
+    )
+    SELECT n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           q_micro,
+           CAST((1000000 * sum(CASE WHEN r.r <= q_micro THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS coverage_ppm
+    FROM r CROSS JOIN q
+    WHERE NOT is_cal
+    GROUP BY n_cal, q_micro
+    """,
+    doc="X8+ split conformal prediction (Lei et al. 2018): "
+    "group-conditional mean model trained on the even-id calibration "
+    "half of events, conformal half-width = ceil(0.9(n+1))-th smallest "
+    "absolute residual via the histogram order-statistic (no global "
+    "sort), empirical coverage of the +-q interval on the odd-id half "
+    "in ppm. Integer micro-cents end to end; the rank index is pure "
+    "integer arithmetic so both engines pick the identical residual.",
+    tags=("stats", "ml-eval"),
+)
+def q_model_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    return st.split_conformal_interval(
+        ev, "event_type", "value", "event_id % 2 = 0"
+    )
+
+
+@register(
+    "stratified_neyman_allocation",
+    oracle="""
+    WITH per AS (
+        SELECT c_nationkey AS stratum,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(round(sqrt(CAST(
+                   count(*) * sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                                       AS HUGEINT)
+                                  * CAST(round(c_acctbal * 100) AS BIGINT))
+                   - sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                              AS HUGEINT))
+                     * sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                                AS HUGEINT))
+                   AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+        FROM customer
+        GROUP BY c_nationkey
+    ),
+    t AS (SELECT sum(CAST(w_micro AS HUGEINT)) AS tw FROM per)
+    SELECT stratum, n_rows, w_micro,
+           CAST((1000000 * CAST(w_micro AS HUGEINT)) // tw AS BIGINT)
+               AS alloc_ppm,
+           CAST((1000 * CAST(w_micro AS HUGEINT)) // tw AS BIGINT)
+               AS alloc_n
+    FROM per CROSS JOIN t
+    """,
+    doc="X8+ Neyman-optimal stratified allocation (Neyman 1934): "
+    "per-nation sampling budget proportional to N_h*sigma_h of "
+    "customer balance, where N_h*sigma_h = sqrt(N*sum(x^2) - "
+    "(sum(x))^2) collapses to one sqrt of an exact decimal(38,0) "
+    "integer - no cross-row float sums; the cross-strata total is an "
+    "integer sum of once-rounded micro-weights, so allocations are "
+    "bit-stable. The profiling plan a sampled 100 TB pass computes "
+    "before spending its budget.",
+    tags=("stats", "sampling"),
+)
+def q_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    cust = tables.load(spark, sf_dir, "customer")
+    return st.neyman_allocation(cust, "c_nationkey", "c_acctbal")
+
+
+@register(
+    "experiment_diff_in_diff",
+    oracle="""
+    WITH base AS (
+        SELECT ('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                    1, 8))::UBIGINT % 2 = 1 AS is_t,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_post,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    agg AS (
+        SELECT
+            CAST(count(*) FILTER (WHERE NOT is_t AND NOT is_post) AS BIGINT) AS n_c_pre,
+            CAST(count(*) FILTER (WHERE NOT is_t AND is_post) AS BIGINT) AS n_c_post,
+            CAST(count(*) FILTER (WHERE is_t AND NOT is_post) AS BIGINT) AS n_t_pre,
+            CAST(count(*) FILTER (WHERE is_t AND is_post) AS BIGINT) AS n_t_post,
+            CAST(coalesce(sum(v) FILTER (WHERE NOT is_t AND NOT is_post), 0) AS BIGINT) AS s_c_pre,
+            CAST(coalesce(sum(v) FILTER (WHERE NOT is_t AND is_post), 0) AS BIGINT) AS s_c_post,
+            CAST(coalesce(sum(v) FILTER (WHERE is_t AND NOT is_post), 0) AS BIGINT) AS s_t_pre,
+            CAST(coalesce(sum(v) FILTER (WHERE is_t AND is_post), 0) AS BIGINT) AS s_t_post
+        FROM base
+    )
+    SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+           CAST((1000000 * s_c_pre) // n_c_pre AS BIGINT) AS m_c_pre_micro,
+           CAST((1000000 * s_c_post) // n_c_post AS BIGINT) AS m_c_post_micro,
+           CAST((1000000 * s_t_pre) // n_t_pre AS BIGINT) AS m_t_pre_micro,
+           CAST((1000000 * s_t_post) // n_t_post AS BIGINT) AS m_t_post_micro,
+           CAST(((1000000 * s_t_post) // n_t_post - (1000000 * s_t_pre) // n_t_pre)
+              - ((1000000 * s_c_post) // n_c_post - (1000000 * s_c_pre) // n_c_pre)
+              AS BIGINT) AS did_micro
+    FROM agg
+    """,
+    doc="X8+ difference-in-differences causal readout: md5-bucketed "
+    "50/50 arms over event users, pre/post split at the rollout "
+    "timestamp, DiD = (treat post-pre) - (control post-pre) from four "
+    "conditional cent sums computed in ONE full-table 1-row aggregate "
+    "- no groupBy, no join, one streaming pass at any scale. "
+    "Truncating micro-cent division keeps both engines bit-identical.",
+    tags=("stats", "ml-eval"),
+)
+def q_experiment_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    ev = tables.load(spark, sf_dir, "events")
+    arm = (
+        "CAST(conv(substr(md5(concat('did|', CAST(user_id AS STRING))), "
+        "1, 8), 16, 10) AS BIGINT) % 2 = 1"
+    )
+    return st.diff_in_diff(
+        ev, arm, "ts >= TIMESTAMP '2024-01-16 00:00:00'", "value"
+    )

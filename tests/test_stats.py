@@ -412,3 +412,80 @@ def test_cuped_adjusted_grand_mean_is_preserved(spark):
     assert abs(drift) <= 2 * total_n * max(
         1, max(abs(r.theta_ppm) for r in out) // 1000000 + 1
     )
+
+
+def test_split_conformal_brute_force_parity(spark):
+    """Exact python rederivation on a small planted dataset, including
+    the ceil((n+1)*0.9) rank index and ppm coverage."""
+    rows = []
+    # group 'b' on i%3==0 hits both parities, so both groups appear in
+    # the calibration AND test slices
+    for i in range(16):
+        rows.append((i, "b" if i % 3 == 0 else "a",
+                     5.0 if i % 3 == 0 else float(1 + (i % 8))))
+    df = spark.createDataFrame(rows, "event_id long, g string, v double")
+    got = st.split_conformal_interval(
+        df, "g", "v", "event_id % 2 = 0"
+    ).collect()[0]
+
+    cents = {i: round(v * 100) for i, _, v in rows}
+    grp = {i: g for i, g, _ in rows}
+    cal = [i for i, _, _ in rows if i % 2 == 0]
+    test = [i for i, _, _ in rows if i % 2 == 1]
+    means = {}
+    for g in {"a", "b"}:
+        gs = [cents[i] for i in cal if grp[i] == g]
+        means[g] = (1_000_000 * sum(gs)) // len(gs)
+    r = {i: abs(cents[i] * 1_000_000 - means[grp[i]]) for i in cents}
+    cal_r = sorted(r[i] for i in cal)
+    n = len(cal_r)
+    k = min((9 * (n + 1) + 9) // 10, n)
+    q = cal_r[k - 1]
+    cov = (1_000_000 * sum(r[i] <= q for i in test)) // len(test)
+    assert (got.n_cal, got.n_test) == (n, len(test))
+    assert got.q_micro == q
+    assert got.coverage_ppm == cov
+
+
+def test_neyman_allocation_brute_force_parity(spark):
+    import math
+
+    rows = [("lo", v) for v in (10.0, 10.1, 9.9, 10.0)] + [
+        ("hi", v) for v in (0.0, 50.0, 100.0, 25.0)
+    ] + [("const", 7.0)] * 3
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r.stratum: r for r in st.neyman_allocation(df, "s", "v").collect()}
+
+    w = {}
+    for s in {"lo", "hi", "const"}:
+        xs = [round(v * 100) for t, v in rows if t == s]
+        d = len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
+        w[s] = round(math.sqrt(d) * 1_000_000)
+    tot = sum(w.values())
+    for s, wm in w.items():
+        assert got[s].w_micro == wm, s
+        assert got[s].alloc_ppm == (1_000_000 * wm) // tot
+        assert got[s].alloc_n == (1000 * wm) // tot
+    # zero-variance stratum gets zero budget; high-variance dominates
+    assert got["const"].alloc_n == 0
+    assert got["hi"].alloc_n > got["lo"].alloc_n
+
+
+def test_diff_in_diff_planted_effect(spark):
+    """Control flat at 10.00 both periods; treatment 10.00 pre and
+    13.50 post -> DiD = +3.50 exactly (micro-cents)."""
+    rows = []
+    for i in range(8):
+        rows.append((i, False, False, 10.0))
+        rows.append((i, False, True, 10.0))
+        rows.append((i, True, False, 10.0))
+        rows.append((i, True, True, 13.5))
+    df = spark.createDataFrame(rows, "u long, t boolean, p boolean, v double")
+    got = st.diff_in_diff(df, "t", "p", "v").collect()[0]
+    assert (got.n_c_pre, got.n_c_post, got.n_t_pre, got.n_t_post) == (
+        8, 8, 8, 8
+    )
+    assert got.m_t_post_micro == 1350 * 1_000_000
+    assert got.did_micro == 350 * 1_000_000
+    # parallel pre-trends baked in: both pre means equal
+    assert got.m_c_pre_micro == got.m_t_pre_micro
