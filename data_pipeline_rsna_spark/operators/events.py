@@ -657,3 +657,94 @@ def frequent_event_sequences(
         )
         .where(F.col("support_ppm") >= min_support_ppm)
     )
+
+
+def late_arrival_audit(
+    events: DataFrame,
+    arrival_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    allowed_lateness_sec: int = 600,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Watermark lateness audit: replay the stream in ARRIVAL order
+    (the lexicographic order of ``arrival_cols`` — e.g. an ingest
+    sequence id, or (upload_day, device_id, ts) for batched device
+    syncs) and, per tumbling hour of EVENT time, count how many rows
+    arrived after the high-watermark had passed them and how many a
+    streaming job with ``withWatermark(ts, allowed_lateness)`` would
+    have DROPPED (watermark = high-watermark − allowance already past
+    their window's close at arrival). This is how you size a watermark
+    from history instead of guessing: sweep the allowance until
+    n_dropped hits the loss budget.
+
+    The high-watermark is a GLOBAL running max of event time in arrival
+    order — computed with the two-phase range-partition pattern
+    (``relational.grouped_running_sum``'s shape under the max monoid):
+    local running max per range slice, per-slice maxima form a
+    #partitions-row metadata table whose exclusive prefix max broadcasts
+    back. Never a single-task global window. Output is per-hour (≤ a few
+    thousand rows per audited month), window start as epoch seconds.
+    """
+    arrival_cols = arrival_cols or ["event_id"]
+    n = partitions or events.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    arr = [F.col(c) for c in arrival_cols]
+    proj = events.select(
+        *arr,
+        F.expr(f"unix_micros(`{ts_col}`)").alias("_tsu"),
+        F.expr(
+            f"unix_seconds(date_trunc('hour', `{ts_col}`))"
+        ).alias("window_start"),
+    )
+    part = (
+        proj.repartitionByRange(int(n), *arr)
+        .sortWithinPartitions(*arr)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*arr)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_lmax", F.max("_tsu").over(local_w))
+    submax = local.groupBy("_pid").agg(F.max("_lmax").alias("_sub"))
+    earlier = submax.select(
+        F.col("_pid").alias("_pid2"), F.col("_sub").alias("_sub2")
+    )
+    offsets = (
+        submax.join(earlier, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_sub2").alias("_off"))
+    )
+    allowance_us = allowed_lateness_sec * 1_000_000
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        # lateness at arrival = high-watermark so far − event time
+        .withColumn(
+            "_late_us",
+            F.expr("greatest(_lmax, coalesce(_off, _lmax)) - _tsu"),
+        )
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(_late_us > 0 AS BIGINT)"))
+            .cast("bigint")
+            .alias("n_out_of_order"),
+            # dropped iff (high-watermark − allowance) had passed the
+            # window CLOSE (window_start + 1h) when the row arrived
+            F.sum(
+                F.expr(
+                    "CAST(_tsu + _late_us - "
+                    f"{allowance_us} > (window_start + 3600) * 1000000 "
+                    "AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.max(F.expr("_late_us DIV 1000000"))
+            .cast("bigint")
+            .alias("max_lateness_sec"),
+        )
+    )

@@ -14266,3 +14266,51 @@ def q_experiment_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.diff_in_diff(
         ev, arm, "ts >= TIMESTAMP '2024-01-16 00:00:00'", "value"
     )
+
+
+@register(
+    "events_late_arrival_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT epoch_us(ts) AS tsu,
+               CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS window_start,
+               max(epoch_us(ts)) OVER (
+                   ORDER BY date_trunc('day', ts), user_id, ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS hwm
+        FROM events
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN hwm > tsu THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(sum(CASE WHEN hwm - 600000000
+                            > (window_start + 3600) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(max(hwm - tsu) // 1000000 AS BIGINT) AS max_lateness_sec
+    FROM arr
+    GROUP BY window_start
+    """,
+    doc="X5/X6 watermark lateness audit: replay events in a batched "
+    "per-device upload order (day, user, ts) and report, per event-time "
+    "hour, the rows that arrived behind the high-watermark and the rows "
+    "a withWatermark('10 minutes') stream would have dropped (watermark "
+    "past their window close at arrival). The global running max rides "
+    "the two-phase range-partition prefix pattern - local running max "
+    "per slice, slice maxima as a metadata-row broadcast - never a "
+    "single-task global window. How you SIZE a production watermark "
+    "from history instead of guessing.",
+    tags=("events", "streaming", "scale"),
+)
+def q_events_late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    ev = tables.load(spark, sf_dir, "events").selectExpr(
+        "*", "date_trunc('day', ts) AS arr_day"
+    )
+    return ev_ops.late_arrival_audit(
+        ev,
+        arrival_cols=["arr_day", "user_id", "ts", "event_id"],
+        allowed_lateness_sec=600,
+    )

@@ -83,3 +83,56 @@ def test_range_join_matches_theta_join(spark, sf_dir):
         .collect()
     }
     assert bucketed == naive and len(bucketed) > 0
+
+
+def test_late_arrival_audit_hand_computed(spark):
+    """Three events in one hour window, arrival order planted so the
+    middle one is late and one drops under a 60 s allowance."""
+    from data_pipeline_rsna_spark.operators import events as ev_ops
+
+    rows = [
+        # (arrival_seq, ts) — arrival 2 carries an event 2 hours old
+        (1, dt.datetime(2024, 1, 1, 12, 0, 0)),
+        (2, dt.datetime(2024, 1, 1, 10, 30, 0)),  # hwm 12:00 → late 90m
+        (3, dt.datetime(2024, 1, 1, 12, 5, 0)),
+        (4, dt.datetime(2024, 1, 1, 11, 59, 0)),  # late 6m, window
+        # closed 12:00, hwm 12:05 - 60s allowance > 12:00 → dropped
+    ]
+    df = spark.createDataFrame(rows, "seq long, ts timestamp")
+    out = {
+        r.window_start: r
+        for r in ev_ops.late_arrival_audit(
+            df, arrival_cols=["seq"], allowed_lateness_sec=60, partitions=3
+        ).collect()
+    }
+    h10 = out[int(dt.datetime(2024, 1, 1, 10, 0, 0)
+                  .replace(tzinfo=dt.timezone.utc).timestamp())]
+    # 10:30 event: out of order AND dropped (hwm 12:00 − 60 s > 11:00)
+    assert (h10.n_events, h10.n_out_of_order, h10.n_dropped) == (1, 1, 1)
+    assert h10.max_lateness_sec == 90 * 60
+    h11 = out[int(dt.datetime(2024, 1, 1, 11, 0, 0)
+                  .replace(tzinfo=dt.timezone.utc).timestamp())]
+    assert (h11.n_events, h11.n_out_of_order, h11.n_dropped) == (1, 1, 1)
+    h12 = out[int(dt.datetime(2024, 1, 1, 12, 0, 0)
+                  .replace(tzinfo=dt.timezone.utc).timestamp())]
+    assert (h12.n_events, h12.n_out_of_order, h12.n_dropped) == (2, 0, 0)
+
+
+def test_late_arrival_audit_partition_invariant(spark):
+    """The two-phase running max must not depend on the slice count."""
+    from data_pipeline_rsna_spark.operators import events as ev_ops
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 8 + (i * 7) % 5, (i * 13) % 60, 0))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "seq long, ts timestamp")
+    a = sorted(
+        map(tuple, ev_ops.late_arrival_audit(
+            df, ["seq"], partitions=1).collect())
+    )
+    b = sorted(
+        map(tuple, ev_ops.late_arrival_audit(
+            df.repartition(7), ["seq"], partitions=6).collect())
+    )
+    assert a == b
