@@ -14314,3 +14314,78 @@ def q_events_late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrival_cols=["arr_day", "user_id", "ts", "event_id"],
         allowed_lateness_sec=600,
     )
+
+
+@register(
+    "dedup_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS term
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+              FROM ({_CORPUS_SQL}))
+        WHERE len(ws) >= 3
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    nd AS (
+        SELECT CAST(round(ln(count(DISTINCT doc_id)) * 1000) AS BIGINT)
+                   AS ln_n_milli
+        FROM tf
+    ),
+    post AS (
+        SELECT doc_id, term,
+               CAST(tf * (ln_n_milli
+                          - CAST(round(ln(df) * 1000) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    ),
+    posit AS (SELECT * FROM post WHERE w > 0),
+    norm AS (
+        SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+        FROM posit GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+        FROM posit a JOIN posit b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(1000000 * CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE))
+                   * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT)
+               AS cosine_ppm
+    FROM pairs
+    JOIN norm na ON doc_a = na.doc_id
+    JOIN norm nb ON doc_b = nb.doc_id
+    WHERE 25 * dot * dot >= 16 * na.n2 * nb.n2
+    """,
+    doc="X2+ all-pairs TF-IDF cosine similarity join at t=0.8 over "
+    "3-shingle terms of the planted corpus (Bayardo et al. WWW'07 "
+    "prefix filter): integer milli-nat idf weights, exact decimal "
+    "norms/dots, acceptance by integer cross-multiplication "
+    "den^2*dot^2 >= num^2*n2a*n2b - floats touch only the conservative "
+    "pruning bound and the display ppm. Docs index shingles in "
+    "decreasing-maxweight order only while the suffix could still "
+    "reach t, so the candidate join is bucket-local per indexed rare "
+    "shingle instead of n^2 (shingling keeps the posting lists sparse "
+    "- the unigram form of this corpus is degenerately dense and "
+    "defeats ANY exact filter). The weighted near-dup sweep that "
+    "Jaccard-on-sets underweights; finds every planted near-copy.",
+    tags=("dedup", "text", "scale"),
+)
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup as dd
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dd.tfidf_cosine_pairs(
+        corpus, threshold_num=4, threshold_den=5, shingle_n=3
+    )

@@ -480,3 +480,75 @@ def test_prefix_filter_jaccard_equals_full_inverted_index(spark):
                     expected[(a, b)] = (ov, j)
     assert got == expected
     assert (1, 2) in got and got[(1, 2)][1] == 1.0
+
+
+def test_tfidf_cosine_pairs_brute_force_parity(spark):
+    """Exact python rederivation (weights, norms, threshold, ppm) on a
+    small corpus with one planted near-copy and one unrelated doc."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "red fox jumps over the lazy dog tonight"),
+        (2, "red fox jumps over the lazy dog today"),   # near-copy of 1
+        (3, "completely different words appear here now"),
+        (4, "red fox jumps over the lazy dog tonight"),  # exact copy of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cosine_ppm
+        for r in dedup.tfidf_cosine_pairs(
+            docs, threshold_num=4, threshold_den=5, shingle_n=3
+        ).collect()
+    }
+
+    def sh(text):
+        ws = text.lower().split()
+        return [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+
+    tf = {d: Counter(sh(t)) for d, t in rows}
+    df = Counter(term for c in tf.values() for term in c)
+    n = len(rows)
+    lnn = round(math.log(n) * 1000)
+    w = {
+        d: {
+            term: c * (lnn - round(math.log(df[term]) * 1000))
+            for term, c in cnt.items()
+            if c * (lnn - round(math.log(df[term]) * 1000)) > 0
+        }
+        for d, cnt in tf.items()
+    }
+    n2 = {d: sum(x * x for x in ws_.values()) for d, ws_ in w.items()}
+    want = {}
+    for a in tf:
+        for b in tf:
+            if a >= b or not n2.get(a) or not n2.get(b):
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+            if 25 * dot * dot >= 16 * n2[a] * n2[b]:
+                want[(a, b)] = math.floor(
+                    1_000_000 * dot / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+                )
+    assert got == want
+    # the exact copy scores cosine 1 (up to the display floor)
+    assert got[(1, 4)] in (999_999, 1_000_000)
+    # TF-IDF semantics: the near-copy's two UNSHARED tail shingles are
+    # corpus-unique (df=1, max idf) and outweigh the shared df=3
+    # shingles, so (1,2) correctly falls BELOW t=0.8 — exactly the
+    # re-weighting that distinguishes this operator from set Jaccard
+    # (which scores the same pair 5/7)
+    assert (1, 2) not in got
+    assert not any(3 in p for p in got)  # unrelated doc pairs with no one
+
+
+def test_tfidf_cosine_pairs_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i % 4} z{i % 3}")
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup.tfidf_cosine_pairs(
+        docs, 3, 4, shingle_n=3).collect()))
+    b = sorted(map(tuple, dedup.tfidf_cosine_pairs(
+        docs.repartition(7), 3, 4, shingle_n=3).collect()))
+    assert a == b and len(a) > 0
