@@ -748,3 +748,61 @@ def late_arrival_audit(
             .alias("max_lateness_sec"),
         )
     )
+
+
+def slo_burn_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = "error",
+    slo_error_ppm: int = 10_000,
+    slow_window_hours: int = 6,
+) -> DataFrame:
+    """Multi-window error-budget burn rate (the Google SRE alerting
+    recipe): per hour, the error rate as a multiple of the SLO budget
+    (burn 1.0 = exactly consuming budget), plus the rolling
+    ``slow_window_hours`` burn — paging only when BOTH the fast and the
+    slow window burn hot kills the flappy-alert problem.
+
+    Integer exact: burn_milli = 1000 · (err/n) / (slo_ppm/1e6)
+    = 1e9·err DIV (n·slo_ppm), truncating in both engines. The rolling
+    window runs over the HOURLY rollup — a bounded table (≤ 8760
+    rows/year), the documented exception to the no-unpartitioned-
+    windows rule — never over raw events; the raw pass is one
+    map-side-combined groupBy(hour).
+
+    Returns per hour: n_events, n_errors, err_ppm, burn_fast_milli,
+    burn_slow_milli, page (both windows ≥ the 14.4×/6× SRE thresholds).
+    """
+    hourly = events.groupBy(
+        F.expr(f"unix_seconds(date_trunc('hour', `{ts_col}`))").alias(
+            "window_start"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.expr(f"CAST(`{type_col}` = '{error_type}' AS BIGINT)")
+        ).cast("bigint").alias("n_errors"),
+    )
+    w = (
+        Window.orderBy("window_start")
+        .rowsBetween(-(slow_window_hours - 1), Window.currentRow)
+    )
+    return (
+        hourly.withColumn("_n_slow", F.sum("n_events").over(w))
+        .withColumn("_e_slow", F.sum("n_errors").over(w))
+        .selectExpr(
+            "window_start",
+            "n_events",
+            "n_errors",
+            "CAST((1000000 * n_errors) DIV n_events AS BIGINT) AS err_ppm",
+            "CAST((1000000000 * n_errors) DIV "
+            f"(n_events * {slo_error_ppm}) AS BIGINT) AS burn_fast_milli",
+            "CAST((1000000000 * _e_slow) DIV "
+            f"(_n_slow * {slo_error_ppm}) AS BIGINT) AS burn_slow_milli",
+        )
+        .selectExpr(
+            "*",
+            "burn_fast_milli >= 14400 AND burn_slow_milli >= 6000 AS page",
+        )
+    )

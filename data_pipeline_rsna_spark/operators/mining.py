@@ -145,3 +145,72 @@ def association_rules(
             ).alias("lift_ppm"),
         )
     )
+
+
+def cooccurrence_similarity(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+) -> DataFrame:
+    """Item-item collaborative similarity from co-occurrence: for every
+    item pair appearing together in ≥ ``min_co`` baskets, the cosine
+    over binary basket vectors (co/√(n_a·n_b)) and the lift
+    (co·N/(n_a·n_b)) — the classic "customers who bought X also
+    bought Y" kernel, and at corpus scale the item-graph edge builder
+    recommendation retrieval trains on.
+
+    Exactness: co, n_a, n_b, N are integer counts; lift ships as the
+    truncating-division ppm of exact integer products; cosine_ppm is
+    the display floor of a float whose inputs are exact integers (both
+    engines evaluate the identical expression). Scale shape: the
+    basket self-join is bucket-local per basket and fans out
+    |basket|²/2 pairs — bounded baskets (a TPC-H order holds ≤ 7
+    parts) keep it linear; for unbounded carts, cap or sample baskets
+    first (the same mega-bucket guard as MinHash LSH). The ``min_co``
+    filter applies AFTER the pair aggregation, which is map-side
+    combined on (item_a, item_b).
+    """
+    b = items.selectExpr(
+        f"`{basket_col}` AS _o", f"`{item_col}` AS _p"
+    ).distinct()
+    left = b.selectExpr("_o", "_p AS item_a")
+    right = b.selectExpr("_o", "_p AS item_b")
+    pairs = (
+        left.join(right, "_o")
+        .filter("item_a < item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(f"co >= {min_co}")
+    )
+    np_ = b.groupBy(F.col("_p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    totals = b.agg(
+        F.countDistinct("_o").cast("bigint").alias("_nb")
+    )
+    return (
+        pairs.join(
+            F.broadcast(np_.selectExpr("_p AS item_a", "_n AS n_a")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(np_.selectExpr("_p AS item_b", "_n AS n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "item_a",
+            "item_b",
+            "co",
+            "n_a",
+            "n_b",
+            "CAST(floor(1000000 * CAST(co AS DOUBLE) / "
+            "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) "
+            "AS BIGINT) AS cosine_ppm",
+            # decimal(38,0) with explicit floor: 1e6·co·N overflows
+            # int64 once baskets pass ~10^12 basket-item rows
+            "CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * co * _nb) / "
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT) AS lift_ppm",
+        )
+    )

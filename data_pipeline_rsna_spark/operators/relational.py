@@ -1679,3 +1679,71 @@ def join_skew_diagnosis(
         .orderBy(F.col("est_rows").desc(), F.col("join_key"))
         .limit(top_k)
     )
+
+
+def file_skipping_stats(
+    df: DataFrame,
+    file_col: str,
+    day_col: str,
+    month_col: str,
+) -> DataFrame:
+    """Zone-map pruning audit: for every probe month, how many files a
+    min/max-pruned scan must read, and the read amplification versus
+    the rows actually in range. This quantifies what the LAYOUT is
+    worth — the number an engineer checks before deciding whether a
+    table needs re-clustering (``zorder_layout_stats`` computes the
+    candidate layout; this measures the incumbent's skipping power).
+
+    ``df`` must already expose the simulated file id (``file_col`` —
+    e.g. insertion order DIV rows-per-file), the value's epoch day
+    (``day_col``) and its probe month's first epoch day
+    (``month_col``). Two map-side-combined aggregations build the
+    per-file zone map (min/max/count — #files rows) and the per-month
+    row counts (#months rows); the overlap join runs on those two
+    METADATA tables, never the data. Exactly how parquet row-group
+    pruning math works at 100 TB: the footers ARE this zone-map table.
+
+    Returns per month: n_files, files_scanned, file_skip_ppm,
+    rows_in_range, rows_scanned, read_amp_ppm (1e6·scanned/in-range;
+    NULL when the month has no rows).
+    """
+    zones = df.groupBy(F.col(file_col).alias("_f")).agg(
+        F.min(day_col).alias("_lo"),
+        F.max(day_col).alias("_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("_rows"),
+    )
+    months = df.groupBy(F.col(month_col).alias("probe_month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_in_range"),
+        # month end = first epoch day of the next month: months are
+        # data-derived, so take the min day >= start + 28 … simpler and
+        # exact: max day in the month + 1 bounds the month's data
+        F.min(day_col).alias("_mstart"),
+        F.max(day_col).alias("_mend"),
+    )
+    n_files = zones.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files")
+    )
+    scanned = (
+        F.broadcast(months)
+        .join(
+            zones,
+            (F.col("_lo") <= F.col("_mend"))
+            & (F.col("_hi") >= F.col("_mstart")),
+        )
+        .groupBy("probe_month", "rows_in_range")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_scanned"),
+            F.sum("_rows").cast("bigint").alias("rows_scanned"),
+        )
+    )
+    return scanned.crossJoin(F.broadcast(n_files)).selectExpr(
+        "probe_month",
+        "n_files",
+        "files_scanned",
+        "CAST((1000000 * (n_files - files_scanned)) DIV n_files AS BIGINT)"
+        " AS file_skip_ppm",
+        "rows_in_range",
+        "rows_scanned",
+        "CAST((1000000 * rows_scanned) DIV rows_in_range AS BIGINT)"
+        " AS read_amp_ppm",
+    )

@@ -14389,3 +14389,160 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.tfidf_cosine_pairs(
         corpus, threshold_num=4, threshold_den=5, shingle_n=3
     )
+
+
+@register(
+    "lakehouse_file_skipping_stats",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey // 4096 AS f,
+               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   AS d,
+               datediff('day', DATE '1970-01-01',
+                        date_trunc('month', CAST(l_shipdate AS DATE)))
+                   AS m
+        FROM lineitem
+    ),
+    zones AS (
+        SELECT f, min(d) AS lo, max(d) AS hi,
+               CAST(count(*) AS BIGINT) AS rws
+        FROM base GROUP BY f
+    ),
+    months AS (
+        SELECT m AS probe_month,
+               CAST(count(*) AS BIGINT) AS rows_in_range,
+               min(d) AS mstart, max(d) AS mend
+        FROM base GROUP BY m
+    ),
+    nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM zones),
+    sc AS (
+        SELECT probe_month, rows_in_range,
+               CAST(count(*) AS BIGINT) AS files_scanned,
+               CAST(sum(rws) AS BIGINT) AS rows_scanned
+        FROM months JOIN zones
+          ON lo <= mend AND hi >= mstart
+        GROUP BY probe_month, rows_in_range
+    )
+    SELECT probe_month, n_files, files_scanned,
+           CAST((1000000 * (n_files - files_scanned)) // n_files AS BIGINT)
+               AS file_skip_ppm,
+           rows_in_range, rows_scanned,
+           CAST((1000000 * rows_scanned) // rows_in_range AS BIGINT)
+               AS read_amp_ppm
+    FROM sc CROSS JOIN nf
+    """,
+    doc="X8+ zone-map pruning audit: per ship-month probe, the files an "
+    "insertion-clustered layout (file = orderkey DIV 4096) must scan "
+    "under min/max pruning, the skip ratio, and the read amplification "
+    "vs rows actually in range. Both the zone map (per-file min/max/"
+    "count) and the probe table are map-side-combined METADATA "
+    "aggregations; the overlap join never touches data rows - the same "
+    "math parquet row-group pruning runs on footers at 100 TB. "
+    "Complements zorder_layout_stats (candidate layout) by measuring "
+    "the incumbent's skipping power.",
+    tags=("relational", "scale", "lakehouse"),
+)
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational as rel
+
+    li = tables.load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey DIV 4096 AS f",
+        "datediff(to_date(l_shipdate), DATE '1970-01-01') AS d",
+        "datediff(to_date(date_trunc('month', l_shipdate)), "
+        "DATE '1970-01-01') AS m",
+    )
+    return rel.file_skipping_stats(li, "f", "d", "m")
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events
+        GROUP BY 1
+    ),
+    rolled AS (
+        SELECT window_start, n_events, n_errors,
+               sum(n_events) OVER (
+                   ORDER BY window_start ROWS 5 PRECEDING
+               ) AS n_slow,
+               sum(n_errors) OVER (
+                   ORDER BY window_start ROWS 5 PRECEDING
+               ) AS e_slow
+        FROM hourly
+    )
+    SELECT window_start, n_events, n_errors,
+           CAST((1000000 * n_errors) // n_events AS BIGINT) AS err_ppm,
+           CAST((1000000000 * n_errors) // (n_events * 10000) AS BIGINT)
+               AS burn_fast_milli,
+           CAST((1000000000 * e_slow) // (n_slow * 10000) AS BIGINT)
+               AS burn_slow_milli,
+           (1000000000 * n_errors) // (n_events * 10000) >= 14400
+               AND (1000000000 * e_slow) // (n_slow * 10000) >= 6000
+               AS page
+    FROM rolled
+    """,
+    doc="X5+ multi-window SLO error-budget burn rate (the Google SRE "
+    "alerting recipe): hourly error rate as a multiple of a 1% SLO in "
+    "exact integer milli-burn, a 6h rolling slow window, and the "
+    "two-window page condition (fast >= 14.4x AND slow >= 6x) that "
+    "kills flappy alerts. The rolling window runs over the bounded "
+    "hourly rollup, never raw events; the raw pass is one map-side "
+    "combined groupBy(hour).",
+    tags=("events", "scale"),
+)
+def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    return ev_ops.slo_burn_rate(ev)
+
+
+@register(
+    "part_cooccurrence_similarity",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.p AS item_a, c.p AS item_b,
+               CAST(count(*) AS BIGINT) AS co
+        FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    np AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY p),
+    nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nbk FROM b)
+    SELECT item_a, item_b, co, na.n AS n_a, nbp.n AS n_b,
+           CAST(floor(1000000 * CAST(co AS DOUBLE)
+                / (sqrt(CAST(na.n AS DOUBLE))
+                   * sqrt(CAST(nbp.n AS DOUBLE)))) AS BIGINT)
+               AS cosine_ppm,
+           CAST((1000000 * CAST(co AS HUGEINT) * nbk)
+                // (CAST(na.n AS HUGEINT) * nbp.n) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN np na ON item_a = na.p
+    JOIN np nbp ON item_b = nbp.p
+    CROSS JOIN nb
+    """,
+    doc="X8+ item-item collaborative similarity from order baskets: "
+    "for part pairs co-purchased in >= 2 orders, binary-vector cosine "
+    "co/sqrt(n_a*n_b) and exact-integer lift co*N/(n_a*n_b) in ppm - "
+    "the 'bought X also bought Y' kernel / item-graph edge builder. "
+    "The basket self-join is bucket-local per order and fans out "
+    "|basket|^2/2 with TPC-H's <= 7-item baskets; unbounded carts get "
+    "the same cap guard as MinHash mega-buckets (docstring).",
+    tags=("mining", "relational"),
+)
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mining
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return mining.cooccurrence_similarity(
+        li, "l_orderkey", "l_partkey", min_co=2
+    )

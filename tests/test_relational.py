@@ -640,3 +640,22 @@ def test_join_skew_diagnosis_hand_computed(spark):
     assert hot.share_ppm == (1_000_000 * 24) // 29
     assert hot.salt_factor == (24 * 3 + 28) // 29  # ceil(24*3/29) = 3
     assert rows[1].salt_factor == 1 and rows[2].salt_factor == 1
+
+
+def test_file_skipping_stats_hand_computed(spark):
+    """Two files, two probe months; file 0 spans both months (a layout
+    straddle), file 1 is month-2-only."""
+    rows = [
+        (0, 10, 100), (0, 20, 100), (0, 40, 131),  # file 0: days 10-40
+        (1, 35, 131), (1, 45, 131),                 # file 1: days 35-45
+    ]
+    df = spark.createDataFrame(rows, "f long, d long, m long")
+    out = {r.probe_month: r for r in rel.file_skipping_stats(
+        df, "f", "d", "m").collect()}
+    m1 = out[100]  # month span [10,20]: only file 0 overlaps
+    assert (m1.n_files, m1.files_scanned, m1.file_skip_ppm) == (2, 1, 500000)
+    assert (m1.rows_in_range, m1.rows_scanned) == (2, 3)
+    assert m1.read_amp_ppm == (1_000_000 * 3) // 2
+    m2 = out[131]  # month span [35,45]: both files overlap
+    assert (m2.files_scanned, m2.file_skip_ppm) == (2, 0)
+    assert (m2.rows_in_range, m2.rows_scanned) == (3, 5)

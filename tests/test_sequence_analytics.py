@@ -227,3 +227,35 @@ def test_acf_lags_matches_numpy_pearson(spark):
                 int(out[lag].var_y)) == (num, vx, vy)
         # sanity: the rational evaluates to a valid correlation
         assert abs(num / math.sqrt(vx * vy)) <= 1.0
+
+
+def test_slo_burn_rate_hand_computed(spark):
+    """Hour 0: 2% errors (burn 2000 milli); hours 1-5 clean; hour 6
+    spikes to 20% -> fast burn 20000 >= 14.4x but slow window diluted."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    for i in range(100):
+        rows.append((base + dt.timedelta(seconds=i),
+                     "error" if i < 2 else "click"))
+    for h in range(1, 6):
+        for i in range(50):
+            rows.append((base + dt.timedelta(hours=h, seconds=i), "click"))
+    for i in range(10):
+        rows.append((base + dt.timedelta(hours=6, seconds=i),
+                     "error" if i < 2 else "view"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    from data_pipeline_rsna_spark.operators import events as ev_ops
+
+    out = {r.window_start: r for r in ev_ops.slo_burn_rate(df).collect()}
+    h0 = out[int(base.replace(tzinfo=dt.timezone.utc).timestamp())]
+    assert (h0.n_events, h0.n_errors) == (100, 2)
+    assert h0.burn_fast_milli == 2000 and not h0.page
+    h6 = out[int((base + dt.timedelta(hours=6))
+                 .replace(tzinfo=dt.timezone.utc).timestamp())]
+    assert (h6.n_events, h6.n_errors) == (10, 2)
+    assert h6.burn_fast_milli == 20000
+    # slow window: hours 1..6 -> 260 events, 2 errors -> burn 769 milli
+    assert h6.burn_slow_milli == (1_000_000_000 * 2) // (260 * 10_000)
+    assert not h6.page  # the slow window vetoes the flappy page

@@ -184,3 +184,26 @@ def test_kmv_estimates_within_error_bound(spark):
     ]:
         assert abs(est - exact) / exact < 0.25, (est, exact)
     assert abs(row.est_jaccard - (n // 2) / (n + n // 2)) < 0.1
+
+
+def test_cooccurrence_similarity_hand_computed(spark):
+    from data_pipeline_rsna_spark.operators import mining
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+        (4, "d"), (1, "a"),  # duplicate line within basket 1 must not count
+    ]
+    df = spark.createDataFrame(rows, "o long, p string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in mining.cooccurrence_similarity(df, "o", "p").collect()
+    }
+    # only (a,b) co-occurs >= 2; n_a=3, n_b=2, N=4
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r.co, r.n_a, r.n_b) == (2, 3, 2)
+    import math
+    assert r.cosine_ppm == math.floor(
+        1_000_000 * 2 / (math.sqrt(3) * math.sqrt(2))
+    )
+    assert r.lift_ppm == (1_000_000 * 2 * 4) // (3 * 2)
