@@ -1178,7 +1178,8 @@ def split_conformal_interval(
         f"CAST({n_cal} AS BIGINT) AS n_cal",
         "n_test",
         f"CAST({q} AS BIGINT) AS q_micro",
-        "CAST((1000000 * _c) DIV n_test AS BIGINT) AS coverage_ppm",
+        # empty test slice -> NULL coverage, never an ANSI 1/0 error
+        "CAST(CASE WHEN n_test > 0 THEN (1000000 * _c) DIV n_test END AS BIGINT) AS coverage_ppm",
     )
 
 
@@ -1240,10 +1241,11 @@ def neyman_allocation(
         "stratum",
         "n_rows",
         "w_micro",
-        "CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * 1000000) / _t) "
-        "AS BIGINT) AS alloc_ppm",
-        f"CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * {sample_n}) / _t) "
-        "AS BIGINT) AS alloc_n",
+        # all-constant strata -> total weight 0 -> NULL allocation
+        "CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * 1000000) / "
+        "nullif(_t, 0)) AS BIGINT) AS alloc_ppm",
+        f"CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * {sample_n}) / "
+        "nullif(_t, 0)) AS BIGINT) AS alloc_n",
     )
 
 
@@ -1290,7 +1292,10 @@ def diff_in_diff(
                 F.expr(cell.format(a=arm_pred, av=av, p=post_pred, pv=pv, x=v))
             ).cast("bigint").alias(f"s_{name}")
         )
-    mean = "CAST((1000000 * s_{c}) DIV n_{c} AS BIGINT) AS m_{c}_micro"
+    # an empty design cell yields a NULL mean (and a NULL DiD),
+    # never an ANSI divide-by-zero
+    mean = ("CAST(CASE WHEN n_{c} > 0 THEN (1000000 * s_{c}) DIV n_{c} "
+            "END AS BIGINT) AS m_{c}_micro")
     return df.agg(*aggs).selectExpr(
         "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
         mean.format(c="c_pre"),
