@@ -659,3 +659,23 @@ def test_file_skipping_stats_hand_computed(spark):
     m2 = out[131]  # month span [35,45]: both files overlap
     assert (m2.files_scanned, m2.file_skip_ppm) == (2, 0)
     assert (m2.rows_in_range, m2.rows_scanned) == (3, 5)
+
+
+def test_exact_kth_smallest_mixed_sign_extreme_domain(spark):
+    """The exponential (bit_length, top-bits) first-round bucketing must
+    stay order-preserving across the FULL int64 domain: negatives
+    (two's-complement fold), values straddling zero, LONG_MIN/MAX, and
+    magnitudes past 2^53."""
+    vals = [
+        -(1 << 63), (1 << 63) - 1, -1, 0, 1,
+        -(1 << 52) - 7, (1 << 52) + 7,
+        -(10 ** 18), 10 ** 18,
+    ] + [v * 7919 - 3_000_000 for v in range(800)] \
+      + [-(v * v) for v in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    s = sorted(vals)
+    for k in (1, 2, 100, len(vals) // 2, len(vals) - 1, len(vals)):
+        got = rel.exact_kth_smallest(
+            df, "k", k, n_buckets=8, take_threshold=16
+        )
+        assert got == s[k - 1], (k, got, s[k - 1])
