@@ -1203,3 +1203,80 @@ def pca_top_component(emb: DataFrame, id_col: str = "vec_id",
     return spark.createDataFrame(
         rows, "dim long, loading double, eigval double"
     )
+
+
+def centroid_drift(
+    emb: DataFrame,
+    split_pred: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-centroid drift between two populations (e.g.
+    training snapshot vs serving window, selected by ``split_pred``):
+    the embedding-space counterpart of the scalar drift family — a
+    retrieval index or classifier whose class centroids moved is stale
+    regardless of what the scalar feature stats say.
+
+    EXACT integer formulation: float32 components widen exactly to
+    double, quantize once to micro-units (round(x·1e6) — bit-identical
+    in any engine), per-(label, dim, side) sums are exact bigints, and
+    the squared centroid distance clears denominators:
+    ‖s₁/n₁ − s₂/n₂‖² = Σ_d (s₁d·n₂ − s₂d·n₁)² / (n₁n₂)² — the numerator
+    is an exact decimal(38,0); only the display column
+    (l2_micro = 1e6·√num/(n₁·n₂·1e6)) touches floats.
+
+    Shape: one posexplode to (label, dim, side) primitive rows, one
+    map-side-combined groupBy — the shuffle carries #labels × d × 2
+    accumulator rows per task regardless of corpus size; the final
+    per-label reduce is metadata-sized. Labels missing a side are
+    dropped (inner pairing) — a label present only in serving is a
+    different alert (category novelty), not a drift distance.
+    """
+    sides = emb.selectExpr(
+        f"`{label_col}` AS label",
+        f"CAST(({split_pred}) AS BOOLEAN) AS _s1",
+        f"cast(`{vec_col}` AS array<double>) AS _e",
+    ).selectExpr(
+        "label",
+        "_s1",
+        "posexplode(transform(_e, x -> CAST(round(x * 1000000) AS BIGINT)))"
+        " AS (dim, q)",
+    )
+    per_dim = sides.groupBy("label", "dim").agg(
+        F.sum(F.expr("CASE WHEN _s1 THEN q ELSE 0 END"))
+        .cast("bigint").alias("_sa"),
+        F.sum(F.expr("CASE WHEN _s1 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("_na"),
+        F.sum(F.expr("CASE WHEN _s1 THEN 0 ELSE q END"))
+        .cast("bigint").alias("_sb"),
+        F.sum(F.expr("CASE WHEN _s1 THEN 0 ELSE 1 END"))
+        .cast("bigint").alias("_nb"),
+    )
+    return (
+        per_dim.filter("_na > 0 AND _nb > 0")
+        .groupBy("label")
+        .agg(
+            F.max("_na").cast("bigint").alias("n_a"),
+            F.max("_nb").cast("bigint").alias("n_b"),
+            # cast BEFORE multiplying: s·n products pass int64 once
+            # sides hold ~10^9 vectors
+            F.sum(
+                F.expr(
+                    "(CAST(_sa AS DECIMAL(38,0)) * _nb "
+                    "- CAST(_sb AS DECIMAL(38,0)) * _na) "
+                    "* (CAST(_sa AS DECIMAL(38,0)) * _nb "
+                    "- CAST(_sb AS DECIMAL(38,0)) * _na)"
+                )
+            ).alias("_num"),
+        )
+        .selectExpr(
+            "label",
+            "n_a",
+            "n_b",
+            "CAST(_num AS DECIMAL(38,0)) AS l2sq_num",
+            # ‖Δ‖ in micro-units of the original embedding space:
+            # √num / (n_a·n_b) is the distance in quantized micro-units
+            "CAST(floor(sqrt(CAST(_num AS DOUBLE)) "
+            "/ (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT) AS l2_micro",
+        )
+    )

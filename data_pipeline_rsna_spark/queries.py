@@ -14546,3 +14546,54 @@ def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mining.cooccurrence_similarity(
         li, "l_orderkey", "l_partkey", min_co=2
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH q AS (
+        SELECT label, vec_id % 2 = 0 AS s1, d.i AS dim,
+               CAST(round(CAST(embedding[d.i + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM embeddings,
+             (SELECT unnest(generate_series(0, 63)) AS i) d
+    ),
+    per_dim AS (
+        SELECT label, dim,
+               CAST(sum(CASE WHEN s1 THEN qv ELSE 0 END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN s1 THEN 0 ELSE qv END) AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM q GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(sum((CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+                    * (CAST(sa AS HUGEINT) * nb
+                       - CAST(sb AS HUGEINT) * na))
+                AS DECIMAL(38,0)) AS l2sq_num,
+           CAST(floor(sqrt(CAST(sum(
+                    (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+                    * (CAST(sa AS HUGEINT) * nb
+                       - CAST(sb AS HUGEINT) * na)) AS DOUBLE))
+                / (CAST(max(na) AS DOUBLE) * max(nb))) AS BIGINT)
+               AS l2_micro
+    FROM per_dim
+    WHERE na > 0 AND nb > 0
+    GROUP BY label
+    """,
+    doc="X3+ per-label embedding-centroid drift between the even/odd "
+    "vector halves: exact micro-quantized component sums, squared "
+    "centroid distance with cleared denominators (s_a*n_b - s_b*n_a)^2 "
+    "summed as decimal(38,0) - the embedding-space drift gate a "
+    "retrieval index or classifier rollout checks alongside the scalar "
+    "KS/PSI family. One posexplode + one map-side-combined shuffle of "
+    "labels x dims x 2 accumulator rows.",
+    tags=("similarity", "drift"),
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return sim.centroid_drift(emb, "vec_id % 2 = 0")

@@ -423,3 +423,28 @@ def test_centered_norm_outliers_partition_invariance(spark):
     a = [tuple(r) for r in sim.centered_norm_outliers(df.coalesce(1), 5).collect()]
     b = [tuple(r) for r in sim.centered_norm_outliers(df.repartition(9), 5).collect()]
     assert a == b
+
+
+def test_centroid_drift_hand_computed(spark):
+    """Two labels: label 0's halves share the centroid (zero drift);
+    label 1's centroids differ by exactly (1, 0) -> l2sq num =
+    (n_a*n_b*1e6)^2, l2_micro = 1_000_000."""
+    rows = [
+        (0, 0, [1.0, 2.0]), (2, 0, [3.0, 4.0]),   # even side, label 0
+        (1, 0, [1.0, 2.0]), (3, 0, [3.0, 4.0]),   # odd side, identical
+        (4, 1, [1.0, 0.0]), (6, 1, [3.0, 0.0]),   # even: centroid (2,0)
+        (5, 1, [2.0, 0.0]), (7, 1, [4.0, 0.0]),   # odd: centroid (3,0)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r.label: r
+        for r in sim.centroid_drift(df, "vec_id % 2 = 0").collect()
+    }
+    assert out[0].l2sq_num == 0 and out[0].l2_micro == 0
+    r1 = out[1]
+    assert (r1.n_a, r1.n_b) == (2, 2)
+    # sa*nb - sb*na per dim0: (4e6*2 - 6e6*2) = -4e6 -> squared 16e12
+    assert int(r1.l2sq_num) == (4 * 10 ** 6) ** 2
+    assert r1.l2_micro == 1_000_000
