@@ -14597,3 +14597,94 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     return sim.centroid_drift(emb, "vec_id % 2 = 0")
+
+
+@register(
+    "orders_survival_kaplan_meier",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               list_sort(list(datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)))) AS ds
+        FROM orders GROUP BY o_custkey
+    ),
+    mx AS (
+        SELECT max(datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE))) AS mxd
+        FROM orders
+    ),
+    subj AS (
+        SELECT CASE WHEN len(ds) >= 2 THEN ds[2] - ds[1]
+                    ELSE mxd - ds[1] END AS t,
+               CASE WHEN len(ds) >= 2 THEN 1 ELSE 0 END AS e
+        FROM per_cust CROSS JOIN mx
+    ),
+    per_t AS (
+        SELECT CAST(t AS BIGINT) AS t,
+               CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events,
+               CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_censored
+        FROM subj GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) n FROM per_t),
+    stepped AS (
+        SELECT t, n_events, n_censored,
+               n - coalesce(sum(n_events + n_censored) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+        FROM per_t CROSS JOIN tot
+    ),
+    termed AS (
+        SELECT *,
+               CASE WHEN n_events = 0 THEN 0
+                    WHEN n_risk > n_events THEN
+                        CAST(round(ln(n_risk - n_events) * 1000000)
+                             AS BIGINT)
+                        - CAST(round(ln(n_risk) * 1000000) AS BIGINT)
+               END AS term
+        FROM stepped
+    ),
+    rolled AS (
+        SELECT t, n_risk, n_events, n_censored,
+               max(CASE WHEN term IS NULL THEN 1 ELSE 0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+               sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS lnsum
+        FROM termed
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+           CAST(CASE WHEN dead = 0 THEN lnsum END AS BIGINT) AS s_lnmicro,
+           CAST(CASE WHEN dead = 1 THEN 0 ELSE
+                floor(1000000 * exp(CAST(lnsum AS DOUBLE) / 1000000)) END
+                AS BIGINT) AS s_ppm
+    FROM rolled
+    """,
+    doc="X8+ Kaplan-Meier survival curve for time-to-second-order, "
+    "right-censored at the catalog's last order date - the honest "
+    "churn/repeat-purchase readout when many subjects are still "
+    "one-order customers. Integer-exact: per-duration death/censor "
+    "counts, prefix-sum at-risk table over the BOUNDED distinct-"
+    "duration rollup (the documented unpartitioned-window exception), "
+    "ln S as summed once-rounded micro-nat integers; s_ppm is the "
+    "display exp. Survival drops to exactly 0 when the last at-risk "
+    "subject converts (NULL lnS from there, guarded in both engines).",
+    tags=("stats", "relational"),
+)
+def q_orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    orders = tables.load(spark, sf_dir, "orders")
+    days = "datediff(to_date(o_orderdate), DATE '1970-01-01')"
+    per_cust = orders.selectExpr(
+        "o_custkey", f"{days} AS d"
+    ).groupBy("o_custkey").agg(
+        F.expr("slice(sort_array(collect_list(d)), 1, 2)").alias("ds")
+    )
+    mx = orders.selectExpr(f"max({days}) AS mxd")
+    subj = per_cust.crossJoin(F.broadcast(mx)).selectExpr(
+        "CASE WHEN size(ds) >= 2 THEN ds[1] - ds[0] "
+        "ELSE mxd - ds[0] END AS t",
+        "CASE WHEN size(ds) >= 2 THEN 1 ELSE 0 END AS e",
+    )
+    return st.kaplan_meier(subj, "t", "e")

@@ -489,3 +489,42 @@ def test_diff_in_diff_planted_effect(spark):
     assert got.did_micro == 350 * 1_000_000
     # parallel pre-trends baked in: both pre means equal
     assert got.m_c_pre_micro == got.m_t_pre_micro
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic worked example: durations (6,6,6,7,10) events with
+    censoring at 6+,9+,10+ — S steps match the hand-multiplied
+    products, and exact-zero survival when the last subject dies."""
+    import math
+
+    subj = [
+        (6, 1), (6, 1), (6, 1), (6, 0),
+        (7, 1), (9, 0), (10, 1), (10, 0),
+    ]
+    df = spark.createDataFrame(subj, "t long, e int")
+    out = {r.t: r for r in st.kaplan_meier(df, "t", "e").collect()}
+
+    def lnm(x):
+        return round(math.log(x) * 1_000_000)
+
+    t6 = out[6]
+    assert (t6.n_risk, t6.n_events, t6.n_censored) == (8, 3, 1)
+    assert t6.s_lnmicro == lnm(5) - lnm(8)
+    t7 = out[7]
+    assert (t7.n_risk, t7.n_events) == (4, 1)
+    assert t7.s_lnmicro == lnm(5) - lnm(8) + lnm(3) - lnm(4)
+    t9 = out[9]
+    assert t9.n_events == 0 and t9.s_lnmicro == t7.s_lnmicro
+    t10 = out[10]
+    # 2 at risk, 1 dies, 1 censored -> S = prior * 1/2, still > 0
+    assert (t10.n_risk, t10.n_events, t10.n_censored) == (2, 1, 1)
+    assert t10.s_ppm == math.floor(
+        1_000_000 * math.exp(t10.s_lnmicro / 1_000_000)
+    )
+
+
+def test_kaplan_meier_hits_exact_zero(spark):
+    df = spark.createDataFrame([(3, 1), (5, 1)], "t long, e int")
+    out = {r.t: r for r in st.kaplan_meier(df, "t", "e").collect()}
+    assert out[3].s_ppm == 500_000
+    assert out[5].s_lnmicro is None and out[5].s_ppm == 0
