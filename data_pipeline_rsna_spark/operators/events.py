@@ -806,3 +806,54 @@ def slo_burn_rate(
             "burn_fast_milli >= 14400 AND burn_slow_milli >= 6000 AS page",
         )
     )
+
+
+def burstiness_fano(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type burstiness as the Fano factor (index of dispersion) of
+    per-minute counts over the stream's full minute span: 1 for a
+    Poisson process, > 1 for bursty arrivals (retry storms, batch
+    uploads), < 1 for regular/paced traffic. The triage number that
+    says whether a type's volume needs burst-safe sizing or steady
+    provisioning.
+
+    Empty minutes COUNT (a type active once an hour is bursty even
+    though its observed minutes look calm): with M total minutes in
+    the global span, mean = n/M, var = Σc²/M − (n/M)², and
+    Fano = var/mean = (M·Σc² − n²) / (M·n) — an exact integer rational
+    shipped as truncating ppm; no dense minute table is ever
+    materialized. Shape: one (type, minute) map-side-combined count,
+    one per-type reduce, a broadcast 1-row span.
+    """
+    per_min = events.selectExpr(
+        f"`{type_col}` AS event_type",
+        f"unix_seconds(date_trunc('minute', `{ts_col}`)) DIV 60 AS _m",
+    ).groupBy("event_type", "_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    span = per_min.agg(
+        (F.max("_m") - F.min("_m") + 1).cast("bigint").alias("_span")
+    )
+    return (
+        per_min.groupBy("event_type")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+            F.sum(F.expr("_c * _c")).cast("bigint").alias("_ssq"),
+        )
+        .crossJoin(F.broadcast(span))
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "active_minutes",
+            "_span AS span_minutes",
+            # decimal: M·Σc² passes int64 when minutes × counts² do
+            "CAST(floor((CAST(_span AS DECIMAL(38,0)) * _ssq "
+            "- CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000 "
+            "/ (CAST(_span AS DECIMAL(38,0)) * n_events)) AS BIGINT) "
+            "AS fano_ppm",
+        )
+    )

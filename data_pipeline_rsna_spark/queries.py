@@ -14688,3 +14688,40 @@ def q_orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN size(ds) >= 2 THEN 1 ELSE 0 END AS e",
     )
     return st.kaplan_meier(subj, "t", "e")
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+    WITH per_min AS (
+        SELECT event_type,
+               epoch(time_bucket(INTERVAL '1 minute', ts)) // 60 AS m,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS sp FROM per_min
+    )
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS active_minutes,
+           sp AS span_minutes,
+           CAST(floor((CAST(sp AS HUGEINT) * sum(c * c)
+                       - CAST(sum(c) AS HUGEINT) * sum(c)) * 1000000
+                      / (CAST(sp AS HUGEINT) * sum(c))) AS BIGINT)
+               AS fano_ppm
+    FROM per_min CROSS JOIN span
+    GROUP BY event_type, sp
+    """,
+    doc="X5+ per-type burstiness as the exact-rational Fano factor of "
+    "per-minute counts over the full minute span (empty minutes count, "
+    "no dense table materialized): 1e6 = Poisson, above = bursty "
+    "(retry storms, batch uploads), below = paced. One map-side "
+    "combined (type, minute) count + per-type reduce + broadcast span.",
+    tags=("events", "stats"),
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    return ev_ops.burstiness_fano(ev)

@@ -259,3 +259,25 @@ def test_slo_burn_rate_hand_computed(spark):
     # slow window: hours 1..6 -> 260 events, 2 errors -> burn 769 milli
     assert h6.burn_slow_milli == (1_000_000_000 * 2) // (260 * 10_000)
     assert not h6.page  # the slow window vetoes the flappy page
+
+
+def test_burstiness_fano_poisson_vs_burst(spark):
+    """Uniform one-per-minute traffic -> Fano exactly 0 variance
+    (fano_ppm 0); all-in-one-minute burst -> Fano = M - n/M ~ M."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 4, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(minutes=i), "steady") for i in range(10)]
+    rows += [(base + dt.timedelta(seconds=s), "burst") for s in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    from data_pipeline_rsna_spark.operators import events as ev_ops
+
+    out = {r.event_type: r for r in ev_ops.burstiness_fano(df).collect()}
+    # span = 10 minutes (global). steady: c=1 x10 -> var 0 -> fano 0
+    s = out["steady"]
+    assert (s.n_events, s.active_minutes, s.span_minutes) == (10, 10, 10)
+    assert s.fano_ppm == 0
+    # burst: one minute with c=10 over span 10: fano = (10*100-100)/(10*10)
+    b = out["burst"]
+    assert (b.n_events, b.active_minutes) == (10, 1)
+    assert b.fano_ppm == ((10 * 100 - 100) * 1_000_000) // (10 * 10)
