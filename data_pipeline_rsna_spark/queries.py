@@ -14725,3 +14725,66 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return ev_ops.burstiness_fano(ev)
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle="""
+    WITH strong AS (
+        SELECT a.p AS u, c.p AS v
+        FROM (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem) c
+          ON a.o = c.o AND a.p < c.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    und AS (
+        SELECT u AS nu, v AS nv FROM strong
+        UNION
+        SELECT v AS nu, u AS nv FROM strong
+    ),
+    deg AS (SELECT nu, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY nu),
+    wedges AS (
+        SELECT a.nu AS node_a, b.nv AS node_b,
+               CAST(count(*) AS BIGINT) AS common_neighbors
+        FROM und a JOIN und b ON a.nv = b.nu AND a.nu < b.nv
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT node_a, node_b, common_neighbors,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST((1000000 * common_neighbors)
+                // (da.d + db.d - common_neighbors) AS BIGINT)
+               AS jaccard_ppm
+    FROM wedges
+    JOIN deg da ON node_a = da.nu
+    JOIN deg db ON node_b = db.nu
+    WHERE NOT EXISTS (
+        SELECT 1 FROM strong s
+        WHERE s.u = node_a AND s.v = node_b
+    )
+    """,
+    doc="X8+ neighbor-set Jaccard link prediction (Liben-Nowell & "
+    "Kleinberg 2003) over the strong-tie co-purchase graph (part pairs "
+    "co-ordered >= 2 times): non-edges sharing >= 2 neighbors, scored "
+    "by exact-rational Jaccard ppm - the related-item backfill edge "
+    "recommender. The wedge join's sum-deg^2 fan-out is tamed by the "
+    "strong-tie weight floor (the same guard family as MinHash "
+    "mega-buckets); existing edges leave via an anti-join.",
+    tags=("graph", "mining"),
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as g
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    b = li.selectExpr("l_orderkey AS o", "l_partkey AS p").distinct()
+    strong = (
+        b.selectExpr("o", "p AS u")
+        .join(b.selectExpr("o", "p AS v"), "o")
+        .filter("u < v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_co"))
+        .filter("_co >= 2")
+        .select("u", "v")
+    )
+    return g.jaccard_link_prediction(strong, "u", "v")

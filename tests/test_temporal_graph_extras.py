@@ -179,3 +179,31 @@ def test_degree_assortativity_regular_graph_degenerate(spark):
     )
     r = g.degree_assortativity(edges).collect()[0]
     assert int(r.corr_num) == 0 and int(r.var_x) == 0
+
+
+def test_jaccard_link_prediction_square_graph(spark):
+    """4-cycle a-b-c-d-a: the two diagonals (a,c) and (b,d) are the
+    non-edges, each sharing BOTH neighbors -> jaccard = 2/(2+2-2) = 1."""
+    from data_pipeline_rsna_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    out = {
+        (r.node_a, r.node_b): r
+        for r in g.jaccard_link_prediction(edges).collect()
+    }
+    assert set(out) == {("a", "c"), ("b", "d")}
+    r = out[("a", "c")]
+    assert (r.common_neighbors, r.deg_a, r.deg_b) == (2, 2, 2)
+    assert r.jaccard_ppm == 1_000_000
+    # add the (a,c) edge: it must disappear (anti-join), (b,d) stays
+    edges2 = edges.union(
+        spark.createDataFrame([("a", "c")], "src string, dst string")
+    )
+    out2 = {
+        (r.node_a, r.node_b)
+        for r in g.jaccard_link_prediction(edges2).collect()
+    }
+    assert ("a", "c") not in out2 and ("b", "d") in out2
