@@ -1309,3 +1309,87 @@ def dsir_importance_weights(
             "AS dsir_weight_micro",
         )
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    stopwords: tuple[str, ...] = ("a", "the", "and", "of", "in"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 25,
+) -> DataFrame:
+    """RAKE-style keyphrase extraction (Rose et al. 2010), exact-integer
+    variant: candidate phrases are maximal stopword-free token runs;
+    each word scores degree/frequency (degree = Σ length of phrases
+    containing it — co-occurrence weight; frequency = its corpus
+    count); a phrase scores the sum of its words' scores. The unsupervised
+    keyword miner used to label corpora/cluster topics without a model.
+
+    Exactness: degree and frequency are integer counts; each word's
+    score is truncated ONCE to ppm (1e6·degree DIV freq) and phrase
+    scores are exact integer sums of those — no float ever enters, so
+    ranking is bit-stable (canonical RAKE's rational sum reorders
+    float additions; the per-word ppm truncation is the documented
+    deviation).
+
+    Shape: stopword-run segmentation is a per-doc prefix sum of the
+    stopword flag (window PARTITIONED BY DOC — state is one document);
+    phrase assembly is a per-(doc, run) sort_array collect; word stats
+    are one map-side-combined shuffle; the final global top-k is a
+    TakeOrdered, never a full sort.
+    """
+    stop_set = ", ".join(f"'{s}'" for s in stopwords)
+    toks = docs.selectExpr(
+        f"`{id_col}` AS _d",
+        f"posexplode(split(lower(`{text_col}`), '\\\\s+')) AS (_pos, _w)",
+    ).selectExpr("_d", "_pos", "_w", f"_w IN ({stop_set}) AS _stop")
+    grp = Window.partitionBy("_d").orderBy("_pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = (
+        toks.withColumn(
+            "_run", F.sum(F.expr("CAST(_stop AS INT)")).over(grp)
+        )
+        .filter("NOT _stop AND _w != ''")
+    )
+    phrases = runs.groupBy("_d", "_run").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "struct(_pos, _w))), s -> s._w), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("_plen"),
+    )
+    # word stats over phrase members: freq = corpus count, degree =
+    # Σ length of phrases containing the word (member lists re-derive
+    # from runs joined to their phrase length)
+    members = runs.join(phrases, ["_d", "_run"]).select(
+        "_w", "_plen", "_d", "_run"
+    )
+    word_scores = (
+        members.groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_freq"),
+            F.sum("_plen").cast("bigint").alias("_degree"),
+        )
+        .selectExpr(
+            "_w",
+            "CAST((1000000 * _degree) DIV _freq AS BIGINT) AS _wscore",
+        )
+    )
+    # no broadcast hint: the word-score dim is vocabulary-sized (can be
+    # billions of types at corpus scale) — let AQE pick the strategy
+    scored = (
+        members.join(word_scores, "_w")
+        .groupBy("_d", "_run")
+        .agg(F.sum("_wscore").cast("bigint").alias("_score"))
+        .join(phrases, ["_d", "_run"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("_score").cast("bigint").alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+        .limit(top_k)
+    )

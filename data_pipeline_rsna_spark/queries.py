@@ -14788,3 +14788,68 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return g.jaccard_link_prediction(strong, "u", "v")
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, u.i AS pos, a[u.i + 1] AS w,
+               a[u.i + 1] IN ('a', 'the', 'and', 'of', 'in') AS stop
+        FROM ws, unnest(generate_series(0, len(a) - 1)) AS u(i)
+    ),
+    runs AS (
+        SELECT doc_id, pos, w,
+               sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM toks
+        QUALIFY NOT stop AND w != ''
+    ),
+    phrases AS (
+        SELECT doc_id, run,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM runs GROUP BY doc_id, run
+    ),
+    members AS (
+        SELECT r.w, p.plen, r.doc_id, r.run
+        FROM runs r JOIN phrases p USING (doc_id, run)
+    ),
+    wscores AS (
+        SELECT w, CAST((1000000 * sum(plen)) // count(*) AS BIGINT)
+                      AS wscore
+        FROM members GROUP BY w
+    ),
+    scored AS (
+        SELECT m.doc_id, m.run, CAST(sum(wscore) AS BIGINT) AS score
+        FROM members m JOIN wscores USING (w)
+        GROUP BY m.doc_id, m.run
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score) AS BIGINT) AS score_ppm
+    FROM scored JOIN phrases USING (doc_id, run)
+    GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase
+    LIMIT 25
+    """,
+    doc="X4+ RAKE keyphrase extraction (Rose et al. 2010), exact-integer "
+    "variant: candidate phrases are maximal stopword-free runs "
+    "(per-doc prefix sum of the stopword flag), word score = "
+    "degree/frequency truncated ONCE to ppm, phrase score = exact "
+    "integer sum - ranking is bit-stable where canonical RAKE's "
+    "rational sums float-reorder. Segmentation windows partition by "
+    "doc; word stats are one map-side shuffle; global top-25 is a "
+    "TakeOrdered.",
+    tags=("text", "mining"),
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textanalysis as ta
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ta.rake_keyphrases(docs)

@@ -427,3 +427,36 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     # ordering: target-vocab docs above never-in-target vocab docs
     assert got[4].dsir_weight_micro > got[5].dsir_weight_micro
     assert got[1].dsir_weight_micro > got[3].dsir_weight_micro
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    """Worked RAKE example: two docs sharing a phrase; degree/freq per
+    word and the phrase ranking rederived by hand."""
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning models the fast gpu"),
+            (2, "deep learning a fast gpu"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in tx.rake_keyphrases(docs, top_k=10).collect()}
+    # phrases: doc1: "deep learning models" (len 3), "fast gpu" (2)
+    #          doc2: "deep learning" (2), "fast gpu" (2)
+    # freq: deep 2, learning 2, models 1, fast 2, gpu 2
+    # degree: deep 3+2=5, learning 5, models 3, fast 4, gpu 4
+    w = {
+        "deep": (1_000_000 * 5) // 2,
+        "learning": (1_000_000 * 5) // 2,
+        "models": (1_000_000 * 3) // 1,
+        "fast": (1_000_000 * 4) // 2,
+        "gpu": (1_000_000 * 4) // 2,
+    }
+    assert out["deep learning models"].score_ppm == (
+        w["deep"] + w["learning"] + w["models"]
+    )
+    assert out["fast gpu"].score_ppm == w["fast"] + w["gpu"]
+    assert out["fast gpu"].n_occurrences == 2
+    assert out["deep learning"].score_ppm == w["deep"] + w["learning"]
+    # longest composed phrase outranks its sub-phrase
+    assert (out["deep learning models"].score_ppm
+            > out["deep learning"].score_ppm)
