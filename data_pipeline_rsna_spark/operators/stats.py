@@ -1388,3 +1388,86 @@ def kaplan_meier(
         "floor(1000000 * exp(CAST(_lnsum AS DOUBLE) / 1000000)) END "
         "AS BIGINT) AS s_ppm",
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list[str],
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    third leg of the privacy triad beside k-anonymity and l-diversity:
+    per quasi-identifier equivalence class, the Earth Mover's Distance
+    between the class's sensitive-value distribution and the global
+    one, over ``n_buckets`` equal-width ordered buckets with unit
+    adjacent-bucket ground distance. A class whose salary histogram
+    matches the population reveals nothing even at k=1000; one whose
+    histogram concentrates leaks — THIS is the number that catches it.
+
+    Integer-exact: per-(class, bucket) and global bucket counts, EMD
+    numerator Σ_b |cum_cb·N − cum_b·N_c| over the first B−1 buckets
+    (probability cross-multiplied — no float CDFs), and
+    t_ppm = 1e6·num DIV (N_c·N·(B−1)) truncating in both engines.
+    Shape: one bucket pass over the fact table (map-side combined),
+    a broadcast global histogram, and a per-class prefix sum over the
+    BOUNDED bucket domain (window partitioned by class, B rows each).
+    """
+    base = df.selectExpr(
+        *[f"`{c}`" for c in qi_cols],
+        f"CAST(round(`{value_col}` * 100) AS BIGINT) AS _v",
+    )
+    bounds = base.agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    )
+    bucketed = base.crossJoin(F.broadcast(bounds)).selectExpr(
+        *[f"`{c}`" for c in qi_cols],
+        f"CAST(least({n_buckets - 1}, (_v - _mn) * {n_buckets} "
+        "DIV (_mx - _mn + 1)) AS INT) AS _b",
+    )
+    per_cb = bucketed.groupBy(*qi_cols, "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ncb")
+    )
+    per_b = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nb")
+    )
+    totals = per_b.agg(F.sum("_nb").cast("bigint").alias("_n"))
+    w_class = Window.partitionBy(*qi_cols).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = (
+        per_cb.join(F.broadcast(per_b), "_b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_cum_cb", F.sum("_ncb").over(w_class))
+        .withColumn("_cum_b", F.sum("_nb").over(w_class))
+        .withColumn(
+            "_nc",
+            F.sum("_ncb").over(
+                Window.partitionBy(*qi_cols).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return (
+        joined.filter(f"_b < {n_buckets - 1}")
+        .groupBy(*qi_cols)
+        .agg(
+            F.max("_nc").cast("bigint").alias("class_size"),
+            F.sum(
+                F.expr(
+                    "abs(CAST(_cum_cb AS DECIMAL(38,0)) * _n "
+                    "- CAST(_cum_b AS DECIMAL(38,0)) * _nc)"
+                )
+            ).alias("_num"),
+            F.max("_n").cast("bigint").alias("_n"),
+        )
+        .selectExpr(
+            *qi_cols,
+            "class_size",
+            "CAST(_num AS DECIMAL(38,0)) AS emd_num",
+            "CAST(floor(_num * 1000000 / "
+            f"(CAST(class_size AS DECIMAL(38,0)) * _n * {n_buckets - 1})) "
+            "AS BIGINT) AS t_ppm",
+        )
+    )

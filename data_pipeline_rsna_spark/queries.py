@@ -14853,3 +14853,71 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return ta.rake_keyphrases(docs)
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ),
+    bounds AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+    bucketed AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(least(9, (v - mn) * 10 // (mx - mn + 1)) AS INTEGER)
+                   AS b
+        FROM base CROSS JOIN bounds
+    ),
+    per_cb AS (
+        SELECT c_nationkey, c_mktsegment, b,
+               CAST(count(*) AS BIGINT) AS ncb
+        FROM bucketed GROUP BY 1, 2, 3
+    ),
+    per_b AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS nb FROM bucketed GROUP BY b
+    ),
+    tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n FROM per_b),
+    cums AS (
+        SELECT c_nationkey, c_mktsegment, b, n,
+               sum(ncb) OVER (PARTITION BY c_nationkey, c_mktsegment
+                              ORDER BY b ROWS UNBOUNDED PRECEDING)
+                   AS cum_cb,
+               sum(nb) OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_b,
+               sum(ncb) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                   AS nc
+        FROM per_cb JOIN per_b USING (b) CROSS JOIN tot
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(max(nc) AS BIGINT) AS class_size,
+           CAST(sum(abs(CAST(cum_cb AS HUGEINT) * n
+                        - CAST(cum_b AS HUGEINT) * nc))
+                AS DECIMAL(38,0)) AS emd_num,
+           CAST(floor(CAST(sum(abs(CAST(cum_cb AS HUGEINT) * n
+                                   - CAST(cum_b AS HUGEINT) * nc))
+                           AS HUGEINT) * 1000000
+                      / (CAST(max(nc) AS HUGEINT) * max(n) * 9))
+               AS BIGINT) AS t_ppm
+    FROM cums
+    WHERE b < 9
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="X8+ t-closeness (Li, Li & Venkatasubramanian ICDE'07), "
+    "completing the k-anonymity / l-diversity privacy triad: per "
+    "(nation, segment) equivalence class, exact-integer EMD between "
+    "the class's balance histogram and the global one over 10 ordered "
+    "equal-width buckets - sum |cum_class*N - cum_global*N_c| cross-"
+    "multiplied, no float CDFs, t_ppm by truncating decimal division. "
+    "One bucket pass + broadcast global histogram + per-class prefix "
+    "sums over the bounded bucket domain.",
+    tags=("stats", "privacy"),
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    cust = tables.load(spark, sf_dir, "customer")
+    return st.t_closeness(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal"
+    )

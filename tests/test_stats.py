@@ -528,3 +528,24 @@ def test_kaplan_meier_hits_exact_zero(spark):
     out = {r.t: r for r in st.kaplan_meier(df, "t", "e").collect()}
     assert out[3].s_ppm == 500_000
     assert out[5].s_lnmicro is None and out[5].s_ppm == 0
+
+
+def test_t_closeness_identical_vs_concentrated(spark):
+    """A class mirroring the global distribution scores t=0; a class
+    concentrated in one bucket scores the hand-computed EMD."""
+    # global: values 0.50 and 9.50 in equal halves across two classes
+    rows = (
+        [("mirror", 0.5)] * 4 + [("mirror", 9.5)] * 4
+        + [("skewed", 0.5)] * 8
+    )
+    df = spark.createDataFrame(rows, "qi string, v double")
+    out = {r.qi: r for r in st.t_closeness(df, ["qi"], "v", n_buckets=2).collect()}
+    # global: bucket0 = 12, bucket1 = 4, N = 16
+    # mirror (nc=8): cum_cb(b0)=4, cum_b(b0)=12 -> |4*16 - 12*8| = 32
+    m = out["mirror"]
+    assert m.class_size == 8
+    assert int(m.emd_num) == abs(4 * 16 - 12 * 8)
+    assert m.t_ppm == (32 * 1_000_000) // (8 * 16 * 1)
+    # skewed (nc=8): cum_cb(b0)=8 -> |8*16 - 12*8| = 32 (symmetric here)
+    s = out["skewed"]
+    assert int(s.emd_num) == abs(8 * 16 - 12 * 8)
