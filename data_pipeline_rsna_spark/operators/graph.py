@@ -342,11 +342,15 @@ def jaccard_link_prediction(
     this plan. Existing edges leave via a broadcast-free anti-join on
     the canonical pair.
     """
-    und = edges.selectExpr(
-        f"`{src}` AS _u", f"`{dst}` AS _v"
-    ).union(
-        edges.selectExpr(f"`{dst}` AS _u", f"`{src}` AS _v")
-    ).distinct()
+    und = (
+        edges.selectExpr(f"`{src}` AS _u", f"`{dst}` AS _v")
+        .union(edges.selectExpr(f"`{dst}` AS _u", f"`{src}` AS _v"))
+        .distinct()
+        # four consumers (degrees, both wedge sides, the anti-join);
+        # without truncating lineage each re-derives the upstream edge
+        # construction — 42 static exchanges collapse to the real ~6
+        .localCheckpoint(eager=True)
+    )
     deg = und.groupBy("_u").agg(
         F.count(F.lit(1)).cast("bigint").alias("_deg")
     )
