@@ -830,3 +830,72 @@ def audio_silence_gate(
             "AS silence_ppm",
         )
     )
+
+
+def plant_watermark(images: DataFrame, every: int = 5, tile_row: int = 1,
+                    tile_col: int = 1, patch: int = 8,
+                    mod: int = 200) -> DataFrame:
+    """Overwrite one ``patch×patch`` tile of every ``every``-th image
+    with a FIXED pattern (w[i] = i·13 % mod) — the deterministic stand-
+    in for a corpus whose pages carry a shared logo/watermark. Pure
+    narrow Arrow work; the closed-form pattern keeps the corpus fully
+    SQL-rederivable (the multimodal oracle contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = np.frombuffer(
+                    r.pixels, dtype=np.dtype(r.dtype)
+                ).reshape(r.height, r.width).copy()
+                if r.img_id % every == 0:
+                    w = (
+                        np.arange(patch * patch, dtype=np.int64) * 13 % mod
+                    ).reshape(patch, patch).astype(px.dtype)
+                    px[
+                        tile_row * patch:(tile_row + 1) * patch,
+                        tile_col * patch:(tile_col + 1) * patch,
+                    ] = w
+                out.append(
+                    (r.img_id, px.tobytes(), r.dtype, r.height, r.width)
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
+def patch_dhash(patches: DataFrame, hash_h: int = 8,
+                hash_w: int = 8) -> DataFrame:
+    """dHash per TILE, keyed by (img_id, patch_row, patch_col) — the
+    region-level perceptual key behind watermark/logo detection: a
+    patch hash repeating across many otherwise-distinct images at the
+    same grid position is boilerplate imagery, the pixel analogue of a
+    boilerplate n-gram. Same sampling/bit contract as
+    ``dhash_images``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(
+                    r.pixels, dtype=np.dtype(r.dtype)
+                ).reshape(r.height, r.width)
+                yi = (np.arange(hash_h, dtype=np.int64) * r.height) // hash_h
+                xi = (
+                    np.arange(hash_w + 1, dtype=np.int64) * r.width
+                ) // (hash_w + 1)
+                s = arr[np.ix_(yi, xi)].astype(np.int64)
+                bits = (s[:, :-1] > s[:, 1:]).astype(np.uint8).ravel()
+                out.append(
+                    (r.img_id, r.patch_row, r.patch_col,
+                     "".join("1" if b else "0" for b in bits))
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "patch_row", "patch_col", "dhash"]
+            )
+
+    return patches.mapInPandas(
+        run, "img_id long, patch_row int, patch_col int, dhash string"
+    )

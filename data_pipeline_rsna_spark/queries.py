@@ -14921,3 +14921,74 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.t_closeness(
         cust, ["c_nationkey", "c_mktsegment"], "c_acctbal"
     )
+
+
+@register(
+    "multimodal_watermark_patches",
+    oracle="""
+    WITH imgs AS (SELECT unnest(generate_series(0, 199)) AS img_id),
+    grid AS (
+        SELECT pr.pr, pc.pc, sy.sy, sx.sx
+        FROM (SELECT unnest(generate_series(0, 1)) AS pr) pr
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS pc) pc
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sy) sy
+        CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS sx) sx
+    ),
+    samples AS (
+        SELECT i.img_id, g.pr, g.pc, g.sy, g.sx,
+               CASE WHEN i.img_id % 5 = 0 AND g.pr = 1 AND g.pc = 1
+                    THEN (g.sy * 8 + (g.sx * 8) // 9) * 13 % 200
+                    ELSE (i.img_id * 31
+                          + ((g.pr * 8 + g.sy) * 16
+                             + (g.pc * 8 + (g.sx * 8) // 9)) * 7) % 200
+               END AS v
+        FROM imgs i CROSS JOIN grid g
+    ),
+    bits AS (
+        SELECT a.img_id, a.pr, a.pc, a.sy, a.sx,
+               CASE WHEN a.v > b.v THEN '1' ELSE '0' END AS bit
+        FROM samples a
+        JOIN samples b
+          ON a.img_id = b.img_id AND a.pr = b.pr AND a.pc = b.pc
+             AND a.sy = b.sy AND b.sx = a.sx + 1
+        WHERE a.sx < 8
+    ),
+    hashes AS (
+        SELECT img_id, pr AS patch_row, pc AS patch_col,
+               string_agg(bit, '' ORDER BY sy, sx) AS dhash
+        FROM bits GROUP BY img_id, pr, pc
+    )
+    SELECT patch_row, patch_col, dhash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(img_id) AS BIGINT) AS example_img
+    FROM hashes
+    GROUP BY patch_row, patch_col, dhash
+    HAVING count(*) >= 10
+    """,
+    doc="X7+ watermark/logo detection: per-tile dHash keyed by grid "
+    "position, grouped across the corpus - a patch hash repeating in "
+    "many otherwise-distinct images at the same position is shared "
+    "boilerplate imagery (the pixel analogue of a boilerplate n-gram). "
+    "The corpus plants a fixed 8x8 logo into tile (1,1) of every 5th "
+    "synthetic image; the query recovers exactly that tile with "
+    "n_images = 40 while natural tiles stay below threshold. All "
+    "pixels are closed-form, so DuckDB re-derives every hash bit; at "
+    "100 TB the detection shuffle moves 64-char tile keys, never "
+    "pixels.",
+    tags=("multimodal", "dedup"),
+)
+def q_multimodal_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images(spark, n=200, height=16, width=16, mod=200)
+    marked = mm.plant_watermark(imgs, every=5)
+    tiles = mm.tile_patches(marked, patch=8)
+    hashes = mm.patch_dhash(tiles)
+    return (
+        hashes.groupBy("patch_row", "patch_col", "dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("img_id").cast("bigint").alias("example_img"),
+        )
+        .filter("n_images >= 10")
+    )

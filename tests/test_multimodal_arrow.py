@@ -42,3 +42,32 @@ def test_audio_silence_gate_thresholds_consistently(spark):
     )
     z = mm.audio_silence_gate(zero).collect()[0]
     assert (z.n_frames, z.n_silent, z.silence_ppm) == (2, 2, 1000000)
+
+
+def test_watermark_patch_detection(spark):
+    """The planted logo tile is recovered at exactly its grid position
+    with exactly the planted image count; natural tiles stay unique."""
+    from data_pipeline_rsna_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    imgs = mm.synth_images(spark, n=50, height=16, width=16, mod=200)
+    marked = mm.plant_watermark(imgs, every=5)
+    hashes = mm.patch_dhash(mm.tile_patches(marked, patch=8))
+    groups = (
+        hashes.groupBy("patch_row", "patch_col", "dhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n >= 5")
+        .collect()
+    )
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g.patch_row, g.patch_col, g.n) == (1, 1, 10)
+    # unmarked corpus: no tile repeats at that threshold
+    clean = (
+        mm.patch_dhash(mm.tile_patches(imgs, patch=8))
+        .groupBy("patch_row", "patch_col", "dhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n >= 5")
+        .count()
+    )
+    assert clean == 0
