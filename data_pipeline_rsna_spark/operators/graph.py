@@ -384,3 +384,56 @@ def jaccard_link_prediction(
             "(deg_a + deg_b - common_neighbors) AS BIGINT) AS jaccard_ppm",
         )
     )
+
+
+def hits_scores(
+    pairs: DataFrame,
+    hub_col: str = "c",
+    auth_col: str = "s",
+    iters: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a bipartite edge
+    table, in exact integer micro-score fixed point: authority(s) =
+    Σ hub(c) over in-edges, hub(c) = Σ authority(s) over out-edges,
+    each vector rescaled to max = 1e6 by integer division per
+    iteration — bigint sums and truncating division only, so the
+    iterative result is bit-identical across engines and partitionings
+    (float HITS depends on summation order). The curator's view of a
+    two-sided market: which buyers span the catalog (hubs) and which
+    suppliers anchor it (authorities).
+
+    Each iteration is two map-side-combined aggregate-joins on the
+    edge table plus a broadcast 1-row max; ``iters`` is small and
+    fixed (HITS converges geometrically; rank order stabilizes in a
+    handful of rounds). Returns (role, node, score_micro).
+    """
+    edges = pairs.selectExpr(
+        f"`{hub_col}` AS _c", f"`{auth_col}` AS _s"
+    ).distinct().localCheckpoint(eager=True)
+    hubs = edges.select("_c").distinct().selectExpr(
+        "_c AS node", "CAST(1000000 AS BIGINT) AS score"
+    )
+
+    def _normalize(df: DataFrame) -> DataFrame:
+        mx = df.agg(F.max("raw").alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).selectExpr(
+            "node", "CAST((raw * 1000000) DIV _mx AS BIGINT) AS score"
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = _normalize(
+            edges.join(hubs.selectExpr("node AS _c", "score"), "_c")
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        hubs = _normalize(
+            edges.join(auth.selectExpr("node AS _s", "score"), "_s")
+            .groupBy(F.col("_c").alias("node"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+    return hubs.selectExpr(
+        "'hub' AS role", "node", "score AS score_micro"
+    ).unionByName(
+        auth.selectExpr("'authority' AS role", "node", "score AS score_micro")
+    )

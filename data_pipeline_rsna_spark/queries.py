@@ -14992,3 +14992,71 @@ def q_multimodal_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("n_images >= 10")
     )
+
+
+_HITS_AUTH_SQL = """
+        SELECT s AS node, CAST(sum(score) AS BIGINT) AS raw
+        FROM pairs JOIN {hubs} ON c = {hubs}.node
+        GROUP BY s
+"""
+
+_HITS_HUB_SQL = """
+        SELECT c AS node, CAST(sum(score) AS BIGINT) AS raw
+        FROM pairs JOIN {auth} ON s = {auth}.node
+        GROUP BY c
+"""
+
+_HITS_NORM_SQL = """
+        SELECT node,
+               CAST((raw * 1000000) // max(raw) OVER () AS BIGINT) AS score
+        FROM {raw}
+"""
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+               's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    h0 AS (
+        SELECT DISTINCT c AS node, CAST(1000000 AS BIGINT) AS score
+        FROM pairs
+    ),
+    a1r AS ({_HITS_AUTH_SQL.format(hubs="h0")}),
+    a1 AS ({_HITS_NORM_SQL.format(raw="a1r")}),
+    h1r AS ({_HITS_HUB_SQL.format(auth="a1")}),
+    h1 AS ({_HITS_NORM_SQL.format(raw="h1r")}),
+    a2r AS ({_HITS_AUTH_SQL.format(hubs="h1")}),
+    a2 AS ({_HITS_NORM_SQL.format(raw="a2r")}),
+    h2r AS ({_HITS_HUB_SQL.format(auth="a2")}),
+    h2 AS ({_HITS_NORM_SQL.format(raw="h2r")})
+    SELECT 'hub' AS role, node, score AS score_micro FROM h2
+    UNION ALL
+    SELECT 'authority' AS role, node, score AS score_micro FROM a2
+    """,
+    doc="X8+ HITS hubs & authorities (Kleinberg 1999) over the "
+    "customer-supplier bipartite trade graph, 2 iterations in exact "
+    "integer micro-score fixed point: bigint sums, per-iteration "
+    "rescale to max=1e6 by truncating division - bit-identical across "
+    "engines where float HITS depends on summation order. The oracle "
+    "unrolls the iterations as chained CTEs (the PageRank pattern). "
+    "Two aggregate-joins per iteration + broadcast 1-row max.",
+    tags=("graph",),
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as g
+
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .selectExpr(
+            "concat('c', CAST(o_custkey AS STRING)) AS c",
+            "concat('s', CAST(l_suppkey AS STRING)) AS s",
+        )
+        .distinct()
+    )
+    return g.hits_scores(pairs, "c", "s", iters=2)

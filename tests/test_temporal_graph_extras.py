@@ -207,3 +207,28 @@ def test_jaccard_link_prediction_square_graph(spark):
         for r in g.jaccard_link_prediction(edges2).collect()
     }
     assert ("a", "c") not in out2 and ("b", "d") in out2
+
+
+def test_hits_star_bipartite(spark):
+    """One hub buyer connected to all suppliers dominates; a one-edge
+    buyer scores the fraction its single authority carries."""
+    from data_pipeline_rsna_spark.operators import graph as g
+
+    pairs = spark.createDataFrame(
+        [("big", "s1"), ("big", "s2"), ("big", "s3"), ("small", "s1")],
+        "c string, s string",
+    )
+    out = {
+        (r.role, r.node): r.score_micro
+        for r in g.hits_scores(pairs, iters=2).collect()
+    }
+    # iter1: a(s1)=2e6 raw, a(s2)=a(s3)=1e6 -> normalized 1e6, 5e5, 5e5
+    # h(big)=1e6+5e5+5e5=2e6, h(small)=1e6 -> 1e6, 5e5
+    # iter2: a(s1)=1e6+5e5, a(s2)=a(s3)=1e6 -> 1e6, 666666, 666666
+    # h(big)=1e6+2*666666, h(small)=1e6 -> 1e6, (1e6*1e6)//2333332
+    assert out[("hub", "big")] == 1_000_000
+    assert out[("authority", "s1")] == 1_000_000
+    assert out[("authority", "s2")] == (1_000_000 * 1_000_000) // 1_500_000
+    assert out[("hub", "small")] == (
+        1_000_000 * 1_000_000
+    ) // (1_000_000 + 2 * ((1_000_000 * 1_000_000) // 1_500_000))
