@@ -15060,3 +15060,171 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return g.hits_scores(pairs, "c", "s", iters=2)
+
+
+@register(
+    "cohort_cumulative_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(date_trunc('month', CAST(o_orderdate AS DATE)))
+                   AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST((year(CAST(o.o_orderdate AS DATE)) - year(f.cohort))
+                    * 12 + (month(CAST(o.o_orderdate AS DATE))
+                            - month(f.cohort)) AS BIGINT) AS age_months,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_month,
+           age_months, cohort_size, rev_cents,
+           CAST(sum(rev_cents) OVER (
+               PARTITION BY cohort ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+           CAST((1000000 * sum(rev_cents) OVER (
+               PARTITION BY cohort ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING)) // cohort_size AS BIGINT)
+               AS ltv_micro_per_customer
+    FROM rev JOIN sized USING (cohort)
+    """,
+    doc="X8+ cohort lifetime-value curve: customers grouped by first-"
+    "order month, exact cent revenue per (cohort, age-in-months), "
+    "cumulative LTV per customer in truncating micro-cents. The "
+    "running sum windows over the BOUNDED (cohort x age) rollup - "
+    "months, not customers - after one map-side-combined revenue "
+    "aggregation and a first-order join. The standard growth-"
+    "accounting readout next to events_cohort_retention.",
+    tags=("relational", "events"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    firsts = orders.selectExpr(
+        "o_custkey", "date_trunc('month', to_date(o_orderdate)) AS _m"
+    ).groupBy("o_custkey").agg(F.min("_m").alias("cohort"))
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .selectExpr(
+            "cohort",
+            "CAST((year(to_date(o_orderdate)) - year(cohort)) * 12 "
+            "+ (month(to_date(o_orderdate)) - month(cohort)) AS BIGINT) "
+            "AS age_months",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS _cents",
+        )
+        .groupBy("cohort", "age_months")
+        .agg(F.sum("_cents").cast("bigint").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sized, "cohort")
+        .withColumn(
+            "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+        )
+        .selectExpr(
+            "CAST(unix_seconds(cohort) AS BIGINT) AS cohort_month",
+            "age_months",
+            "cohort_size",
+            "rev_cents",
+            "cum_rev_cents",
+            "CAST((1000000 * cum_rev_cents) DIV cohort_size AS BIGINT) "
+            "AS ltv_micro_per_customer",
+        )
+    )
+
+
+_MARKOV_STEP_SQL = """
+        SELECT t.q AS event_type,
+               CAST(sum(({pi}.pi * t.n_pq) // t.n_p) AS BIGINT) AS pi
+        FROM t JOIN {pi} ON t.p = {pi}.event_type
+        GROUP BY t.q
+"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    t0 AS (
+        SELECT event_type AS p, next_type AS q,
+               CAST(count(*) AS BIGINT) AS n_pq
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT p, q, n_pq,
+               CAST(sum(n_pq) OVER (PARTITION BY p) AS BIGINT) AS n_p
+        FROM t0
+    ),
+    pi0 AS (
+        SELECT DISTINCT p AS event_type, CAST(1000000 AS BIGINT) AS pi
+        FROM t
+    ),
+    pi1 AS ({_MARKOV_STEP_SQL.format(pi="pi0")}),
+    pi2 AS ({_MARKOV_STEP_SQL.format(pi="pi1")}),
+    pi3 AS ({_MARKOV_STEP_SQL.format(pi="pi2")}),
+    pi4 AS ({_MARKOV_STEP_SQL.format(pi="pi3")})
+    SELECT event_type, CAST(pi AS BIGINT) AS pi_micro FROM pi4
+    """,
+    doc="X5+ stationary distribution of the per-user event-type Markov "
+    "chain: transition counts from lead() per user (ts, event_id "
+    "order), then 4 unrolled power-iteration steps in exact integer "
+    "micro-probability fixed point - each term (pi*n_pq) DIV n_p "
+    "truncates identically in both engines, so the iterate is "
+    "bit-stable (float power iteration depends on summation order). "
+    "Where the chain's long-run mass settles - the demand forecast "
+    "behind per-type capacity planning. The transition table is "
+    "|types|^2 rows; every step is a broadcast-sized join.",
+    tags=("events", "graph"),
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t0 = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter("next_type IS NOT NULL")
+        .groupBy(
+            F.col("event_type").alias("p"),
+            F.col("next_type").alias("q"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pq"))
+    )
+    t = t0.withColumn(
+        "n_p",
+        F.sum("n_pq").over(Window.partitionBy("p")).cast("bigint"),
+    ).localCheckpoint(eager=True)  # 4 iterations re-consume the matrix
+    pi = t.select(F.col("p").alias("event_type")).distinct().withColumn(
+        "pi", F.lit(1_000_000).cast("bigint")
+    )
+    for _ in range(4):
+        pi = (
+            t.join(pi, t.p == pi.event_type)
+            .selectExpr("q", "CAST((pi * n_pq) DIV n_p AS BIGINT) AS _c")
+            .groupBy(F.col("q").alias("event_type"))
+            .agg(F.sum("_c").cast("bigint").alias("pi"))
+        )
+    return pi.selectExpr("event_type", "CAST(pi AS BIGINT) AS pi_micro")

