@@ -422,16 +422,19 @@ def hits_scores(
 
     auth = None
     for _ in range(iters):
+        # per-round lineage cut, the pagerank lesson: without it the
+        # static plan doubles per iteration (measured: 134 exchanges /
+        # 44 redundant SMJs in the 2-iteration plan audit vs ~10 real)
         auth = _normalize(
             edges.join(hubs.selectExpr("node AS _c", "score"), "_c")
             .groupBy(F.col("_s").alias("node"))
             .agg(F.sum("score").cast("bigint").alias("raw"))
-        )
+        ).localCheckpoint(eager=False)
         hubs = _normalize(
             edges.join(auth.selectExpr("node AS _s", "score"), "_s")
             .groupBy(F.col("_c").alias("node"))
             .agg(F.sum("score").cast("bigint").alias("raw"))
-        )
+        ).localCheckpoint(eager=False)
     return hubs.selectExpr(
         "'hub' AS role", "node", "score AS score_micro"
     ).unionByName(
