@@ -15228,3 +15228,36 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("_c").cast("bigint").alias("pi"))
         )
     return pi.selectExpr("event_type", "CAST(pi AS BIGINT) AS pi_micro")
+
+
+@register(
+    "events_slo_burn_streaming",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST((1000000 * sum(CASE WHEN event_type = 'error'
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS err_ppm,
+           CAST((1000000000 * sum(CASE WHEN event_type = 'error'
+                                       THEN 1 ELSE 0 END))
+                // (count(*) * 10000) AS BIGINT) AS burn_fast_milli
+    FROM events
+    GROUP BY 1
+    """,
+    doc="X6+ live SLO error-budget burn: the fast-window milli-burn per "
+    "tumbling event-time hour maintained in a streaming aggregate "
+    "(state = hourly rows inside the watermark), the number the pager "
+    "watches. The slow rolling window stays batch-side over the sink "
+    "(a window over a streaming agg is a second stateful stage) - "
+    "events_slo_burn_rate is that reader. Bounded replay hashes equal "
+    "to the batch fast-window twin.",
+    tags=("events", "streaming", "scale"),
+)
+def q_events_slo_burn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, sf_dir)
+    return es.run_bounded(es.slo_burn_stream(stream))

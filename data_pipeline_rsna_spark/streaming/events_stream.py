@@ -907,3 +907,44 @@ def srm_monitor_stream(events: DataFrame,
     return deduped.groupBy("arm").agg(
         F.count("*").cast("bigint").alias("n_units")
     )
+
+
+def slo_burn_stream(events: DataFrame,
+                    error_type: str = "error",
+                    slo_error_ppm: int = 10_000,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators.events.slo_burn_rate``'s FAST
+    window: per tumbling event-time hour, the error-budget burn in
+    exact integer milli-burn, maintained live — the pager looks at
+    this stream, not at a nightly batch. State per key = one hourly
+    row inside the watermark horizon.
+
+    The SLOW (rolling multi-hour) window deliberately stays
+    batch-side: a window over a streaming aggregate is a second
+    stateful stage Spark disallows in one query, and the SRE recipe
+    reads the slow window from the serving store anyway (the batch
+    ``slo_burn_rate`` over the sink IS that reader). Bounded replay
+    equals the batch fast-window columns bit-for-bit.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr(f"CAST(event_type = '{error_type}' AS BIGINT)")
+            ).cast("bigint").alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "n_errors",
+            F.expr(
+                "CAST((1000000 * n_errors) DIV n_events AS BIGINT)"
+            ).alias("err_ppm"),
+            F.expr(
+                "CAST((1000000000 * n_errors) DIV "
+                f"(n_events * {slo_error_ppm}) AS BIGINT)"
+            ).alias("burn_fast_milli"),
+        )
+    )
