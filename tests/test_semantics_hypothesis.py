@@ -394,3 +394,91 @@ def test_vocab_coverage_matches_bruteforce(spark, tokens):
         assert (out[k].covered_types, out[k].covered_mass,
                 out[k].mass_ppm) == (types, mass,
                                      mass * 1000000 // total), k
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(_word, min_size=3, max_size=10),
+        min_size=2, max_size=8,
+    )
+)
+def test_prefix_filter_jaccard_matches_bruteforce(spark, corpora):
+    """The collapsed/PPJoin-filtered pipeline must emit EXACTLY the
+    brute-force qualifying pairs for arbitrary token-set corpora."""
+    from fractions import Fraction
+
+    from data_pipeline_rsna_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r.doc_a, r.doc_b): r.overlap
+        for r in dd.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+    sets = {i: set(ws) for i, ws in enumerate(corpora)}
+    tf = Fraction(6, 10)
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            o = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if o * tf.denominator >= tf.numerator * u:
+                want[(a, b)] = o
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(_word, min_size=3, max_size=9),
+        min_size=2, max_size=6,
+    )
+)
+def test_tfidf_cosine_pairs_matches_bruteforce(spark, corpora):
+    """Prefix-filtered tf-idf cosine (unigram terms) must equal the
+    brute-force integer-weight rederivation: same pairs, same ppm."""
+    import math
+    from collections import Counter
+
+    from data_pipeline_rsna_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cosine_ppm
+        for r in dd.tfidf_cosine_pairs(
+            docs, threshold_num=1, threshold_den=2, shingle_n=None
+        ).collect()
+    }
+    tf = {i: Counter(ws) for i, ws in enumerate(corpora)}
+    df = Counter(w for c in tf.values() for w in c)
+    n = len(corpora)
+    lnn = round(math.log(n) * 1000)
+    w = {
+        i: {
+            t_: c * (lnn - round(math.log(df[t_]) * 1000))
+            for t_, c in cnt.items()
+            if c * (lnn - round(math.log(df[t_]) * 1000)) > 0
+        }
+        for i, cnt in tf.items()
+    }
+    n2 = {i: sum(x * x for x in ws_.values()) for i, ws_ in w.items()}
+    want = {}
+    for a in w:
+        for b in w:
+            if a >= b or not n2.get(a) or not n2.get(b):
+                continue
+            dot = sum(w[a][t_] * w[b][t_] for t_ in w[a] if t_ in w[b])
+            if 4 * dot * dot >= 1 * n2[a] * n2[b] and dot > 0:
+                want[(a, b)] = math.floor(
+                    1_000_000 * dot
+                    / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+                )
+    assert got == want
