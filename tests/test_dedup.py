@@ -552,3 +552,32 @@ def test_tfidf_cosine_pairs_partition_invariant(spark):
     b = sorted(map(tuple, dedup.tfidf_cosine_pairs(
         docs.repartition(7), 3, 4, shingle_n=3).collect()))
     assert a == b and len(a) > 0
+
+
+def test_prefix_filter_identical_set_collapse(spark):
+    """Three docs with the SAME token set (different order/multiplicity)
+    plus one overlapping doc: the collapse path must emit all C(3,2)
+    within-class pairs at Jaccard exactly 1 and verify the cross pair
+    once — the output-optimal contract."""
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox lazy dog"),
+            (5, "dog lazy fox red red"),   # same SET as 1
+            (9, "fox red dog lazy"),       # same SET as 1
+            (3, "red fox lazy dog extra"),  # J = 4/5 with the class
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.overlap, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, threshold=0.75
+        ).collect()
+    }
+    # within-class: (1,5), (1,9), (5,9) at overlap 4, jaccard 1.0
+    for pair in [(1, 5), (1, 9), (5, 9)]:
+        assert out[pair] == (4, 1.0), pair
+    # cross pairs: doc 3 vs every class member, verified once, J=0.8
+    for pair in [(1, 3), (3, 5), (3, 9)]:
+        assert out[pair] == (4, 0.8), pair
+    assert len(out) == 6
