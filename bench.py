@@ -116,7 +116,10 @@ def main() -> None:
     # OFF: scan+decode is honest proportional work there (and a blanket
     # table cache is exactly what SCALING.md says never to do at real
     # scale). BENCH_TABLE_CACHE=0 disables for A/B measurement.
-    if small_sf and os.environ.get("BENCH_TABLE_CACHE", "1") != "0":
+    table_cache = bool(
+        small_sf and os.environ.get("BENCH_TABLE_CACHE", "1") != "0"
+    )
+    if table_cache:
         from data_pipeline_rsna_spark import tables as _tables
 
         for _t in _tables.TABLE_NAMES:
@@ -184,6 +187,12 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "floor_s": floor_s,
                 "load_avg": load_avg,
+                # protocol flag: True = star tables persisted in memory
+                # during warmup (warm-cache protocol, sf<=0.25 default
+                # since round 6). Cross-round comparisons must compare
+                # like with like; BENCH_TABLE_CACHE=0 reproduces the
+                # pre-round-6 parquet-scan protocol.
+                "table_cache": table_cache,
             }
         )
     )

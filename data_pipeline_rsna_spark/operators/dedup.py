@@ -30,6 +30,8 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import lineage_cut
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling (shared with textanalysis)
 # ---------------------------------------------------------------------------
@@ -368,7 +370,7 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
             / F.pow(F.lit(2.0), F.col("blk") * block_bits).cast("long")
         ).cast("long")
         % (1 << block_bits),
-    ).localCheckpoint(
+    ).transform(lineage_cut, 
         eager=True
     )  # self-join below would otherwise recompute the signature; local
     # checkpoint (not persist) so the blocks free when the result drops
@@ -413,7 +415,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # storage for the whole session (no caller can unpersist a lazy
     # result), while checkpoint blocks are freed by the ContextCleaner
     # as soon as the returned DataFrame is dropped.
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).transform(lineage_cut, 
         eager=True
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -469,7 +471,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -485,7 +487,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                     F.col("component"), F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
         changed = (
             new_labels.alias("n")
@@ -767,7 +769,7 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     (doc_small, doc_big, shared, containment)."""
     # localCheckpoint, not persist — see ngram_jaccard_pairs for why
     # (cache lifetime bounded by the result, not the session).
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).transform(lineage_cut, 
         eager=True
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -879,7 +881,7 @@ def prefix_filter_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
         .withColumn("_g", F.expr("_ids[0]"))
         .withColumn("_sz", F.size("_ws").cast("bigint"))
-        .localCheckpoint(eager=True)  # consumed by 4 branches below
+        .transform(lineage_cut, eager=True)  # consumed by 4 branches below
     )
     # within-group pairs: every member pair of a duplicate-set class is
     # Jaccard 1 by construction — pure narrow combination expansion
@@ -1088,7 +1090,7 @@ def tfidf_cosine_pairs(
         # both candidate sides, both verify sides); without truncating
         # lineage each one re-runs the shingle explode + two shuffles
         # (measured 25 s -> 7 s at sf0.1)
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     norms = post.groupBy("_d").agg(
         F.sum(F.expr("CAST(_w AS DECIMAL(38,0)) * _w")).alias("_n2")
@@ -1138,7 +1140,7 @@ def tfidf_cosine_pairs(
             f"_total - _cum_prev >= {t} - {eps} AND "
             f"1.0 - _cumsq_prev >= {t * t} - {eps}"
         )
-    ).select("_d", "_term").localCheckpoint(eager=True)
+    ).select("_d", "_term").transform(lineage_cut, eager=True)
     ia = indexed.selectExpr("_d AS doc_a", "_term")
     ib = indexed.selectExpr("_d AS doc_b", "_term")
     cand = (

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import lineage_cut
+
 EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
 
 
@@ -701,7 +703,7 @@ def late_arrival_audit(
         proj.repartitionByRange(int(n), *arr)
         .sortWithinPartitions(*arr)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     local_w = (
         Window.partitionBy("_pid")
@@ -771,6 +773,13 @@ def slo_burn_rate(
     windows rule — never over raw events; the raw pass is one
     map-side-combined groupBy(hour).
 
+    The slow window is a RANGE frame over window_start seconds
+    (round-7 fix): a ROWS frame over the rollup spans arbitrarily more
+    wall-clock hours across quiet periods with no events, inflating
+    burn_slow vs the SRE recipe's calendar window. Hours with zero
+    events carry zero errors AND zero budget consumption, so skipping
+    them (rather than densifying) matches the recipe exactly.
+
     Returns per hour: n_events, n_errors, err_ppm, burn_fast_milli,
     burn_slow_milli, page (both windows ≥ the 14.4×/6× SRE thresholds).
     """
@@ -786,7 +795,7 @@ def slo_burn_rate(
     )
     w = (
         Window.orderBy("window_start")
-        .rowsBetween(-(slow_window_hours - 1), Window.currentRow)
+        .rangeBetween(-(slow_window_hours - 1) * 3600, Window.currentRow)
     )
     return (
         hourly.withColumn("_n_slow", F.sum("n_events").over(w))

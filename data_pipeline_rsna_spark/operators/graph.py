@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import lineage_cut
+
 RANK_UNIT = 1_000_000
 
 
@@ -66,7 +68,7 @@ def pagerank_integer(
                 + F.expr(f"{damping_millis} * sum(_c) DIV 1000")
             ).alias("rank")
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(lineage_cut, eager=False)
     ed.unpersist()
     return ranks
 
@@ -126,7 +128,7 @@ def bfs_hops(
     visited = (
         sources.select(F.col("node")).distinct()
         .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
@@ -138,11 +140,11 @@ def bfs_hops(
         new = (
             nbrs.join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut, eager=True)
         )
         if new.rdd.isEmpty():
             break
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).transform(lineage_cut, eager=True)
         frontier = new.select("node")
     return visited
 
@@ -286,14 +288,14 @@ def kcore_vertices(
         edges.select(F.col(src).alias("v"))
         .union(edges.select(F.col(dst).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     # The edge list is reused every round — checkpoint it once so each
     # round's scan starts from materialized blocks, not the upstream
     # plan (on a cluster: .persist() + a real checkpoint dir).
     ed = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     n_prev = surv.count()
     deg = None
     for _ in range(iterations):
@@ -303,7 +305,7 @@ def kcore_vertices(
             .groupBy("_s")
             .agg(F.count("*").alias("core_degree"))
             .where(F.col("core_degree") >= k)
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
         surv = deg.select(F.col("_s").alias("v"))
         # Monotone early stop: the survivor set only ever SHRINKS, so an
@@ -349,7 +351,7 @@ def jaccard_link_prediction(
         # four consumers (degrees, both wedge sides, the anti-join);
         # without truncating lineage each re-derives the upstream edge
         # construction — 42 static exchanges collapse to the real ~6
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     deg = und.groupBy("_u").agg(
         F.count(F.lit(1)).cast("bigint").alias("_deg")
@@ -409,7 +411,7 @@ def hits_scores(
     """
     edges = pairs.selectExpr(
         f"`{hub_col}` AS _c", f"`{auth_col}` AS _s"
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(lineage_cut, eager=True)
     hubs = edges.select("_c").distinct().selectExpr(
         "_c AS node", "CAST(1000000 AS BIGINT) AS score"
     )
@@ -429,12 +431,12 @@ def hits_scores(
             edges.join(hubs.selectExpr("node AS _c", "score"), "_c")
             .groupBy(F.col("_s").alias("node"))
             .agg(F.sum("score").cast("bigint").alias("raw"))
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut, eager=False)
         hubs = _normalize(
             edges.join(auth.selectExpr("node AS _s", "score"), "_s")
             .groupBy(F.col("_c").alias("node"))
             .agg(F.sum("score").cast("bigint").alias("raw"))
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut, eager=False)
     return hubs.selectExpr(
         "'hub' AS role", "node", "score AS score_micro"
     ).unionByName(

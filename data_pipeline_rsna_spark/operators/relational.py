@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import lineage_cut
+
 # ---------------------------------------------------------------------------
 # O9 — deterministic train/val split
 # ---------------------------------------------------------------------------
@@ -62,7 +64,7 @@ def _ranked_by_mid(
         df.repartitionByRange(n, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     return (
         part.withColumn(
@@ -746,7 +748,7 @@ def grouped_running_sums(
         df.repartitionByRange(int(n), F.col(key), F.col(order_col))
         .sortWithinPartitions(key, order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     local_w = (
         Window.partitionBy("_pid", key)
@@ -1013,7 +1015,7 @@ def global_running_max_desc(
         df.repartitionByRange(int(n), F.col(order_col).desc())
         .sortWithinPartitions(F.col(order_col).desc())
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     local_w = (
         Window.partitionBy("_pid")

@@ -1225,6 +1225,16 @@ def centroid_drift(
     is an exact decimal(38,0); only the display column
     (l2_micro = 1e6·√num/(n₁·n₂·1e6)) touches floats.
 
+    EXACTNESS CEILING (round-7 correction): the squared cross-product
+    term bounds to 4·(n₁·n₂·qmax)², qmax = 1e6·max|component|, so
+    decimal(38,0) holds only while n₁·n₂·qmax ≤ ~1.5e18 — about
+    2×10⁶ unit-norm vectors PER LABEL per side (ANSI mode raises on
+    overflow; non-ANSI NULLs the row — neither is silent data).
+    Per-label side counts beyond that need either coarser quantization
+    (qmax/k buys k× rows: 1e4 units → 2×10⁸ vectors/label/side) or
+    the float path; the per-LABEL split means the ceiling is on class
+    size, not corpus size.
+
     Shape: one posexplode to (label, dim, side) primitive rows, one
     map-side-combined groupBy — the shuffle carries #labels × d × 2
     accumulator rows per task regardless of corpus size; the final

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import lineage_cut
+
 from .relational import grouped_running_sum
 
 # Truncated-Poisson(1) CDF thresholds in 2^60 units (the range of a
@@ -499,7 +501,7 @@ def wasserstein_1d(
         d.repartitionByRange(int(n), F.col("cents"))
         .sortWithinPartitions("cents")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     local_w = Window.partitionBy("_pid").orderBy("cents")
     local = part.withColumn(
@@ -940,8 +942,13 @@ def cuped_adjusted_means(
     ).selectExpr(
         "CAST(n_g AS BIGINT) AS n_g",
         "CAST(sx_g AS BIGINT) AS sx_g",
+        # nullif guards the degenerate case of a covariate constant
+        # across all units (var_num = 0): theta is undefined, so it —
+        # and the adjusted means downstream — surface as NULL rather
+        # than a division error (round-7 fix, mirroring the oracle and
+        # the sibling neyman_allocation / diff_in_diff guards)
         "CAST((1000000 * (n_g * sxy_g - sx_g * sy_g)) "
-        "div (n_g * sxx_g - sx_g * sx_g) AS BIGINT) AS theta_ppm",
+        "div nullif(n_g * sxx_g - sx_g * sx_g, 0) AS BIGINT) AS theta_ppm",
     )
     arms = per_unit.groupBy("arm").agg(
         F.count("*").cast("bigint").alias("n_units"),
@@ -1412,6 +1419,14 @@ def t_closeness(
     Shape: one bucket pass over the fact table (map-side combined),
     a broadcast global histogram, and a per-class prefix sum over the
     BOUNDED bucket domain (window partitioned by class, B rows each).
+
+    The prefix sums run over the DENSIFIED full bucket domain
+    0..B−1 per class (explode(sequence) on the per-class totals,
+    counts coalesced to 0): computing cum_b only over buckets the
+    class occupies understates EMD for sparse classes, and a class
+    concentrated entirely in the LAST bucket — the maximally leaking
+    one — would otherwise produce zero rows after the b < B−1 filter
+    and silently vanish from the audit (round-7 fix).
     """
     base = df.selectExpr(
         *[f"`{c}`" for c in qi_cols],
@@ -1432,22 +1447,29 @@ def t_closeness(
         F.count(F.lit(1)).cast("bigint").alias("_nb")
     )
     totals = per_b.agg(F.sum("_nb").cast("bigint").alias("_n"))
+    per_c = per_cb.groupBy(*qi_cols).agg(
+        F.sum("_ncb").cast("bigint").alias("_nc")
+    )
+    # Densify: every class × the FULL bucket domain 0..B-1, with both
+    # the class count and the global count coalesced to 0 — the
+    # cumulative CDFs must step through empty buckets too.
+    dense = per_c.select(
+        *qi_cols,
+        "_nc",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1))
+        ).alias("_b"),
+    )
     w_class = Window.partitionBy(*qi_cols).orderBy("_b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     joined = (
-        per_cb.join(F.broadcast(per_b), "_b")
+        dense.join(per_cb, [*qi_cols, "_b"], "left")
+        .join(F.broadcast(per_b), "_b", "left")
+        .fillna(0, ["_ncb", "_nb"])
         .crossJoin(F.broadcast(totals))
         .withColumn("_cum_cb", F.sum("_ncb").over(w_class))
         .withColumn("_cum_b", F.sum("_nb").over(w_class))
-        .withColumn(
-            "_nc",
-            F.sum("_ncb").over(
-                Window.partitionBy(*qi_cols).rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
     )
     return (
         joined.filter(f"_b < {n_buckets - 1}")

@@ -26,6 +26,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .lineage import lineage_cut
+
 from . import tables
 from .operators import labels as labels_ops
 from .operators import relational as rel
@@ -5026,7 +5028,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # item-domain-sized (<= brands^2/2 rows): materialize once so the
         # three triangle-join branches don't each re-derive the whole
         # basket->pair pipeline (3x the heavy shuffles in the static plan).
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     return g.triangle_counts(edges)
 
@@ -10883,7 +10885,7 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.crossJoin(F.broadcast(total))
         .filter(F.col("pair_support") * 50 >= F.col("n_baskets"))
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     return g.clustering_coefficient(edges)
 
@@ -12765,7 +12767,7 @@ def q_graph_degree_assortativity(
         pair.crossJoin(F.broadcast(total))
         .filter(F.col("pair_support") * 50 >= F.col("n_baskets"))
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut, eager=True)
     )
     return g.degree_assortativity(edges)
 
@@ -13963,7 +13965,7 @@ def q_model_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(n_g AS BIGINT) AS n_g2,
                CAST(sx_g AS BIGINT) AS sx_g2,
                CAST((1000000 * (n_g * sxy_g - sx_g * sy_g))
-                    // (n_g * sxx_g - sx_g * sx_g) AS BIGINT)
+                    // nullif(n_g * sxx_g - sx_g * sx_g, 0) AS BIGINT)
                    AS theta_ppm
         FROM g
     ),
@@ -14469,10 +14471,12 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled AS (
         SELECT window_start, n_events, n_errors,
                sum(n_events) OVER (
-                   ORDER BY window_start ROWS 5 PRECEDING
+                   ORDER BY window_start
+                   RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW
                ) AS n_slow,
                sum(n_errors) OVER (
-                   ORDER BY window_start ROWS 5 PRECEDING
+                   ORDER BY window_start
+                   RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW
                ) AS e_slow
         FROM hourly
     )
@@ -14489,11 +14493,12 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="X5+ multi-window SLO error-budget burn rate (the Google SRE "
     "alerting recipe): hourly error rate as a multiple of a 1% SLO in "
-    "exact integer milli-burn, a 6h rolling slow window, and the "
-    "two-window page condition (fast >= 14.4x AND slow >= 6x) that "
-    "kills flappy alerts. The rolling window runs over the bounded "
-    "hourly rollup, never raw events; the raw pass is one map-side "
-    "combined groupBy(hour).",
+    "exact integer milli-burn, a 6h CALENDAR (RANGE-frame) slow "
+    "window, and the two-window page condition (fast >= 14.4x AND "
+    "slow >= 6x) that kills flappy alerts. The rolling window runs "
+    "over the bounded hourly rollup, never raw events; quiet hours "
+    "carry zero budget consumption so skipping them matches the SRE "
+    "recipe's wall-clock window exactly.",
     tags=("events", "scale"),
 )
 def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14879,16 +14884,29 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b, CAST(count(*) AS BIGINT) AS nb FROM bucketed GROUP BY b
     ),
     tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n FROM per_b),
+    per_c AS (
+        SELECT c_nationkey, c_mktsegment, CAST(sum(ncb) AS BIGINT) AS nc
+        FROM per_cb GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT p.c_nationkey, p.c_mktsegment, p.nc,
+               CAST(d.b AS INTEGER) AS b
+        FROM per_c p
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) d
+    ),
     cums AS (
-        SELECT c_nationkey, c_mktsegment, b, n,
-               sum(ncb) OVER (PARTITION BY c_nationkey, c_mktsegment
-                              ORDER BY b ROWS UNBOUNDED PRECEDING)
-                   AS cum_cb,
-               sum(nb) OVER (PARTITION BY c_nationkey, c_mktsegment
-                             ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_b,
-               sum(ncb) OVER (PARTITION BY c_nationkey, c_mktsegment)
-                   AS nc
-        FROM per_cb JOIN per_b USING (b) CROSS JOIN tot
+        SELECT dn.c_nationkey, dn.c_mktsegment, dn.b, t.n, dn.nc,
+               sum(COALESCE(pc.ncb, 0)) OVER (
+                   PARTITION BY dn.c_nationkey, dn.c_mktsegment
+                   ORDER BY dn.b ROWS UNBOUNDED PRECEDING) AS cum_cb,
+               sum(COALESCE(pb.nb, 0)) OVER (
+                   PARTITION BY dn.c_nationkey, dn.c_mktsegment
+                   ORDER BY dn.b ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM dense dn
+        LEFT JOIN per_cb pc ON pc.c_nationkey = dn.c_nationkey
+            AND pc.c_mktsegment = dn.c_mktsegment AND pc.b = dn.b
+        LEFT JOIN per_b pb ON pb.b = dn.b
+        CROSS JOIN tot t
     )
     SELECT c_nationkey, c_mktsegment,
            CAST(max(nc) AS BIGINT) AS class_size,
@@ -15216,7 +15234,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = t0.withColumn(
         "n_p",
         F.sum("n_pq").over(Window.partitionBy("p")).cast("bigint"),
-    ).localCheckpoint(eager=True)  # 4 iterations re-consume the matrix
+    ).transform(lineage_cut, eager=True)  # 4 iterations re-consume the matrix
     pi = t.select(F.col("p").alias("event_type")).distinct().withColumn(
         "pi", F.lit(1_000_000).cast("bigint")
     )

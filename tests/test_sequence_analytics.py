@@ -261,6 +261,31 @@ def test_slo_burn_rate_hand_computed(spark):
     assert not h6.page  # the slow window vetoes the flappy page
 
 
+def test_slo_burn_slow_window_is_calendar_hours(spark):
+    """The 6h slow window is WALL-CLOCK (RANGE frame), not 6 rollup
+    rows: an error spike 10 quiet hours before the current hour must
+    NOT leak into the slow burn (round-7 fix — a ROWS frame spanned
+    arbitrarily many calendar hours across quiet periods)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(seconds=i), "error") for i in range(10)]
+    # 10 silent hours, then a clean hour
+    rows += [(base + dt.timedelta(hours=10, seconds=i), "click")
+             for i in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    from data_pipeline_rsna_spark.operators import events as ev_ops
+
+    out = {r.window_start: r for r in ev_ops.slo_burn_rate(df).collect()}
+    h10 = out[int((base + dt.timedelta(hours=10))
+                  .replace(tzinfo=dt.timezone.utc).timestamp())]
+    # calendar window hours 5..10 contains only the clean hour
+    assert h10.burn_slow_milli == 0
+    # hour 0's own windows still see the all-error hour
+    h0 = out[int(base.replace(tzinfo=dt.timezone.utc).timestamp())]
+    assert h0.burn_slow_milli == h0.burn_fast_milli == 100_000
+
+
 def test_burstiness_fano_poisson_vs_burst(spark):
     """Uniform one-per-minute traffic -> Fano exactly 0 variance
     (fano_ppm 0); all-in-one-minute burst -> Fano = M - n/M ~ M."""

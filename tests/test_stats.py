@@ -549,3 +549,36 @@ def test_t_closeness_identical_vs_concentrated(spark):
     # skewed (nc=8): cum_cb(b0)=8 -> |8*16 - 12*8| = 32 (symmetric here)
     s = out["skewed"]
     assert int(s.emd_num) == abs(8 * 16 - 12 * 8)
+
+
+def test_t_closeness_last_bucket_class_not_dropped(spark):
+    """A class concentrated entirely in the LAST bucket — the maximally
+    leaking class the audit exists to flag — must appear in the output
+    (round-7 fix: pre-densify it produced zero per-class rows after the
+    b < B-1 filter and silently vanished)."""
+    rows = [("lo", 0.5)] * 8 + [("hi", 9.5)] * 8
+    df = spark.createDataFrame(rows, "qi string, v double")
+    out = {r.qi: r for r in st.t_closeness(df, ["qi"], "v", n_buckets=2).collect()}
+    assert set(out) == {"lo", "hi"}
+    # global: b0=8, b1=8, N=16; hi (nc=8): cum_cb(b0)=0, cum_b(b0)=8
+    assert int(out["hi"].emd_num) == abs(0 * 16 - 8 * 8)
+    assert out["hi"].t_ppm == (64 * 1_000_000) // (8 * 16 * 1)
+
+
+def test_t_closeness_sparse_class_counts_skipped_buckets(spark):
+    """EMD terms for buckets the class does NOT occupy still count —
+    the class CDF is flat there but the global CDF keeps rising
+    (round-7 fix: the join-on-occupied-buckets shape skipped them)."""
+    # buckets via (v*100 - 50) * 4 DIV 901: 0.5->0, 3.5->1, 6.5->2, 9.5->3
+    rows = (
+        [("full", 0.5), ("full", 3.5), ("full", 6.5), ("full", 9.5)]
+        + [("gap", 0.5)] * 2 + [("gap", 9.5)] * 2
+    )
+    df = spark.createDataFrame(rows, "qi string, v double")
+    out = {r.qi: r for r in st.t_closeness(df, ["qi"], "v", n_buckets=4).collect()}
+    # global: nb = [3,1,1,3], N=8; gap (nc=4): cum_cb=[2,2,2,4], cum_b=[3,4,5,8]
+    # num = |2*8-3*4| + |2*8-4*4| + |2*8-5*4| = 4 + 0 + 4 = 8
+    assert int(out["gap"].emd_num) == 8
+    assert out["gap"].t_ppm == (8 * 1_000_000) // (4 * 8 * 3)
+    # full (nc=4): cum_cb=[1,2,3], terms 4+0+4 = 8
+    assert int(out["full"].emd_num) == 8
