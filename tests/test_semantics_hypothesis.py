@@ -482,3 +482,128 @@ def test_tfidf_cosine_pairs_matches_bruteforce(spark, corpora):
                     / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
                 )
     assert got == want
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    import re
+
+    ws = re.split(r"\s+", text.lower())
+    if len(ws) < n:
+        return set()
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _minhash_sig(shingles: set[str], num_hashes: int = 12) -> list[str]:
+    """Python twin of minhash_signatures: mh_i = min over shingles of
+    an 8-hex-char slice of md5(seed || '|' || shingle), seed = i//4."""
+    import hashlib
+
+    digests = {
+        s: [
+            hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+            for seed in range((num_hashes + 3) // 4)
+        ]
+        for s in shingles
+    }
+    return [
+        min(digests[s][i // 4][8 * (i % 4):8 * (i % 4) + 8]
+            for s in shingles)
+        for i in range(num_hashes)
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(_word, min_size=3, max_size=10),
+        min_size=2, max_size=8,
+    )
+)
+def test_minhash_lsh_candidates_match_bruteforce(spark, corpora):
+    """LSH banding must emit EXACTLY the brute-force band-collision
+    pairs with exact shared-band counts — the deterministic core the
+    probabilistic S-curve recall guarantee stands on. Identical shingle
+    sets (Jaccard 1) must always collide on every band."""
+    from data_pipeline_rsna_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in dd.minhash_lsh_candidates(docs).collect()
+    }
+    num_hashes, rpb = 12, 2
+    sigs = {
+        i: _minhash_sig(sh, num_hashes)
+        for i, ws in enumerate(corpora)
+        if (sh := _shingle_set(" ".join(ws)))
+    }
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a >= b:
+                continue
+            shared = sum(
+                sigs[a][k * rpb:(k + 1) * rpb] == sigs[b][k * rpb:(k + 1) * rpb]
+                for k in range(num_hashes // rpb)
+            )
+            if shared:
+                want[(a, b)] = shared
+    assert got == want
+    # S-curve endpoint: Jaccard-1 pairs collide on ALL bands
+    for a in sigs:
+        for b in sigs:
+            if a < b and _shingle_set(" ".join(corpora[a])) == _shingle_set(
+                " ".join(corpora[b])
+            ):
+                assert want[(a, b)] == num_hashes // rpb
+
+
+def _simhash_sig(shingles: set[str]) -> int:
+    """Python twin of simhash: bit j = sign of Σ votes, vote = +1 when
+    hex digit j of md5(shingle) >= '8'."""
+    import hashlib
+
+    sig = 0
+    for j in range(32):
+        vote = sum(
+            1 if hashlib.md5(s.encode()).hexdigest()[j] >= "8" else -1
+            for s in shingles
+        )
+        if vote > 0:
+            sig |= 1 << j
+    return sig
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(_word, min_size=3, max_size=10),
+        min_size=2, max_size=8,
+    )
+)
+def test_simhash_near_pairs_match_bruteforce(spark, corpora):
+    """Pigeonhole-blocked SimHash pairs must equal brute-force all-pairs
+    popcount filtering — blocking is a cost optimization and may never
+    change the answer (completeness: distance <= h implies one of the
+    h+1 blocks agrees exactly)."""
+    from data_pipeline_rsna_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = {
+        i: _simhash_sig(sh)
+        for i, ws in enumerate(corpora)
+        if (sh := _shingle_set(" ".join(ws)))
+    }
+    want = {
+        (a, b): (sigs[a] ^ sigs[b]).bit_count()
+        for a in sigs
+        for b in sigs
+        if a < b and (sigs[a] ^ sigs[b]).bit_count() <= 3
+    }
+    assert got == want
