@@ -309,6 +309,62 @@ def codec_roundtrip(images: DataFrame) -> DataFrame:
     return images.mapInPandas(run, PIXELS_SCHEMA)
 
 
+def synth_block_images(spark: SparkSession, n: int = 150,
+                       height: int = 16, width: int = 16) -> DataFrame:
+    """n deterministic uint8 images, constant per 8x8 block:
+    value = (img_id*37 + block_id*11) % 256, block_id row-major over
+    the 8x8 grid. Purpose-built for the JPEG roundtrip gate: a
+    constant block has only a DC coefficient, and the Annex-K DC
+    quantizer at the default quality reconstructs it to < 0.5 gray
+    levels — so even the LOSSY codec roundtrips these bit-exactly and
+    the oracle stays a closed form."""
+    bx = width // 8
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["id"].to_numpy():
+                yy, xx = np.mgrid[0:height, 0:width]
+                blk = (yy // 8) * bx + (xx // 8)
+                px = ((int(img_id) * 37 + blk * 11) % 256).astype(np.uint8)
+                rows.append(
+                    (int(img_id), px.tobytes(), "uint8", height, width)
+                )
+            yield pd.DataFrame(
+                rows, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return spark.range(n).mapInPandas(gen, PIXELS_SCHEMA)
+
+
+def jpeg_roundtrip(images: DataFrame) -> DataFrame:
+    """Pixels → JPEG-Baseline DICOM encode → decode → pixels, all
+    inside the Arrow batch: exercises the from-scratch T.81 codec
+    (functions/jpeg.py) through the encapsulated-PixelData wrapper
+    (transfer syntax 1.2.840.10008.1.2.4.50) under the differential
+    gate. Lossy in general — callers feed block-constant synth images
+    (``synth_block_images``) when they need bit-exact recovery."""
+    from ..functions import codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                back = C.decode_dicom_gray(C.encode_dicom_jpeg(arr))
+                out.append(
+                    (r.img_id, back.tobytes(), str(back.dtype),
+                     back.shape[0], back.shape[1])
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # resize (explicit-target variant of the zoom kernel)
 # ---------------------------------------------------------------------------

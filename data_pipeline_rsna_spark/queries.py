@@ -15279,3 +15279,39 @@ def q_events_slo_burn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = es.read_events_stream(spark, sf_dir)
     return es.run_bounded(es.slo_burn_stream(stream))
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 37 + b.b * 11) % 256 AS v
+        FROM (SELECT unnest(generate_series(0, 149)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    )
+    SELECT img_id,
+           CAST(sum(v) * 64 AS BIGINT) AS sum_px,
+           round(sum(v) / 4.0, 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="O7+ JPEG Baseline transfer syntax executed for real: block-"
+    "constant pixels -> JPEG-Baseline DICOM encode (encapsulated "
+    "PixelData, 1.2.840.10008.1.2.4.50) -> decode -> stats, using the "
+    "from-scratch ITU T.81 codec (functions/jpeg.py: Huffman entropy "
+    "coding, Annex-K tables, numpy IDCT) inside Arrow batches. A "
+    "constant 8x8 block carries only its DC coefficient, which the "
+    "quantizer reconstructs to < 0.5 gray levels, so even the lossy "
+    "codec roundtrips this corpus bit-exactly and the oracle is the "
+    "closed-form block stats (64 px per block, 4 blocks per 16x16 "
+    "image). Closes the compressed-DICOM gap: the reference reaches "
+    "this input class through pydicom (generate_images_from_dicom.py"
+    ":44-51); the engine now decodes it with zero optional deps.",
+    tags=("multimodal", "codec"),
+)
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_block_images(spark, n=150, height=16, width=16)
+    return mm.pixel_stats(mm.jpeg_roundtrip(imgs))

@@ -236,8 +236,83 @@ def test_dicom_rle_rejects_bad_segment_count():
         C.decode_dicom_gray(bytes(blob))
 
 
-def test_jpeg_family_still_rejected_after_rle_support():
-    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.50")
-    data = b"\x00" * 128 + b"DICM" + meta
-    with pytest.raises(ValueError, match="1.2.840.10008.1.2.4.50"):
-        C.decode_dicom_gray(data)
+def test_unsupported_jpeg_syntaxes_still_rejected():
+    """Baseline (.4.50) now decodes stdlib-side; the rest of the JPEG
+    family (lossless .4.57/.4.70, JPEG-LS, JPEG 2000) still raises a
+    named error."""
+    for uid in (b"1.2.840.10008.1.2.4.57", b"1.2.840.10008.1.2.4.70",
+                b"1.2.840.10008.1.2.4.90"):
+        meta = C._elem(0x0002, 0x0010, b"UI", uid)
+        data = b"\x00" * 128 + b"DICM" + meta
+        with pytest.raises(ValueError, match=uid.decode()):
+            C.decode_dicom_gray(data)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+from data_pipeline_rsna_spark.functions import jpeg as J  # noqa: E402
+
+
+def _smooth(h=64, w=96):
+    x = np.arange(h)[:, None] + np.arange(w)[None, :]
+    return ((np.sin(x / 9.0) * 100) + 120).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_quality_tolerance():
+    img = _smooth()
+    for q, tol in ((95, 4), (90, 6), (75, 14)):
+        dec = J.decode_jpeg_baseline(J.encode_jpeg_baseline_gray(img, q))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol, q
+
+
+def test_jpeg_roundtrip_odd_dimensions():
+    img = np.linspace(0, 255, 61 * 45).reshape(61, 45).astype(np.uint8)
+    dec = J.decode_jpeg_baseline(J.encode_jpeg_baseline_gray(img, 92))
+    assert dec.shape == (61, 45)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI + RSTn resync path: every interval must decode to the same
+    image the unsegmented stream does."""
+    img = _smooth(40, 56)
+    base = J.decode_jpeg_baseline(J.encode_jpeg_baseline_gray(img, 90))
+    for ri in (1, 3, 5):
+        enc = J.encode_jpeg_baseline_gray(img, 90, restart_interval=ri)
+        assert np.array_equal(J.decode_jpeg_baseline(enc), base), ri
+
+
+def test_jpeg_block_constant_images_roundtrip_exactly():
+    """A constant 8x8 block has only a DC coefficient; the Annex-K DC
+    quantizer reconstructs it to < 0.5 gray levels — bit-exact after
+    rounding. This is the property the multimodal_jpeg_roundtrip
+    oracle stands on."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    blk = (yy // 8) * 2 + (xx // 8)
+    for img_id in (0, 7, 131):
+        img = ((img_id * 37 + blk * 11) % 256).astype(np.uint8)
+        dec = J.decode_jpeg_baseline(J.encode_jpeg_baseline_gray(img, 92))
+        assert np.array_equal(dec, img), img_id
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    img = _smooth(16, 16)
+    enc = bytearray(J.encode_jpeg_baseline_gray(img, 90))
+    sof = bytes(enc).find(b"\xFF\xC0")
+    enc[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.decode_jpeg_baseline(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg_baseline(b"\x00\x01\x02")
+
+
+def test_dicom_jpeg_wrapper_roundtrip():
+    """Part-10 JPEG-Baseline encapsulation: encode_dicom_jpeg →
+    decode_dicom_gray, dims/dtype preserved, tolerance bounded."""
+    img = _smooth(32, 48)
+    out = C.decode_dicom_gray(C.encode_dicom_jpeg(img, quality=95))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
