@@ -299,7 +299,9 @@ def q_suffix_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "three_way_lookup_join",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -310,7 +312,12 @@ def q_suffix_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="O26 per-record 3-way lookup join (images_to_tfrecord.py:242-247) "
     "generalized: fact x fact x dim x broadcast dim. Catalyst/AQE picks "
-    "broadcast for nation; the orders/customer joins shuffle on their keys.",
+    "broadcast for nation; the orders/customer joins shuffle on their "
+    "keys. Revenue is summed in exact integer 1e-4-dollar units per row "
+    "(price and discount are exact 2-decimal values) and converted to "
+    "dollars by ONE identical double division — round(sum(double), 2) "
+    "diverged between engines at sf1 when the accumulated float error "
+    "crossed a half-cent boundary (round-7 fix from the sf1 gate).",
     tags=("core", "headline"),
 )
 def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,8 +333,10 @@ def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " AS DOUBLE) / 10000.0"
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -401,7 +410,8 @@ def q_normalize_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dim_lookup_broadcast",
     oracle="""
     SELECT r.r_name AS region, count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_acctbal
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -422,7 +432,10 @@ def q_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.expr(
+                "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+                " AS DOUBLE) / 100.0"
+            ).alias("total_acctbal"),
         )
     )
 
@@ -582,42 +595,75 @@ def q_union_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pricing_summary",
     oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(qty) AS BIGINT) AS sum_qty,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(cents * (100 - disc_pct)) AS DOUBLE) / 10000.0
+               AS sum_disc_price,
+           CAST(sum(CAST(cents * (100 - disc_pct) AS HUGEINT)
+                    * (100 + tax_pct)) AS DOUBLE) / 1000000.0
+               AS sum_charge,
+           CAST((1000000 * sum(qty)) // count(*) AS BIGINT) AS avg_qty_micro,
+           CAST((10000 * sum(cents)) // count(*) AS BIGINT)
+               AS avg_price_micro,
+           CAST((10000 * sum(disc_pct)) // count(*) AS BIGINT)
+               AS avg_disc_ppm,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="X8 relational kernel: TPC-H Q1-shaped pricing summary - the "
     "groupBy/multi-agg the reference entirely lacks. Partial aggregation "
-    "(map-side combine) + 4-group output: shuffle is O(groups), not O(rows).",
+    "(map-side combine) + 4-group output: shuffle is O(groups), not "
+    "O(rows). Money aggregates are exact: per-row integer cents / "
+    "1e-4-dollar / 1e-6-dollar units (prices, discounts and taxes are "
+    "exact 2-decimal values), decimal(38,0) for the triple product, one "
+    "identical double division for display, and truncating integer "
+    "division for the averages - round(sum(double)) diverged between "
+    "engines at sf1 scale (round-7 fix from the sf1 gate).",
     tags=("core", "headline"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
-                "sum_charge"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    c = li.filter(F.col("l_shipdate") <= "1998-09-02").selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct",
+        "CAST(round(l_tax * 100) AS BIGINT) AS tax_pct",
+    )
+    return c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("CAST(sum(qty) AS BIGINT)").alias("sum_qty"),
+        F.expr("CAST(sum(cents) AS DOUBLE) / 100.0").alias(
+            "sum_base_price"
+        ),
+        F.expr(
+            "CAST(sum(cents * (100 - disc_pct)) AS DOUBLE) / 10000.0"
+        ).alias("sum_disc_price"),
+        F.expr(
+            "CAST(sum(CAST(cents * (100 - disc_pct) AS DECIMAL(38,0))"
+            " * (100 + tax_pct)) AS DOUBLE) / 1000000.0"
+        ).alias("sum_charge"),
+        F.expr(
+            "CAST((1000000 * sum(qty)) div count(*) AS BIGINT)"
+        ).alias("avg_qty_micro"),
+        F.expr(
+            "CAST((10000 * sum(cents)) div count(*) AS BIGINT)"
+        ).alias("avg_price_micro"),
+        F.expr(
+            "CAST((10000 * sum(disc_pct)) div count(*) AS BIGINT)"
+        ).alias("avg_disc_ppm"),
+        F.count("*").alias("count_order"),
     )
 
 
@@ -1887,7 +1933,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sup AS (
         SELECT l_suppkey,
                CAST(sum(l_quantity) AS BIGINT) AS total_qty,
-               CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                    AS revenue_cents
         FROM lineitem GROUP BY 1
     ),
@@ -1917,7 +1963,7 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     sup = li.groupBy("l_suppkey").agg(
         F.sum("l_quantity").cast("bigint").alias("total_qty"),
-        F.expr("CAST(round(sum(l_extendedprice) * 100) AS BIGINT)").alias(
+        F.expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").alias(
             "revenue_cents"
         ),
     )
@@ -2029,7 +2075,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ::UBIGINT % 5)::INTEGER AS fold,
            count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_price_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
     FROM orders
     GROUP BY 1
     """,
@@ -2045,7 +2091,7 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.groupBy("fold").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.expr("CAST(round(sum(o_totalprice) * 100) AS BIGINT)").alias(
+        F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
             "sum_price_cents"
         ),
     )
@@ -3392,7 +3438,8 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
            COALESCE(o_orderstatus, 'ALL') AS status,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -3407,7 +3454,10 @@ def q_cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS DOUBLE) / 100.0"
+            ).alias("total"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -3423,7 +3473,8 @@ def q_cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag AS returnflag,
            count(*) AS n,
-           round(sum(l_extendedprice), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
            min(l_quantity) AS min_qty,
            max(l_quantity) AS max_qty
     FROM lineitem
@@ -3438,13 +3489,15 @@ def q_cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "skew"),
 )
 def q_skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.load(spark, sf_dir, "lineitem").withColumn(
+        "_cents", F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    )
     out = rel.salted_aggregate(
         li,
         ["l_returnflag"],
         {
             "n": ("l_returnflag", "count"),
-            "revenue_raw": ("l_extendedprice", "sum"),
+            "revenue_cents": ("_cents", "sum"),
             "min_qty": ("l_quantity", "min"),
             "max_qty": ("l_quantity", "max"),
         },
@@ -3453,7 +3506,7 @@ def q_skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_returnflag").alias("returnflag"),
         "n",
-        F.round("revenue_raw", 2).alias("revenue"),
+        F.expr("CAST(revenue_cents AS DOUBLE) / 100.0").alias("revenue"),
         "min_qty",
         "max_qty",
     )
@@ -3496,11 +3549,13 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_returnflag AS returnflag,
            count(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_low,
            count(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_high,
-           CAST(round(sum(
-               CASE WHEN l_extendedprice < lo THEN lo
-                    WHEN l_extendedprice > hi THEN hi
-                    ELSE l_extendedprice END) * 100) AS BIGINT)
-               AS winsorized_cents
+           CAST(sum(
+               CASE WHEN l_extendedprice < lo
+                        THEN CAST(round(lo * 10000) AS BIGINT)
+                    WHEN l_extendedprice > hi
+                        THEN CAST(round(hi * 10000) AS BIGINT)
+                    ELSE CAST(round(l_extendedprice * 10000) AS BIGINT)
+               END) AS BIGINT) AS winsorized_c4
     FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
     GROUP BY 1
     """,
@@ -3526,10 +3581,13 @@ def q_winsorized_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped_high"
         ),
         F.expr(
-            "CAST(round(sum(CASE WHEN l_extendedprice < lo THEN lo "
-            "WHEN l_extendedprice > hi THEN hi "
-            "ELSE l_extendedprice END) * 100) AS BIGINT)"
-        ).alias("winsorized_cents"),
+            "CAST(sum(CASE WHEN l_extendedprice < lo "
+            "THEN CAST(round(lo * 10000) AS BIGINT) "
+            "WHEN l_extendedprice > hi "
+            "THEN CAST(round(hi * 10000) AS BIGINT) "
+            "ELSE CAST(round(l_extendedprice * 10000) AS BIGINT) "
+            "END) AS BIGINT)"
+        ).alias("winsorized_c4"),
     )
 
 
@@ -7724,7 +7782,7 @@ def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
            c_mktsegment AS mktsegment,
            count(*) AS n,
-           CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     JOIN customer ON user_id = c_custkey
     GROUP BY window_start, mktsegment
@@ -8982,7 +9040,9 @@ def q_text_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_prefilter_semi_join",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
     """,
@@ -9019,8 +9079,10 @@ def q_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verified.agg(
         F.count("*").cast("bigint").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " AS DOUBLE) / 10000.0"
         ).alias("revenue"),
     )
 
