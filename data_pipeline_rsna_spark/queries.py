@@ -39,6 +39,12 @@ class QuerySpec:
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Largest SF at which the ORACLE (not the engine) is feasible.
+    # Some oracles are deliberately brute-force so the hash match
+    # proves the engine's pruning is complete (e.g. the O(n^2) spatial
+    # argmin); beyond this SF the local gate runs the Spark side
+    # rows-only and records the cap. None = oracle scales fine.
+    oracle_scale_cap: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -49,9 +55,10 @@ def register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    oracle_scale_cap: float | None = None,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        REGISTRY[name] = QuerySpec(fn, oracle, doc, tags)
+        REGISTRY[name] = QuerySpec(fn, oracle, doc, tags, oracle_scale_cap)
         return fn
 
     return deco
@@ -6045,8 +6052,13 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "point is > cell away), brute-force broadcast fallback ONLY for "
     "the uncertifiable sliver. The oracle is the full O(n^2) argmin, "
     "so the hash match proves both the blocking completeness and the "
-    "tie-break (smallest neighbor id).",
+    "tie-break (smallest neighbor id). The oracle is DELIBERATELY "
+    "quadratic - at sf1 (150k points, 2.25e10 pairs) it needs ~900 GB "
+    "for the window materialization and OOMs, so the differential "
+    "check caps at sf0.1 (oracle_scale_cap); the engine side has no "
+    "such ceiling (grid-blocked, candidate-bound).",
     tags=("spatial",),
+    oracle_scale_cap=0.1,
 )
 def q_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import spatial

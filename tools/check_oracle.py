@@ -8,6 +8,14 @@ DuckDB over the same parquet, then compares:
      engine's own explicit rounding — queries are required to round).
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+        python tools/check_oracle.py [sf_dir] --resume-after NAME
+
+DuckDB runs under a 24 GB memory cap with no temp spill: an oracle
+whose plan is super-linear in data (e.g. the deliberately brute-force
+O(n^2) spatial argmin) fails with a recorded out-of-memory error at
+large SF instead of letting the kernel OOM-kill the whole gate (it
+did, at sf1 — 83 GB anon RSS). --resume-after skips every query up to
+and including NAME, for restarting a long run after such a failure.
 """
 
 from __future__ import annotations
@@ -22,8 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from data_pipeline_rsna_spark.queries import REGISTRY  # noqa: E402
 from data_pipeline_rsna_spark.session import get_spark  # noqa: E402
 from data_pipeline_rsna_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float | None:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return None
 
 
 def _canon_cell(v):
@@ -47,11 +64,20 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    resume_after = None
+    if "--resume-after" in args:
+        i = args.index("--resume-after")
+        resume_after = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # cap the oracle engine: a super-linear oracle plan at large SF must
+    # fail as a recorded error, never OOM-kill the gate process
+    con.execute("SET memory_limit='24GB'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -61,7 +87,12 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     n_run = 0
+    skipping = resume_after is not None
     for name, fn in qs.items():
+        if skipping:
+            if name == resume_after:
+                skipping = False
+            continue
         if only and name not in only:
             continue
         n_run += 1
@@ -73,6 +104,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        cap = REGISTRY[name].oracle_scale_cap if name in REGISTRY else None
+        sf = _sf_of(sf_dir)
+        if cap is not None and sf is not None and sf > cap:
+            print(f"ok   {name}: rows-only ({len(srows)} rows) — oracle "
+                  f"capped at sf{cap} (deliberately super-linear oracle; "
+                  f"see the query doc) ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows")
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows "
