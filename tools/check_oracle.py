@@ -76,8 +76,11 @@ def main() -> int:
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     # cap the oracle engine: a super-linear oracle plan at large SF must
-    # fail as a recorded error, never OOM-kill the gate process
+    # fail as a recorded error, never OOM-kill the gate process (it did,
+    # at sf1: 83 GB anon RSS) — and never grind for hours spilling tens
+    # of GB to .tmp either (it did that too: 66 GB of duckdb temp)
     con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory=''")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
