@@ -9120,14 +9120,32 @@ def q_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents a
         CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) s
     ),
+    ring_ranked AS (
+        SELECT doc_id, h, row_number() OVER (ORDER BY h) AS rk
+        FROM ring
+    ),
+    n AS (SELECT count(*) AS n_ring FROM ring),
+    merged AS (
+        SELECT k, is_ring, anchor_id, slot,
+               sum(is_ring) OVER (
+                   ORDER BY k, is_ring, anchor_id, slot
+                   ROWS UNBOUNDED PRECEDING) AS n_before
+        FROM (
+            SELECT h AS k, 1 AS is_ring,
+                   -1 AS anchor_id, -1 AS slot
+            FROM ring
+            UNION ALL
+            SELECT t AS k, 0 AS is_ring, anchor_id, slot FROM targets
+        )
+    ),
     looked AS (
-        SELECT anchor_id, slot,
-               COALESCE(
-                   (SELECT r.doc_id FROM ring r
-                    WHERE r.h >= targets.t ORDER BY r.h LIMIT 1),
-                   (SELECT r.doc_id FROM ring r ORDER BY r.h LIMIT 1)
-               ) AS negative_id
-        FROM targets
+        SELECT m.anchor_id, m.slot, r.doc_id AS negative_id
+        FROM merged m
+        CROSS JOIN n
+        JOIN ring_ranked r
+          ON r.rk = CASE WHEN m.n_before + 1 > n.n_ring
+                         THEN 1 ELSE m.n_before + 1 END
+        WHERE m.is_ring = 0
     )
     SELECT anchor_id, CAST(slot AS INT) AS slot, negative_id
     FROM looked
@@ -9138,6 +9156,10 @@ def q_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "= consistent-hash-ring successor of the target among all docs "
     "(ring_successor_join: prefix-bucketed partitioned window + "
     "metadata fallback map, no global sort, no per-anchor scan). "
+    "The oracle is the same successor semantics as a LINEAR "
+    "sort-merge (union ring+targets, running ring-count, rank join) - "
+    "the original per-target correlated subquery was O(n) per lookup "
+    "and filled the disk with DuckDB spill at sf1 (round-7 fix). "
     "Deterministic across runs/partitionings (resumable training "
     "epochs), uniform in expectation (md5 ring positions), O((n+nk) "
     "log) one-shuffle cost. Rare self-hits (anchor is its own "
