@@ -9494,8 +9494,14 @@ def q_exact_global_median_orderstat(
     "scale shape: block join is candidate-bound, CC rounds are "
     "O(cluster diameter) shuffle-joins over the EDGE set (|near-dup "
     "pairs|, a tiny fraction of the corpus), keeper join broadcasts "
-    "cluster sizes.",
+    "cluster sizes. The ORACLE's recursive-CTE closure enumerates "
+    "(node x reachable-label) pairs - quadratic in clique size, and "
+    "the sf1 replication turns every near-dup group into a 10x "
+    "clique, so the differential caps at sf0.1 (DuckDB spilled to "
+    "disk-full at sf1); the engine's min-label iteration is "
+    "O(edges x diameter) and ran sf1 in 80 s.",
     tags=("dedup", "similarity", "scale"),
+    oracle_scale_cap=0.1,
 )
 def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
