@@ -1222,7 +1222,8 @@ def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         "nneg",
         "auc_num2",
         F.expr(
-            "CAST((1000000 * auc_num2) DIV (2 * npos * nneg) AS BIGINT)"
+            "CAST((1000000 * CAST(auc_num2 AS DECIMAL(38,0))) DIV "
+            "(2 * CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -1474,7 +1475,8 @@ def exact_auc_by_group(
             "nneg",
             "auc_num2",
             "CASE WHEN npos > 0 AND nneg > 0 THEN "
-            "CAST((1000000 * auc_num2) DIV (2 * npos * nneg) AS BIGINT) "
+            "CAST((1000000 * CAST(auc_num2 AS DECIMAL(38,0))) DIV "
+            "(2 * CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT) "
             "END AS auc_ppm",
         )
     )

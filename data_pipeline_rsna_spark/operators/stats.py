@@ -111,7 +111,7 @@ def ks_two_sample(
             "n_b",
             "ks_num",
             F.expr(
-                "CAST(ks_num * 1000000 DIV (n_a * n_b) AS BIGINT)"
+                "CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("ks_ppm"),
         )
     )
@@ -559,7 +559,7 @@ def wasserstein_1d(
             "n_b",
             "w1_num",
             F.expr(
-                "CAST(w1_num * 1000000 DIV (n_a * n_b) AS BIGINT)"
+                "CAST(CAST(w1_num AS DECIMAL(38,0)) * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("w1_micro_cents"),
         )
     )
@@ -693,7 +693,7 @@ def ks_two_sample_by_group(
             "n_b",
             "ks_num",
             "CASE WHEN n_a > 0 AND n_b > 0 THEN "
-            "CAST(ks_num * 1000000 DIV (n_a * n_b) AS BIGINT) "
+            "CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) "
             "END AS ks_ppm",
         )
     )

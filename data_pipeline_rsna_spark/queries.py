@@ -5852,8 +5852,9 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(sum(pos) AS BIGINT) AS npos,
            CAST(sum(neg) AS BIGINT) AS nneg,
            CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS auc_num2,
-           CAST((1000000 * sum(pos * (2 * below + neg)))
-                // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_ppm
+           CAST((1000000 * CAST(sum(pos * (2 * below + neg)) AS HUGEINT))
+                // (2 * CAST(sum(pos) AS HUGEINT) * sum(neg))
+                AS BIGINT) AS auc_ppm
     FROM c
     """,
     doc="EXACT tie-aware ROC AUC via the rank-sum (Mann-Whitney) "
@@ -6239,7 +6240,7 @@ def q_inventory_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM monthly GROUP BY yr
     )
     SELECT monthly.yr, mon, m_cents,
-           CAST((1000000 * n_months * m_cents) // y_cents AS BIGINT)
+           CAST((1000000 * n_months * CAST(m_cents AS HUGEINT)) // y_cents AS BIGINT)
                AS seasonality_ppm
     FROM monthly JOIN yearly ON monthly.yr = yearly.yr
     """,
@@ -6269,7 +6270,8 @@ def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon",
         "m_cents",
         F.expr(
-            "CAST((1000000 * n_months * m_cents) DIV y_cents AS BIGINT)"
+            "CAST((1000000 * n_months * CAST(m_cents AS DECIMAL(38,0)))"
+            " DIV y_cents AS BIGINT)"
         ).alias("seasonality_ppm"),
     )
 
@@ -7136,7 +7138,7 @@ def q_nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT order_year,
            CAST(sum(target_rev) AS BIGINT) AS target_cents,
            CAST(sum(rev) AS BIGINT) AS total_cents,
-           CAST((1000000 * sum(target_rev)) // sum(rev) AS BIGINT)
+           CAST((1000000 * CAST(sum(target_rev) AS HUGEINT)) // sum(rev) AS BIGINT)
                AS share_ppm
     FROM sales GROUP BY order_year ORDER BY order_year
     """,
@@ -7197,7 +7199,8 @@ def q_market_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_year",
             "target_cents",
             "total_cents",
-            F.expr("CAST((1000000 * target_cents) DIV total_cents AS BIGINT)")
+            F.expr("CAST((1000000 * CAST(target_cents AS DECIMAL(38,0)))"
+                   " DIV total_cents AS BIGINT)")
             .alias("share_ppm"),
         )
         .orderBy("order_year")
@@ -7211,8 +7214,9 @@ def q_market_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS_SQL}
                          ELSE 0 END) AS BIGINT) AS promo_cents,
            CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS total_cents,
-           CAST((1000000 * sum(CASE WHEN p_type = 'PROMO'
-                                    THEN {_REV_CENTS_SQL} ELSE 0 END))
+           CAST((1000000 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                    THEN {_REV_CENTS_SQL} ELSE 0 END)
+                                AS HUGEINT))
                 // sum({_REV_CENTS_SQL}) AS BIGINT) AS promo_ppm
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -7251,7 +7255,8 @@ def q_promo_revenue_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ship_month",
             "promo_cents",
             "total_cents",
-            F.expr("CAST((1000000 * promo_cents) DIV total_cents AS BIGINT)")
+            F.expr("CAST((1000000 * CAST(promo_cents AS DECIMAL(38,0)))"
+                   " DIV total_cents AS BIGINT)")
             .alias("promo_ppm"),
         )
         .orderBy("ship_month")
@@ -10264,7 +10269,7 @@ def q_multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
                  CAST(max(abs(cd)) AS BIGINT) AS ks_num FROM cum)
     SELECT n_a, n_b, ks_num,
-           CAST(ks_num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+           CAST(CAST(ks_num AS HUGEINT) * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
     FROM m
     """,
     doc="X8+ exact two-sample Kolmogorov-Smirnov drift statistic "
@@ -10666,7 +10671,7 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cum WHERE gap IS NOT NULL
     )
     SELECT n_a, n_b, w1_num,
-           CAST(w1_num * 1000000 // (n_a * n_b) AS BIGINT)
+           CAST(CAST(w1_num AS HUGEINT) * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
                AS w1_micro_cents
     FROM m
     """,
@@ -11208,8 +11213,8 @@ def q_events_attribution_full_outer_streaming(
     SELECT n, sx,
            CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
            CAST(n * sx AS BIGINT) AS gini_den,
-           CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx)
-               AS BIGINT) AS gini_ppm
+           CAST((CAST(2 * six - (n + 1) * sx AS HUGEINT) * 1000000)
+                // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
     FROM s
     """,
     doc="X8+ Gini coefficient of supplier revenue concentration — the "
@@ -11247,8 +11252,11 @@ def q_market_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sx",
         "CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num",
         "CAST(n * sx AS BIGINT) AS gini_den",
-        "CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx) AS BIGINT)"
-        " AS gini_ppm",
+        # ppm in decimal(38,0): gini_num carries data-scaled cent
+        # totals, so num*1e6 passes int64 around sf0.1 (caught by the
+        # sf1 gate as an ANSI ARITHMETIC_OVERFLOW — round-7 fix)
+        "CAST((CAST(2 * six - (n + 1) * sx AS DECIMAL(38,0)) * 1000000)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT) AS gini_ppm",
     )
 
 
@@ -11712,8 +11720,10 @@ def q_events_fingerprint_streaming(
            CAST(sum(neg) AS BIGINT) AS nneg,
            CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS auc_num2,
            CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
-               CAST((1000000 * sum(pos * (2 * below + neg)))
-                    // (2 * sum(pos) * sum(neg)) AS BIGINT)
+               CAST((1000000 * CAST(sum(pos * (2 * below + neg))
+                                    AS HUGEINT))
+                    // (2 * CAST(sum(pos) AS HUGEINT) * sum(neg))
+                    AS BIGINT)
            END AS auc_ppm
     FROM c GROUP BY fold
     """,
