@@ -100,6 +100,24 @@ def main() -> int:
             continue
         n_run += 1
         t0 = time.time()
+        cap = REGISTRY[name].oracle_scale_cap if name in REGISTRY else None
+        sf = _sf_of(sf_dir)
+        if cap is not None and sf is not None and sf > cap:
+            # count(), never collect: capped queries are usually capped
+            # BECAUSE their output is data-scaled (tens of millions of
+            # pairs) — hauling that to the driver proves nothing extra
+            try:
+                n_rows = fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+                continue
+            print(f"ok   {name}: rows-only ({n_rows} rows) — oracle "
+                  f"capped at sf{cap} (super-linear oracle or output; "
+                  f"see the query doc) ({time.time()-t0:.1f}s)")
+            if n_rows == 0:
+                print(f"WARN {name}: zero rows")
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -107,15 +125,6 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
-            continue
-        cap = REGISTRY[name].oracle_scale_cap if name in REGISTRY else None
-        sf = _sf_of(sf_dir)
-        if cap is not None and sf is not None and sf > cap:
-            print(f"ok   {name}: rows-only ({len(srows)} rows) — oracle "
-                  f"capped at sf{cap} (deliberately super-linear oracle; "
-                  f"see the query doc) ({time.time()-t0:.1f}s)")
-            if len(srows) == 0:
-                print(f"WARN {name}: zero rows")
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows "
