@@ -2431,6 +2431,12 @@ _RECURSIVE_BFS_SQL = """
     tags=("graph", "sql"),
 )
 def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Path enumeration grows superlinearly with SF (the doc's central
+    # caveat); Spark 4's default 1M recursion-row limit trips at sf1
+    # (~13M path rows). Budget 100M so the demo surface runs through
+    # the measured scale step - the frontier loop with anti-join
+    # pruning (graph_bfs_hops) remains the production path.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
     for t in ("lineitem", "orders", "customer"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(f"_rec_{t}")
     return spark.sql(
