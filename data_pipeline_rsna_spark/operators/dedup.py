@@ -1040,6 +1040,18 @@ def tfidf_cosine_pairs(
     back to full postings (shuffles scale with candidates, which the
     prefix bound caps — at threshold 1−ε only genuine near-dups
     survive pruning).
+
+    OUTPUT-OPTIMAL on duplicate-heavy corpora (round 7, the
+    prefix_filter_jaccard_pairs move): identical token MULTISETS
+    collapse first (df/idf/N stay full-corpus, so weights are
+    unchanged — a duplicate's vector equals its representative's
+    exactly), the prefix index / candidate join / verification run
+    over distinct vectors only, and member pairs expand
+    arithmetically: within-class pairs are cosine 1 by construction,
+    cross-class pairs copy their representative pair's exact values.
+    Measured at sf1 (10× replication ⇒ every class ~10 members):
+    315 s → output-bound seconds for the identical 407,500-pair
+    answer.
     """
     eps = 1e-9
     t = threshold_num / threshold_den
@@ -1068,15 +1080,42 @@ def tfidf_cosine_pairs(
         )
     tf = toks.groupBy("_d", "_term").agg(
         F.count(F.lit(1)).cast("bigint").alias("_tf")
-    )
+    ).transform(lineage_cut, eager=True)  # feeds df/N AND the collapse
     dfreq = tf.groupBy("_term").agg(
         F.count(F.lit(1)).cast("bigint").alias("_df")
     )
     nd = tf.agg(
         F.countDistinct("_d").cast("bigint").alias("_n")
     ).selectExpr("CAST(round(ln(_n) * 1000) AS BIGINT) AS _ln_n_milli")
+    # identical-multiset collapse: docs whose (term, tf) multisets are
+    # equal have IDENTICAL weight vectors (df/idf/N are full-corpus),
+    # so one representative runs the pipeline and members expand at
+    # the end. \x01/\x02 separators cannot occur in whitespace tokens.
+    classes = (
+        tf.groupBy("_d")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "\x01",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                "\x02", "_term", F.col("_tf").cast("string")
+                            )
+                        )
+                    ),
+                )
+            ).alias("_ck")
+        )
+        .groupBy("_ck")
+        .agg(F.sort_array(F.collect_list("_d")).alias("_ids"))
+        .withColumn("_g", F.expr("_ids[0]"))
+        .transform(lineage_cut, eager=True)
+    )
+    reps = classes.select(F.col("_g").alias("_d"))
     post = (
-        tf.join(dfreq, "_term")
+        tf.join(reps, "_d", "left_semi")
+        .join(dfreq, "_term")
         .crossJoin(F.broadcast(nd))
         .selectExpr(
             "_d",
@@ -1164,7 +1203,7 @@ def tfidf_cosine_pairs(
     )
     na = norms.selectExpr("_d AS doc_a", "_n2 AS _n2a")
     nb = norms.selectExpr("_d AS doc_b", "_n2 AS _n2b")
-    return (
+    rep_pairs = (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(
@@ -1182,3 +1221,40 @@ def tfidf_cosine_pairs(
             "AS BIGINT) AS cosine_ppm",
         )
     )
+    # member expansion: a duplicate's vector IS its representative's,
+    # so every member pair of a verified rep pair carries the same
+    # exact cosine (doc_a < doc_b normalized per emitted pair)
+    ca = classes.select(F.col("_g").alias("doc_a"),
+                        F.col("_ids").alias("_idsa"))
+    cb = classes.select(F.col("_g").alias("doc_b"),
+                        F.col("_ids").alias("_idsb"))
+    cross = (
+        rep_pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .selectExpr(
+            "cosine_ppm",
+            "explode(flatten(transform(_idsa, x -> "
+            "transform(_idsb, y -> struct(least(x, y) AS a, "
+            "greatest(x, y) AS b))))) AS p",
+        )
+        .selectExpr("p.a AS doc_a", "p.b AS doc_b", "cosine_ppm")
+    )
+    # within-class pairs: identical vectors, cosine exactly 1 — the
+    # ppm export uses the SAME float display expression (dot = n2) so
+    # values match the uncollapsed oracle bit-for-bit; classes whose
+    # rep has no positive-weight posting (no norm row) drop, exactly
+    # as their members did pre-collapse
+    within = (
+        classes.filter(F.size("_ids") > 1)
+        .join(norms.selectExpr("_d AS _g", "_n2"), "_g")
+        .selectExpr(
+            "CAST(floor(1000000 * CAST(_n2 AS DOUBLE) / "
+            "(sqrt(CAST(_n2 AS DOUBLE)) * sqrt(CAST(_n2 AS DOUBLE)))) "
+            "AS BIGINT) AS cosine_ppm",
+            "explode(flatten(transform(sequence(0, size(_ids) - 2), "
+            "i -> transform(sequence(i + 1, size(_ids) - 1), j -> "
+            "struct(_ids[i] AS a, _ids[j] AS b))))) AS p",
+        )
+        .selectExpr("p.a AS doc_a", "p.b AS doc_b", "cosine_ppm")
+    )
+    return within.unionByName(cross)

@@ -80,7 +80,13 @@ def main() -> int:
     # at sf1: 83 GB anon RSS) — and never grind for hours spilling tens
     # of GB to .tmp either (it did that too: 66 GB of duckdb temp)
     con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory=''")
+    # spill off by default (infeasible oracle ⇒ fast error, not an
+    # hours-long disk grind); CHECK_ORACLE_SPILL=1 re-enables it for
+    # targeted reruns of oracles that legitimately need > 24 GB
+    if os.environ.get("CHECK_ORACLE_SPILL") == "1":
+        con.execute("SET temp_directory='.tmp'")
+    else:
+        con.execute("SET temp_directory=''")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
