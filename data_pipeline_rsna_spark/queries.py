@@ -648,6 +648,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
         "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct",
         "CAST(round(l_tax * 100) AS BIGINT) AS tax_pct",
+    ).selectExpr(
+        "*",
+        # shared per-row product: feeds both sum_disc_price and (via
+        # one more multiply) sum_charge
+        "cents * (100 - disc_pct) AS c4",
     )
     return c.groupBy("l_returnflag", "l_linestatus").agg(
         F.expr("CAST(sum(qty) AS BIGINT)").alias("sum_qty"),
@@ -655,10 +660,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_base_price"
         ),
         F.expr(
-            "CAST(sum(cents * (100 - disc_pct)) AS DOUBLE) / 10000.0"
+            "CAST(sum(c4) AS DOUBLE) / 10000.0"
         ).alias("sum_disc_price"),
         F.expr(
-            "CAST(sum(CAST(cents * (100 - disc_pct) AS DECIMAL(38,0))"
+            "CAST(sum(CAST(c4 AS DECIMAL(38,0))"
             " * (100 + tax_pct)) AS DOUBLE) / 1000000.0"
         ).alias("sum_charge"),
         F.expr(
