@@ -370,7 +370,7 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
             / F.pow(F.lit(2.0), F.col("blk") * block_bits).cast("long")
         ).cast("long")
         % (1 << block_bits),
-    ).transform(lineage_cut, 
+    ).transform(lineage_cut,
         eager=True
     )  # self-join below would otherwise recompute the signature; local
     # checkpoint (not persist) so the blocks free when the result drops
@@ -415,7 +415,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # storage for the whole session (no caller can unpersist a lazy
     # result), while checkpoint blocks are freed by the ContextCleaner
     # as soon as the returned DataFrame is dropped.
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n).transform(lineage_cut, 
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).transform(lineage_cut,
         eager=True
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -769,7 +769,7 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     (doc_small, doc_big, shared, containment)."""
     # localCheckpoint, not persist — see ngram_jaccard_pairs for why
     # (cache lifetime bounded by the result, not the session).
-    sh = exploded_shingles(docs, id_col, text_col, shingle_n).transform(lineage_cut, 
+    sh = exploded_shingles(docs, id_col, text_col, shingle_n).transform(lineage_cut,
         eager=True
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -834,6 +834,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_class: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs ≥ ``threshold`` via PREFIX
     FILTERING (Chaudhuri/Xiao PPJoin family) — the other classical
@@ -867,34 +868,83 @@ def prefix_filter_jaccard_pairs(
     adversary is a rare token shared by many DISTINCT sets —
     bucket-cap the posting list like the LSH mega-bucket guard if a
     corpus manufactures one.
+
+    Member expansion is DISTRIBUTED (round 8): members stay as ROWS
+    keyed by an injective class hash and every pair expansion is a
+    streamed self-join, so no task ever materializes a member array or
+    an N²/2 pair array — a boilerplate page duplicated 10⁶ times in a
+    crawl streams its pairs across the join instead of OOMing one
+    reducer (the round-7 form collected each class to ONE
+    collect_list row and exploded a flattened pair array in a single
+    task). ``max_class`` mirrors the LSH ``max_bucket`` guard: each
+    duplicate class keeps only its ``max_class`` smallest ids for
+    expansion and the output gains a ``capped`` column (true when
+    either endpoint's class overflowed) so overflow groups can be
+    routed to exact dedup instead of silently exploding. Default
+    ``None`` keeps exact semantics and the oracle-checked schema.
     """
     from pyspark.sql import Window
 
-    toks = docs.selectExpr(
+    # Injective class key for the sorted token set: md5 each token to a
+    # fixed-width 32-hex digest, join, md5. Tokens are split on \s+ so
+    # they may contain ANY non-space byte (including \x00-\x02 control
+    # chars — Java \s excludes them); hashing elements first is what
+    # makes the concatenation injective.
+    mem0 = docs.selectExpr(
         f"`{id_col}` AS _id",
-        f"array_distinct(split(lower(`{text_col}`), '\\\\s+')) AS _set",
-    )
-    # identical-set collapse: one representative per distinct set,
-    # members kept as a sorted id array for the arithmetic expansion
+        "sort_array(array_distinct(split(lower("
+        f"`{text_col}`), '\\\\s+'))) AS _ws",
+    ).withColumn(
+        "_ck", F.md5(F.expr("array_join(transform(_ws, t -> md5(t)), '')"))
+    ).transform(lineage_cut, eager=True)  # feeds members AND groups
+    ids = mem0.select("_ck", "_id")
+    if max_class is None:
+        members = ids
+    else:
+        wck = Window.partitionBy("_ck")
+        members = (
+            ids.withColumn("_rn", F.row_number().over(wck.orderBy("_id")))
+            .withColumn("_n_mem", F.count("*").over(wck))
+            .filter(F.col("_rn") <= max_class)
+            .select(
+                "_ck", "_id", (F.col("_n_mem") > max_class).alias("_cap")
+            )
+            .transform(lineage_cut, eager=True)
+        )
+    # one representative row per distinct set (_ck determines _ws, so
+    # first() is deterministic; rep = min id, always inside the capped
+    # member set because the rank keeps the smallest ids)
     groups = (
-        toks.groupBy(F.sort_array("_set").alias("_ws"))
-        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
-        .withColumn("_g", F.expr("_ids[0]"))
+        mem0.groupBy("_ck")
+        .agg(F.min("_id").alias("_g"), F.first("_ws").alias("_ws"))
         .withColumn("_sz", F.size("_ws").cast("bigint"))
         .transform(lineage_cut, eager=True)  # consumed by 4 branches below
     )
+    # (class, member, rep, set size) — the expansion side of every join
+    memr = members.join(groups.select("_ck", "_g", "_sz"), "_ck")
     # within-group pairs: every member pair of a duplicate-set class is
-    # Jaccard 1 by construction — pure narrow combination expansion
-    within = groups.filter(F.size("_ids") > 1).selectExpr(
-        "_sz",
-        "explode(flatten(transform(sequence(0, size(_ids) - 2), i -> "
-        "transform(sequence(i + 1, size(_ids) - 1), j -> "
-        "struct(_ids[i] AS a, _ids[j] AS b))))) AS p",
-    ).selectExpr(
-        "p.a AS doc_a",
-        "p.b AS doc_b",
-        "_sz AS overlap",
-        "CAST(1.0 AS DOUBLE) AS jaccard",
+    # Jaccard 1 by construction — a streamed self-join on the class key
+    # (sort-merge buffers one side's class members, output streams)
+    _wcols = ["_ck", F.col("_id").alias("doc_a"), "_sz"]
+    _wcols_b = ["_ck", F.col("_id").alias("doc_b")]
+    if max_class is not None:
+        _wcols.append(F.col("_cap").alias("_ca"))
+        _wcols_b.append(F.col("_cap").alias("_cb"))
+    within = (
+        memr.select(*_wcols)
+        .join(members.select(*_wcols_b), "_ck")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_sz").alias("overlap"),
+            F.lit(1.0).cast("double").alias("jaccard"),
+            *(
+                [(F.col("_ca") | F.col("_cb")).alias("capped")]
+                if max_class is not None
+                else []
+            ),
+        )
     )
     # prefix-filter candidate generation over DISTINCT sets only
     gtoks = groups.selectExpr("_g", "explode(_ws) AS w")
@@ -948,20 +998,18 @@ def prefix_filter_jaccard_pairs(
         F.col("_g").alias("_ga"),
         F.col("_ws").alias("_wsa"),
         F.col("_sz").alias("_sza"),
-        F.col("_ids").alias("_idsa"),
     )
     sb = groups.select(
         F.col("_g").alias("_gb"),
         F.col("_ws").alias("_wsb"),
         F.col("_sz").alias("_szb"),
-        F.col("_ids").alias("_idsb"),
     )
     # The threshold as an exact rational (0.95 -> 19/20): str() recovers
     # the decimal the caller wrote, so the integer filter below tests
     # the INTENDED threshold, not the float's binary neighbor.
     _t = Fraction(str(threshold))
     _t_num, _t_den = _t.numerator, _t.denominator
-    cross = (
+    rep_pairs = (
         cand.join(sa, "_ga")
         .join(sb, "_gb")
         .withColumn(
@@ -986,16 +1034,30 @@ def prefix_filter_jaccard_pairs(
                 6,
             ),
         )
-        # verified ONCE per set pair; member pairs expand arithmetically
-        # (doc_a < doc_b normalized per emitted pair)
-        .selectExpr(
+        .select("_ga", "_gb", "overlap", "jaccard")
+    )
+    # verified ONCE per set pair; member pairs expand arithmetically via
+    # two streamed joins on the rep key — never a per-row pair array
+    # (doc_a < doc_b normalized per emitted pair)
+    _ecols_a = [F.col("_g").alias("_ga"), F.col("_id").alias("_ma")]
+    _ecols_b = [F.col("_g").alias("_gb"), F.col("_id").alias("_mb")]
+    if max_class is not None:
+        _ecols_a.append(F.col("_cap").alias("_ca"))
+        _ecols_b.append(F.col("_cap").alias("_cb"))
+    cross = (
+        rep_pairs.join(memr.select(*_ecols_a), "_ga")
+        .join(memr.select(*_ecols_b), "_gb")
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
             "overlap",
             "jaccard",
-            "explode(flatten(transform(_idsa, x -> "
-            "transform(_idsb, y -> struct(least(x, y) AS a, "
-            "greatest(x, y) AS b))))) AS p",
+            *(
+                [(F.col("_ca") | F.col("_cb")).alias("capped")]
+                if max_class is not None
+                else []
+            ),
         )
-        .selectExpr("p.a AS doc_a", "p.b AS doc_b", "overlap", "jaccard")
     )
     return within.unionByName(cross)
 
@@ -1007,6 +1069,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int | None = 3,
+    max_class: int | None = None,
 ) -> DataFrame:
     """All-pairs TF-IDF cosine similarity join (Bayardo, Ma & Srikant,
     WWW'07): every document pair with cos(tfidf_a, tfidf_b) ≥ t,
@@ -1090,27 +1153,53 @@ def tfidf_cosine_pairs(
     # identical-multiset collapse: docs whose (term, tf) multisets are
     # equal have IDENTICAL weight vectors (df/idf/N are full-corpus),
     # so one representative runs the pipeline and members expand at
-    # the end. \x01/\x02 separators cannot occur in whitespace tokens.
-    classes = (
+    # the end. The class key is INJECTIVE (round 8, ADVICE fix): each
+    # (term, tf) element is md5'd first — md5(term) is fixed-width so
+    # 'digest:tf' parses uniquely, and the element digests are
+    # fixed-width so their sorted concatenation is too. (Raw \x01/\x02
+    # separators were ambiguous: \s+-split tokens CAN contain control
+    # chars, so two different multisets could concat to one key and
+    # silently merge distinct documents.)
+    mem = (
         tf.groupBy("_d")
         .agg(
             F.md5(
-                F.concat_ws(
-                    "\x01",
+                F.array_join(
                     F.sort_array(
                         F.collect_list(
-                            F.concat_ws(
-                                "\x02", "_term", F.col("_tf").cast("string")
+                            F.md5(
+                                F.concat(
+                                    F.md5("_term"),
+                                    F.lit(":"),
+                                    F.col("_tf").cast("string"),
+                                )
                             )
                         )
                     ),
+                    "",
                 )
             ).alias("_ck")
         )
-        .groupBy("_ck")
-        .agg(F.sort_array(F.collect_list("_d")).alias("_ids"))
-        .withColumn("_g", F.expr("_ids[0]"))
-        .transform(lineage_cut, eager=True)
+        .transform(lineage_cut, eager=True)  # feeds members AND classes
+    )
+    if max_class is None:
+        members = mem
+    else:
+        wck = Window.partitionBy("_ck")
+        members = (
+            mem.withColumn("_rn", F.row_number().over(wck.orderBy("_d")))
+            .withColumn("_n_mem", F.count("*").over(wck))
+            .filter(F.col("_rn") <= max_class)
+            .select(
+                "_d", "_ck", (F.col("_n_mem") > max_class).alias("_cap")
+            )
+            .transform(lineage_cut, eager=True)
+        )
+    # rep = min id per class, always inside the capped member set
+    classes = (
+        mem.groupBy("_ck")
+        .agg(F.min("_d").alias("_g"))
+        .transform(lineage_cut, eager=True)  # reps, expansion, within
     )
     reps = classes.select(F.col("_g").alias("_d"))
     post = (
@@ -1223,38 +1312,62 @@ def tfidf_cosine_pairs(
     )
     # member expansion: a duplicate's vector IS its representative's,
     # so every member pair of a verified rep pair carries the same
-    # exact cosine (doc_a < doc_b normalized per emitted pair)
-    ca = classes.select(F.col("_g").alias("doc_a"),
-                        F.col("_ids").alias("_idsa"))
-    cb = classes.select(F.col("_g").alias("doc_b"),
-                        F.col("_ids").alias("_idsb"))
+    # exact cosine. DISTRIBUTED (round 8): members stay rows and the
+    # expansion is two streamed joins on the rep key — never a per-row
+    # pair array (doc_a < doc_b normalized per emitted pair).
+    memr = members.join(classes, "_ck")  # (_d, _ck[, _cap], _g)
+    _ecols_a = [F.col("_g").alias("doc_a"), F.col("_d").alias("_ma")]
+    _ecols_b = [F.col("_g").alias("doc_b"), F.col("_d").alias("_mb")]
+    if max_class is not None:
+        _ecols_a.append(F.col("_cap").alias("_ca"))
+        _ecols_b.append(F.col("_cap").alias("_cb"))
     cross = (
-        rep_pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .selectExpr(
+        rep_pairs.join(memr.select(*_ecols_a), "doc_a")
+        .join(memr.select(*_ecols_b), "doc_b")
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
             "cosine_ppm",
-            "explode(flatten(transform(_idsa, x -> "
-            "transform(_idsb, y -> struct(least(x, y) AS a, "
-            "greatest(x, y) AS b))))) AS p",
+            *(
+                [(F.col("_ca") | F.col("_cb")).alias("capped")]
+                if max_class is not None
+                else []
+            ),
         )
-        .selectExpr("p.a AS doc_a", "p.b AS doc_b", "cosine_ppm")
     )
     # within-class pairs: identical vectors, cosine exactly 1 — the
     # ppm export uses the SAME float display expression (dot = n2) so
     # values match the uncollapsed oracle bit-for-bit; classes whose
     # rep has no positive-weight posting (no norm row) drop, exactly
-    # as their members did pre-collapse
+    # as their members did pre-collapse. Streamed self-join on the
+    # class key, same round-8 shape as the cross expansion.
+    cls_norm = classes.join(
+        norms.selectExpr("_d AS _g", "_n2"), "_g"
+    ).selectExpr(
+        "_ck",
+        "CAST(floor(1000000 * CAST(_n2 AS DOUBLE) / "
+        "(sqrt(CAST(_n2 AS DOUBLE)) * sqrt(CAST(_n2 AS DOUBLE)))) "
+        "AS BIGINT) AS cosine_ppm",
+    )
+    _wcols_a = ["_ck", F.col("_d").alias("doc_a")]
+    _wcols_b = ["_ck", F.col("_d").alias("doc_b")]
+    if max_class is not None:
+        _wcols_a.append(F.col("_cap").alias("_ca"))
+        _wcols_b.append(F.col("_cap").alias("_cb"))
     within = (
-        classes.filter(F.size("_ids") > 1)
-        .join(norms.selectExpr("_d AS _g", "_n2"), "_g")
-        .selectExpr(
-            "CAST(floor(1000000 * CAST(_n2 AS DOUBLE) / "
-            "(sqrt(CAST(_n2 AS DOUBLE)) * sqrt(CAST(_n2 AS DOUBLE)))) "
-            "AS BIGINT) AS cosine_ppm",
-            "explode(flatten(transform(sequence(0, size(_ids) - 2), "
-            "i -> transform(sequence(i + 1, size(_ids) - 1), j -> "
-            "struct(_ids[i] AS a, _ids[j] AS b))))) AS p",
+        members.select(*_wcols_a)
+        .join(members.select(*_wcols_b), "_ck")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cls_norm, "_ck")
+        .select(
+            "doc_a",
+            "doc_b",
+            "cosine_ppm",
+            *(
+                [(F.col("_ca") | F.col("_cb")).alias("capped")]
+                if max_class is not None
+                else []
+            ),
         )
-        .selectExpr("p.a AS doc_a", "p.b AS doc_b", "cosine_ppm")
     )
     return within.unionByName(cross)

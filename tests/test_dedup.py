@@ -581,3 +581,111 @@ def test_prefix_filter_identical_set_collapse(spark):
     for pair in [(1, 3), (3, 5), (3, 9)]:
         assert out[pair] == (4, 0.8), pair
     assert len(out) == 6
+
+
+def test_pair_expansion_distributed_no_pair_array(spark):
+    """Round-8 scale contract (VERDICT r7 #1): member-pair expansion is a
+    streamed self-join, never a per-row pair array — the physical plan of
+    both pair operators must contain NO `flatten` (the old form exploded
+    a flattened N²/2 struct array built inside ONE task, an OOM cliff on
+    a mega-duplicate class)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)]
+        + [(50, "alpha beta gamma zeta")],
+        "doc_id long, text string",
+    )
+    for out in (
+        dedup.prefix_filter_jaccard_pairs(docs, threshold=0.6),
+        dedup.tfidf_cosine_pairs(docs, 4, 5, shingle_n=None),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "flatten" not in plan
+
+
+def test_prefix_filter_max_class_caps_mega_duplicate_class(spark):
+    """A planted 10^4-member duplicate class with max_class=32: only the
+    32 smallest ids expand (C(32,2) within pairs + 32 cross pairs), every
+    emitted pair carries capped=True, and the representative (min id) is
+    always inside the kept set."""
+    n = 10_000
+    rows = [(i, "alpha beta gamma delta") for i in range(n)] + [
+        (n, "alpha beta gamma zeta")  # J = 3/5 with the class
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.prefix_filter_jaccard_pairs(
+        docs, threshold=0.6, max_class=32
+    ).collect()
+    within = [r for r in out if r.jaccard == 1.0]
+    cross = [r for r in out if r.jaccard != 1.0]
+    assert len(within) == 32 * 31 // 2
+    assert {r.doc_a for r in within} | {r.doc_b for r in within} == set(
+        range(32)
+    )
+    assert all(r.capped for r in within)
+    # cross side: 32 kept members x the singleton doc; the singleton's
+    # class did not overflow but the mega class did -> capped=True
+    assert len(cross) == 32 and all(r.capped for r in cross)
+    assert all(r.doc_b == n for r in cross)
+
+
+def test_max_class_large_enough_matches_uncapped(spark):
+    """max_class >= every class size must reproduce the uncapped output
+    exactly, with capped=False everywhere (both operators)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox lazy dog"),
+            (5, "dog lazy fox red red"),
+            (9, "fox red dog lazy"),
+            (3, "red fox lazy dog extra"),
+            (7, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(
+        (r.doc_a, r.doc_b, r.overlap, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(docs, 0.75).collect()
+    )
+    capped = dedup.prefix_filter_jaccard_pairs(
+        docs, 0.75, max_class=1000
+    ).collect()
+    assert sorted((r.doc_a, r.doc_b, r.overlap, r.jaccard) for r in capped) == base
+    assert not any(r.capped for r in capped)
+    base_t = sorted(
+        (r.doc_a, r.doc_b, r.cosine_ppm)
+        for r in dedup.tfidf_cosine_pairs(docs, 4, 5, shingle_n=None).collect()
+    )
+    capped_t = dedup.tfidf_cosine_pairs(
+        docs, 4, 5, shingle_n=None, max_class=1000
+    ).collect()
+    assert sorted((r.doc_a, r.doc_b, r.cosine_ppm) for r in capped_t) == base_t
+    assert not any(r.capped for r in capped_t)
+
+
+def test_tfidf_max_class_caps_mega_class(spark):
+    """tfidf twin of the mega-class cap: 10^3-member class, max_class=16
+    -> C(16,2) within pairs, all capped."""
+    rows = [(i, "red fox lazy dog") for i in range(1000)] + [
+        (1000, "blue whale swims deep")  # keeps df < N so idf > 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.tfidf_cosine_pairs(
+        docs, 4, 5, shingle_n=None, max_class=16
+    ).collect()
+    assert len(out) == 16 * 15 // 2
+    assert all(r.capped and r.cosine_ppm == 1_000_000 for r in out)
+
+
+def test_tfidf_collapse_key_injective_on_control_char_tokens(spark):
+    """ADVICE r7 (medium): tokens may legally contain \\x01/\\x02 (Java
+    \\s excludes control chars), so the collapse key must not merge
+    distinct term multisets whose raw concatenations collide. Doc 1's
+    single token 'a\\x021\\x01b' must NOT collapse with doc 2's tokens
+    {a, b} (tf 1 each) — under the old key both concatenated to the same
+    pre-md5 string."""
+    docs = spark.createDataFrame(
+        [(1, "a\x021\x01b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = dedup.tfidf_cosine_pairs(docs, 1, 100, shingle_n=None).collect()
+    # threshold 0.01: any within-class pair (cosine 1) would surface;
+    # distinct docs share no term, so cosine undefined/0 -> no pair
+    assert out == []
