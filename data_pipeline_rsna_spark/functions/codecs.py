@@ -313,6 +313,14 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
         raise ValueError(f"BitsAllocated={bits} unsupported")
     if encap_frags is not None:
         if ts == _JPEG_BASELINE_SYNTAX:
+            # Baseline Process 1 is 8-bit only (T.81 SOF0 precision 8);
+            # a 16-bit BitsAllocated here is inconsistent metadata —
+            # reject it rather than silently upcasting 0..255 values
+            if bits != 8:
+                raise ValueError(
+                    f"JPEG Baseline DICOM declares BitsAllocated={bits}; "
+                    "baseline Process 1 is 8-bit only"
+                )
             # one frame, possibly split over several fragments
             arr = jpeg.decode_jpeg_baseline(b"".join(encap_frags))
             if arr.ndim != 2:

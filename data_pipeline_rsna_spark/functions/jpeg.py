@@ -148,8 +148,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG (entropy data ends early)")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG (entropy data ends early)")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -182,8 +186,14 @@ class _BitReader:
         self.marker = None
         d = self.data
         p = self.pos
-        while d[p] != 0xFF or d[p + 1] == 0x00:
+        n = len(d)
+        while p + 1 < n and (d[p] != 0xFF or d[p + 1] == 0x00):
             p += 1
+        # T.81 B.1.1.2: fill bytes — repeated 0xFF collapse to one marker
+        while p + 1 < n and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= n:
+            raise ValueError("truncated JPEG (no restart marker found)")
         self.pos = p + 2
         return d[p + 1]
 
@@ -218,6 +228,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker; collapse them so the id byte is never read as a length
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:
@@ -225,8 +239,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         if marker == 0xD9:
             break
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
-        seg = data[pos + 2:pos + seglen]
         body_end = pos + seglen
+        if body_end > n:
+            raise ValueError("truncated JPEG (segment extends past end)")
+        seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):

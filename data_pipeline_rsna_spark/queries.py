@@ -2438,17 +2438,20 @@ _RECURSIVE_BFS_SQL = """
 def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Path enumeration grows superlinearly with SF (the doc's central
     # caveat); Spark 4's default 1M recursion-row limit trips at sf1
-    # (~13M path rows). Budget 100M so the demo surface runs through
-    # the measured scale step - the frontier loop with anti-join
-    # pruning (graph_bfs_hops) remains the production path.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
-    for t in ("lineitem", "orders", "customer"):
-        tables.load(spark, sf_dir, t).createOrReplaceTempView(f"_rec_{t}")
-    return spark.sql(
+    # (~13M path rows). Budget 100M — but ONLY for this query: the
+    # raised limit is a weakened runaway-recursion guard, so it must
+    # not leak into every subsequently built query on the shared
+    # session (ADVICE r7). newSession() shares the SparkContext and
+    # cache but has an ISOLATED SQLConf; parquet.`path` table refs
+    # avoid temp views, which would land in whichever session built
+    # the cached DataFrame.
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
+    return sub.sql(
         _RECURSIVE_BFS_SQL.format(
-            lineitem="_rec_lineitem",
-            orders="_rec_orders",
-            customer="_rec_customer",
+            lineitem=f"parquet.`{sf_dir}/lineitem.parquet`",
+            orders=f"parquet.`{sf_dir}/orders.parquet`",
+            customer=f"parquet.`{sf_dir}/customer.parquet`",
         )
     )
 

@@ -316,3 +316,57 @@ def test_dicom_jpeg_wrapper_roundtrip():
     out = C.decode_dicom_gray(C.encode_dicom_jpeg(img, quality=95))
     assert out.shape == img.shape and out.dtype == np.uint8
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker. Inject fill bytes before SOF/DHT/SOS and between the entropy
+    segment's RST markers; decode must be unchanged (ADVICE r7)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    enc = J.encode_jpeg_baseline_gray(img, 90, restart_interval=2)
+    base = J.decode_jpeg_baseline(enc)
+    padded = bytearray()
+    i = 0
+    n = len(enc)
+    in_entropy = False
+    while i < n:
+        if not in_entropy and enc[i] == 0xFF and i + 1 < n and enc[i + 1] != 0x00:
+            padded += b"\xFF\xFF"  # two fill bytes before every marker
+            if enc[i + 1] == 0xDA:
+                in_entropy = True
+        elif in_entropy and enc[i] == 0xFF and i + 1 < n and 0xD0 <= enc[i + 1] <= 0xD7:
+            padded += b"\xFF"  # fill before a restart marker
+        padded.append(enc[i])
+        i += 1
+    # the leading SOI check reads data[:2] — keep SOI unpadded
+    assert padded[:4] == b"\xFF\xFF\xFF\xD8"
+    fixed = b"\xFF\xD8" + bytes(padded[4:])
+    assert np.array_equal(J.decode_jpeg_baseline(fixed), base)
+
+
+def test_jpeg_truncated_streams_raise_valueerror_not_indexerror():
+    """Truncation anywhere in the entropy segment must surface as
+    ValueError('truncated JPEG ...'), never IndexError (ADVICE r7)."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    for ri in (0, 2):
+        enc = J.encode_jpeg_baseline_gray(img, 90, restart_interval=ri)
+        for cut in (len(enc) - 3, len(enc) - 8, len(enc) // 2 + 20):
+            with pytest.raises(ValueError):
+                J.decode_jpeg_baseline(enc[:cut])
+
+
+def test_dicom_jpeg_baseline_16bit_metadata_rejected():
+    """A JPEG-Baseline DICOM declaring BitsAllocated=16 is inconsistent
+    (Process 1 is 8-bit only) and must be rejected, not upcast."""
+    img = ((np.arange(64).reshape(8, 8) * 3) % 256).astype(np.uint8)
+    blob = bytearray(C.encode_dicom_jpeg(img, quality=95))
+    # flip the BitsAllocated (0028,0100) US value from 8 to 16 in place
+    tag = struct.pack("<HH", 0x0028, 0x0100) + b"US"
+    i = blob.find(tag)
+    assert i > 0
+    assert struct.unpack("<H", blob[i + 8:i + 10])[0] == 8
+    blob[i + 8:i + 10] = struct.pack("<H", 16)
+    with pytest.raises(ValueError, match="8-bit only"):
+        C.decode_dicom_gray(bytes(blob))

@@ -679,3 +679,14 @@ def test_exact_kth_smallest_mixed_sign_extreme_domain(spark):
             df, "k", k, n_buckets=8, take_threshold=16
         )
         assert got == s[k - 1], (k, got, s[k - 1])
+
+
+def test_recursive_bfs_row_limit_does_not_leak(spark):
+    """ADVICE r7: sql_recursive_bfs raises cteRecursionRowLimit to 100M
+    for its own run; the shared session's guard must stay untouched."""
+    from data_pipeline_rsna_spark.queries import REGISTRY
+
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    df = REGISTRY["sql_recursive_bfs"].spark_fn(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
