@@ -93,9 +93,32 @@ def radius_join(points: DataFrame, radius: int) -> DataFrame:
     )
 
 
-def nearest_neighbor(points: DataFrame, cell: int) -> DataFrame:
+def auto_cell(points: DataFrame) -> int:
+    """Density-derived grid cell size: ``2 · domain_side / sqrt(n)``
+    (≈4 points per cell under uniform density — SCALING.md "Round 7"
+    #3). The sf1 differential gate showed why a FIXED cell is a scale
+    hazard: in-neighborhood fan-out grows linearly with density and
+    candidate count quadratically (290 s at sf1 with a cell tuned for
+    sf0.1 density vs seconds when the cell tracks sqrt(n)).
+
+    Cost: ONE metadata-sized aggregate (a single row: count + bounding
+    box) — the Spark analogue of reading table statistics; cost-only,
+    never correctness: ``nearest_neighbor`` certifies the exact NN at
+    any cell size."""
+    row = points.agg(
+        F.count("*").alias("n"),
+        (F.max("x") - F.min("x")).alias("dx"),
+        (F.max("y") - F.min("y")).alias("dy"),
+    ).collect()[0]
+    n = row["n"] or 1
+    side = max(row["dx"] or 0, row["dy"] or 0) or 1
+    return max(1, int(2 * side) // max(1, int(n ** 0.5)))
+
+
+def nearest_neighbor(points: DataFrame, cell: int | None = None) -> DataFrame:
     """EXACT 1-nearest-neighbor for every point: (id, nn_id, dist_sq),
-    ties broken toward the smallest neighbor id.
+    ties broken toward the smallest neighbor id. ``cell=None`` (the
+    default) derives the grid size from the data via ``auto_cell``.
 
     Two-tier plan, exact by a provable resolution bound:
 
@@ -118,6 +141,8 @@ def nearest_neighbor(points: DataFrame, cell: int) -> DataFrame:
     path is only ever taken by the rows the cheap path provably cannot
     certify.
     """
+    if cell is None:
+        cell = auto_cell(points)
     cx = F.floor(F.col("x") / cell)
     cy = F.floor(F.col("y") / cell)
     owners = points.select(

@@ -6080,15 +6080,10 @@ def q_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = tables.load(spark, sf_dir, "customer")
     pts = spatial.synth_points(cust, "c_custkey")
-    # Density-adaptive cell (~4 points per cell): with a FIXED cell the
-    # 3x3 in-neighborhood fan-out grows linearly with density and the
-    # candidate count quadratically — measured 290 s at sf1 with the
-    # old cell=4000 vs seconds when the cell tracks sqrt(n). Cost-only:
-    # the operator certifies the exact NN at any cell size. At 100 TB
-    # n comes from table statistics instead of a count() action.
-    n = cust.count()
-    cell = max(1, (2 * 100_000) // max(1, int(n ** 0.5)))
-    return spatial.nearest_neighbor(pts, cell)
+    # No manual cell: the operator derives it from the data's count +
+    # bounding box (spatial.auto_cell, ~4 points/cell) — the round-7
+    # hand-tuned sqrt(n) rule, now automatic (VERDICT r7 #5).
+    return spatial.nearest_neighbor(pts)
 
 
 # ---------------------------------------------------------------------------
@@ -8874,25 +8869,28 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.min("doc_id").alias("first_doc"))
     )
-    deciles = spark.range(1, 11).select(
-        F.col("id").cast("int").alias("decile")
-    )
-    return (
-        deciles.crossJoin(first_seen)
-        .crossJoin(F.broadcast(bound))
-        .groupBy("decile")
-        .agg(
+    # one conditional aggregate per decile in a SINGLE pass over the
+    # vocabulary table, then a 10-row unpivot — the former
+    # deciles×first_seen crossJoin expanded |vocab| 10× through a
+    # shuffle just to re-group it (VERDICT r7 #7)
+    wide = first_seen.crossJoin(F.broadcast(bound)).agg(
+        *[
             F.sum(
                 F.when(
-                    F.col("first_doc") * 10
-                    < F.col("decile") * F.col("_n_docs"),
-                    1,
+                    F.col("first_doc") * 10 < d * F.col("_n_docs"), 1
                 ).otherwise(0)
             )
             .cast("bigint")
-            .alias("vocab_size")
-        )
+            .alias(f"_v{d}")
+            for d in range(1, 11)
+        ]
     )
+    stack_expr = (
+        "stack(10, "
+        + ", ".join(f"{d}, _v{d}" for d in range(1, 11))
+        + ") AS (decile, vocab_size)"
+    )
+    return wide.selectExpr(stack_expr)
 
 
 @register(

@@ -103,3 +103,21 @@ def test_nearest_neighbor_tie_breaks_to_smaller_id(spark):
     df = spark.createDataFrame(rows, "id long, x long, y long")
     got = {r.id: r.nn_id for r in spatial.nearest_neighbor(df, 50).collect()}
     assert got[1] == 2
+
+
+def test_auto_cell_matches_brute_force_and_tracks_density(spark):
+    """cell=None derives the grid from count + bounding box and must
+    return the exact NN set; denser inputs must get smaller cells."""
+    rows_small = [(i, (i * 37) % 500, (i * 91) % 500) for i in range(40)]
+    pts_small = spark.createDataFrame(rows_small, "id long, x long, y long")
+    auto = spatial.nearest_neighbor(pts_small).collect()
+    exact = spatial.nearest_neighbor(pts_small, cell=10_000).collect()
+    key = lambda r: (r.id, r.nn_id, r.dist_sq)  # noqa: E731
+    assert sorted(map(key, auto)) == sorted(map(key, exact))
+    c_small = spatial.auto_cell(pts_small)
+    rows_dense = [
+        (i, (i * 37) % 500, (i * 91) % 500) for i in range(4000)
+    ]
+    pts_dense = spark.createDataFrame(rows_dense, "id long, x long, y long")
+    c_dense = spatial.auto_cell(pts_dense)
+    assert 1 <= c_dense < c_small
