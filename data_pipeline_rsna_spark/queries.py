@@ -3159,6 +3159,64 @@ def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfrecord_scan_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    doc="O35+ TFRecord write -> SCAN -> decode roundtrip (VERDICT r7 "
+    "#4: the read side of the one asymmetric format): documents are "
+    "encoded as tf.train.Example protos and framed into 8 CRC32C "
+    "shards by the sink, scanned back with the tfrecord Python "
+    "DataSource (one partition per shard, streamed Arrow batches, "
+    "CRCs verified), payloads decoded by the from-scratch proto "
+    "parser inside mapInPandas, and the reconstructed values are "
+    "hashed per doc. The oracle hashes the SOURCE table directly, so "
+    "any corruption in encode, framing, scan, or decode fails the "
+    "value hash.",
+    tags=("sink", "source", "multimodal"),
+)
+def q_tfrecord_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sinks import tfrecord as tfr
+    from .sources import tfrecord_source as tfs
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="tfrec_roundtrip_") + "/shards"
+    tfr.write_tfrecord_shards(
+        docs,
+        out,
+        8,
+        lambda r: {"doc_id": [r["doc_id"]], "text": [r["text"]]},
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [tfr.decode_example(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"][0] for r in rows],
+                    "text": [r["text"][0].decode("utf8") for r in rows],
+                }
+            )
+
+    return (
+        tfs.scan_tfrecords(spark, out)
+        .mapInPandas(decode, "doc_id long, text string")
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X6 extensions — session windows (batch [Q] + streaming twin) and a
 # custom stateful operator.

@@ -118,6 +118,132 @@ def encode_example(features: dict[str, list]) -> bytes:
     return _len_delim(1, entries)
 
 
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    out = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated protobuf varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("protobuf varint too long")
+
+
+def _skip_field(data: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(data, pos)
+        return pos
+    if wire == 1:
+        return pos + 8
+    if wire == 2:
+        ln, pos = _read_varint(data, pos)
+        return pos + ln
+    if wire == 5:
+        return pos + 4
+    raise ValueError(f"unsupported protobuf wire type {wire}")
+
+
+def _decode_feature(data: bytes) -> list:
+    """Inverse of ``encode_feature``: one Feature submessage → python
+    list (bytes / int / float, per the oneof arm present)."""
+    pos = 0
+    values: list = []
+    while pos < len(data):
+        tag, pos = _read_varint(data, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire != 2:
+            pos = _skip_field(data, pos, wire)
+            continue
+        ln, pos = _read_varint(data, pos)
+        body = data[pos:pos + ln]
+        if len(body) != ln:
+            raise ValueError("truncated Feature submessage")
+        pos += ln
+        i = 0
+        while i < len(body):
+            t, i = _read_varint(body, i)
+            f, w = t >> 3, t & 7
+            if field == 1 and f == 1 and w == 2:  # BytesList.value
+                vl, i = _read_varint(body, i)
+                values.append(body[i:i + vl])
+                i += vl
+            elif field == 2 and f == 1 and w == 2:  # FloatList packed
+                pl, i = _read_varint(body, i)
+                values.extend(
+                    struct.unpack(f"<{pl // 4}f", body[i:i + pl])
+                )
+                i += pl
+            elif field == 2 and f == 1 and w == 5:  # FloatList unpacked
+                values.append(struct.unpack("<f", body[i:i + 4])[0])
+                i += 4
+            elif field == 3 and f == 1 and w == 2:  # Int64List packed
+                pl, i = _read_varint(body, i)
+                end = i + pl
+                while i < end:
+                    v, i = _read_varint(body, i)
+                    # two's-complement back to signed int64
+                    values.append(v - (1 << 64) if v >= (1 << 63) else v)
+            elif field == 3 and f == 1 and w == 0:  # Int64List unpacked
+                v, i = _read_varint(body, i)
+                values.append(v - (1 << 64) if v >= (1 << 63) else v)
+            else:
+                i = _skip_field(body, i, w)
+    return values
+
+
+def decode_example(payload: bytes) -> dict[str, list]:
+    """Inverse of ``encode_example``: tf.train.Example wire bytes →
+    ``{feature_name: list}``. From-scratch varint walk (same layer as
+    the encoder above); the read side of the TFRecord interchange a
+    reference user already has on disk (images_to_tfrecord.py:228-231
+    writes these via TF; this decodes them without it)."""
+    pos = 0
+    features: dict[str, list] = {}
+    while pos < len(payload):
+        tag, pos = _read_varint(payload, pos)
+        field, wire = tag >> 3, tag & 7
+        if field != 1 or wire != 2:  # Example.features
+            pos = _skip_field(payload, pos, wire)
+            continue
+        ln, pos = _read_varint(payload, pos)
+        fmsg = payload[pos:pos + ln]
+        pos += ln
+        i = 0
+        while i < len(fmsg):
+            t, i = _read_varint(fmsg, i)
+            f, w = t >> 3, t & 7
+            if f != 1 or w != 2:  # Features.feature map entry
+                i = _skip_field(fmsg, i, w)
+                continue
+            el, i = _read_varint(fmsg, i)
+            entry = fmsg[i:i + el]
+            i += el
+            j = 0
+            name: str | None = None
+            value: list = []
+            while j < len(entry):
+                et, j = _read_varint(entry, j)
+                ef, ew = et >> 3, et & 7
+                if ef == 1 and ew == 2:  # key
+                    kl, j = _read_varint(entry, j)
+                    name = entry[j:j + kl].decode("utf8")
+                    j += kl
+                elif ef == 2 and ew == 2:  # value (Feature)
+                    vl, j = _read_varint(entry, j)
+                    value = _decode_feature(entry[j:j + vl])
+                    j += vl
+                else:
+                    j = _skip_field(entry, j, ew)
+            if name is not None:
+                features[name] = value
+    return features
+
+
 # ---------------------------------------------------------------------------
 # TFRecord framing + partition writer
 # ---------------------------------------------------------------------------
