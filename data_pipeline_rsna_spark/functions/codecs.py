@@ -158,9 +158,15 @@ _RLE_SYNTAX = "1.2.840.10008.1.2.5"
 # functions/jpeg.py (round 7 — closes VERDICT r6 "missing #1"; the
 # other JPEG-family syntaxes, lossless/2000/LS, still require pydicom)
 _JPEG_BASELINE_SYNTAX = "1.2.840.10008.1.2.4.50"
+# JPEG Lossless (T.81 process 14): .4.57 = any predictor, .4.70 =
+# first-order prediction (SV1) — the common ARCHIVAL syntaxes for
+# CR/DX; both carry SOF3 streams decode_jpeg_lossless handles.
+_JPEG_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.57"
+_JPEG_LOSSLESS_SV1_SYNTAX = "1.2.840.10008.1.2.4.70"
 _STDLIB_SYNTAXES = frozenset(
     {"1.2.840.10008.1.2", "1.2.840.10008.1.2.1", _RLE_SYNTAX,
-     _JPEG_BASELINE_SYNTAX}
+     _JPEG_BASELINE_SYNTAX, _JPEG_LOSSLESS_SYNTAX,
+     _JPEG_LOSSLESS_SV1_SYNTAX}
 )
 _ITEM_TAG = (0xFFFE, 0xE000)
 _SEQ_DELIM_TAG = (0xFFFE, 0xE0DD)
@@ -331,6 +337,23 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
                     f"JPEG frame {arr.shape} != Rows/Cols {(rows, cols)}"
                 )
             return arr.astype(dt)
+        if ts in (_JPEG_LOSSLESS_SYNTAX, _JPEG_LOSSLESS_SV1_SYNTAX):
+            arr = jpeg.decode_jpeg_lossless(b"".join(encap_frags))
+            if arr.ndim != 2:
+                raise ValueError("multi-component JPEG in monochrome "
+                                 "DICOM")
+            if arr.shape != (rows, cols):
+                raise ValueError(
+                    f"JPEG frame {arr.shape} != Rows/Cols {(rows, cols)}"
+                )
+            if arr.dtype.itemsize * 8 != bits:
+                raise ValueError(
+                    f"JPEG lossless precision {arr.dtype.itemsize * 8} "
+                    f"!= BitsAllocated {bits}"
+                )
+            # signed pixels: reinterpret the two's-complement samples
+            # (same buffer), never a value-changing astype
+            return arr.view(dt) if repr_ == 1 else arr
         return _rle_decode_frame(encap_frags[0], rows, cols, np.dtype(dt))
     arr = np.frombuffer(pixel[: rows * cols * np.dtype(dt).itemsize], dtype=dt)
     return arr.reshape(rows, cols)
@@ -544,6 +567,69 @@ def encode_dicom_jpeg(arr: np.ndarray, quality: int = 92) -> bytes:
         + _elem(0x0028, 0x0101, b"US", us(8))
         + _elem(0x0028, 0x0102, b"US", us(7))
         + _elem(0x0028, 0x0103, b"US", us(0))
+        + pixel_head
+        + encapsulated
+    )
+    return b"\x00" * 128 + b"DICM" + meta + meta_body + body
+
+
+def encode_dicom_jpeg_lossless(arr: np.ndarray) -> bytes:
+    """HxW uint8/uint16/int16 ndarray → Part-10 JPEG Lossless SV1
+    (1.2.840.10008.1.2.4.70) DICOM: the SOF3 stream from
+    ``jpeg.encode_jpeg_lossless_gray`` (predictor 1 = SV1) in
+    encapsulated PixelData. LOSSLESS — roundtrip through
+    ``decode_dicom_gray`` is asserted as exact array equality in
+    tests, unlike the baseline's tolerance band. Signed input is
+    carried as its two's-complement uint16 samples (a buffer
+    reinterpretation both ways, never a value cast). Fixture
+    counterpart of the archival CR/DX decode path (the reference gets
+    this class of input through pydicom,
+    generate_images_from_dicom.py:44-51)."""
+    if arr.ndim != 2:
+        raise ValueError("encode_dicom_jpeg_lossless expects HxW")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+        samples = arr
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+        samples = arr
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+        samples = arr.view(np.uint16)
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    frame = jpeg.encode_jpeg_lossless_gray(samples, predictor=1)
+    if len(frame) % 2:
+        frame += b"\x00"  # items carry even lengths
+    item = lambda payload: (  # noqa: E731
+        struct.pack("<HHI", _ITEM_TAG[0], _ITEM_TAG[1], len(payload))
+        + payload
+    )
+    encapsulated = (
+        item(b"")
+        + item(frame)
+        + struct.pack("<HHI", _SEQ_DELIM_TAG[0], _SEQ_DELIM_TAG[1], 0)
+    )
+    meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
+        0x0002, 0x0010, b"UI", _JPEG_LOSSLESS_SV1_SYNTAX.encode()
+    )
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    pixel_head = (
+        struct.pack("<HH", _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1])
+        + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+    )
+    body = (
+        _elem(0x0028, 0x0002, b"US", us(1))
+        + _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + _elem(_TAG_ROWS[0], _TAG_ROWS[1], b"US", us(h))
+        + _elem(_TAG_COLS[0], _TAG_COLS[1], b"US", us(w))
+        + _elem(0x0028, 0x0100, b"US", us(bits))
+        + _elem(0x0028, 0x0101, b"US", us(bits))
+        + _elem(0x0028, 0x0102, b"US", us(bits - 1))
+        + _elem(0x0028, 0x0103, b"US", us(repr_))
         + pixel_head
         + encapsulated
     )

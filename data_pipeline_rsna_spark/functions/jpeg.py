@@ -1,14 +1,16 @@
-"""Baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit) — pure
-stdlib + numpy, no third-party image library.
+"""JPEG codecs (ITU-T T.81) — pure stdlib + numpy, no third-party
+image library: Baseline Process 1 (sequential DCT, 8-bit, lossy) and
+Lossless Process 14 (SOF3 predictive, 2-16 bit, exact).
 
 Why this exists: the reference pipeline decodes whatever pydicom
 handles (``/root/reference/generate_images_from_dicom.py:44-51``),
 which includes JPEG-compressed DICOM transfer syntaxes. The engine's
 stdlib DICOM reader (``codecs.decode_dicom_gray``) covered explicit-VR
-little-endian and RLE Lossless; this module closes the single most
-common compressed syntax, JPEG Baseline Process 1
-(1.2.840.10008.1.2.4.50), so a JPEG-compressed monochrome DICOM
-decodes in-container with zero optional dependencies.
+little-endian and RLE Lossless; this module closes the most common
+compressed syntax, JPEG Baseline Process 1 (1.2.840.10008.1.2.4.50),
+AND the common archival CR/DX syntaxes, JPEG Lossless
+(1.2.840.10008.1.2.4.57 / .4.70 SV1), so compressed monochrome DICOMs
+decode in-container with zero optional dependencies.
 
 Decoder scope (the full baseline feature set):
   - multi-segment DQT / DHT, byte stuffing (FF 00), fill bytes
@@ -281,11 +283,16 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:
+            raise ValueError(
+                "JPEG SOF3 is lossless process 14; use "
+                "decode_jpeg_lossless"
+            )
+        elif marker in (0xC2, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline: progressive/"
-                "lossless/arithmetic) unsupported"
+                "hierarchical/arithmetic) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -509,6 +516,271 @@ def encode_jpeg_baseline_gray(
         + seg(0xC0, sof)
         + seg(0xC4, dht_dc)
         + seg(0xC4, dht_ac)
+        + dri
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xFF\xD9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (ITU-T T.81 process 14 — SOF3 predictive, Huffman)
+# ---------------------------------------------------------------------------
+#
+# The archival CR/DX transfer syntaxes a real RSNA-shaped corpus hits:
+# 1.2.840.10008.1.2.4.57 (Process 14) and .4.70 (Process 14,
+# first-order prediction / SV1) both carry SOF3 streams. Lossless mode
+# has no DCT, no quantization and no subsampling: each sample is
+# predicted from decoded neighbors (T.81 H.1.2.1 predictors 1-7), the
+# difference is Huffman-coded with a DC-style category + magnitude-bit
+# code (category 16 = the bitless 32768 special), and reconstruction is
+# exact modulo 2^16 — so decode must equal the source bit-for-bit,
+# which the tests assert as strict equality (stronger than the lossy
+# baseline's tolerance band).
+#
+# Same per-sample-Python performance contract as the baseline entropy
+# decoder (module docstring): parallel ACROSS images via the
+# Arrow-batched scan, pydicom/native preferred at 100 TB of compressed
+# DICOMs.
+
+# canonical 17-symbol table for diff categories 0..16: three 2-bit
+# codes then one symbol per length 3..16 (Kraft sum < 1, so the
+# all-ones max-length code stays unused as T.81 C.2 requires)
+LOSSLESS_DC_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+LOSSLESS_DC_VALS = list(range(17))
+
+
+def _predict(recon, y: int, x: int, sel: int, default: int) -> int:
+    """T.81 H.1.2.1: neighbor prediction with the first-line /
+    first-column fallbacks. ``recon`` is the per-component 2-D int
+    array being filled in raster order."""
+    if y == 0:
+        return default if x == 0 else int(recon[0, x - 1])
+    if x == 0:
+        return int(recon[y - 1, 0])
+    ra = int(recon[y, x - 1])
+    rb = int(recon[y - 1, x])
+    rc = int(recon[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"JPEG lossless predictor {sel} invalid")
+
+
+def decode_jpeg_lossless(data: bytes) -> np.ndarray:
+    """Decode a lossless (SOF3, process 14) JPEG. Returns HxW uint8
+    (precision <= 8) or uint16 (9..16); HxWxC for multi-component
+    streams (1x1 sampling only — DICOM monochrome never interleaves).
+    Supports predictors 1-7, point transform, and restart intervals
+    (predictors reset to the scan-start state after each RSTn)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    htabs: dict[int, dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None  # (prec, h, w, comps) with comps = [(cid, hs, vs)]
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body_end = pos + seglen
+        if body_end > n:
+            raise ValueError("truncated JPEG (segment extends past end)")
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xC4:  # DHT (lossless uses DC-class tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("truncated JPEG DHT")
+                if tc == 0:
+                    htabs[th] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC3:  # SOF3 — lossless sequential Huffman
+            prec = seg[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"JPEG lossless precision {prec} invalid")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "JPEG lossless with subsampling unsupported"
+                    )
+                comps.append(cid)
+            frame = (prec, h, w, comps)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} is not lossless process 14; "
+                "use decode_jpeg_baseline for SOF0/1"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF3")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td = seg[2 + 2 * c] >> 4
+                scan.append((cs, td))
+            sel = seg[1 + 2 * ns]        # Ss = predictor selection
+            pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+            return _decode_lossless_scan(
+                data, body_end, frame, scan, htabs, sel, pt,
+                restart_interval,
+            )
+        pos = body_end
+    raise ValueError("JPEG has no SOS segment")
+
+
+def _decode_lossless_scan(data, pos, frame, scan, htabs, sel, pt,
+                          restart_interval):
+    prec, h, w, comps = frame
+    if sorted(cs for cs, _ in scan) != sorted(comps):
+        raise ValueError("JPEG lossless scan/frame component mismatch")
+    default = 1 << (prec - pt - 1)
+    planes = {cs: np.zeros((h, w), dtype=np.int64) for cs, _ in scan}
+    tabs = {}
+    for cs, td in scan:
+        if td not in htabs:
+            raise ValueError(f"JPEG lossless missing DHT {td}")
+        tabs[cs] = htabs[td]
+    r = _BitReader(data, pos)
+    mcu = 0
+    fresh = {cs: True for cs, _ in scan}  # scan-start / post-restart
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                m = r.align_to_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError("expected JPEG restart marker")
+                for cs, _ in scan:
+                    fresh[cs] = True
+            for cs, _td in scan:
+                t = _decode_huff(r, tabs[cs])
+                if t == 16:  # T.81: category 16 carries no bits
+                    diff = 32768
+                elif t:
+                    diff = _extend(r.read_bits(t), t)
+                else:
+                    diff = 0
+                if fresh[cs]:
+                    pred = default
+                    fresh[cs] = False
+                else:
+                    pred = _predict(planes[cs], y, x, sel, default)
+                planes[cs][y, x] = (pred + diff) & 0xFFFF
+            mcu += 1
+    out = []
+    dt = np.uint8 if prec <= 8 else np.uint16
+    for cs in comps:
+        p = planes[cs]
+        if pt:
+            p = p << pt  # undo the point transform's downshift
+        out.append(p.astype(dt))
+    if len(out) == 1:
+        return out[0]
+    return np.stack(out, axis=-1)
+
+
+def encode_jpeg_lossless_gray(
+    arr: np.ndarray,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an HxW uint8/uint16 array as a single-component lossless
+    JPEG (SOF3, process 14). ``predictor=1`` (left neighbor) is SV1 —
+    the DICOM 1.2.840.10008.1.2.4.70 selection; 1-7 all roundtrip.
+    Bit-exact: tests assert array equality, not a tolerance."""
+    if arr.ndim != 2 or arr.dtype not in (np.uint8, np.uint16):
+        raise ValueError("encoder expects HxW uint8 or uint16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    prec = 8 if arr.dtype == np.uint8 else 16
+    h, w = arr.shape
+    tab = _huff_encode_table(LOSSLESS_DC_BITS, LOSSLESS_DC_VALS)
+    a = arr.astype(np.int64)
+    default = 1 << (prec - 1)
+    wtr = _BitWriter()
+    mcu = 0
+    rst = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.pad()
+                wtr.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                fresh = True
+            mcu += 1
+            if fresh:
+                pred = default
+                fresh = False
+            else:
+                pred = _predict(a, y, x, predictor, default)
+            d = (int(a[y, x]) - pred) & 0xFFFF
+            if d == 32768:
+                code, ln = tab[16]
+                wtr.write(code, ln)
+                continue
+            sd = d - 65536 if d > 32768 else d
+            t = _csize(sd)
+            code, ln = tab[t]
+            wtr.write(code, ln)
+            if t:
+                wtr.write(sd if sd >= 0 else sd + (1 << t) - 1, t)
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    sof = struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00])
+        + bytes(LOSSLESS_DC_BITS)
+        + bytes(LOSSLESS_DC_VALS)
+    )
+    # SOS for lossless: Ss = predictor, Se = 0, AhAl = 0 (no point
+    # transform)
+    sos = bytes([1, 1, 0x00, predictor, 0, 0])
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xFF\xD8"
+        + seg(0xC3, sof)
+        + seg(0xC4, dht)
         + dri
         + seg(0xDA, sos)
         + entropy

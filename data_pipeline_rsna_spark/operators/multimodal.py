@@ -157,6 +157,62 @@ def synth_images(spark: SparkSession, n: int = 200, height: int = 16,
     return spark.range(n).mapInPandas(gen, PIXELS_SCHEMA)
 
 
+def synth_images16(spark: SparkSession, n: int = 120, height: int = 10,
+                   width: int = 10) -> DataFrame:
+    """uint16 twin of ``synth_images`` for the archival-depth codec
+    paths (CR/DX pixel data is 12-16 bit): pixel[i] = (img_id*523 +
+    i*659) % 65536 — multipliers sized so the modulus genuinely wraps
+    (high uint16 values are exercised), closed-form so the oracle
+    recomputes every pixel exactly."""
+    npx = height * width
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["id"].to_numpy():
+                px = (
+                    img_id * 523 + np.arange(npx, dtype=np.int64) * 659
+                ) % 65536
+                rows.append(
+                    (int(img_id), px.astype(np.uint16).tobytes(), "uint16",
+                     height, width)
+                )
+            yield pd.DataFrame(
+                rows, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return spark.range(n).mapInPandas(gen, PIXELS_SCHEMA)
+
+
+def jpeg_lossless_roundtrip(images: DataFrame) -> DataFrame:
+    """Pixels → JPEG-Lossless SV1 DICOM encode → decode → pixels, all
+    inside the Arrow batch: the archival CR/DX transfer syntax
+    (1.2.840.10008.1.2.4.70, SOF3 predictive — functions/jpeg.py)
+    through the encapsulated-PixelData wrapper. LOSSLESS: unlike
+    ``jpeg_roundtrip``, this must reproduce ANY corpus bit-exactly —
+    no block-constant construction needed, and the differential gate
+    checks exact pixel equality through the decode."""
+    from ..functions import codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                back = C.decode_dicom_gray(C.encode_dicom_jpeg_lossless(arr))
+                out.append(
+                    (r.img_id, back.tobytes(), str(back.dtype),
+                     back.shape[0], back.shape[1])
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
 def pixel_stats(images: DataFrame) -> DataFrame:
     """Per-image pixel statistics — the feature-extraction stage of a
     multimodal pipeline, computed inside Arrow batches."""

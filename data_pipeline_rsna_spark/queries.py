@@ -15512,3 +15512,39 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = mm.synth_block_images(spark, n=150, height=16, width=16)
     return mm.pixel_stats(mm.jpeg_roundtrip(imgs))
+
+
+@register(
+    "multimodal_jpeg_lossless_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 523 + i.i * 659) % 65536 AS v
+        FROM (SELECT unnest(generate_series(0, 119)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS i) i
+    )
+    SELECT img_id,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="O7+ JPEG-Lossless SV1 transfer syntax (VERDICT r7 #3, the "
+    "archival CR/DX syntax 1.2.840.10008.1.2.4.70): 16-bit pixels -> "
+    "SOF3 predictive encode (T.81 process 14, predictor 1, "
+    "functions/jpeg.py) in encapsulated PixelData -> decode -> stats. "
+    "LOSSLESS, so the oracle is the closed-form pixel grid itself and "
+    "the hash match asserts EXACT 16-bit recovery of an arbitrary "
+    "(modulus-wrapping) corpus — strictly stronger than the baseline "
+    "roundtrip's block-constant construction. The reference reaches "
+    "this input class through pydicom (generate_images_from_dicom.py"
+    ":44-51); the engine decodes it with zero optional deps.",
+    tags=("multimodal", "codec"),
+)
+def q_multimodal_jpeg_lossless_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images16(spark, n=120, height=10, width=10)
+    return mm.pixel_stats(mm.jpeg_lossless_roundtrip(imgs))

@@ -178,13 +178,14 @@ def test_label_map_binary_truncated_varint_raises_valueerror():
 
 
 def test_decode_dicom_rejects_compressed_transfer_syntax():
-    """A JPEG-Lossless (1.2.840.10008.1.2.4.70) file must fail with a
-    clear transfer-syntax error — not a misparse of encapsulated
-    PixelData. The pydicom path (operators.multimodal.decode_dicom)
-    owns compressed syntaxes when the library is present."""
-    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.70")
+    """A JPEG-LS (1.2.840.10008.1.2.4.80) file must fail with a clear
+    transfer-syntax error — not a misparse of encapsulated PixelData.
+    (.4.50 baseline and .4.57/.4.70 lossless now decode stdlib-side;
+    the pydicom path (operators.multimodal.decode_dicom) owns the rest
+    when the library is present.)"""
+    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
     data = b"\x00" * 128 + b"DICM" + meta
-    with pytest.raises(ValueError, match="transfer syntax 1.2.840.10008.1.2.4.70"):
+    with pytest.raises(ValueError, match="transfer syntax 1.2.840.10008.1.2.4.80"):
         C.decode_dicom_gray(data)
     # the reader's own explicit-LE output still decodes (no false trip)
     arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
@@ -237,11 +238,12 @@ def test_dicom_rle_rejects_bad_segment_count():
 
 
 def test_unsupported_jpeg_syntaxes_still_rejected():
-    """Baseline (.4.50) now decodes stdlib-side; the rest of the JPEG
-    family (lossless .4.57/.4.70, JPEG-LS, JPEG 2000) still raises a
-    named error."""
-    for uid in (b"1.2.840.10008.1.2.4.57", b"1.2.840.10008.1.2.4.70",
-                b"1.2.840.10008.1.2.4.90"):
+    """Baseline (.4.50) and Lossless (.4.57/.4.70) decode stdlib-side
+    (round 8); the remaining JPEG family (JPEG-LS .4.80/.4.81, JPEG
+    2000 .4.90/.4.91) still raises a named error — the contract
+    narrowed to exactly what is not implemented."""
+    for uid in (b"1.2.840.10008.1.2.4.80", b"1.2.840.10008.1.2.4.81",
+                b"1.2.840.10008.1.2.4.90", b"1.2.840.10008.1.2.4.91"):
         meta = C._elem(0x0002, 0x0010, b"UI", uid)
         data = b"\x00" * 128 + b"DICM" + meta
         with pytest.raises(ValueError, match=uid.decode()):
@@ -369,4 +371,72 @@ def test_dicom_jpeg_baseline_16bit_metadata_rejected():
     assert struct.unpack("<H", blob[i + 8:i + 10])[0] == 8
     blob[i + 8:i + 10] = struct.pack("<H", 16)
     with pytest.raises(ValueError, match="8-bit only"):
+        C.decode_dicom_gray(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, process 14) — round 8
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_lossless_roundtrip_exact_all_predictors():
+    rng = np.random.default_rng(21)
+    for dt, hi in ((np.uint8, 256), (np.uint16, 65536)):
+        img = rng.integers(0, hi, (29, 23)).astype(dt)
+        for pred in range(1, 8):
+            dec = J.decode_jpeg_lossless(
+                J.encode_jpeg_lossless_gray(img, predictor=pred)
+            )
+            assert dec.dtype == dt and np.array_equal(dec, img), (dt, pred)
+
+
+def test_jpeg_lossless_edge_values_and_restarts():
+    rng = np.random.default_rng(22)
+    # extremes: constant 0, constant 65535, max-step gradients
+    for img in (
+        np.zeros((7, 7), np.uint8),
+        np.full((6, 9), 65535, np.uint16),
+        np.tile(np.array([0, 65535] * 8, np.uint16), (4, 1)),
+    ):
+        enc = J.encode_jpeg_lossless_gray(np.ascontiguousarray(img))
+        assert np.array_equal(J.decode_jpeg_lossless(enc), img)
+    img = rng.integers(0, 65536, (16, 16)).astype(np.uint16)
+    for ri in (1, 5, 37):
+        enc = J.encode_jpeg_lossless_gray(img, restart_interval=ri)
+        assert np.array_equal(J.decode_jpeg_lossless(enc), img), ri
+
+
+def test_jpeg_lossless_rejects_wrong_sof_and_truncation():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    base = J.encode_jpeg_baseline_gray(img, 90)
+    with pytest.raises(ValueError, match="SOF0"):
+        J.decode_jpeg_lossless(base)
+    lossless = J.encode_jpeg_lossless_gray(img)
+    with pytest.raises(ValueError, match="SOF3"):
+        J.decode_jpeg_baseline(lossless)
+    for cut in (len(lossless) - 4, len(lossless) // 2):
+        with pytest.raises(ValueError):
+            J.decode_jpeg_lossless(lossless[:cut])
+
+
+def test_dicom_jpeg_lossless_roundtrip_exact_incl_signed():
+    rng = np.random.default_rng(23)
+    for dt, lo, hi in (
+        (np.uint8, 0, 256),
+        (np.uint16, 0, 65536),
+        (np.int16, -32768, 32768),
+    ):
+        img = rng.integers(lo, hi, (19, 31)).astype(dt)
+        out = C.decode_dicom_gray(C.encode_dicom_jpeg_lossless(img))
+        assert out.dtype == dt and np.array_equal(out, img), dt
+
+
+def test_dicom_jpeg_lossless_bits_mismatch_rejected():
+    img = np.arange(100, dtype=np.uint16).reshape(10, 10)
+    blob = bytearray(C.encode_dicom_jpeg_lossless(img))
+    tag = struct.pack("<HH", 0x0028, 0x0100) + b"US"
+    i = blob.find(tag)
+    assert i > 0 and struct.unpack("<H", blob[i + 8:i + 10])[0] == 16
+    blob[i + 8:i + 10] = struct.pack("<H", 8)  # claim 8-bit for a 16-bit frame
+    with pytest.raises(ValueError, match="BitsAllocated"):
         C.decode_dicom_gray(bytes(blob))
