@@ -28,7 +28,7 @@ import zlib
 
 import numpy as np
 
-from . import jpeg
+from . import jpeg, jpegls
 
 # ---------------------------------------------------------------------------
 # PNG (8-bit grayscale)
@@ -163,10 +163,17 @@ _JPEG_BASELINE_SYNTAX = "1.2.840.10008.1.2.4.50"
 # CR/DX; both carry SOF3 streams decode_jpeg_lossless handles.
 _JPEG_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.57"
 _JPEG_LOSSLESS_SV1_SYNTAX = "1.2.840.10008.1.2.4.70"
+# JPEG-LS (ITU-T T.87 / LOCO-I): .4.80 = lossless, .4.81 =
+# near-lossless — decoded by the from-scratch codec in
+# functions/jpegls.py (round 8; JPEG 2000 is now the only DICOM
+# compressed family still requiring pydicom)
+_JPEGLS_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.80"
+_JPEGLS_NEAR_SYNTAX = "1.2.840.10008.1.2.4.81"
 _STDLIB_SYNTAXES = frozenset(
     {"1.2.840.10008.1.2", "1.2.840.10008.1.2.1", _RLE_SYNTAX,
      _JPEG_BASELINE_SYNTAX, _JPEG_LOSSLESS_SYNTAX,
-     _JPEG_LOSSLESS_SV1_SYNTAX}
+     _JPEG_LOSSLESS_SV1_SYNTAX, _JPEGLS_LOSSLESS_SYNTAX,
+     _JPEGLS_NEAR_SYNTAX}
 )
 _ITEM_TAG = (0xFFFE, 0xE000)
 _SEQ_DELIM_TAG = (0xFFFE, 0xE0DD)
@@ -353,6 +360,27 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
                 )
             # signed pixels: reinterpret the two's-complement samples
             # (same buffer), never a value-changing astype
+            return arr.view(dt) if repr_ == 1 else arr
+        if ts in (_JPEGLS_LOSSLESS_SYNTAX, _JPEGLS_NEAR_SYNTAX):
+            arr, near = jpegls.decode_jpegls(
+                b"".join(encap_frags), return_near=True
+            )
+            if ts == _JPEGLS_LOSSLESS_SYNTAX and near != 0:
+                raise ValueError(
+                    "JPEG-LS lossless transfer syntax carries a "
+                    f"NEAR={near} (near-lossless) stream"
+                )
+            if arr.shape != (rows, cols):
+                raise ValueError(
+                    f"JPEG-LS frame {arr.shape} != Rows/Cols "
+                    f"{(rows, cols)}"
+                )
+            if arr.dtype.itemsize * 8 != bits:
+                raise ValueError(
+                    f"JPEG-LS sample width {arr.dtype.itemsize * 8} "
+                    f"!= BitsAllocated {bits}"
+                )
+            # signed pixels: reinterpret, never a value-changing cast
             return arr.view(dt) if repr_ == 1 else arr
         return _rle_decode_frame(encap_frags[0], rows, cols, np.dtype(dt))
     arr = np.frombuffer(pixel[: rows * cols * np.dtype(dt).itemsize], dtype=dt)
@@ -614,6 +642,69 @@ def encode_dicom_jpeg_lossless(arr: np.ndarray) -> bytes:
     )
     meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
         0x0002, 0x0010, b"UI", _JPEG_LOSSLESS_SV1_SYNTAX.encode()
+    )
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    pixel_head = (
+        struct.pack("<HH", _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1])
+        + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+    )
+    body = (
+        _elem(0x0028, 0x0002, b"US", us(1))
+        + _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + _elem(_TAG_ROWS[0], _TAG_ROWS[1], b"US", us(h))
+        + _elem(_TAG_COLS[0], _TAG_COLS[1], b"US", us(w))
+        + _elem(0x0028, 0x0100, b"US", us(bits))
+        + _elem(0x0028, 0x0101, b"US", us(bits))
+        + _elem(0x0028, 0x0102, b"US", us(bits - 1))
+        + _elem(0x0028, 0x0103, b"US", us(repr_))
+        + pixel_head
+        + encapsulated
+    )
+    return b"\x00" * 128 + b"DICM" + meta + meta_body + body
+
+
+def encode_dicom_jpegls(arr: np.ndarray, near: int = 0) -> bytes:
+    """HxW uint8/uint16/int16 ndarray → Part-10 JPEG-LS DICOM:
+    the T.87 stream from ``jpegls.encode_jpegls_gray`` in encapsulated
+    PixelData, transfer syntax 1.2.840.10008.1.2.4.80 (lossless) when
+    ``near=0`` else .4.81 (near-lossless, |err| <= near). Lossless
+    roundtrip through ``decode_dicom_gray`` is asserted as exact array
+    equality in tests; signed input is carried as its two's-complement
+    uint16 samples (a buffer reinterpretation both ways, never a value
+    cast). Fixture counterpart of the JPEG-LS decode path (the
+    reference gets this class of input through pydicom,
+    generate_images_from_dicom.py:44-51)."""
+    if arr.ndim != 2:
+        raise ValueError("encode_dicom_jpegls expects HxW")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+        samples = arr
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+        samples = arr
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+        samples = arr.view(np.uint16)
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    frame = jpegls.encode_jpegls_gray(samples, near=near)
+    if len(frame) % 2:
+        frame += b"\x00"  # items carry even lengths
+    item = lambda payload: (  # noqa: E731
+        struct.pack("<HHI", _ITEM_TAG[0], _ITEM_TAG[1], len(payload))
+        + payload
+    )
+    encapsulated = (
+        item(b"")
+        + item(frame)
+        + struct.pack("<HHI", _SEQ_DELIM_TAG[0], _SEQ_DELIM_TAG[1], 0)
+    )
+    syntax = _JPEGLS_LOSSLESS_SYNTAX if near == 0 else _JPEGLS_NEAR_SYNTAX
+    meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
+        0x0002, 0x0010, b"UI", syntax.encode()
     )
     meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
     pixel_head = (

@@ -213,6 +213,36 @@ def jpeg_lossless_roundtrip(images: DataFrame) -> DataFrame:
     return images.mapInPandas(run, PIXELS_SCHEMA)
 
 
+def jpegls_roundtrip(images: DataFrame, near: int = 0) -> DataFrame:
+    """Pixels → JPEG-LS DICOM encode → decode → pixels, all inside the
+    Arrow batch: the T.87/LOCO-I transfer syntaxes
+    (1.2.840.10008.1.2.4.80 lossless / .4.81 near-lossless —
+    functions/jpegls.py) through the encapsulated-PixelData wrapper.
+    With ``near=0`` this must reproduce ANY corpus bit-exactly, same
+    contract as ``jpeg_lossless_roundtrip``; with ``near>0`` the codec
+    guarantees ``|out - in| <= near`` elementwise (asserted in tests,
+    not oracle-checked — the reconstruction is encoder-specific)."""
+    from ..functions import codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                back = C.decode_dicom_gray(C.encode_dicom_jpegls(arr, near))
+                out.append(
+                    (r.img_id, back.tobytes(), str(back.dtype),
+                     back.shape[0], back.shape[1])
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
 def pixel_stats(images: DataFrame) -> DataFrame:
     """Per-image pixel statistics — the feature-extraction stage of a
     multimodal pipeline, computed inside Arrow batches."""

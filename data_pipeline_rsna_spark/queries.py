@@ -15548,3 +15548,40 @@ def q_multimodal_jpeg_lossless_roundtrip(
 
     imgs = mm.synth_images16(spark, n=120, height=10, width=10)
     return mm.pixel_stats(mm.jpeg_lossless_roundtrip(imgs))
+
+
+@register(
+    "multimodal_jpegls_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 523 + i.i * 659) % 65536 AS v
+        FROM (SELECT unnest(generate_series(0, 99)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 131)) AS i) i
+    )
+    SELECT img_id,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="O7+ JPEG-LS lossless transfer syntax (1.2.840.10008.1.2.4.80, "
+    "ITU-T T.87 / LOCO-I — functions/jpegls.py, from scratch: MED "
+    "prediction, 365-context adaptive Golomb, run mode, T.87 bit "
+    "stuffing): 16-bit pixels -> JPEG-LS encode in encapsulated "
+    "PixelData -> decode -> stats. LOSSLESS, so the oracle is the "
+    "closed-form pixel grid itself and the hash match asserts EXACT "
+    "16-bit recovery of a modulus-wrapping corpus. With jpeg.py this "
+    "closes the whole compressed-DICOM family the reference reaches "
+    "through pydicom (generate_images_from_dicom.py:44-51) except "
+    "JPEG 2000; the 12x11 shape exercises run mode at line "
+    "boundaries and the adaptive contexts across 100 images.",
+    tags=("multimodal", "codec"),
+)
+def q_multimodal_jpegls_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images16(spark, n=100, height=12, width=11)
+    return mm.pixel_stats(mm.jpegls_roundtrip(imgs))

@@ -178,14 +178,15 @@ def test_label_map_binary_truncated_varint_raises_valueerror():
 
 
 def test_decode_dicom_rejects_compressed_transfer_syntax():
-    """A JPEG-LS (1.2.840.10008.1.2.4.80) file must fail with a clear
+    """A JPEG 2000 (1.2.840.10008.1.2.4.90) file must fail with a clear
     transfer-syntax error — not a misparse of encapsulated PixelData.
-    (.4.50 baseline and .4.57/.4.70 lossless now decode stdlib-side;
-    the pydicom path (operators.multimodal.decode_dicom) owns the rest
-    when the library is present.)"""
-    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
+    (.4.50 baseline, .4.57/.4.70 lossless and .4.80/.4.81 JPEG-LS now
+    decode stdlib-side; the pydicom path
+    (operators.multimodal.decode_dicom) owns the rest when the library
+    is present.)"""
+    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.90")
     data = b"\x00" * 128 + b"DICM" + meta
-    with pytest.raises(ValueError, match="transfer syntax 1.2.840.10008.1.2.4.80"):
+    with pytest.raises(ValueError, match="transfer syntax 1.2.840.10008.1.2.4.90"):
         C.decode_dicom_gray(data)
     # the reader's own explicit-LE output still decodes (no false trip)
     arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
@@ -238,12 +239,13 @@ def test_dicom_rle_rejects_bad_segment_count():
 
 
 def test_unsupported_jpeg_syntaxes_still_rejected():
-    """Baseline (.4.50) and Lossless (.4.57/.4.70) decode stdlib-side
-    (round 8); the remaining JPEG family (JPEG-LS .4.80/.4.81, JPEG
-    2000 .4.90/.4.91) still raises a named error — the contract
-    narrowed to exactly what is not implemented."""
-    for uid in (b"1.2.840.10008.1.2.4.80", b"1.2.840.10008.1.2.4.81",
-                b"1.2.840.10008.1.2.4.90", b"1.2.840.10008.1.2.4.91"):
+    """Baseline (.4.50), Lossless (.4.57/.4.70) and JPEG-LS
+    (.4.80/.4.81) decode stdlib-side (round 8); the remaining JPEG
+    family (JPEG 2000 .4.90/.4.91, HTJ2K .4.201-203) still raises a
+    named error — the contract narrowed to exactly what is not
+    implemented."""
+    for uid in (b"1.2.840.10008.1.2.4.90", b"1.2.840.10008.1.2.4.91",
+                b"1.2.840.10008.1.2.4.201", b"1.2.840.10008.1.2.4.203"):
         meta = C._elem(0x0002, 0x0010, b"UI", uid)
         data = b"\x00" * 128 + b"DICM" + meta
         with pytest.raises(ValueError, match=uid.decode()):
@@ -440,3 +442,131 @@ def test_dicom_jpeg_lossless_bits_mismatch_rejected():
     blob[i + 8:i + 10] = struct.pack("<H", 8)  # claim 8-bit for a 16-bit frame
     with pytest.raises(ValueError, match="BitsAllocated"):
         C.decode_dicom_gray(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# JPEG-LS (ITU-T T.87 / LOCO-I, functions/jpegls.py)
+# ---------------------------------------------------------------------------
+
+from data_pipeline_rsna_spark.functions import jpegls as LS  # noqa: E402
+
+
+def test_jpegls_lossless_roundtrip_exact():
+    rng = np.random.default_rng(31)
+    cases = [
+        rng.integers(0, 256, (23, 31)).astype(np.uint8),     # noise: regular mode
+        rng.integers(0, 65536, (17, 29)).astype(np.uint16),  # 16-bit + stuffing
+        np.full((16, 16), 200, np.uint8),                    # pure run mode
+        np.repeat(rng.integers(0, 256, (8, 8)).astype(np.uint8),
+                  4, axis=1),                                # run/regular mix
+        (np.add.outer(np.arange(20) * 800, np.arange(33) * 97)
+         % 65536).astype(np.uint16),                         # smooth gradients
+        np.array([[5]], np.uint8),                           # 1x1
+        np.arange(256, dtype=np.uint8).reshape(1, 256),      # single line
+        np.arange(256, dtype=np.uint8).reshape(256, 1),      # single column
+        np.zeros((7, 7), np.uint8),                          # all-zero runs
+        np.full((6, 9), 65535, np.uint16),                   # max value
+        np.tile(np.array([0, 65535] * 8, np.uint16), (4, 1)),  # max steps
+    ]
+    for img in cases:
+        enc = LS.encode_jpegls_gray(np.ascontiguousarray(img))
+        dec, near = LS.decode_jpegls(enc, return_near=True)
+        assert near == 0
+        assert dec.dtype == img.dtype and np.array_equal(dec, img), img.shape
+
+
+def test_jpegls_near_lossless_error_bound():
+    rng = np.random.default_rng(32)
+    img8 = rng.integers(0, 256, (21, 27)).astype(np.uint8)
+    img16 = rng.integers(0, 65536, (13, 19)).astype(np.uint16)
+    sizes = []
+    for near in (1, 3, 7):
+        for img in (img8, img16):
+            enc = LS.encode_jpegls_gray(img, near=near)
+            dec, got = LS.decode_jpegls(enc, return_near=True)
+            assert got == near
+            err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+            assert err <= near, (near, img.dtype, err)
+        sizes.append(len(LS.encode_jpegls_gray(img8, near=near)))
+    # larger NEAR must compress harder (it's the whole point)
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_jpegls_bit_stuffing_is_exercised_and_decoded():
+    """T.87 stuffing: a 0xFF entropy byte is followed by a 7-bit byte
+    (MSB=0) — different from T.81's FF 00. Build a corpus that provably
+    produces 0xFF bytes in the stream and check the invariant."""
+    rng = np.random.default_rng(33)
+    stuffed = 0
+    for seed in range(8):
+        img = np.random.default_rng(seed).integers(
+            0, 65536, (31, 37)
+        ).astype(np.uint16)
+        enc = LS.encode_jpegls_gray(img)
+        sos = enc.find(b"\xff\xda")
+        scan = enc[sos + 2 + 8:-2]  # entropy data: after SOS (Ls=8), before EOI
+        for i, b in enumerate(scan[:-1]):
+            if b == 0xFF:
+                stuffed += 1
+                assert scan[i + 1] & 0x80 == 0, "marker byte in scan"
+        assert np.array_equal(LS.decode_jpegls(enc), img)
+    assert stuffed > 0, "corpus never produced an 0xFF entropy byte"
+    del rng
+
+
+def test_jpegls_rejects_malformed_and_truncated():
+    img = np.arange(144, dtype=np.uint8).reshape(12, 12)
+    enc = LS.encode_jpegls_gray(img)
+    with pytest.raises(ValueError, match="SOI"):
+        LS.decode_jpegls(b"\x00" + enc)
+    # T.81 streams are not JPEG-LS: baseline has no SOF55
+    base = J.encode_jpeg_baseline_gray(img, 90)
+    with pytest.raises(ValueError):
+        LS.decode_jpegls(base)
+    for cut in (4, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(ValueError):
+            LS.decode_jpegls(enc[:cut])
+
+
+def test_jpegls_lse_preset_parameters_parsed():
+    """An LSE (ID 1) segment overrides MAXVAL/T1-3/RESET; splice one
+    with the default values in — decode must accept it and still
+    roundtrip (defaults spliced explicitly == defaults implied)."""
+    img = np.random.default_rng(34).integers(0, 256, (9, 14)).astype(np.uint8)
+    enc = LS.encode_jpegls_gray(img)
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    lse = b"\xff\xf8" + struct.pack(">HBHHHHH", 13, 1, 255, 3, 7, 21, 64)
+    spliced = enc[:sos] + lse + enc[sos:]
+    assert np.array_equal(LS.decode_jpegls(spliced), img)
+    # non-default thresholds change the stream contexts: decode of the
+    # ORIGINAL scan under altered presets must not silently agree
+    lse_bad = b"\xff\xf8" + struct.pack(">HBHHHHH", 13, 2, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="LSE"):
+        LS.decode_jpegls(enc[:sos] + lse_bad + enc[sos:])
+
+
+def test_dicom_jpegls_roundtrip_exact_incl_signed():
+    rng = np.random.default_rng(35)
+    for dt, lo, hi in (
+        (np.uint8, 0, 256),
+        (np.uint16, 0, 65536),
+        (np.int16, -32768, 32768),
+    ):
+        img = rng.integers(lo, hi, (19, 23)).astype(dt)
+        out = C.decode_dicom_gray(C.encode_dicom_jpegls(img))
+        assert out.dtype == dt and np.array_equal(out, img), dt
+
+
+def test_dicom_jpegls_near_syntax_and_lossless_mismatch_rejected():
+    rng = np.random.default_rng(36)
+    img = rng.integers(0, 256, (15, 17)).astype(np.uint8)
+    blob = C.encode_dicom_jpegls(img, near=2)
+    assert b"1.2.840.10008.1.2.4.81" in blob
+    out = C.decode_dicom_gray(blob)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # a NEAR>0 stream inside the lossless .4.80 syntax is inconsistent
+    tampered = blob.replace(b"1.2.840.10008.1.2.4.81",
+                            b"1.2.840.10008.1.2.4.80")
+    with pytest.raises(ValueError, match="NEAR"):
+        C.decode_dicom_gray(tampered)
