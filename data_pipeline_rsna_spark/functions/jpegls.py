@@ -612,6 +612,8 @@ def decode_jpegls(data: bytes,
             raise ValueError("truncated JPEG-LS segment")
         body = data[pos + 2:seg_end]
         if marker == _SOF55:
+            if len(body) < 9:
+                raise ValueError("truncated JPEG-LS SOF55 segment")
             prec = body[0]
             h, w_ = struct.unpack(">HH", body[1:5])
             nf = body[5]
@@ -626,6 +628,8 @@ def decode_jpegls(data: bytes,
             if not 2 <= prec <= 16:
                 raise ValueError(f"JPEG-LS precision {prec} invalid")
         elif marker == _LSE:
+            if len(body) < 11:
+                raise ValueError("truncated JPEG-LS LSE segment")
             if body[0] == 1:
                 maxval, t1, t2, t3, reset = struct.unpack(
                     ">HHHHH", body[1:11]
@@ -638,6 +642,8 @@ def decode_jpegls(data: bytes,
         elif marker == _SOS:
             if prec is None:
                 raise ValueError("JPEG-LS SOS before SOF55")
+            if len(body) < 6:
+                raise ValueError("truncated JPEG-LS SOS segment")
             ns = body[0]
             if ns != 1:
                 raise ValueError("JPEG-LS multi-component scan "

@@ -570,3 +570,22 @@ def test_dicom_jpegls_near_syntax_and_lossless_mismatch_rejected():
                             b"1.2.840.10008.1.2.4.80")
     with pytest.raises(ValueError, match="NEAR"):
         C.decode_dicom_gray(tampered)
+
+
+def test_jpegls_mutated_streams_raise_valueerror_never_crash():
+    """Seeded byte-mutation fuzz: corrupt streams must either decode
+    (mutation hit a don't-care bit) or raise ValueError — never
+    IndexError/struct.error (the jpeg.py r7 contract, extended to
+    JPEG-LS; a truncated-segment IndexError was found exactly this
+    way)."""
+    img = np.random.default_rng(0).integers(0, 65536, (9, 9)).astype(np.uint16)
+    enc = bytearray(LS.encode_jpegls_gray(img))
+    for trial in range(300):
+        blob = bytearray(enc)
+        r = np.random.default_rng(trial)
+        for _ in range(r.integers(1, 4)):
+            blob[r.integers(0, len(blob))] = r.integers(0, 256)
+        try:
+            LS.decode_jpegls(bytes(blob))
+        except ValueError:
+            pass
