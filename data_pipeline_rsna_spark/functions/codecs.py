@@ -28,7 +28,7 @@ import zlib
 
 import numpy as np
 
-from . import jpeg, jpegls
+from . import jpeg, jpeg2000, jpegls
 
 # ---------------------------------------------------------------------------
 # PNG (8-bit grayscale)
@@ -165,15 +165,21 @@ _JPEG_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.57"
 _JPEG_LOSSLESS_SV1_SYNTAX = "1.2.840.10008.1.2.4.70"
 # JPEG-LS (ITU-T T.87 / LOCO-I): .4.80 = lossless, .4.81 =
 # near-lossless — decoded by the from-scratch codec in
-# functions/jpegls.py (round 8; JPEG 2000 is now the only DICOM
-# compressed family still requiring pydicom)
+# functions/jpegls.py (round 8)
 _JPEGLS_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.80"
 _JPEGLS_NEAR_SYNTAX = "1.2.840.10008.1.2.4.81"
+# JPEG 2000 (ISO 15444-1): .4.90 = lossless only (reversible 5/3),
+# .4.91 = J2K (either transform; the from-scratch codec in
+# functions/jpeg2000.py decodes reversible streams and raises a named
+# error on irreversible 9/7 — round 8 closes the whole compressed
+# family except HTJ2K .4.201-203, which still requires pydicom)
+_J2K_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.90"
+_J2K_SYNTAX = "1.2.840.10008.1.2.4.91"
 _STDLIB_SYNTAXES = frozenset(
     {"1.2.840.10008.1.2", "1.2.840.10008.1.2.1", _RLE_SYNTAX,
      _JPEG_BASELINE_SYNTAX, _JPEG_LOSSLESS_SYNTAX,
      _JPEG_LOSSLESS_SV1_SYNTAX, _JPEGLS_LOSSLESS_SYNTAX,
-     _JPEGLS_NEAR_SYNTAX}
+     _JPEGLS_NEAR_SYNTAX, _J2K_LOSSLESS_SYNTAX, _J2K_SYNTAX}
 )
 _ITEM_TAG = (0xFFFE, 0xE000)
 _SEQ_DELIM_TAG = (0xFFFE, 0xE0DD)
@@ -378,6 +384,20 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
             if arr.dtype.itemsize * 8 != bits:
                 raise ValueError(
                     f"JPEG-LS sample width {arr.dtype.itemsize * 8} "
+                    f"!= BitsAllocated {bits}"
+                )
+            # signed pixels: reinterpret, never a value-changing cast
+            return arr.view(dt) if repr_ == 1 else arr
+        if ts in (_J2K_LOSSLESS_SYNTAX, _J2K_SYNTAX):
+            arr = jpeg2000.decode_j2k(b"".join(encap_frags))
+            if arr.shape != (rows, cols):
+                raise ValueError(
+                    f"JPEG 2000 frame {arr.shape} != Rows/Cols "
+                    f"{(rows, cols)}"
+                )
+            if arr.dtype.itemsize * 8 != bits:
+                raise ValueError(
+                    f"JPEG 2000 sample width {arr.dtype.itemsize * 8} "
                     f"!= BitsAllocated {bits}"
                 )
             # signed pixels: reinterpret, never a value-changing cast
@@ -705,6 +725,68 @@ def encode_dicom_jpegls(arr: np.ndarray, near: int = 0) -> bytes:
     syntax = _JPEGLS_LOSSLESS_SYNTAX if near == 0 else _JPEGLS_NEAR_SYNTAX
     meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
         0x0002, 0x0010, b"UI", syntax.encode()
+    )
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    pixel_head = (
+        struct.pack("<HH", _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1])
+        + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+    )
+    body = (
+        _elem(0x0028, 0x0002, b"US", us(1))
+        + _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + _elem(_TAG_ROWS[0], _TAG_ROWS[1], b"US", us(h))
+        + _elem(_TAG_COLS[0], _TAG_COLS[1], b"US", us(w))
+        + _elem(0x0028, 0x0100, b"US", us(bits))
+        + _elem(0x0028, 0x0101, b"US", us(bits))
+        + _elem(0x0028, 0x0102, b"US", us(bits - 1))
+        + _elem(0x0028, 0x0103, b"US", us(repr_))
+        + pixel_head
+        + encapsulated
+    )
+    return b"\x00" * 128 + b"DICM" + meta + meta_body + body
+
+
+def encode_dicom_j2k(arr: np.ndarray, levels: int = 2) -> bytes:
+    """HxW uint8/uint16/int16 ndarray → Part-10 JPEG 2000 Lossless
+    DICOM: the reversible-5/3 codestream from
+    ``jpeg2000.encode_j2k_gray`` in encapsulated PixelData, transfer
+    syntax 1.2.840.10008.1.2.4.90. Lossless roundtrip through
+    ``decode_dicom_gray`` is asserted as exact array equality in
+    tests; signed input is carried as its two's-complement uint16
+    samples (a buffer reinterpretation both ways, never a value
+    cast), matching the JPEG-LS fixture encoder. Fixture counterpart
+    of the JPEG 2000 decode path (the reference gets this class of
+    input through pydicom, generate_images_from_dicom.py:44-51)."""
+    if arr.ndim != 2:
+        raise ValueError("encode_dicom_j2k expects HxW")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+        samples = arr
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+        samples = arr
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+        samples = arr.view(np.uint16)
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    frame = jpeg2000.encode_j2k_gray(samples, levels=levels)
+    if len(frame) % 2:
+        frame += b"\x00"  # items carry even lengths
+    item = lambda payload: (  # noqa: E731
+        struct.pack("<HHI", _ITEM_TAG[0], _ITEM_TAG[1], len(payload))
+        + payload
+    )
+    encapsulated = (
+        item(b"")
+        + item(frame)
+        + struct.pack("<HHI", _SEQ_DELIM_TAG[0], _SEQ_DELIM_TAG[1], 0)
+    )
+    meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
+        0x0002, 0x0010, b"UI", _J2K_LOSSLESS_SYNTAX.encode()
     )
     meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
     pixel_head = (

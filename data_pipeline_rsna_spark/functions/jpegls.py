@@ -7,8 +7,9 @@ archival compressed syntaxes for CR/DX alongside T.81 process 14; the
 reference pipeline decodes them through pydicom+plugins
 (``/root/reference/generate_images_from_dicom.py:44-51``). With this
 module the engine covers the whole compressed-DICOM family it is
-likely to meet (Baseline, Lossless SOF3, RLE, JPEG-LS) with zero
-optional dependencies; only JPEG 2000 still requires pydicom.
+likely to meet (Baseline, Lossless SOF3, RLE, JPEG-LS, and — via
+functions/jpeg2000.py — JPEG 2000) with zero optional dependencies;
+only HTJ2K still requires pydicom.
 
 Scope (both directions, encoder and decoder mirror each other):
   - single-component scans, ILV=0 — monochrome DICOM never needs

@@ -243,6 +243,36 @@ def jpegls_roundtrip(images: DataFrame, near: int = 0) -> DataFrame:
     return images.mapInPandas(run, PIXELS_SCHEMA)
 
 
+def j2k_roundtrip(images: DataFrame, levels: int = 2) -> DataFrame:
+    """Pixels → JPEG 2000 Lossless DICOM encode → decode → pixels,
+    all inside the Arrow batch: transfer syntax 1.2.840.10008.1.2.4.90
+    (reversible 5/3 + EBCOT/MQ — functions/jpeg2000.py) through the
+    encapsulated-PixelData wrapper. LOSSLESS: must reproduce ANY
+    corpus bit-exactly, same contract as ``jpeg_lossless_roundtrip``
+    and ``jpegls_roundtrip``; closes the last compressed-DICOM family
+    the reference reaches through pydicom
+    (generate_images_from_dicom.py:44-51)."""
+    from ..functions import codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.pixels, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                back = C.decode_dicom_gray(C.encode_dicom_j2k(arr, levels))
+                out.append(
+                    (r.img_id, back.tobytes(), str(back.dtype),
+                     back.shape[0], back.shape[1])
+                )
+            yield pd.DataFrame(
+                out, columns=["img_id", "pixels", "dtype", "height", "width"]
+            )
+
+    return images.mapInPandas(run, PIXELS_SCHEMA)
+
+
 def pixel_stats(images: DataFrame) -> DataFrame:
     """Per-image pixel statistics — the feature-extraction stage of a
     multimodal pipeline, computed inside Arrow batches."""

@@ -15585,3 +15585,41 @@ def q_multimodal_jpegls_roundtrip(
 
     imgs = mm.synth_images16(spark, n=100, height=12, width=11)
     return mm.pixel_stats(mm.jpegls_roundtrip(imgs))
+
+
+@register(
+    "multimodal_jpeg2000_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, (g.id * 523 + i.i * 659) % 65536 AS v
+        FROM (SELECT unnest(generate_series(0, 99)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 125)) AS i) i
+    )
+    SELECT img_id,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id
+    """,
+    doc="O7+ JPEG 2000 Lossless transfer syntax (1.2.840.10008.1.2.4.90, "
+    "ISO 15444-1 — functions/jpeg2000.py, from scratch: reversible 5/3 "
+    "lifting DWT, EBCOT Tier-1 with all three coding passes and 19 "
+    "contexts, MQ arithmetic coder, tag-tree packet headers): 16-bit "
+    "pixels -> J2K encode in encapsulated PixelData -> decode -> stats. "
+    "LOSSLESS, so the oracle is the closed-form pixel grid itself and "
+    "the hash match asserts EXACT 16-bit recovery of a modulus-wrapping "
+    "corpus. Closes the whole compressed-DICOM family the reference "
+    "reaches through pydicom (generate_images_from_dicom.py:44-51) "
+    "except HTJ2K; the 9x14 shape at 2 decomposition levels exercises "
+    "partial stripes, odd-length 5/3 boundaries and multi-band packets "
+    "across 100 images.",
+    tags=("multimodal", "codec"),
+)
+def q_multimodal_jpeg2000_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as mm
+
+    imgs = mm.synth_images16(spark, n=100, height=9, width=14)
+    return mm.pixel_stats(mm.j2k_roundtrip(imgs))

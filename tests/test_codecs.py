@@ -178,15 +178,15 @@ def test_label_map_binary_truncated_varint_raises_valueerror():
 
 
 def test_decode_dicom_rejects_compressed_transfer_syntax():
-    """A JPEG 2000 (1.2.840.10008.1.2.4.90) file must fail with a clear
+    """An HTJ2K (1.2.840.10008.1.2.4.201) file must fail with a clear
     transfer-syntax error — not a misparse of encapsulated PixelData.
-    (.4.50 baseline, .4.57/.4.70 lossless and .4.80/.4.81 JPEG-LS now
-    decode stdlib-side; the pydicom path
+    (.4.50 baseline, .4.57/.4.70 lossless, .4.80/.4.81 JPEG-LS and
+    .4.90/.4.91 JPEG 2000 now decode stdlib-side; the pydicom path
     (operators.multimodal.decode_dicom) owns the rest when the library
     is present.)"""
-    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.90")
+    meta = C._elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.201")
     data = b"\x00" * 128 + b"DICM" + meta
-    with pytest.raises(ValueError, match="transfer syntax 1.2.840.10008.1.2.4.90"):
+    with pytest.raises(ValueError, match="transfer syntax 1.2.840.10008.1.2.4.201"):
         C.decode_dicom_gray(data)
     # the reader's own explicit-LE output still decodes (no false trip)
     arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
@@ -239,13 +239,12 @@ def test_dicom_rle_rejects_bad_segment_count():
 
 
 def test_unsupported_jpeg_syntaxes_still_rejected():
-    """Baseline (.4.50), Lossless (.4.57/.4.70) and JPEG-LS
-    (.4.80/.4.81) decode stdlib-side (round 8); the remaining JPEG
-    family (JPEG 2000 .4.90/.4.91, HTJ2K .4.201-203) still raises a
-    named error — the contract narrowed to exactly what is not
-    implemented."""
-    for uid in (b"1.2.840.10008.1.2.4.90", b"1.2.840.10008.1.2.4.91",
-                b"1.2.840.10008.1.2.4.201", b"1.2.840.10008.1.2.4.203"):
+    """Baseline (.4.50), Lossless (.4.57/.4.70), JPEG-LS (.4.80/.4.81)
+    and JPEG 2000 (.4.90/.4.91) decode stdlib-side (round 8); only
+    HTJ2K (.4.201-203) still raises a named error — the contract
+    narrowed to exactly what is not implemented."""
+    for uid in (b"1.2.840.10008.1.2.4.201", b"1.2.840.10008.1.2.4.202",
+                b"1.2.840.10008.1.2.4.203"):
         meta = C._elem(0x0002, 0x0010, b"UI", uid)
         data = b"\x00" * 128 + b"DICM" + meta
         with pytest.raises(ValueError, match=uid.decode()):
