@@ -59,6 +59,15 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS,
         )
+        # --- scan split sizing: keep Spark's 128 MB default ---
+        # Round 8 tested 32 MB byte-range splits against the default on
+        # single-big-file tables at a 100x local SF (the regime where a
+        # 110 MB parquet scans as one task): an interleaved same-session
+        # A/B showed NO measurable difference on any scan-bound headline
+        # query — the single scan task reads 110 MB in well under the
+        # query's shuffle+floor cost. At 100 TB input is thousands of
+        # files and split count is file-count bound anyway. Measured,
+        # not assumed (SCALING.md round 8).
         # --- scan-level aggregate pushdown ---
         # MIN/MAX/COUNT with no filter answer from parquet footer stats
         # instead of scanning row groups — exact (parquet stats are
