@@ -881,6 +881,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_collapsed",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    mh AS (
+        SELECT doc_id, s.i AS i,
+               min(substring(md5((s.i // 4) || '|' || shingle),
+                             1 + 8 * (s.i % 4), 8)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) s
+        GROUP BY doc_id, s.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+        FROM mh GROUP BY doc_id, i // 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    doc="X2 collapse-first MinHash-LSH: pair-for-pair the SAME answer "
+    "as dedup_minhash_lsh (the oracle is literally the same SQL), "
+    "computed over DISTINCT word sequences only — signatures, band "
+    "buckets and the bucket join see one representative per identical "
+    "class; member pairs expand through streamed self-joins (round-8 "
+    "distributed form). The exact-dedup-first economics every crawl "
+    "pipeline wants: on the sf10 verbatim-replication corpus the "
+    "expensive stages see 4,992 reps instead of 500,000 docs "
+    "(SCALING.md round 8 measurements).",
+    tags=("dedup",),
+)
+def q_dedup_minhash_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.minhash_lsh_candidates_collapsed(
+        corpus, num_hashes=12, rows_per_band=2, shingle_n=3
+    )
+
+
 # corpus + a planted mega-bucket: 150 verbatim copies of doc 7 (the
 # boilerplate-crawl shape — templated pages that survive nothing but
 # exact dedup). Mirrored in Spark by q_dedup_minhash_capped.

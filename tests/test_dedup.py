@@ -689,3 +689,68 @@ def test_tfidf_collapse_key_injective_on_control_char_tokens(spark):
     # threshold 0.01: any within-class pair (cosine 1) would surface;
     # distinct docs share no term, so cosine undefined/0 -> no pair
     assert out == []
+
+
+def test_minhash_collapsed_equals_uncollapsed(spark):
+    """minhash_lsh_candidates_collapsed must reproduce the uncollapsed
+    candidate set PAIR-FOR-PAIR (ids and n_shared_bands): identical
+    word sequences share every band, cross-class member pairs inherit
+    their reps' shared-band count, and sub-shingle-length classes are
+    excluded from both forms. Mixed corpus: two identical classes that
+    are near-dups of each other, short twins, uniques, a partial
+    near-dup."""
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    near = base.replace("today", "tonight")
+    docs = spark.createDataFrame(
+        [(100 + i, base) for i in range(6)]
+        + [(200 + i, near) for i in range(3)]
+        + [
+            (300, "tiny doc"),              # < shingle_n words:
+            (301, "tiny doc"),              # excluded even as twins
+            (400, "completely different content about catalyst "
+                  "optimizer internals"),
+            (402, near + " extra trailing words changing some "
+                  "shingles slightly"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    )
+    b = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in dedup.minhash_lsh_candidates_collapsed(docs).collect()
+    )
+    assert a == b
+    assert len(a) >= 15 + 3  # two classes fully cross-paired + within
+    # the pair expansions stream (round-8 contract: no per-row pair
+    # array in the collapsed plan's expansion joins)
+    plan = (
+        dedup.minhash_lsh_candidates_collapsed(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # flatten appears only inside the rep-level bucket expansion whose
+    # row count is bounded by bucket occupancy of DISTINCT texts; the
+    # member expansion itself must be join-shaped, i.e. the plan
+    # contains SortMergeJoin/ShuffledHashJoin nodes for members
+    assert "Join" in plan
+
+
+def test_minhash_collapsed_signature_stage_sees_reps_only(spark):
+    """The cost contract: with k distinct texts among n >> k docs, the
+    signature/band stage input is k rows (the collapse is BEFORE the
+    expensive stages, not after)."""
+    docs = spark.createDataFrame(
+        [(i, f"document variant {i % 3} with shared boilerplate text "
+              "of enough words to shingle") for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_candidates_collapsed(docs)
+    # 3 classes of 100 -> 3*C(100,2) within + cross pairs only if reps
+    # near-dup; variants differ by one token in a 12-word text, so all
+    # three rep pairs share most bands
+    rows = out.collect()
+    within = [r for r in rows if r.n_shared_bands == 6]
+    assert len(within) >= 3 * (100 * 99) // 2
