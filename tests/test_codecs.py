@@ -588,3 +588,36 @@ def test_jpegls_mutated_streams_raise_valueerror_never_crash():
             LS.decode_jpegls(bytes(blob))
         except ValueError:
             pass
+
+
+def test_codec_family_matches_pydicom_when_available():
+    """The single pydicom-gated conformance test: every compressed
+    syntax this engine ENCODES (JPEG Lossless SV1, JPEG-LS, JPEG 2000,
+    RLE) must decode to the identical array through pydicom + its
+    native plugins — pinning the from-scratch codecs against the
+    reference's own decode path (generate_images_from_dicom.py:44-51)
+    wherever that stack is installed. Skipped in the default container
+    (pydicom absent): the in-container correctness story is the seeded
+    fuzz + closed-form oracle roundtrips above; this test upgrades it
+    to cross-implementation conformance when the preferred deployment
+    stack exists."""
+    pydicom = pytest.importorskip("pydicom")
+    import io
+
+    rng = np.random.default_rng(77)
+    img16 = rng.integers(0, 4096, (19, 23)).astype(np.uint16)
+    img8 = rng.integers(0, 256, (19, 23)).astype(np.uint8)
+    blobs = [
+        C.encode_dicom_jpeg_lossless(img16),
+        C.encode_dicom_jpegls(img16),
+        C.encode_dicom_j2k(img16),
+        C.encode_dicom_rle(img8),
+    ]
+    for blob in blobs:
+        ds = pydicom.dcmread(io.BytesIO(blob))
+        try:
+            px = ds.pixel_array
+        except Exception as e:  # plugin for this syntax not installed
+            pytest.skip(f"pydicom lacks a decoder here: {e}")
+        ours = C.decode_dicom_gray(blob)
+        assert np.array_equal(px, ours), ds.file_meta.TransferSyntaxUID
