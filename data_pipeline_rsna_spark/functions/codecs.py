@@ -140,6 +140,7 @@ _TAG_ROWS = (0x0028, 0x0010)
 _TAG_COLS = (0x0028, 0x0011)
 _TAG_BITS_ALLOC = (0x0028, 0x0100)
 _TAG_PIXEL_REPR = (0x0028, 0x0103)
+_TAG_NFRAMES = (0x0028, 0x0008)
 _TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 
 
@@ -235,47 +236,61 @@ def _rle_decode_frame(frag: bytes, rows: int, cols: int,
     return combined.astype(np.uint16).view(dtype).reshape(rows, cols)
 
 
-def _encapsulated_fragments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+def _encapsulated_fragments(
+    data: bytes, pos: int
+) -> tuple[list[bytes], list[int], list[int], int]:
     """Parse encapsulated-PixelData items starting at ``pos``: a Basic
-    Offset Table item, then one fragment item per frame, closed by the
-    sequence delimiter. Returns (fragments, position after delimiter)."""
+    Offset Table item, then fragment items, closed by the sequence
+    delimiter. Returns (fragments, per-fragment item-header offsets
+    relative to the first byte after the BOT item — the coordinate
+    system PS3.5 A.4 defines for the table — BOT entries, position
+    after the delimiter)."""
     frags: list[bytes] = []
+    offsets: list[int] = []
+    bot: list[int] = []
     first = True
+    frag_base = None
     n = len(data)
     while pos + 8 <= n:
         group, elem = struct.unpack("<HH", data[pos : pos + 4])
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         pos += 8
         if (group, elem) == _SEQ_DELIM_TAG:
-            return frags, pos
+            return frags, offsets, bot, pos
         if (group, elem) != _ITEM_TAG:
             raise ValueError("malformed encapsulated PixelData item")
         if first:
-            first = False  # Basic Offset Table — single frame: ignore
+            first = False  # Basic Offset Table
+            if ln:
+                if ln % 4:
+                    raise ValueError("malformed Basic Offset Table")
+                bot = list(
+                    struct.unpack(f"<{ln // 4}I", data[pos : pos + ln])
+                )
+            frag_base = pos + ln
         else:
+            offsets.append(pos - 8 - frag_base)
             frags.append(data[pos : pos + ln])
         pos += ln
     raise ValueError("encapsulated PixelData missing sequence delimiter")
 
 
-def decode_dicom_gray(data: bytes) -> np.ndarray:
-    """Minimal DICOM Part-10 reader: 128-byte preamble + 'DICM', explicit
-    VR little endian, uncompressed monochrome PixelData → HxW ndarray
-    (uint8/uint16/int16 per BitsAllocated + PixelRepresentation).
-
-    RLE Lossless (1.2.840.10008.1.2.5) decodes stdlib-side via the
-    PackBits parser above; JPEG Baseline Process 1
-    (1.2.840.10008.1.2.4.50) via the from-scratch T.81 codec in
-    ``functions/jpeg.py``; other compressed or non-little-endian
-    syntaxes raise ValueError naming the syntax (see
-    ``_STDLIB_SYNTAXES``)."""
+def _walk_part10(data: bytes) -> dict:
+    """Shared Part-10 element walk for the single- and multi-frame
+    readers: preamble check, explicit-VR-LE elements (implicit-VR
+    fallback), transfer-syntax gate, geometry tags, NumberOfFrames,
+    and PixelData (native value or encapsulated fragments + offsets +
+    Basic Offset Table)."""
     if len(data) < 132 or data[128:132] != b"DICM":
         raise ValueError("not a Part-10 DICOM file")
     pos = 132
     rows = cols = None
     bits, repr_ = 8, 0
+    nframes = 1
     pixel = None
     encap_frags: list[bytes] | None = None
+    offsets: list[int] = []
+    bot: list[int] = []
     ts = "1.2.840.10008.1.2.1"
     n = len(data)
     while pos + 8 <= n:
@@ -294,11 +309,12 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
         tag = (group, elem)
         if ln == 0xFFFFFFFF:
             if tag == _TAG_PIXEL_DATA:
-                # encapsulated PixelData: legal here only for RLE or
-                # JPEG baseline (any other compressed syntax already
-                # raised at its TransferSyntaxUID element, which
-                # precedes PixelData)
-                encap_frags, _ = _encapsulated_fragments(data, body)
+                # encapsulated PixelData (any unsupported compressed
+                # syntax already raised at its TransferSyntaxUID
+                # element, which precedes PixelData)
+                encap_frags, offsets, bot, _ = _encapsulated_fragments(
+                    data, body
+                )
                 break
             raise ValueError("undefined-length element unsupported")
         val = data[body:body + ln]
@@ -318,6 +334,12 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
             bits = struct.unpack("<H", val[:2])[0]
         elif tag == _TAG_PIXEL_REPR:
             repr_ = struct.unpack("<H", val[:2])[0]
+        elif tag == _TAG_NFRAMES:
+            # VR IS: ascii integer, possibly space-padded
+            try:
+                nframes = int(val.rstrip(b"\x00 ").decode("ascii") or "1")
+            except ValueError:
+                raise ValueError("malformed NumberOfFrames") from None
         elif tag == _TAG_PIXEL_DATA:
             pixel = val
             break
@@ -330,81 +352,121 @@ def decode_dicom_gray(data: bytes) -> np.ndarray:
         dt = np.int16 if repr_ == 1 else np.uint16
     else:
         raise ValueError(f"BitsAllocated={bits} unsupported")
+    return {
+        "ts": ts, "rows": rows, "cols": cols, "bits": bits,
+        "repr": repr_, "nframes": max(1, nframes), "pixel": pixel,
+        "frags": encap_frags, "offsets": offsets, "bot": bot,
+        "dt": dt,
+    }
+
+
+def decode_dicom_gray(data: bytes) -> np.ndarray:
+    """Minimal DICOM Part-10 reader: 128-byte preamble + 'DICM', explicit
+    VR little endian, uncompressed monochrome PixelData → HxW ndarray
+    (uint8/uint16/int16 per BitsAllocated + PixelRepresentation).
+
+    RLE Lossless (1.2.840.10008.1.2.5) decodes stdlib-side via the
+    PackBits parser above; the JPEG family via the from-scratch codecs
+    (``functions/jpeg.py``, ``jpegls.py``, ``jpeg2000.py``); other
+    compressed or non-little-endian syntaxes raise ValueError naming
+    the syntax (see ``_STDLIB_SYNTAXES``). Single-frame only:
+    NumberOfFrames > 1 raises a named error pointing to
+    :func:`decode_dicom_frames`."""
+    m = _walk_part10(data)
+    if m["nframes"] > 1:
+        raise ValueError(
+            f"multi-frame DICOM (NumberOfFrames={m['nframes']}); use "
+            "decode_dicom_frames"
+        )
+    ts, rows, cols = m["ts"], m["rows"], m["cols"]
+    bits, repr_, dt = m["bits"], m["repr"], m["dt"]
+    encap_frags, pixel = m["frags"], m["pixel"]
     if encap_frags is not None:
-        if ts == _JPEG_BASELINE_SYNTAX:
-            # Baseline Process 1 is 8-bit only (T.81 SOF0 precision 8);
-            # a 16-bit BitsAllocated here is inconsistent metadata —
-            # reject it rather than silently upcasting 0..255 values
-            if bits != 8:
-                raise ValueError(
-                    f"JPEG Baseline DICOM declares BitsAllocated={bits}; "
-                    "baseline Process 1 is 8-bit only"
-                )
-            # one frame, possibly split over several fragments
-            arr = jpeg.decode_jpeg_baseline(b"".join(encap_frags))
-            if arr.ndim != 2:
-                raise ValueError("multi-component JPEG in monochrome "
-                                 "DICOM")
-            if arr.shape != (rows, cols):
-                raise ValueError(
-                    f"JPEG frame {arr.shape} != Rows/Cols {(rows, cols)}"
-                )
-            return arr.astype(dt)
-        if ts in (_JPEG_LOSSLESS_SYNTAX, _JPEG_LOSSLESS_SV1_SYNTAX):
-            arr = jpeg.decode_jpeg_lossless(b"".join(encap_frags))
-            if arr.ndim != 2:
-                raise ValueError("multi-component JPEG in monochrome "
-                                 "DICOM")
-            if arr.shape != (rows, cols):
-                raise ValueError(
-                    f"JPEG frame {arr.shape} != Rows/Cols {(rows, cols)}"
-                )
-            if arr.dtype.itemsize * 8 != bits:
-                raise ValueError(
-                    f"JPEG lossless precision {arr.dtype.itemsize * 8} "
-                    f"!= BitsAllocated {bits}"
-                )
-            # signed pixels: reinterpret the two's-complement samples
-            # (same buffer), never a value-changing astype
-            return arr.view(dt) if repr_ == 1 else arr
-        if ts in (_JPEGLS_LOSSLESS_SYNTAX, _JPEGLS_NEAR_SYNTAX):
-            arr, near = jpegls.decode_jpegls(
-                b"".join(encap_frags), return_near=True
-            )
-            if ts == _JPEGLS_LOSSLESS_SYNTAX and near != 0:
-                raise ValueError(
-                    "JPEG-LS lossless transfer syntax carries a "
-                    f"NEAR={near} (near-lossless) stream"
-                )
-            if arr.shape != (rows, cols):
-                raise ValueError(
-                    f"JPEG-LS frame {arr.shape} != Rows/Cols "
-                    f"{(rows, cols)}"
-                )
-            if arr.dtype.itemsize * 8 != bits:
-                raise ValueError(
-                    f"JPEG-LS sample width {arr.dtype.itemsize * 8} "
-                    f"!= BitsAllocated {bits}"
-                )
-            # signed pixels: reinterpret, never a value-changing cast
-            return arr.view(dt) if repr_ == 1 else arr
-        if ts in (_J2K_LOSSLESS_SYNTAX, _J2K_SYNTAX):
-            arr = jpeg2000.decode_j2k(b"".join(encap_frags))
-            if arr.shape != (rows, cols):
-                raise ValueError(
-                    f"JPEG 2000 frame {arr.shape} != Rows/Cols "
-                    f"{(rows, cols)}"
-                )
-            if arr.dtype.itemsize * 8 != bits:
-                raise ValueError(
-                    f"JPEG 2000 sample width {arr.dtype.itemsize * 8} "
-                    f"!= BitsAllocated {bits}"
-                )
-            # signed pixels: reinterpret, never a value-changing cast
-            return arr.view(dt) if repr_ == 1 else arr
-        return _rle_decode_frame(encap_frags[0], rows, cols, np.dtype(dt))
+        return _decode_encap_frame(ts, encap_frags, rows, cols,
+                                   bits, repr_, dt)
     arr = np.frombuffer(pixel[: rows * cols * np.dtype(dt).itemsize], dtype=dt)
     return arr.reshape(rows, cols)
+
+
+def _decode_encap_frame(ts: str, frags: list[bytes], rows: int,
+                        cols: int, bits: int, repr_: int,
+                        dt: type) -> np.ndarray:
+    """Decode ONE frame's encapsulated fragments for transfer syntax
+    ``ts`` (shared by the single- and multi-frame readers). JPEG-family
+    frames may span fragments (joined); an RLE frame is always exactly
+    one fragment (PS3.5 Annex G), so RLE uses the first fragment."""
+    if ts == _JPEG_BASELINE_SYNTAX:
+        # Baseline Process 1 is 8-bit only (T.81 SOF0 precision 8);
+        # a 16-bit BitsAllocated here is inconsistent metadata —
+        # reject it rather than silently upcasting 0..255 values
+        if bits != 8:
+            raise ValueError(
+                f"JPEG Baseline DICOM declares BitsAllocated={bits}; "
+                "baseline Process 1 is 8-bit only"
+            )
+        # one frame, possibly split over several fragments
+        arr = jpeg.decode_jpeg_baseline(b"".join(frags))
+        if arr.ndim != 2:
+            raise ValueError("multi-component JPEG in monochrome "
+                             "DICOM")
+        if arr.shape != (rows, cols):
+            raise ValueError(
+                f"JPEG frame {arr.shape} != Rows/Cols {(rows, cols)}"
+            )
+        return arr.astype(dt)
+    if ts in (_JPEG_LOSSLESS_SYNTAX, _JPEG_LOSSLESS_SV1_SYNTAX):
+        arr = jpeg.decode_jpeg_lossless(b"".join(frags))
+        if arr.ndim != 2:
+            raise ValueError("multi-component JPEG in monochrome "
+                             "DICOM")
+        if arr.shape != (rows, cols):
+            raise ValueError(
+                f"JPEG frame {arr.shape} != Rows/Cols {(rows, cols)}"
+            )
+        if arr.dtype.itemsize * 8 != bits:
+            raise ValueError(
+                f"JPEG lossless precision {arr.dtype.itemsize * 8} "
+                f"!= BitsAllocated {bits}"
+            )
+        # signed pixels: reinterpret the two's-complement samples
+        # (same buffer), never a value-changing astype
+        return arr.view(dt) if repr_ == 1 else arr
+    if ts in (_JPEGLS_LOSSLESS_SYNTAX, _JPEGLS_NEAR_SYNTAX):
+        arr, near = jpegls.decode_jpegls(
+            b"".join(frags), return_near=True
+        )
+        if ts == _JPEGLS_LOSSLESS_SYNTAX and near != 0:
+            raise ValueError(
+                "JPEG-LS lossless transfer syntax carries a "
+                f"NEAR={near} (near-lossless) stream"
+            )
+        if arr.shape != (rows, cols):
+            raise ValueError(
+                f"JPEG-LS frame {arr.shape} != Rows/Cols "
+                f"{(rows, cols)}"
+            )
+        if arr.dtype.itemsize * 8 != bits:
+            raise ValueError(
+                f"JPEG-LS sample width {arr.dtype.itemsize * 8} "
+                f"!= BitsAllocated {bits}"
+            )
+        # signed pixels: reinterpret, never a value-changing cast
+        return arr.view(dt) if repr_ == 1 else arr
+    if ts in (_J2K_LOSSLESS_SYNTAX, _J2K_SYNTAX):
+        arr = jpeg2000.decode_j2k(b"".join(frags))
+        if arr.shape != (rows, cols):
+            raise ValueError(
+                f"JPEG 2000 frame {arr.shape} != Rows/Cols "
+                f"{(rows, cols)}"
+            )
+        if arr.dtype.itemsize * 8 != bits:
+            raise ValueError(
+                f"JPEG 2000 sample width {arr.dtype.itemsize * 8} "
+                f"!= BitsAllocated {bits}"
+            )
+        # signed pixels: reinterpret, never a value-changing cast
+        return arr.view(dt) if repr_ == 1 else arr
+    return _rle_decode_frame(frags[0], rows, cols, np.dtype(dt))
 
 
 def _elem(group: int, elem: int, vr: bytes, val: bytes) -> bytes:
@@ -490,25 +552,12 @@ def _packbits_encode_row(row: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_dicom_rle(arr: np.ndarray) -> bytes:
-    """HxW ndarray → Part-10 RLE Lossless (1.2.840.10008.1.2.5) DICOM:
-    PackBits segments per sample byte (MSB plane first), 64-byte frame
-    header, encapsulated PixelData (empty Basic Offset Table item + one
-    fragment + sequence delimiter). Roundtrips through
-    ``decode_dicom_gray``; fixture/sink counterpart of the RLE decode
-    path."""
-    if arr.ndim != 2:
-        raise ValueError("encode_dicom_rle expects a 2-D array")
-    if arr.dtype == np.uint8:
-        bits, repr_ = 8, 0
-    elif arr.dtype == np.uint16:
-        bits, repr_ = 16, 0
-    elif arr.dtype == np.int16:
-        bits, repr_ = 16, 1
-    else:
-        raise ValueError(f"dtype {arr.dtype} unsupported")
+def _rle_encode_frame(arr: np.ndarray) -> np.ndarray:
+    """One RLE Lossless frame (PS3.5 Annex G): 64-byte header + PackBits
+    segments, one byte plane per sample byte (MSB plane first). Shared
+    by the single- and multi-frame fixture encoders."""
     h, w = arr.shape
-    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    bits = arr.dtype.itemsize * 8
     # big-endian sample bytes → one byte plane per segment, MSB first
     raw = (
         np.ascontiguousarray(arr).view(np.uint16).astype(">u2").tobytes()
@@ -537,6 +586,29 @@ def encode_dicom_rle(arr: np.ndarray) -> bytes:
     frame = header + b"".join(segs)
     if len(frame) % 2:
         frame += b"\x00"
+    return frame
+
+
+def encode_dicom_rle(arr: np.ndarray) -> bytes:
+    """HxW ndarray → Part-10 RLE Lossless (1.2.840.10008.1.2.5) DICOM:
+    PackBits segments per sample byte (MSB plane first), 64-byte frame
+    header, encapsulated PixelData (empty Basic Offset Table item + one
+    fragment + sequence delimiter). Roundtrips through
+    ``decode_dicom_gray``; fixture/sink counterpart of the RLE decode
+    path."""
+    if arr.ndim != 2:
+        raise ValueError("encode_dicom_rle expects a 2-D array")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    frame = _rle_encode_frame(arr)
     item = lambda payload: (  # noqa: E731
         struct.pack("<HHI", _ITEM_TAG[0], _ITEM_TAG[1], len(payload))
         + payload
@@ -805,5 +877,150 @@ def encode_dicom_j2k(arr: np.ndarray, levels: int = 2) -> bytes:
         + _elem(0x0028, 0x0103, b"US", us(repr_))
         + pixel_head
         + encapsulated
+    )
+    return b"\x00" * 128 + b"DICM" + meta + meta_body + body
+
+
+def _frame_payloads(frags: list[bytes], offsets: list[int],
+                    bot: list[int], nframes: int) -> list[list[bytes]]:
+    """Group encapsulated fragments into per-frame lists (PS3.5 A.4):
+    one fragment per frame when counts match, else by Basic Offset
+    Table entries (each names the byte offset of its frame's first
+    fragment item header); ambiguous fragmentation is a named error,
+    never a guess."""
+    if nframes == len(frags):
+        return [[f] for f in frags]
+    if bot and len(bot) == nframes:
+        groups: list[list[bytes]] = []
+        for k in range(nframes):
+            lo = bot[k]
+            hi = bot[k + 1] if k + 1 < nframes else None
+            groups.append([
+                f for off, f in zip(offsets, frags)
+                if off >= lo and (hi is None or off < hi)
+            ])
+        if all(groups) and sum(len(g) for g in groups) == len(frags):
+            return groups
+    raise ValueError(
+        f"cannot split {len(frags)} fragments into {nframes} frames "
+        "(no usable Basic Offset Table)"
+    )
+
+
+def decode_dicom_frames(data: bytes) -> np.ndarray:
+    """Multi-frame twin of :func:`decode_dicom_gray`: Part-10 bytes →
+    (NumberOfFrames, Rows, Cols) ndarray. Single-frame files come back
+    as shape (1, H, W). Native PixelData is one contiguous buffer of
+    F·H·W samples; encapsulated syntaxes split fragments per frame via
+    :func:`_frame_payloads` and decode each frame with the same
+    per-syntax path the single-frame reader uses. The reference meets
+    multi-frame series (CT/MR) through pydicom's ``pixel_array``
+    (generate_images_from_dicom.py:48-51), which returns the same
+    (F, H, W) shape."""
+    m = _walk_part10(data)
+    ts, rows, cols = m["ts"], m["rows"], m["cols"]
+    bits, repr_, dt = m["bits"], m["repr"], m["dt"]
+    nframes = m["nframes"]
+    if m["frags"] is not None:
+        groups = _frame_payloads(m["frags"], m["offsets"], m["bot"],
+                                 nframes)
+        return np.stack([
+            _decode_encap_frame(ts, g, rows, cols, bits, repr_, dt)
+            for g in groups
+        ])
+    need = nframes * rows * cols * np.dtype(dt).itemsize
+    if len(m["pixel"]) < need:
+        raise ValueError(
+            f"native PixelData holds {len(m['pixel'])} bytes; "
+            f"{nframes} frames of {rows}x{cols} need {need}"
+        )
+    arr = np.frombuffer(m["pixel"][:need], dtype=dt)
+    return arr.reshape(nframes, rows, cols)
+
+
+def encode_dicom_multiframe(arr: np.ndarray, syntax: str = "j2k") -> bytes:
+    """(F, H, W) uint8/uint16/int16 stack → Part-10 multi-frame DICOM.
+    ``syntax``: 'raw' (explicit-VR-LE native, one contiguous buffer),
+    'rle', 'jpegls', 'jpeg_lossless' or 'j2k' (encapsulated, one
+    fragment per frame, Basic Offset Table populated). Inverse of
+    :func:`decode_dicom_frames`; all listed syntaxes are lossless so
+    the roundtrip is exact array equality."""
+    if arr.ndim != 3 or arr.shape[0] < 1:
+        raise ValueError("encode_dicom_multiframe expects (F, H, W)")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+        samples = arr
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+        samples = arr
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+        samples = arr.view(np.uint16)
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    nf, h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    if syntax == "raw":
+        ts = b"1.2.840.10008.1.2.1"
+        payload = arr.tobytes()
+        pixel = (
+            struct.pack("<HH", _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1])
+            + b"OB\x00\x00" + struct.pack("<I", len(payload)) + payload
+        )
+    else:
+        enc = {
+            "rle": lambda f: _rle_encode_frame(f),
+            "jpegls": lambda f: jpegls.encode_jpegls_gray(f),
+            "jpeg_lossless": lambda f: jpeg.encode_jpeg_lossless_gray(
+                f, predictor=1),
+            "j2k": lambda f: jpeg2000.encode_j2k_gray(f),
+        }.get(syntax)
+        if enc is None:
+            raise ValueError(f"syntax {syntax!r} unsupported")
+        ts = {
+            "rle": _RLE_SYNTAX, "jpegls": _JPEGLS_LOSSLESS_SYNTAX,
+            "jpeg_lossless": _JPEG_LOSSLESS_SV1_SYNTAX,
+            "j2k": _J2K_LOSSLESS_SYNTAX,
+        }[syntax].encode()
+        frames = []
+        for f in samples:
+            blob = enc(np.ascontiguousarray(f))
+            if len(blob) % 2:
+                blob += b"\x00"
+            frames.append(blob)
+        item = lambda payload: (  # noqa: E731
+            struct.pack("<HHI", _ITEM_TAG[0], _ITEM_TAG[1], len(payload))
+            + payload
+        )
+        # Basic Offset Table: offset of each frame's item header
+        # relative to the byte after the BOT item
+        offsets, off = [], 0
+        for blob in frames:
+            offsets.append(off)
+            off += 8 + len(blob)
+        bot = struct.pack(f"<{nf}I", *offsets)
+        pixel = (
+            struct.pack("<HH", _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1])
+            + b"OB\x00\x00" + struct.pack("<I", 0xFFFFFFFF)
+            + item(bot)
+            + b"".join(item(blob) for blob in frames)
+            + struct.pack("<HHI", _SEQ_DELIM_TAG[0], _SEQ_DELIM_TAG[1], 0)
+        )
+    meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
+        0x0002, 0x0010, b"UI", ts
+    )
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    body = (
+        _elem(0x0028, 0x0002, b"US", us(1))
+        + _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + _elem(_TAG_NFRAMES[0], _TAG_NFRAMES[1], b"IS",
+                str(nf).encode("ascii"))
+        + _elem(_TAG_ROWS[0], _TAG_ROWS[1], b"US", us(h))
+        + _elem(_TAG_COLS[0], _TAG_COLS[1], b"US", us(w))
+        + _elem(0x0028, 0x0100, b"US", us(bits))
+        + _elem(0x0028, 0x0101, b"US", us(bits))
+        + _elem(0x0028, 0x0102, b"US", us(bits - 1))
+        + _elem(0x0028, 0x0103, b"US", us(repr_))
+        + pixel
     )
     return b"\x00" * 128 + b"DICM" + meta + meta_body + body

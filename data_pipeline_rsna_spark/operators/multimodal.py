@@ -273,6 +273,61 @@ def j2k_roundtrip(images: DataFrame, levels: int = 2) -> DataFrame:
     return images.mapInPandas(run, PIXELS_SCHEMA)
 
 
+def multiframe_roundtrip_stats(spark: SparkSession, n: int = 40,
+                               frames: int = 4, height: int = 9,
+                               width: int = 7,
+                               syntax: str = "j2k") -> DataFrame:
+    """Multi-frame DICOM path (CT/MR series shape): synthesize a
+    closed-form (F, H, W) uint16 stack per image id — pixel =
+    (img_id*523 + frame*277 + i*659) % 65536 — encode it as ONE
+    multi-frame DICOM (encapsulated, Basic Offset Table), decode with
+    ``decode_dicom_frames``, and emit per-(img, frame) stats. The
+    whole synth→encode→decode→stats chain runs inside the Arrow
+    batch; a hash match against the closed-form oracle asserts exact
+    per-frame recovery THROUGH the multi-frame container, which
+    single-frame roundtrips cannot see (fragment/BOT bookkeeping).
+    Reference behavior via pydicom's (F, H, W) ``pixel_array``
+    (generate_images_from_dicom.py:48-51)."""
+    from ..functions import codecs as C
+
+    npx = height * width
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img_id in pdf["id"].to_numpy():
+                idx = np.arange(npx, dtype=np.int64)
+                stack = np.stack([
+                    ((img_id * 523 + f * 277 + idx * 659) % 65536)
+                    .astype(np.uint16).reshape(height, width)
+                    for f in range(frames)
+                ])
+                back = C.decode_dicom_frames(
+                    C.encode_dicom_multiframe(stack, syntax)
+                )
+                for f in range(back.shape[0]):
+                    fr = back[f].astype(np.int64)
+                    out.append((
+                        int(img_id), f, int(fr.sum()),
+                        int(fr.min()), int(fr.max()),
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=["img_id", "frame_id", "sum_px", "min_px",
+                         "max_px"],
+            )
+
+    return (
+        spark.range(n)
+        .repartition(8)
+        .mapInPandas(
+            run,
+            "img_id long, frame_id int, sum_px long, min_px int, "
+            "max_px int",
+        )
+    )
+
+
 def pixel_stats(images: DataFrame) -> DataFrame:
     """Per-image pixel statistics — the feature-extraction stage of a
     multimodal pipeline, computed inside Arrow batches."""

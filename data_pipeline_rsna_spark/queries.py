@@ -15667,3 +15667,41 @@ def q_multimodal_jpeg2000_roundtrip(
 
     imgs = mm.synth_images16(spark, n=100, height=9, width=14)
     return mm.pixel_stats(mm.j2k_roundtrip(imgs))
+
+
+@register(
+    "multimodal_multiframe_roundtrip",
+    oracle="""
+    WITH px AS (
+        SELECT g.id AS img_id, f.f AS frame_id,
+               (g.id * 523 + f.f * 277 + i.i * 659) % 65536 AS v
+        FROM (SELECT unnest(generate_series(0, 39)) AS id) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+        CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) i
+    )
+    SELECT img_id, CAST(frame_id AS INTEGER) AS frame_id,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS INTEGER) AS min_px,
+           CAST(max(v) AS INTEGER) AS max_px
+    FROM px GROUP BY img_id, frame_id
+    """,
+    doc="O7+ multi-frame DICOM (the CT/MR series shape): 4-frame "
+    "uint16 stacks -> ONE encapsulated multi-frame file per image "
+    "(JPEG 2000 per-frame fragments + populated Basic Offset Table, "
+    "NumberOfFrames IS element) -> decode_dicom_frames -> per-(img, "
+    "frame) stats. LOSSLESS and closed-form, so the hash match pins "
+    "exact per-frame recovery through the container bookkeeping "
+    "(fragment split, BOT offsets) that single-frame roundtrips never "
+    "exercise. The reference reaches multi-frame series through "
+    "pydicom's (F,H,W) pixel_array (generate_images_from_dicom.py"
+    ":48-51).",
+    tags=("multimodal", "codec"),
+)
+def q_multimodal_multiframe_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import multimodal as mm
+
+    return mm.multiframe_roundtrip_stats(
+        spark, n=40, frames=4, height=9, width=7, syntax="j2k"
+    )

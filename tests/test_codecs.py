@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from data_pipeline_rsna_spark.functions import codecs as C
+from data_pipeline_rsna_spark.functions import jpeg2000 as JK
 
 
 @pytest.fixture(scope="module")
@@ -621,3 +622,100 @@ def test_codec_family_matches_pydicom_when_available():
             pytest.skip(f"pydicom lacks a decoder here: {e}")
         ours = C.decode_dicom_gray(blob)
         assert np.array_equal(px, ours), ds.file_meta.TransferSyntaxUID
+
+
+# ---------------------------------------------------------------------------
+# multi-frame DICOM (NumberOfFrames > 1, PS3.5 A.4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("syntax", ["raw", "rle", "jpegls",
+                                    "jpeg_lossless", "j2k"])
+def test_dicom_multiframe_roundtrip_all_syntaxes(syntax):
+    rng = np.random.default_rng(41)
+    for dt, lo, hi in [(np.uint8, 0, 256), (np.uint16, 0, 65536),
+                       (np.int16, -32768, 32768)]:
+        stack = rng.integers(lo, hi, size=(4, 9, 7)).astype(dt)
+        blob = C.encode_dicom_multiframe(stack, syntax)
+        out = C.decode_dicom_frames(blob)
+        assert out.dtype == stack.dtype
+        assert np.array_equal(out, stack), (syntax, dt)
+
+
+def test_dicom_multiframe_gray_reader_rejects_with_named_error():
+    stack = np.zeros((3, 4, 4), dtype=np.uint8)
+    blob = C.encode_dicom_multiframe(stack, "rle")
+    with pytest.raises(ValueError, match="decode_dicom_frames"):
+        C.decode_dicom_gray(blob)
+
+
+def test_dicom_frames_on_single_frame_returns_1hw():
+    a = np.arange(30, dtype=np.uint16).reshape(5, 6)
+    for blob in (C.encode_dicom_gray(a), C.encode_dicom_j2k(a),
+                 C.encode_dicom_rle(a)):
+        out = C.decode_dicom_frames(blob)
+        assert out.shape == (1, 5, 6) and np.array_equal(out[0], a)
+
+
+def test_dicom_multiframe_bot_grouping_of_split_fragments():
+    """A frame may span several fragments; only the Basic Offset Table
+    can group them. Build a 2-frame J2K file whose first frame is split
+    into two fragments and check the BOT path reassembles it."""
+    rng = np.random.default_rng(43)
+    stack = rng.integers(0, 65536, size=(2, 8, 8)).astype(np.uint16)
+    f0 = JK.encode_j2k_gray(stack[0])
+    f1 = JK.encode_j2k_gray(stack[1])
+    if len(f0) % 2:
+        f0 += b"\x00"
+    if len(f1) % 2:
+        f1 += b"\x00"
+    cut = (len(f0) // 2) & ~1  # even split point
+    item = lambda p: (  # noqa: E731
+        struct.pack("<HHI", 0xFFFE, 0xE000, len(p)) + p
+    )
+    frags = [f0[:cut], f0[cut:], f1]
+    offsets, off = [], 0
+    for fr in frags:
+        offsets.append(off)
+        off += 8 + len(fr)
+    bot = struct.pack("<2I", offsets[0], offsets[2])  # frame starts
+    # swap the pixel element of a stock 2-frame file for the split one
+    blob = bytearray(C.encode_dicom_multiframe(stack, "j2k"))
+    at = blob.find(struct.pack("<HH", 0x7FE0, 0x0010))
+    pixel = (
+        struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+        + item(bot) + b"".join(item(fr) for fr in frags)
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    blob = bytes(blob[:at]) + pixel
+    out = C.decode_dicom_frames(blob)
+    assert np.array_equal(out, stack)
+
+
+def test_dicom_multiframe_ambiguous_fragmentation_rejected():
+    """3 fragments, 2 frames, empty BOT: a guess would silently decode
+    garbage — the reader must name the problem."""
+    rng = np.random.default_rng(44)
+    stack = rng.integers(0, 65536, size=(2, 8, 8)).astype(np.uint16)
+    blob = bytearray(C.encode_dicom_multiframe(stack, "j2k"))
+    at = blob.find(struct.pack("<HH", 0x7FE0, 0x0010))
+    f0 = JK.encode_j2k_gray(stack[0])
+    f1 = JK.encode_j2k_gray(stack[1])
+    if len(f0) % 2:
+        f0 += b"\x00"
+    if len(f1) % 2:
+        f1 += b"\x00"
+    cut = (len(f0) // 2) & ~1
+    item = lambda p: (  # noqa: E731
+        struct.pack("<HHI", 0xFFFE, 0xE000, len(p)) + p
+    )
+    pixel = (
+        struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+        + item(b"")  # empty BOT
+        + item(f0[:cut]) + item(f0[cut:]) + item(f1)
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    with pytest.raises(ValueError, match="fragments into 2 frames"):
+        C.decode_dicom_frames(bytes(blob[:at]) + pixel)
