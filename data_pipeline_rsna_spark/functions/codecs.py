@@ -839,8 +839,12 @@ def encode_dicom_j2k(arr: np.ndarray, levels: int = 2) -> bytes:
         bits, repr_ = 16, 0
         samples = arr
     elif arr.dtype == np.int16:
+        # J2K carries signedness natively (Ssiz sign bit) — encode the
+        # int16 array as a signed codestream so Ssiz agrees with
+        # PixelRepresentation=1 for third-party decoders; our decode
+        # path's `arr.view(dt)` is then an identity.
         bits, repr_ = 16, 1
-        samples = arr.view(np.uint16)
+        samples = arr
     else:
         raise ValueError(f"dtype {arr.dtype} unsupported")
     h, w = arr.shape
@@ -887,7 +891,11 @@ def _frame_payloads(frags: list[bytes], offsets: list[int],
     one fragment per frame when counts match, else by Basic Offset
     Table entries (each names the byte offset of its frame's first
     fragment item header); ambiguous fragmentation is a named error,
-    never a guess."""
+    never a guess. A single-frame file is never ambiguous — all
+    fragments belong to the one frame regardless of BOT presence,
+    matching decode_dicom_gray's join-all behavior."""
+    if nframes == 1:
+        return [frags]
     if nframes == len(frags):
         return [[f] for f in frags]
     if bot and len(bot) == nframes:
@@ -973,7 +981,10 @@ def encode_dicom_multiframe(arr: np.ndarray, syntax: str = "j2k") -> bytes:
             "jpegls": lambda f: jpegls.encode_jpegls_gray(f),
             "jpeg_lossless": lambda f: jpeg.encode_jpeg_lossless_gray(
                 f, predictor=1),
-            "j2k": lambda f: jpeg2000.encode_j2k_gray(f),
+            # J2K is the one syntax with native signed samples: encode
+            # int16 frames signed so Ssiz matches PixelRepresentation
+            "j2k": lambda f: jpeg2000.encode_j2k_gray(
+                f.view(np.int16) if repr_ == 1 else f),
         }.get(syntax)
         if enc is None:
             raise ValueError(f"syntax {syntax!r} unsupported")

@@ -902,7 +902,16 @@ def encode_j2k_gray(arr: np.ndarray, levels: int = 2,
             nb = actual.bit_length()
             if nb > eps + guard - 1:
                 need_extra = max(need_extra, nb - (eps + guard - 1))
-    guard = min(7, guard + need_extra)
+    if guard + need_extra > 7:
+        # QCD guard-bit field is 3 bits (max 7); silently capping would
+        # emit an undecodable stream (negative zbp) — refuse loudly.
+        # Empirically unreachable for 5/3 at prec<=16 (worst measured
+        # 17 bits vs Mb=24), but corruption must never be silent.
+        raise ValueError(
+            f"coefficient growth needs {guard + need_extra} guard bits "
+            "(QCD max 7); input exceeds reversible-5/3 headroom"
+        )
+    guard += need_extra
 
     out = bytearray()
     out += struct.pack(">H", _SOC)
@@ -1051,6 +1060,20 @@ def decode_j2k(data: bytes) -> np.ndarray:
             prec = (ssiz & 0x7F) + 1
             if prec > 16:
                 raise ValueError(f"precision {prec} > 16 unsupported")
+            if xsiz > 32768 or ysiz > 32768:
+                # the decoder assumes one precinct per resolution,
+                # which T.800 B.6 only guarantees up to 2^15 px/side
+                raise ValueError(
+                    f"image {xsiz}x{ysiz} exceeds 32768-px "
+                    "single-precinct bound (unsupported)"
+                )
+            if xsiz * ysiz > (1 << 26):
+                # allocation bound: corrupt/crafted SIZ must raise a
+                # named error, never MemoryError (fuzz contract)
+                raise ValueError(
+                    f"image {xsiz}x{ysiz} exceeds 2^26-sample "
+                    "decode bound"
+                )
             w, h = xsiz, ysiz
         elif marker == _COD:
             if len(seg) < 10:
@@ -1059,6 +1082,14 @@ def decode_j2k(data: bytes) -> np.ndarray:
             levels, xcb, ycb, cstyle, tform = seg[5:10]
             if scod & 1:
                 raise ValueError("custom precinct sizes unsupported")
+            if scod & 0x06:
+                # SOP (0x02) / EPH (0x04) marker segments interleave
+                # the packet stream; parsing them as packet data would
+                # misparse — refuse with a named capability error
+                raise ValueError(
+                    "SOP/EPH marker segments unsupported "
+                    f"(Scod=0x{scod:02x})"
+                )
             if nlayers != 1:
                 raise ValueError(
                     f"{nlayers}-layer JPEG 2000 unsupported"

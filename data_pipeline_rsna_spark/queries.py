@@ -868,21 +868,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.doc_id, b.doc_id
     """,
     doc="X2 MinHash(12 hashes) + LSH(6 bands x 2 rows) near-dup candidate "
-    "pairs. Portable md5-min sketch: bit-identical in any engine. The "
-    "pair join is bucket-local - cost tracks true near-dups, never n^2.",
+    "pairs. Portable md5-min sketch: bit-identical in any engine. "
+    "HEADLINE registers the collapse-first form (round 9, VERDICT r8 "
+    "#1): signatures/band buckets run over one representative per "
+    "distinct word sequence, member pairs expand via streamed "
+    "self-joins — pair-for-pair identical to the direct form (same "
+    "oracle SQL), 10.8x faster at sf10 on the heavy-dup corpus, and "
+    "no path materializes a pair array.",
     tags=("dedup", "headline"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     corpus = _planted_corpus(spark, sf_dir)
-    return dedup.minhash_lsh_candidates(
+    return dedup.minhash_lsh_candidates_collapsed(
         corpus, num_hashes=12, rows_per_band=2, shingle_n=3
     )
 
 
 @register(
-    "dedup_minhash_collapsed",
+    "dedup_minhash_direct",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
     mh AS (
@@ -903,24 +908,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
-    doc="X2 collapse-first MinHash-LSH: pair-for-pair the SAME answer "
-    "as dedup_minhash_lsh (the oracle is literally the same SQL), "
-    "computed over DISTINCT word sequences only — signatures, band "
-    "buckets and the bucket join see one representative per identical "
-    "class; member pairs expand through streamed self-joins (round-8 "
-    "distributed form). The exact-dedup-first economics every crawl "
-    "pipeline wants: on the sf10 verbatim-replication corpus the "
-    "expensive stages see 4,992 reps instead of 500,000 docs "
-    "(SCALING.md round 8 measurements).",
+    doc="X2 direct (uncollapsed) MinHash-LSH: pair-for-pair the SAME "
+    "answer as the collapse-first headline (the oracle is literally "
+    "the same SQL), computed per-document. Round 9: the pair "
+    "expansion is a streamed bucket-local self-join on (band, "
+    "band_hash) with exchange reuse (signatures computed once) — no "
+    "per-task pair array on any path; a mega-bucket streams across "
+    "tasks (AQE skew split) instead of OOMing one reducer.",
     tags=("dedup",),
 )
-def q_dedup_minhash_collapsed(
+def q_dedup_minhash_direct(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from .operators import dedup
 
     corpus = _planted_corpus(spark, sf_dir)
-    return dedup.minhash_lsh_candidates_collapsed(
+    return dedup.minhash_lsh_candidates(
         corpus, num_hashes=12, rows_per_band=2, shingle_n=3
     )
 

@@ -608,11 +608,17 @@ def test_codec_family_matches_pydicom_when_available():
     rng = np.random.default_rng(77)
     img16 = rng.integers(0, 4096, (19, 23)).astype(np.uint16)
     img8 = rng.integers(0, 256, (19, 23)).astype(np.uint8)
+    imgs16 = rng.integers(-2048, 2048, (19, 23)).astype(np.int16)
     blobs = [
         C.encode_dicom_jpeg_lossless(img16),
         C.encode_dicom_jpegls(img16),
         C.encode_dicom_j2k(img16),
         C.encode_dicom_rle(img8),
+        # signed: Ssiz/PixelRepresentation agreement is exactly what
+        # cross-implementation decode catches (ADVICE r8)
+        C.encode_dicom_j2k(imgs16),
+        C.encode_dicom_jpeg_lossless(imgs16),
+        C.encode_dicom_jpegls(imgs16),
     ]
     for blob in blobs:
         ds = pydicom.dcmread(io.BytesIO(blob))
@@ -719,3 +725,61 @@ def test_dicom_multiframe_ambiguous_fragmentation_rejected():
     )
     with pytest.raises(ValueError, match="fragments into 2 frames"):
         C.decode_dicom_frames(bytes(blob[:at]) + pixel)
+
+
+def test_dicom_single_frame_split_fragments_empty_bot_decodes():
+    """NumberOfFrames==1 with the frame split over 2 fragments and an
+    empty BOT is never ambiguous — all fragments belong to the one
+    frame. decode_dicom_frames must accept it exactly like
+    decode_dicom_gray does (ADVICE r8: the frames reader was stricter
+    than its documented single-frame contract)."""
+    rng = np.random.default_rng(45)
+    a = rng.integers(0, 65536, size=(8, 8)).astype(np.uint16)
+    f0 = JK.encode_j2k_gray(a)
+    if len(f0) % 2:
+        f0 += b"\x00"
+    cut = (len(f0) // 2) & ~1
+    item = lambda p: (  # noqa: E731
+        struct.pack("<HHI", 0xFFFE, 0xE000, len(p)) + p
+    )
+    blob = bytearray(C.encode_dicom_multiframe(a[None, :, :], "j2k"))
+    at = blob.find(struct.pack("<HH", 0x7FE0, 0x0010))
+    pixel = (
+        struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+        + item(b"")  # empty BOT
+        + item(f0[:cut]) + item(f0[cut:])
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    data = bytes(blob[:at]) + pixel
+    out = C.decode_dicom_frames(data)
+    assert out.shape == (1, 8, 8) and np.array_equal(out[0], a)
+    # parity with the single-frame reader on the identical bytes:
+    # multi-frame files carry NumberOfFrames so the gray reader defers,
+    # but a frames/gray disagreement on 1-frame content is the bug class
+
+
+def test_dicom_j2k_int16_codestream_is_signed_ssiz():
+    """encode_dicom_j2k(int16) must emit a SIGNED J2K codestream (Ssiz
+    sign bit set) so Ssiz agrees with PixelRepresentation=1 — a
+    third-party decoder (pydicom+openjpeg) reads the codestream's own
+    signedness (ADVICE r8)."""
+    a = (np.arange(64, dtype=np.int16) - 32).reshape(8, 8)
+    blob = C.encode_dicom_j2k(a)
+    # extract the J2K frame: first non-empty encapsulated item
+    soc = blob.find(b"\xff\x4f\xff\x51")
+    assert soc != -1
+    siz = blob.find(b"\xff\x51", soc)
+    ssiz = blob[siz + 40]  # Rsiz..Csiz = 36 bytes after len; Ssiz next
+    assert ssiz & 0x80, "Ssiz sign bit must be set for int16 input"
+    assert (ssiz & 0x7F) + 1 == 16
+    out = C.decode_dicom_gray(blob)
+    assert out.dtype == np.int16 and np.array_equal(out, a)
+    # multi-frame twin
+    stack = np.stack([a, a.T.copy()])
+    mf = C.encode_dicom_multiframe(stack, "j2k")
+    socs = mf.find(b"\xff\x4f\xff\x51")
+    sizs = mf.find(b"\xff\x51", socs)
+    assert mf[sizs + 40] & 0x80
+    outs = C.decode_dicom_frames(mf)
+    assert outs.dtype == np.int16 and np.array_equal(outs, stack)

@@ -725,17 +725,33 @@ def test_minhash_collapsed_equals_uncollapsed(spark):
     )
     assert a == b
     assert len(a) >= 15 + 3  # two classes fully cross-paired + within
-    # the pair expansions stream (round-8 contract: no per-row pair
-    # array in the collapsed plan's expansion joins)
-    plan = (
-        dedup.minhash_lsh_candidates_collapsed(docs)
-        ._jdf.queryExecution().executedPlan().toString()
+    # round-9 contract (VERDICT r8 #1): NO path — collapsed (the
+    # headline), direct, or capped — materializes a pair array; every
+    # pair expansion is a streamed self-join
+    for df in (
+        dedup.minhash_lsh_candidates_collapsed(docs),
+        dedup.minhash_lsh_candidates(docs),
+        dedup.minhash_lsh_candidates(docs, max_bucket=8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "flatten" not in plan
+        assert "Join" in plan
+
+
+def test_minhash_direct_pair_join_reuses_signature_exchange(spark):
+    """The streamed self-join must not pay for the signature pipeline
+    twice: both join inputs are the identical subtree, so the final
+    adaptive plan contains a ReusedExchange (one shuffle of the band
+    table feeds both sides)."""
+    docs = spark.createDataFrame(
+        [(i, f"variant {i % 2} of a sufficiently long boilerplate "
+             "sentence for shingling") for i in range(20)],
+        "doc_id long, text string",
     )
-    # flatten appears only inside the rep-level bucket expansion whose
-    # row count is bounded by bucket occupancy of DISTINCT texts; the
-    # member expansion itself must be join-shaped, i.e. the plan
-    # contains SortMergeJoin/ShuffledHashJoin nodes for members
-    assert "Join" in plan
+    out = dedup.minhash_lsh_candidates(docs)
+    out.collect()  # finalize the AQE plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
 
 
 def test_minhash_collapsed_signature_stage_sees_reps_only(spark):

@@ -234,6 +234,44 @@ def test_codestream_named_error_contracts():
         J.decode_j2k(bytes(s))
 
 
+def test_codestream_sop_eph_named_capability_error():
+    """Scod bits 0x02/0x04 (SOP/EPH marker segments) interleave the
+    packet stream; silently ignoring them misparses packet data — the
+    decoder must refuse with a named error, not a stuffing error."""
+    a = np.zeros((4, 4), dtype=np.uint8)
+    for bit in (0x02, 0x04, 0x06):
+        s = bytearray(J.encode_j2k_gray(a))
+        cod = s.find(b"\xff\x52")
+        s[cod + 4] |= bit  # Scod byte
+        with pytest.raises(ValueError, match="SOP/EPH"):
+            J.decode_j2k(bytes(s))
+
+
+def test_codestream_oversized_siz_named_errors_not_memoryerror():
+    """Crafted SIZ dims must raise named ValueErrors before any
+    allocation: >32768/side breaks the single-precinct assumption;
+    >2^26 samples breaks the allocation bound (fuzz contract)."""
+    import struct as _struct
+    a = np.zeros((4, 4), dtype=np.uint8)
+    base = J.encode_j2k_gray(a)
+    siz = base.find(b"\xff\x51")
+
+    def with_dims(xs, ys):
+        s = bytearray(base)
+        s[siz + 6:siz + 10] = _struct.pack(">I", xs)   # Xsiz
+        s[siz + 10:siz + 14] = _struct.pack(">I", ys)  # Ysiz
+        s[siz + 22:siz + 26] = _struct.pack(">I", xs)  # XTsiz
+        s[siz + 26:siz + 30] = _struct.pack(">I", ys)  # YTsiz
+        return bytes(s)
+
+    with pytest.raises(ValueError, match="32768"):
+        J.decode_j2k(with_dims(1 << 31, 4))
+    with pytest.raises(ValueError, match="32768"):
+        J.decode_j2k(with_dims(4, 40000))
+    with pytest.raises(ValueError, match="2\\^26"):
+        J.decode_j2k(with_dims(16384, 16384))
+
+
 def test_codestream_truncation_raises_valueerror():
     a = np.arange(400, dtype=np.uint16).reshape(20, 20)
     full = J.encode_j2k_gray(a, levels=1)
