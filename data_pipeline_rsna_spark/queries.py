@@ -777,19 +777,24 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X1/X2 — deduplication family over `documents`.
 #
 # The driver corpus is all-distinct, so each query plants duplicates
-# deterministically: exact copies of every doc_id % 10 == 0 (id+200000) and
-# near copies (first token dropped) of every doc_id % 10 == 5 (id+100000).
+# deterministically: exact copies of every doc_id % 10 == 0 (at
+# id + 2*stride) and near copies (first token dropped) of every
+# doc_id % 10 == 5 (at id + stride), stride = 1 + max(doc_id) so the
+# ranges stay disjoint at any replication factor.
 # Finding exactly the planted pairs is the check.
 # ---------------------------------------------------------------------------
 
 _CORPUS_SQL = """
-    SELECT doc_id, text FROM documents
+    SELECT d.doc_id, d.text FROM documents d
     UNION ALL
-    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    SELECT d.doc_id + 2 * m.stride AS doc_id, d.text
+    FROM documents d, (SELECT 1 + max(doc_id) AS stride FROM documents) m
+    WHERE d.doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id,
-           substr(text, position(' ' IN text) + 1) AS text
-    FROM documents WHERE doc_id % 10 = 5
+    SELECT d.doc_id + m.stride AS doc_id,
+           substr(d.text, position(' ' IN d.text) + 1) AS text
+    FROM documents d, (SELECT 1 + max(doc_id) AS stride FROM documents) m
+    WHERE d.doc_id % 10 = 5
 """
 
 _SHINGLES_SQL = f"""
@@ -809,13 +814,22 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself plus (for 1-in-10 ids) a planted exact or near duplicate —
     # explode is narrow, so the plant costs zero extra I/O and no shuffle
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant offsets derive from the corpus key range (round 9, VERDICT r8
+    # #2): stride = 1 + max(doc_id), exact copies at +2*stride, near
+    # copies at +stride — the three id ranges are disjoint at ANY
+    # replication factor, unlike the old fixed +100000/+200000 which
+    # collided with replicated ids at sf10. The max() is a
+    # metadata-sized driver collect (aggregate pushdown reads parquet
+    # footer stats), embedded as a literal so the scan plan stays a
+    # single narrow explode with no join node.
+    stride = 1 + docs.agg(F.max("doc_id")).first()[0]
     # single expr string: same plan as the Column-tree form, built in 2
     # gateway calls instead of ~40 (plan construction is serving latency)
     keep = (
         "explode(filter(array("
         "struct(doc_id, text), "
-        "struct(doc_id + 200000 AS doc_id, text), "
-        "struct(doc_id + 100000 AS doc_id, "
+        f"struct(doc_id + {2 * stride} AS doc_id, text), "
+        f"struct(doc_id + {stride} AS doc_id, "
         "substring(text, instr(text, ' ') + 1) AS text)"
         "), (v, i) -> i = 0 OR (i = 1 AND doc_id % 10 = 0) "
         "OR (i = 2 AND doc_id % 10 = 5))) AS v"
@@ -934,8 +948,9 @@ def q_dedup_minhash_direct(
 _MEGA_CORPUS_SQL = f"""
     SELECT doc_id, text FROM ({_CORPUS_SQL})
     UNION ALL
-    SELECT 300000 + s.i AS doc_id, d.text
-    FROM documents d
+    SELECT 3 * m.stride + s.i AS doc_id, d.text
+    FROM documents d,
+         (SELECT 1 + max(doc_id) AS stride FROM documents) m
     CROSS JOIN (SELECT unnest(generate_series(0, 149)) AS i) s
     WHERE d.doc_id = 7
 """
@@ -1002,13 +1017,14 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     corpus = _planted_corpus(spark, sf_dir)
-    seed = tables.load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") == 7
-    )
+    docs = tables.load(spark, sf_dir, "documents")
+    stride = 1 + docs.agg(F.max("doc_id")).first()[0]
+    seed = docs.filter(F.col("doc_id") == 7)
     mega = seed.select(
         F.explode(F.sequence(F.lit(0), F.lit(149))).alias("_i"), "text"
     ).select(
-        (F.lit(300000) + F.col("_i")).cast("long").alias("doc_id"), "text"
+        (F.lit(3 * stride) + F.col("_i")).cast("long").alias("doc_id"),
+        "text",
     )
     return dedup.minhash_lsh_candidates(
         corpus.unionByName(mega),
@@ -9389,14 +9405,16 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT m.doc_id) AS BIGINT) AS n_matched_docs
     FROM bands n
     JOIN bands m ON n.band = m.band AND n.band_hash = m.band_hash
-                -- index docs (< 100000) are prior art unconditionally;
-                -- the earlier-id rule applies only within the batch
-                AND (m.doc_id < 100000 OR m.doc_id < n.doc_id)
-    WHERE n.doc_id >= 100000
+                -- index docs (below the plant stride) are prior art
+                -- unconditionally; the earlier-id rule applies only
+                -- within the batch
+                AND (m.doc_id < (SELECT 1 + max(doc_id) FROM documents)
+                     OR m.doc_id < n.doc_id)
+    WHERE n.doc_id >= (SELECT 1 + max(doc_id) FROM documents)
     GROUP BY n.doc_id
     """,
     doc="X2f incremental near-dup ingest: today's batch (the planted "
-    "dup/near-dup ids >= 100000) checked against the PERSISTED band "
+    "dup/near-dup ids at >= stride) checked against the PERSISTED band "
     "index of the existing corpus plus earlier docs of the same batch "
     "(dedup.py::incremental_minhash_matches). Only the batch is "
     "shingled/hashed - cost tracks |batch|, not |corpus| - which is "
@@ -9411,8 +9429,11 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     corpus = _planted_corpus(spark, sf_dir)
-    existing = corpus.filter(F.col("doc_id") < 100000)
-    batch = corpus.filter(F.col("doc_id") >= 100000)
+    stride = 1 + tables.load(spark, sf_dir, "documents").agg(
+        F.max("doc_id")
+    ).first()[0]
+    existing = corpus.filter(F.col("doc_id") < stride)
+    batch = corpus.filter(F.col("doc_id") >= stride)
     # the persisted index, built once per corpus life, read thereafter
     index_bands = dedup.lsh_band_buckets(
         dedup.minhash_signatures(existing, num_hashes=12, shingle_n=3),

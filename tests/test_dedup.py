@@ -770,3 +770,30 @@ def test_minhash_collapsed_signature_stage_sees_reps_only(spark):
     rows = out.collect()
     within = [r for r in rows if r.n_shared_bands == 6]
     assert len(within) >= 3 * (100 * 99) // 2
+
+
+def test_planted_corpus_ids_unique_at_any_replication(spark, tmp_path):
+    """Round-9 regression (VERDICT r8 #2): plant offsets derive from
+    1 + max(doc_id), so replicated corpora with ids far beyond the old
+    fixed +100000/+200000 offsets still get disjoint plant id ranges.
+    A corpus whose ids straddle 100000/200000 would have collided under
+    the old scheme; stride-based plants must keep every doc_id unique
+    and plant the exact expected counts."""
+    from data_pipeline_rsna_spark import queries as Q
+
+    rows = [(i, f"text body number {i} with several words")
+            for i in range(0, 250001, 12500)]  # ids 0..250000
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    corpus = Q._planted_corpus(spark, str(tmp_path))
+    n = corpus.count()
+    d = corpus.select("doc_id").distinct().count()
+    assert n == d, "planted ids collided with base ids"
+    n_base = len(rows)
+    n_exact = sum(1 for i, _ in rows if i % 10 == 0)
+    n_near = sum(1 for i, _ in rows if i % 10 == 5)
+    assert n == n_base + n_exact + n_near
+    # plants sit strictly above the base id range
+    stride = 250001
+    base_max = corpus.filter(f"doc_id < {stride}").count()
+    assert base_max == n_base
