@@ -53,6 +53,29 @@ def test_every_priority_name_exists_in_registry():
     assert not missing, f"priority names not in REGISTRY: {missing}"
 
 
+def test_rotating_tail_scheme():
+    """Round-9 scheme (VERDICT r8 #7): the window tail beyond the fixed
+    prefix is a deterministic round-keyed slice of the oracle-backed
+    registry — different each round (bump _ROTATION_ROUND), cyclic, no
+    overlap with the fixed prefix, and every rotated-in query carries an
+    oracle (the driver's strong check, not the rows-only fallback)."""
+    fixed = entry._CHECK_WINDOW_PRIORITY
+    rot = entry._rotating_names()
+    assert len(fixed) + len(rot) == DRIVER_WINDOW
+    assert len(rot) >= 10, "rotation must cover >=10 fresh slots/round"
+    assert not set(rot) & set(fixed)
+    assert all(REGISTRY[n].oracle is not None for n in rot)
+    # deterministic: same round, same slice
+    assert rot == entry._rotating_names()
+    # a different round key selects a different slice
+    old = entry._ROTATION_ROUND
+    try:
+        entry._ROTATION_ROUND = old + 1
+        assert entry._rotating_names() != rot
+    finally:
+        entry._ROTATION_ROUND = old
+
+
 def test_priority_list_fits_and_fills_the_driver_window():
     names = list(entry.queries())
     assert len(names) >= DRIVER_WINDOW
@@ -84,10 +107,9 @@ def test_window_queries_all_have_oracles():
 
 def test_priority_order_is_stable():
     """The first 50 names, in order — the exact composition the driver
-    grades. A refactor that reorders registration must not silently
-    change what gets graded; update this list CONSCIOUSLY."""
+    grades: the fixed prefix followed by the round-keyed rotating
+    slice. A refactor that reorders registration must not silently
+    change what gets graded; update the scheme CONSCIOUSLY."""
     names = list(entry.queries())[:DRIVER_WINDOW]
-    expected = entry._CHECK_WINDOW_PRIORITY + [
-        n for n in REGISTRY if n not in set(entry._CHECK_WINDOW_PRIORITY)
-    ][: DRIVER_WINDOW - len(entry._CHECK_WINDOW_PRIORITY)]
+    expected = entry._CHECK_WINDOW_PRIORITY + entry._rotating_names()
     assert names == expected
