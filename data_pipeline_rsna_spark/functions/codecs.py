@@ -171,9 +171,10 @@ _JPEGLS_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.80"
 _JPEGLS_NEAR_SYNTAX = "1.2.840.10008.1.2.4.81"
 # JPEG 2000 (ISO 15444-1): .4.90 = lossless only (reversible 5/3),
 # .4.91 = J2K (either transform; the from-scratch codec in
-# functions/jpeg2000.py decodes reversible streams and raises a named
-# error on irreversible 9/7 — round 8 closes the whole compressed
-# family except HTJ2K .4.201-203, which still requires pydicom)
+# functions/jpeg2000.py decodes BOTH the reversible 5/3 and — round 9
+# — the irreversible 9/7 with scalar derived/expounded quantization,
+# so the whole compressed family decodes natively except HTJ2K
+# .4.201-203, which still requires pydicom)
 _J2K_LOSSLESS_SYNTAX = "1.2.840.10008.1.2.4.90"
 _J2K_SYNTAX = "1.2.840.10008.1.2.4.91"
 _STDLIB_SYNTAXES = frozenset(
@@ -863,6 +864,67 @@ def encode_dicom_j2k(arr: np.ndarray, levels: int = 2) -> bytes:
     )
     meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
         0x0002, 0x0010, b"UI", _J2K_LOSSLESS_SYNTAX.encode()
+    )
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    pixel_head = (
+        struct.pack("<HH", _TAG_PIXEL_DATA[0], _TAG_PIXEL_DATA[1])
+        + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)
+    )
+    body = (
+        _elem(0x0028, 0x0002, b"US", us(1))
+        + _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + _elem(_TAG_ROWS[0], _TAG_ROWS[1], b"US", us(h))
+        + _elem(_TAG_COLS[0], _TAG_COLS[1], b"US", us(w))
+        + _elem(0x0028, 0x0100, b"US", us(bits))
+        + _elem(0x0028, 0x0101, b"US", us(bits))
+        + _elem(0x0028, 0x0102, b"US", us(bits - 1))
+        + _elem(0x0028, 0x0103, b"US", us(repr_))
+        + pixel_head
+        + encapsulated
+    )
+    return b"\x00" * 128 + b"DICM" + meta + meta_body + body
+
+
+def encode_dicom_j2k_lossy(arr: np.ndarray, levels: int = 2,
+                           delta: float = 1.0 / 256.0) -> bytes:
+    """HxW uint8/uint16/int16 ndarray → Part-10 JPEG 2000 (lossy)
+    DICOM: the irreversible-9/7 codestream from
+    ``jpeg2000.encode_j2k_gray_lossy`` in encapsulated PixelData,
+    transfer syntax 1.2.840.10008.1.2.4.91 — the common lossy archival
+    syntax (the reference decodes it through pydicom,
+    generate_images_from_dicom.py:44-51). Roundtrip through
+    ``decode_dicom_gray`` is LOSSY with a bounded error:
+    |out − in| ≲ delta · 2^prec per sample (asserted in tests). Signed
+    input encodes natively (Ssiz sign bit, PixelRepresentation
+    agreement as in the lossless fixture)."""
+    if arr.ndim != 2:
+        raise ValueError("encode_dicom_j2k_lossy expects HxW")
+    if arr.dtype == np.uint8:
+        bits, repr_ = 8, 0
+    elif arr.dtype == np.uint16:
+        bits, repr_ = 16, 0
+    elif arr.dtype == np.int16:
+        bits, repr_ = 16, 1
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    h, w = arr.shape
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    frame = jpeg2000.encode_j2k_gray_lossy(arr, levels=levels,
+                                           delta=delta)
+    if len(frame) % 2:
+        frame += b"\x00"
+    item = lambda payload: (  # noqa: E731
+        struct.pack("<HHI", _ITEM_TAG[0], _ITEM_TAG[1], len(payload))
+        + payload
+    )
+    encapsulated = (
+        item(b"")
+        + item(frame)
+        + struct.pack("<HHI", _SEQ_DELIM_TAG[0], _SEQ_DELIM_TAG[1], 0)
+    )
+    meta_body = _elem(0x0002, 0x0001, b"OB", b"\x00\x01") + _elem(
+        0x0002, 0x0010, b"UI", _J2K_SYNTAX.encode()
     )
     meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
     pixel_head = (

@@ -361,6 +361,119 @@ def inverse_dwt53(bands: list[tuple[np.ndarray, ...]]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# irreversible 9/7 wavelet (Annex F.4.8) — float lifting
+# ---------------------------------------------------------------------------
+
+# T.800 Table F.4 lifting constants
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+# K normalizes the low band to DC gain 1 (a constant image transforms
+# to LL == the constant, all high bands exactly 0 — the same invariant
+# the 5/3 path has)
+_K97 = 1.230174104914001
+
+
+def _fwd97_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One 9/7 lifting level along the LAST axis (float64), origin 0,
+    whole-sample symmetric extension — the boundary handling mirrors
+    :func:`_fwd53_1d` exactly (x[-1]=x[1], x[n]=x[n-2])."""
+    n = x.shape[-1]
+    if n == 1:
+        return x.astype(np.float64).copy(), x[..., :0].astype(np.float64)
+    even = x[..., 0::2].astype(np.float64)
+    odd = x[..., 1::2].astype(np.float64)
+    ne, no = even.shape[-1], odd.shape[-1]
+
+    def _right(arr):  # arr[k+1] with x[n] -> x[n-2] reflection
+        if ne > no:
+            return arr[..., 1:]
+        return np.concatenate([arr[..., 1:], arr[..., -1:]], axis=-1)
+
+    def _pair(arr):  # arr[k-1] + arr[k] with x[-1] -> x[1] reflection
+        left = np.concatenate([arr[..., 0:1], arr[..., :ne - 1]], axis=-1)
+        if ne > no:
+            right = np.concatenate([arr, arr[..., -1:]], axis=-1)
+        else:
+            right = arr
+        return left + right
+
+    d = odd + _ALPHA * (even[..., :no] + _right(even))
+    s = even + _BETA * _pair(d)
+    d = d + _GAMMA * (s[..., :no] + _right(s))
+    s = s + _DELTA * _pair(d)
+    return s * (1.0 / _K97), d * _K97
+
+
+def _inv97_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_fwd97_1d` (last axis, float64)."""
+    ne, no = s.shape[-1], d.shape[-1]
+    n = ne + no
+    if n == 1:
+        return s.copy()
+    s = s * _K97
+    d = d * (1.0 / _K97)
+
+    def _right(arr):
+        if ne > no:
+            return arr[..., 1:]
+        return np.concatenate([arr[..., 1:], arr[..., -1:]], axis=-1)
+
+    def _pair(arr):
+        left = np.concatenate([arr[..., 0:1], arr[..., :ne - 1]], axis=-1)
+        if ne > no:
+            right = np.concatenate([arr, arr[..., -1:]], axis=-1)
+        else:
+            right = arr
+        return left + right
+
+    s = s - _DELTA * _pair(d)
+    d = d - _GAMMA * (s[..., :no] + _right(s))
+    even = s - _BETA * _pair(d)
+    odd = d - _ALPHA * (even[..., :no] + _right(even))
+    out = np.empty(s.shape[:-1] + (n,), dtype=np.float64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def _fwd97_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
+    tmp_l, tmp_h = _fwd97_1d(a)
+    ll_t, lh_t = _fwd97_1d(np.ascontiguousarray(tmp_l.T))
+    hl_t, hh_t = _fwd97_1d(np.ascontiguousarray(tmp_h.T))
+    return ll_t.T, hl_t.T, lh_t.T, hh_t.T
+
+
+def _inv97_2d(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray,
+              hh: np.ndarray) -> np.ndarray:
+    tmp_l = _inv97_1d(np.ascontiguousarray(ll.T),
+                      np.ascontiguousarray(lh.T)).T
+    tmp_h = _inv97_1d(np.ascontiguousarray(hl.T),
+                      np.ascontiguousarray(hh.T)).T
+    return _inv97_1d(tmp_l, tmp_h)
+
+
+def forward_dwt97(a: np.ndarray, levels: int) -> list[tuple[np.ndarray, ...]]:
+    """``levels`` 2-D 9/7 levels (float64), coarsest first — the
+    irreversible twin of :func:`forward_dwt53`."""
+    bands: list[tuple[np.ndarray, ...]] = []
+    ll = a.astype(np.float64)
+    for _ in range(levels):
+        ll, hl, lh, hh = _fwd97_2d(ll)
+        bands.append((hl, lh, hh))
+    bands.reverse()
+    return [(ll,)] + bands
+
+
+def inverse_dwt97(bands: list[tuple[np.ndarray, ...]]) -> np.ndarray:
+    ll = bands[0][0]
+    for hl, lh, hh in bands[1:]:
+        ll = _inv97_2d(ll, hl, lh, hh)
+    return ll
+
+
+# ---------------------------------------------------------------------------
 # Tag trees (B.10.2)
 # ---------------------------------------------------------------------------
 
@@ -929,7 +1042,23 @@ def encode_j2k_gray(arr: np.ndarray, levels: int = 2,
     qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in sub_eps)
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
 
-    # tile body: one packet per resolution (LRCP, 1 layer, 1 precinct)
+    body = _write_tile_body(resolutions, sub_eps, guard, cblk_exp)
+
+    psot = 12 + 2 + len(body)
+    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
+    out += struct.pack(">H", _SOD)
+    out += body
+    out += struct.pack(">H", _EOC)
+    return bytes(out)
+
+
+def _write_tile_body(resolutions: list[tuple[np.ndarray, ...]],
+                     sub_eps: list[int], guard: int,
+                     cblk_exp: int) -> bytearray:
+    """Tier-2 tile body: one packet per resolution (LRCP, 1 layer, 1
+    precinct) over integer subband coefficients — shared by the
+    reversible (raw 5/3 coefficients) and irreversible (quantizer
+    indices) encoders; Mb per subband = ε_b + guard − 1 (E.4.2)."""
     body = bytearray()
     ei = 0
     for r, bands in enumerate(resolutions):
@@ -999,6 +1128,164 @@ def encode_j2k_gray(arr: np.ndarray, levels: int = 2,
         body += bw.flush()
         for seg in segs:
             body += seg
+    return body
+
+
+def _quant_fields(delta: float, r_b: int) -> tuple[int, int, float]:
+    """(ε_b, μ_b, realized Δ_b) for target step ``delta`` in subband
+    with dynamic-range exponent ``r_b``: Δ_b = 2^(R_b−ε_b)·(1+μ_b/2^11)
+    (T.800 E.4, eq E-3). The realized step is the closest representable
+    value ≤ 12-bit mantissa precision from the target."""
+    import math
+
+    e = math.floor(math.log2(delta))
+    mu = round((delta / (2.0 ** e) - 1.0) * 2048)
+    if mu >= 2048:
+        e += 1
+        mu = 0
+    eps = r_b - e
+    if not 0 <= eps <= 31:
+        raise ValueError(
+            f"quantization step {delta} out of range for R_b={r_b} "
+            f"(epsilon {eps} outside 0..31)"
+        )
+    return eps, mu, (2.0 ** e) * (1.0 + mu / 2048.0)
+
+
+def encode_j2k_gray_lossy(arr: np.ndarray, levels: int = 2,
+                          cblk_exp: int = _DEFAULT_CBLK,
+                          delta: float = 1.0 / 64.0,
+                          qcd_style: str = "expounded") -> bytes:
+    """HxW uint8/uint16/int16 ndarray → IRREVERSIBLE (9/7) JPEG 2000
+    Part-1 codestream — the lossy path behind DICOM transfer syntax
+    1.2.840.10008.1.2.4.91 (the common lossy archival syntax the
+    reference reaches through pydicom, generate_images_from_dicom.py:
+    44-51). Float 9/7 DWT (Annex F.4.8), dead-zone scalar quantization
+    (E.4) with per-subband steps, the shared EBCOT Tier-1/2 machinery.
+
+    ``delta`` is the base quantization step relative to unit dynamic
+    range: the realized step per subband is
+    ``delta · 2^prec / L2gain_b``, so image-domain error is roughly
+    uniform across subbands and scales linearly with ``delta``
+    (reconstruction error ≤ ~delta · 2^prec per sample, measured in
+    tests). ``qcd_style``: 'expounded' (one (ε,μ) per subband, Sqcd
+    style 2) or 'derived' (one value, ε_b = ε_0 − N + n_b, style 1) —
+    both decode paths are exercised in tests."""
+    if arr.ndim != 2:
+        raise ValueError("encode_j2k_gray_lossy expects a 2-D array")
+    if arr.size == 0:
+        raise ValueError("empty image")
+    if arr.dtype == np.uint8:
+        prec, signed = 8, False
+    elif arr.dtype == np.uint16:
+        prec, signed = 16, False
+    elif arr.dtype == np.int16:
+        prec, signed = 16, True
+    else:
+        raise ValueError(f"dtype {arr.dtype} unsupported")
+    if not 4 <= cblk_exp <= 6:
+        raise ValueError("code-block exponent must be in 4..6")
+    if not 0 < delta <= 1.0:
+        raise ValueError("delta must be in (0, 1]")
+    if qcd_style not in ("expounded", "derived"):
+        raise ValueError("qcd_style must be 'expounded' or 'derived'")
+    h, w = arr.shape
+    if h > 32768 or w > 32768:
+        raise ValueError("images beyond 32768 px/side unsupported "
+                         "(single-precinct codestream layout)")
+    levels = max(0, min(int(levels), 32))
+
+    samples = arr.astype(np.float64)
+    if not signed:
+        samples -= 1 << (prec - 1)  # DC level shift (Annex G)
+    resolutions = forward_dwt97(samples, levels)
+
+    # per-subband steps. L2 gain of the 9/7 synthesis basis grows
+    # ~2× per synthesis level for LL and ~1× for the finest H bands;
+    # dividing the base step by the per-level gain equalizes the
+    # image-domain contribution of each subband's quantization noise.
+    base = delta * (1 << prec)
+    if qcd_style == "derived":
+        # style 1: one (ε0, μ0); the decoder derives
+        # Δ_b = 2^(R_b − ε_b)(1+μ/2^11) with ε_b = ε_0 − N + n_b,
+        # n_b = decomposition levels of subband b (E.4.2 eq E-5)
+        r0 = prec + _band_gain(0)
+        eps0, mu0, _d0 = _quant_fields(base / (1 << levels), r0)
+        if eps0 - levels < 0 or eps0 > 31:
+            raise ValueError("derived quantization exponent out of "
+                             "range for this level count")
+        qcd_fields = [(eps0, mu0)]
+        deltas, sub_eps = [], []
+        ei = 0
+        for r, bands in enumerate(resolutions):
+            for bi, _band in enumerate(bands):
+                ori = 0 if r == 0 else bi + 1
+                nb_lvl = levels - (0 if r == 0 else r - 1)
+                eps_b = eps0 - levels + nb_lvl
+                r_b = prec + _band_gain(ori)
+                deltas.append(
+                    (2.0 ** (r_b - eps_b)) * (1.0 + mu0 / 2048.0)
+                )
+                sub_eps.append(eps_b)
+                ei += 1
+    else:
+        qcd_fields, deltas, sub_eps = [], [], []
+        for r, bands in enumerate(resolutions):
+            # synthesis L2 gain per level: finest bands contribute
+            # their noise directly; coarser levels amplify ~2×/level
+            lvl_gain = 1 << (levels - (0 if r == 0 else r - 1))
+            for bi, _band in enumerate(bands):
+                ori = 0 if r == 0 else bi + 1
+                r_b = prec + _band_gain(ori)
+                eps_b, mu_b, d_b = _quant_fields(base / lvl_gain, r_b)
+                qcd_fields.append((eps_b, mu_b))
+                deltas.append(d_b)
+                sub_eps.append(eps_b)
+
+    # quantize: q = sign(c) · floor(|c| / Δ_b)  (dead-zone, E.4.1)
+    guard = 2
+    need_extra = 0
+    q_res: list[tuple[np.ndarray, ...]] = []
+    di = 0
+    for r, bands in enumerate(resolutions):
+        qbands = []
+        for band in bands:
+            d_b = deltas[di]
+            q = (np.sign(band)
+                 * np.floor(np.abs(band) / d_b)).astype(np.int64)
+            qbands.append(q)
+            nb = int(np.abs(q).max()).bit_length() if q.size else 0
+            eps_b = sub_eps[di]
+            if nb > eps_b + guard - 1:
+                need_extra = max(need_extra, nb - (eps_b + guard - 1))
+            di += 1
+        q_res.append(tuple(qbands))
+    if guard + need_extra > 7:
+        raise ValueError(
+            f"quantizer indices need {guard + need_extra} guard bits "
+            "(QCD max 7); raise delta"
+        )
+    guard += need_extra
+
+    out = bytearray()
+    out += struct.pack(">H", _SOC)
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
+    ) + struct.pack(">BBB", (0x80 if signed else 0) | (prec - 1), 1, 1)
+    out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
+    # COD: tform=0 → irreversible 9/7
+    cod = struct.pack(
+        ">BBHB", 0, 0, 1, 0
+    ) + struct.pack(">BBBBB", levels, cblk_exp - 2, cblk_exp - 2, 0, 0)
+    out += struct.pack(">HH", _COD, len(cod) + 2) + cod
+    # QCD: style 1 (derived) or 2 (expounded), 16-bit (ε<<11|μ) fields
+    style = 1 if qcd_style == "derived" else 2
+    qcd = bytes([(guard << 5) | style]) + b"".join(
+        struct.pack(">H", (e << 11) | m) for e, m in qcd_fields
+    )
+    out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
+
+    body = _write_tile_body(q_res, sub_eps, guard, cblk_exp)
 
     psot = 12 + 2 + len(body)
     out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
@@ -1024,7 +1311,10 @@ def decode_j2k(data: bytes) -> np.ndarray:
     signed = False
     levels = cblk_exp = None
     guard = None
+    reversible = True
+    quant_style = 0
     sub_eps: list[int] = []
+    quant_fields: list[tuple[int, int]] = []  # (eps, mu) per field
     body = None
     while pos + 2 <= len(data):
         marker = struct.unpack(">H", data[pos:pos + 2])[0]
@@ -1101,11 +1391,9 @@ def decode_j2k(data: bytes) -> np.ndarray:
                     f"code-block style 0x{cstyle:02x} unsupported "
                     "(bypass/reset/termall/causal/segsym)"
                 )
-            if tform != 1:
-                raise ValueError(
-                    "irreversible 9/7 transform unsupported (lossy; "
-                    "lossless DICOM .4.90 uses 5/3)"
-                )
+            if tform not in (0, 1):
+                raise ValueError(f"unknown wavelet transform {tform}")
+            reversible = tform == 1
             if xcb != ycb:
                 raise ValueError("non-square code-blocks unsupported")
             cblk_exp = xcb + 2
@@ -1113,10 +1401,26 @@ def decode_j2k(data: bytes) -> np.ndarray:
             if not seg:
                 raise ValueError("truncated QCD")
             sqcd = seg[0]
-            if sqcd & 0x1F:
-                raise ValueError("quantized (lossy) QCD unsupported")
+            quant_style = sqcd & 0x1F
             guard = sqcd >> 5
-            sub_eps = [b >> 3 for b in seg[1:]]
+            if quant_style == 0:
+                # no quantization (reversible): 8-bit ε fields
+                sub_eps = [b >> 3 for b in seg[1:]]
+            elif quant_style in (1, 2):
+                # scalar derived / expounded: 16-bit (ε<<11|μ) fields
+                if (len(seg) - 1) % 2:
+                    raise ValueError("odd QCD quantization field bytes")
+                quant_fields = [
+                    (v >> 11, v & 0x7FF)
+                    for (v,) in struct.iter_unpack(">H", seg[1:])
+                ]
+                if not quant_fields:
+                    raise ValueError("QCD carries no quantization "
+                                     "fields")
+            else:
+                raise ValueError(
+                    f"QCD quantization style {quant_style} unknown"
+                )
         elif marker == _SOT:
             if len(seg) < 8:
                 raise ValueError("truncated SOT")
@@ -1139,7 +1443,53 @@ def decode_j2k(data: bytes) -> np.ndarray:
         raise ValueError("missing SIZ/COD/QCD")
     if body is None:
         raise ValueError("missing tile data (SOT/SOD)")
-    if len(sub_eps) != 3 * levels + 1:
+    if reversible and quant_style != 0:
+        raise ValueError(
+            "reversible 5/3 transform with quantized QCD "
+            f"(style {quant_style}) is inconsistent"
+        )
+    if not reversible and quant_style == 0:
+        raise ValueError(
+            "irreversible 9/7 transform requires a quantized QCD "
+            "(style 1 or 2), got style 0"
+        )
+    n_sub = 3 * levels + 1
+    deltas: list[float] = []
+    if quant_style == 1:
+        # derived: ε_b = ε_0 − N + n_b (E.4.2 eq E-5), one (ε0, μ0)
+        if len(quant_fields) != 1:
+            raise ValueError("derived QCD must carry exactly one "
+                             "quantization field")
+        eps0, mu0 = quant_fields[0]
+        sub_eps = []
+        for r in range(levels + 1):
+            n_b = levels if r == 0 else levels - r + 1
+            oris = (0,) if r == 0 else (1, 2, 3)
+            for ori in oris:
+                eps_b = eps0 - levels + n_b
+                if eps_b < 0:
+                    raise ValueError("derived QCD exponent underflow")
+                r_b = prec + _band_gain(ori)
+                sub_eps.append(eps_b)
+                deltas.append(
+                    (2.0 ** (r_b - eps_b)) * (1.0 + mu0 / 2048.0)
+                )
+    elif quant_style == 2:
+        if len(quant_fields) != n_sub:
+            raise ValueError("QCD subband count mismatch")
+        sub_eps = [e for e, _m in quant_fields]
+        deltas = []
+        fi = 0
+        for r in range(levels + 1):
+            oris = (0,) if r == 0 else (1, 2, 3)
+            for ori in oris:
+                eps_b, mu_b = quant_fields[fi]
+                fi += 1
+                r_b = prec + _band_gain(ori)
+                deltas.append(
+                    (2.0 ** (r_b - eps_b)) * (1.0 + mu_b / 2048.0)
+                )
+    if len(sub_eps) != n_sub:
         raise ValueError("QCD subband count mismatch")
 
     # reconstruct subband geometry (origin-0: repeated ceil/floor)
@@ -1215,14 +1565,34 @@ def decode_j2k(data: bytes) -> np.ndarray:
     tup_bands: list[tuple[np.ndarray, ...]] = [tuple(bands_out[0])]
     for r in range(1, levels + 1):
         tup_bands.append(tuple(bands_out[r]))
-    samples = inverse_dwt53(tup_bands)
-    if not signed:
-        samples += 1 << (prec - 1)
-        dt = np.uint8 if prec <= 8 else np.uint16
-    else:
-        dt = np.int16
     lo = -(1 << (prec - 1)) if signed else 0
     hi = (1 << (prec - 1)) - 1 if signed else (1 << prec) - 1
-    if samples.min() < lo or samples.max() > hi:
-        raise ValueError("decoded JPEG 2000 samples out of range")
+    if reversible:
+        samples = inverse_dwt53(tup_bands)
+        if not signed:
+            samples += 1 << (prec - 1)
+        if samples.min() < lo or samples.max() > hi:
+            raise ValueError("decoded JPEG 2000 samples out of range")
+    else:
+        # dequantize: ĉ = (q ± ½)·Δ_b for q ≠ 0 (midpoint
+        # reconstruction, E.4.1), then inverse 9/7 float DWT, round,
+        # clamp — lossy output clamps instead of raising (quantization
+        # noise may legitimately overshoot the range by < 1 step)
+        di = 0
+        fbands: list[tuple[np.ndarray, ...]] = []
+        for r, bands in enumerate(tup_bands):
+            fb = []
+            for q in bands:
+                d_b = deltas[di]
+                di += 1
+                fb.append(
+                    np.where(q != 0, (q + 0.5 * np.sign(q)) * d_b, 0.0)
+                )
+            fbands.append(tuple(fb))
+        samples = np.rint(inverse_dwt97(fbands)).astype(np.int64)
+        if not signed:
+            samples += 1 << (prec - 1)
+        samples = np.clip(samples, lo, hi)
+    dt = (np.int16 if signed
+          else (np.uint8 if prec <= 8 else np.uint16))
     return samples.astype(dt)

@@ -213,6 +213,56 @@ def jpeg_lossless_roundtrip(images: DataFrame) -> DataFrame:
     return images.mapInPandas(run, PIXELS_SCHEMA)
 
 
+def j2k_lossy_roundtrip_check(images: DataFrame,
+                              delta: float = 1.0 / 64.0) -> DataFrame:
+    """Pixels → irreversible-9/7 J2K DICOM encode (.4.91,
+    functions/jpeg2000.py round 9) → decode → per-image error audit,
+    inside the Arrow batch. Lossy, so the contract is a BOUND, not
+    equality: emits (img_id, n_px, within_bound, syntax_ok) where
+    within_bound asserts max |out − in| ≤ ceil(1.5·delta·2^prec) (the
+    quality contract measured in test_jpeg2000) and syntax_ok asserts
+    the blob really carries the .4.91 transfer syntax UID. Every row
+    must come back (true, true) — the oracle states that closed-form,
+    so any codec regression hash-mismatches the gate."""
+    from ..functions import codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(
+                    r.pixels, dtype=np.dtype(r.dtype)
+                ).reshape(r.height, r.width)
+                blob = C.encode_dicom_j2k_lossy(arr, delta=delta)
+                back = C.decode_dicom_gray(blob)
+                prec = arr.dtype.itemsize * 8
+                bound = int(np.ceil(1.5 * delta * (1 << prec)))
+                err = int(
+                    np.abs(
+                        back.astype(np.int64) - arr.astype(np.int64)
+                    ).max()
+                )
+                out.append(
+                    (
+                        int(r.img_id),
+                        int(arr.size),
+                        bool(err <= bound),
+                        bool(b"1.2.840.10008.1.2.4.91" in blob
+                             and back.dtype == arr.dtype),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["img_id", "n_px", "within_bound", "syntax_ok"],
+            )
+
+    return images.mapInPandas(
+        run,
+        "img_id long, n_px long, within_bound boolean, "
+        "syntax_ok boolean",
+    )
+
+
 def jpegls_roundtrip(images: DataFrame, near: int = 0) -> DataFrame:
     """Pixels → JPEG-LS DICOM encode → decode → pixels, all inside the
     Arrow batch: the T.87/LOCO-I transfer syntaxes

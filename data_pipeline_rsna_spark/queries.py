@@ -2456,6 +2456,39 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_stats(mm.codec_roundtrip(imgs))
 
 
+@register(
+    "multimodal_jpeg2000_lossy_roundtrip",
+    oracle="""
+    SELECT id AS img_id, CAST(256 AS BIGINT) AS n_px,
+           TRUE AS within_bound, TRUE AS syntax_ok
+    FROM (SELECT unnest(generate_series(0, 59)) AS id)
+    UNION ALL
+    SELECT 1000 + id, CAST(100 AS BIGINT), TRUE, TRUE
+    FROM (SELECT unnest(generate_series(0, 59)) AS id)
+    """,
+    doc="O7 lossy archival syntax executed for real (round 9): uint8 "
+    "and uint16 synthetic corpora -> irreversible-9/7 JPEG 2000 DICOM "
+    "encode (.4.91, from-scratch functions/jpeg2000.py: float 9/7 DWT "
+    "Annex F.4.8, dead-zone scalar quantization E.4, shared EBCOT) -> "
+    "decode -> per-image error audit. The bounded-error oracle: every "
+    "image must satisfy max|out-in| <= ceil(1.5*delta*2^prec) and "
+    "carry the .4.91 UID, stated closed-form by the oracle so any "
+    "codec regression hash-mismatches. The reference reaches this "
+    "syntax through pydicom+openjpeg (generate_images_from_dicom.py"
+    ":44-51); HTJ2K (.4.201-203) remains the only pydicom-gated "
+    "syntax (COVERAGE.md).",
+    tags=("multimodal",),
+)
+def q_multimodal_j2k_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    u8 = mm.synth_images(spark, n=60, height=16, width=16)
+    u16 = mm.synth_images16(spark, n=60, height=10, width=10).withColumn(
+        "img_id", F.col("img_id") + 1000
+    )
+    return mm.j2k_lossy_roundtrip_check(u8.unionByName(u16), delta=1 / 64)
+
+
 _RECURSIVE_BFS_SQL = """
     WITH RECURSIVE pairs AS (
         SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS c,

@@ -628,6 +628,19 @@ def test_codec_family_matches_pydicom_when_available():
             pytest.skip(f"pydicom lacks a decoder here: {e}")
         ours = C.decode_dicom_gray(blob)
         assert np.array_equal(px, ours), ds.file_meta.TransferSyntaxUID
+    # lossy 9/7 (.4.91): openjpeg and our float path may round the
+    # inverse DWT differently at half-integer boundaries — conformance
+    # is agreement within ±1, not bit equality
+    lossy = C.encode_dicom_j2k_lossy(img16, delta=1 / 256)
+    ds = pydicom.dcmread(io.BytesIO(lossy))
+    try:
+        px = ds.pixel_array
+    except Exception as e:
+        pytest.skip(f"pydicom lacks a J2K decoder: {e}")
+    ours = C.decode_dicom_gray(lossy)
+    assert np.abs(
+        px.astype(np.int64) - ours.astype(np.int64)
+    ).max() <= 1
 
 
 # ---------------------------------------------------------------------------
@@ -783,3 +796,28 @@ def test_dicom_j2k_int16_codestream_is_signed_ssiz():
     assert mf[sizs + 40] & 0x80
     outs = C.decode_dicom_frames(mf)
     assert outs.dtype == np.int16 and np.array_equal(outs, stack)
+
+
+def test_dicom_j2k_lossy_roundtrip_bounded_error():
+    """The .4.91 irreversible path (round 9): encode_dicom_j2k_lossy →
+    decode_dicom_gray is lossy with |out − in| ≲ delta·2^prec, for all
+    three dtypes; the transfer syntax UID and dtype survive."""
+    rng = np.random.default_rng(46)
+    for dt, lo, hi, prec in ((np.uint8, 0, 256, 8),
+                             (np.uint16, 0, 4096, 16),
+                             (np.int16, -2048, 2048, 16)):
+        a = rng.integers(lo, hi, (31, 29)).astype(dt)
+        blob = C.encode_dicom_j2k_lossy(a, delta=1 / 256)
+        assert b"1.2.840.10008.1.2.4.91" in blob
+        out = C.decode_dicom_gray(blob)
+        assert out.dtype == a.dtype and out.shape == a.shape
+        err = np.abs(out.astype(np.int64) - a.astype(np.int64)).max()
+        assert err <= 1.5 * (1 / 256) * (1 << prec), (dt, err)
+
+
+def test_dicom_j2k_lossy_smooth_image_compresses():
+    x = np.arange(64)[:, None] + np.arange(96)[None, :]
+    img = ((np.sin(x / 9.0) * 100) + 120).astype(np.uint8)
+    lossy = C.encode_dicom_j2k_lossy(img, delta=1 / 32)
+    lossless = C.encode_dicom_j2k(img)
+    assert len(lossy) < len(lossless) * 0.6

@@ -220,11 +220,19 @@ def test_codestream_named_error_contracts():
     jp2 = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + J.encode_j2k_gray(a)
     with pytest.raises(ValueError, match="JP2 box"):
         J.decode_j2k(jp2)
-    # irreversible 9/7 flag in COD
+    # 9/7 flag on a reversible-QCD stream: the transform/quantization
+    # combination is inconsistent (9/7 decodes fine since round 9, but
+    # only with a quantized QCD) — named error, not a misdecode
     s = bytearray(J.encode_j2k_gray(a))
     cod = s.find(b"\xff\x52")
     s[cod + 13] = 0  # SPcod transform byte: 1 (5/3) -> 0 (9/7)
-    with pytest.raises(ValueError, match="9/7"):
+    with pytest.raises(ValueError, match="9/7.*quantized QCD"):
+        J.decode_j2k(bytes(s))
+    # conversely: quantized QCD style on a 5/3 stream is inconsistent
+    s = bytearray(J.encode_j2k_gray_lossy(a))
+    cod = s.find(b"\xff\x52")
+    s[cod + 13] = 1  # claim reversible 5/3 against a quantized QCD
+    with pytest.raises(ValueError, match="reversible.*inconsistent"):
         J.decode_j2k(bytes(s))
     # multi-component SIZ
     s = bytearray(J.encode_j2k_gray(a))
@@ -331,3 +339,114 @@ def test_dicom_j2k_shape_mismatch_rejected():
     blob[at + 8:at + 10] = _struct.pack("<H", 9)  # tag(4)+VR(2)+len(2)
     with pytest.raises(ValueError, match="Rows/Cols"):
         C.decode_dicom_gray(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# irreversible 9/7 (round 9, VERDICT r8 #3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2, 3])
+def test_dwt97_roundtrip_float_exact(levels):
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (7, 9), (1, 5), (5, 1), (1, 1), (37, 53)]:
+        a = rng.normal(0, 1000, shape)
+        r = J.inverse_dwt97(J.forward_dwt97(a, levels))
+        assert np.allclose(r, a, atol=1e-8), (shape, levels)
+
+
+def test_dwt97_constant_image_invariants():
+    """DC gain 1: a constant image transforms to LL == the constant
+    and all high bands ~0 — pins the K-scaling convention."""
+    c = np.full((12, 10), 7.0)
+    bands = J.forward_dwt97(c, 2)
+    assert np.allclose(bands[0][0], 7.0, atol=1e-9)
+    for lvl in bands[1:]:
+        for b in lvl:
+            assert np.abs(b).max() < 1e-9
+
+
+@pytest.mark.parametrize("dt,lo,hi", [
+    (np.uint8, 0, 256), (np.uint16, 0, 65536), (np.int16, -32768, 32768),
+])
+@pytest.mark.parametrize("style", ["expounded", "derived"])
+def test_lossy_roundtrip_error_bound(dt, lo, hi, style):
+    """decode(encode_lossy(x, delta)) stays within ~delta·range of x
+    for every dtype, both QCD signalling styles, several levels and
+    odd dimensions — the documented quality contract."""
+    rng = np.random.default_rng(13)
+    a = rng.integers(lo, hi, (33, 41)).astype(dt)
+    rng2 = np.random.default_rng(14)
+    for levels in (0, 1, 2, 3):
+        for delta in (1 / 256, 1 / 64):
+            s = J.encode_j2k_gray_lossy(
+                a, levels=levels, delta=delta, qcd_style=style
+            )
+            out = J.decode_j2k(s)
+            assert out.dtype == a.dtype and out.shape == a.shape
+            err = np.abs(
+                out.astype(np.int64) - a.astype(np.int64)
+            ).max()
+            assert err <= 1.5 * delta * (hi - lo), (
+                style, levels, delta, err
+            )
+    del rng2
+
+
+def test_lossy_compresses_smooth_images():
+    """The point of the lossy path: a smooth image at moderate delta
+    compresses far below the lossless stream."""
+    x = np.arange(64)[:, None] + np.arange(96)[None, :]
+    img = ((np.sin(x / 9.0) * 100) + 120).astype(np.uint8)
+    lossless = J.encode_j2k_gray(img, levels=3)
+    lossy = J.encode_j2k_gray_lossy(img, levels=3, delta=1 / 32)
+    assert len(lossy) < len(lossless) * 0.5
+    out = J.decode_j2k(lossy)
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 1.5 * (1 / 32) * 256
+
+
+def test_lossy_constant_image_reconstructs_exactly():
+    c = np.full((16, 16), 200, dtype=np.uint8)
+    for style in ("expounded", "derived"):
+        out = J.decode_j2k(
+            J.encode_j2k_gray_lossy(c, qcd_style=style)
+        )
+        assert np.array_equal(out, c)
+
+
+def test_lossy_named_error_contracts():
+    a = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="2-D"):
+        J.encode_j2k_gray_lossy(np.zeros(4, dtype=np.uint8))
+    with pytest.raises(ValueError, match="delta"):
+        J.encode_j2k_gray_lossy(a, delta=0.0)
+    with pytest.raises(ValueError, match="qcd_style"):
+        J.encode_j2k_gray_lossy(a, qcd_style="nope")
+    # derived QCD must carry exactly one field
+    s = bytearray(J.encode_j2k_gray_lossy(a, qcd_style="expounded"))
+    qcd = s.find(b"\xff\x5c")
+    s[qcd + 4] = (s[qcd + 4] & 0xE0) | 1  # claim derived, many fields
+    with pytest.raises(ValueError, match="exactly one"):
+        J.decode_j2k(bytes(s))
+
+
+def test_lossy_mutated_streams_raise_valueerror_never_crash():
+    """The fuzz contract extends to the 9/7 path: every seeded
+    mutation either decodes to a well-formed image or raises
+    ValueError — never IndexError/struct.error/MemoryError."""
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    base = J.encode_j2k_gray_lossy(img, levels=2, delta=1 / 64)
+    muts = 0
+    for seed in range(120):
+        r = np.random.default_rng(seed)
+        b = bytearray(base)
+        for _ in range(r.integers(1, 4)):
+            b[r.integers(0, len(b))] = r.integers(0, 256)
+        try:
+            out = J.decode_j2k(bytes(b))
+            assert out.ndim == 2
+        except ValueError:
+            muts += 1
+    assert muts > 0  # mutations actually exercised the error paths
