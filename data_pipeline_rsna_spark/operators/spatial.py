@@ -115,37 +115,15 @@ def auto_cell(points: DataFrame) -> int:
     return max(1, int(2 * side) // max(1, int(n ** 0.5)))
 
 
-def nearest_neighbor(points: DataFrame, cell: int | None = None) -> DataFrame:
-    """EXACT 1-nearest-neighbor for every point: (id, nn_id, dist_sq),
-    ties broken toward the smallest neighbor id. ``cell=None`` (the
-    default) derives the grid size from the data via ``auto_cell``.
-
-    Two-tier plan, exact by a provable resolution bound:
-
-    1. Grid tier: probe each point against its 3×3 cell neighborhood
-       (cell edge = ``cell``) and take the lexicographic min of
-       (dist_sq, id). With integer coordinates, any point OUTSIDE the
-       neighborhood differs by at least cell+1 in some axis, so its
-       dist_sq is at least (cell+1)² > cell². A candidate with
-       dist_sq <= cell² is therefore the certified global NN — no tie
-       with an outside point is even possible.
-    2. Fallback tier: points with no in-neighborhood candidate, or a
-       best candidate beyond the bound, get an exact brute-force pass.
-       Under any reasonable density/cell choice this set is a sliver
-       (empty cells, extreme outliers), so it broadcasts: a nested-loop
-       join of |unresolved| × n is the cheap side of correct.
-
-    Scale: tier 1 is the same single cell-key shuffle as radius_join
-    (probe side ×9 narrow fan-out); tier 2's cost is bounded by the
-    unresolved fraction, which shrinks as density rises — the expensive
-    path is only ever taken by the rows the cheap path provably cannot
-    certify.
-    """
-    if cell is None:
-        cell = auto_cell(points)
+def _grid_best(probes_src: DataFrame, owners_src: DataFrame,
+               cell: int) -> DataFrame:
+    """One grid-tier pass: best (dist_sq, id_b) per probe against its
+    3×3 cell neighborhood at edge ``cell``. Returns every probe that
+    found ANY in-neighborhood candidate (certification against cell²
+    is the caller's job)."""
     cx = F.floor(F.col("x") / cell)
     cy = F.floor(F.col("y") / cell)
-    owners = points.select(
+    owners = owners_src.select(
         F.col("id").alias("id_b"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
@@ -159,7 +137,7 @@ def nearest_neighbor(points: DataFrame, cell: int | None = None) -> DataFrame:
             for dy in (-1, 0, 1)
         ]
     )
-    probes = points.select(
+    probes = probes_src.select(
         F.col("id").alias("id_a"),
         F.col("x").alias("xa"),
         F.col("y").alias("ya"),
@@ -176,24 +154,93 @@ def nearest_neighbor(points: DataFrame, cell: int | None = None) -> DataFrame:
     dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
-    best = (
+    return (
         probes.join(owners, ["cell_x", "cell_y"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", dist_sq.alias("dist_sq"), "id_b")
         .groupBy("id_a")
         .agg(F.min(F.struct("dist_sq", "id_b")).alias("best"))
     )
-    resolved = best.filter(F.col("best.dist_sq") <= cell * cell).select(
-        F.col("id_a").alias("id"),
-        F.col("best.id_b").alias("nn_id"),
-        F.col("best.dist_sq").alias("dist_sq"),
-    )
-    unresolved = points.join(
-        resolved, points["id"] == resolved["id"], "left_anti"
-    )
+
+
+def nearest_neighbor(points: DataFrame, cell: int | None = None,
+                     max_rounds: int = 4,
+                     diagnostics: dict | None = None) -> DataFrame:
+    """EXACT 1-nearest-neighbor for every point: (id, nn_id, dist_sq),
+    ties broken toward the smallest neighbor id. ``cell=None`` (the
+    default) derives the grid size from the data via ``auto_cell``.
+
+    Escalating grid plan, exact by a provable resolution bound:
+
+    1. Grid tier: probe each point against its 3×3 cell neighborhood
+       (cell edge = ``cell``) and take the lexicographic min of
+       (dist_sq, id). With integer coordinates, any point OUTSIDE the
+       neighborhood differs by at least cell+1 in some axis, so its
+       dist_sq is at least (cell+1)² > cell². A candidate with
+       dist_sq <= cell² is therefore the certified global NN — no tie
+       with an outside point is even possible.
+    2. Escalation (round 9, the adversarial-density guard): points the
+       grid could not certify re-probe with the cell edge ×8 per
+       round, up to ``max_rounds`` rounds. On a corpus where most
+       neighborhoods are empty (sparse halo around a dense core — the
+       shape that makes auto_cell's uniform-density estimate wrong),
+       each escalation multiplies the certified radius 8×, so the
+       unresolved set shrinks geometrically instead of landing
+       wholesale in a broadcast; each round costs one metadata-sized
+       count plus a shuffle of ONLY the still-unresolved probes
+       against the full owner set.
+    3. Fallback tier: whatever survives every escalation gets the
+       exact brute-force pass. BOUND (documented contract, asserted in
+       test_spatial): the broadcast side is at most the points whose
+       true NN distance exceeds cell·8^(max_rounds−1) — with the
+       default auto_cell and 4 rounds that is ~512 domain-sides/√n,
+       i.e. at most a handful of pathological outliers on ANY
+       distribution, never a constant fraction of n. The nested-loop
+       join is |unresolved| × n with |unresolved| tiny; correctness
+       never depends on the bound.
+
+    ``diagnostics``, when a dict is passed, receives
+    ``rounds`` (list of unresolved counts after each grid round) and
+    ``fallback_rows`` — the observability hook the adversarial tests
+    use.
+
+    Scale: tier 1 is the same single cell-key shuffle as radius_join
+    (probe side ×9 narrow fan-out); escalation rounds touch only the
+    unresolved sliver; the brute-force tier is provably bounded as
+    above.
+    """
+    if cell is None:
+        cell = auto_cell(points)
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    resolved_parts: list[DataFrame] = []
+    remaining = points
+    rounds_log: list[int] = []
+    for rnd in range(max(1, max_rounds)):
+        best = _grid_best(remaining, points, cell)
+        resolved = best.filter(
+            F.col("best.dist_sq") <= cell * cell
+        ).select(
+            F.col("id_a").alias("id"),
+            F.col("best.id_b").alias("nn_id"),
+            F.col("best.dist_sq").alias("dist_sq"),
+        )
+        resolved_parts.append(resolved)
+        remaining = remaining.join(
+            resolved.select("id"), "id", "left_anti"
+        )
+        n_rem = remaining.count()  # metadata-sized escalation probe
+        rounds_log.append(n_rem)
+        if n_rem == 0:
+            break
+        cell *= 8
+    if diagnostics is not None:
+        diagnostics["rounds"] = rounds_log
+        diagnostics["fallback_rows"] = rounds_log[-1]
     fallback = (
         F.broadcast(
-            unresolved.select(
+            remaining.select(
                 F.col("id").alias("id_a"),
                 F.col("x").alias("xa"),
                 F.col("y").alias("ya"),
@@ -216,4 +263,7 @@ def nearest_neighbor(points: DataFrame, cell: int | None = None) -> DataFrame:
             F.col("best.dist_sq").alias("dist_sq"),
         )
     )
-    return resolved.unionByName(fallback)
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out.unionByName(fallback)

@@ -121,3 +121,89 @@ def test_auto_cell_matches_brute_force_and_tracks_density(spark):
     pts_dense = spark.createDataFrame(rows_dense, "id long, x long, y long")
     c_dense = spatial.auto_cell(pts_dense)
     assert 1 <= c_dense < c_small
+
+
+def test_nearest_neighbor_adversarial_sparse_halo(spark):
+    """VERDICT r8 #6: a dense core (which shrinks auto_cell's
+    uniform-density estimate) surrounded by a sparse halo whose 3x3
+    neighborhoods are all empty at that cell size. The escalating grid
+    must (a) return the exact NN set, (b) resolve the halo through
+    cell escalation so the brute-force tier sees only a bounded
+    sliver — never a constant fraction of n."""
+    # 4000-point core in a 63x64 box: n pushes auto_cell down to
+    # ~2*10^6/sqrt(4060) ~ 31k, well under the halo's ~64k typical NN
+    # spacing — the exact shape that defeats a uniform-density estimate
+    core = [(i, 50 + (i * 7) % 63, 50 + (i * 13) % 64)
+            for i in range(4000)]
+    # halo: 60 points spread over a 10^6-wide domain, spacing >> cell
+    halo = [(10_000 + j, (j * 16807) % 1_000_000,
+             (j * 48271) % 1_000_000) for j in range(60)]
+    pts = spark.createDataFrame(core + halo, "id long, x long, y long")
+    diag: dict = {}
+    got = {
+        r.id: (r.nn_id, r.dist_sq)
+        for r in spatial.nearest_neighbor(pts, diagnostics=diag).collect()
+    }
+    exact = {
+        r.id: (r.nn_id, r.dist_sq)
+        for r in spatial.nearest_neighbor(pts, cell=10_000_000).collect()
+    }
+    assert got == exact
+    assert len(got) == len(core) + len(halo)
+    # escalation actually engaged (halo unresolved after round 1)...
+    assert diag["rounds"][0] > 0
+    # ...and the brute-force tier saw a SLIVER, not the halo wholesale:
+    # the documented bound — points whose NN distance exceeds
+    # cell * 8^(rounds-1) — is a handful here, far below the halo size
+    assert diag["fallback_rows"] <= len(halo) // 4
+    # unresolved counts shrink monotonically across rounds
+    assert all(
+        a >= b for a, b in zip(diag["rounds"], diag["rounds"][1:])
+    )
+
+
+def test_nearest_neighbor_all_isolated_points_still_exact(spark):
+    """Worst case: EVERY point isolated (uniform supersparse grid with
+    spacing far above auto_cell's estimate is impossible under uniform
+    density — so force it with an explicit tiny cell). Exactness must
+    never depend on the escalation bound."""
+    rows = [(i, (i % 8) * 100_000, (i // 8) * 100_000)
+            for i in range(64)]
+    pts = spark.createDataFrame(rows, "id long, x long, y long")
+    diag: dict = {}
+    got = {
+        r.id: (r.nn_id, r.dist_sq)
+        for r in spatial.nearest_neighbor(
+            pts, cell=10, diagnostics=diag
+        ).collect()
+    }
+    brute = {
+        r.id: (r.nn_id, r.dist_sq)
+        for r in spatial.nearest_neighbor(pts, cell=10_000_000).collect()
+    }
+    assert got == brute and len(got) == 64
+    # cell=10 certifies nothing in round 1; escalation (x8 per round)
+    # reaches 10*8^3 = 5120 < 100000, so the fallback legitimately
+    # carries these rows - the diagnostics make that visible
+    assert diag["rounds"][0] == 64
+
+
+def test_auto_cell_nonuniform_density_stays_exact(spark):
+    """auto_cell under bimodal density: the derived cell is wrong for
+    at least one mode by construction; the answer must still be the
+    exact NN set (the estimate is cost-only, never correctness)."""
+    rows = (
+        [(i, i % 20, i // 20) for i in range(400)]          # unit-dense
+        + [(10_000 + j, 500_000 + j * 997 * 31, 700_000 + j * 991 * 17)
+           for j in range(30)]                               # supersparse
+    )
+    pts = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        (r.id, r.nn_id, r.dist_sq)
+        for r in spatial.nearest_neighbor(pts).collect()
+    )
+    brute = sorted(
+        (r.id, r.nn_id, r.dist_sq)
+        for r in spatial.nearest_neighbor(pts, cell=100_000_000).collect()
+    )
+    assert got == brute
