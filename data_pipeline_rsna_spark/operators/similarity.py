@@ -244,6 +244,37 @@ def cosine_topk_blas(
         # running per-query top-k frames (scores desc, id asc)
         best_s = [np.empty(0) for _ in range(m)]
         best_i = [np.empty(0, dtype=np.int64) for _ in range(m)]
+        # the session's Arrow batch cap (256 rows, sized for image
+        # payloads) would fragment the matmul into hundreds of tiny
+        # BLAS calls — accumulate ~16k rows per scoring block instead
+        buf_i: list[np.ndarray] = []
+        buf_c: list[np.ndarray] = []
+        buffered = 0
+
+        def _flush():
+            nonlocal buffered
+            if not buffered:
+                return
+            ids = np.concatenate(buf_i)
+            cm = np.concatenate(buf_c)
+            buf_i.clear()
+            buf_c.clear()
+            buffered = 0
+            cn = np.sqrt(np.einsum("ij,ij->i", cm, cm))
+            # (m, n) block similarity in one BLAS call
+            sims = np.round((qm @ cm.T) / np.outer(qn, cn), 6)
+            for qi in range(m):
+                s = sims[qi]
+                keep = ids != q_ids[qi]
+                s_all = np.concatenate((best_s[qi], s[keep]))
+                i_all = np.concatenate((best_i[qi], ids[keep]))
+                if len(s_all) > k:
+                    # top-k by (score desc, id asc): lexsort is
+                    # stable, primary key last
+                    order = np.lexsort((i_all, -s_all))[:k]
+                    s_all, i_all = s_all[order], i_all[order]
+                best_s[qi], best_i[qi] = s_all, i_all
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -263,20 +294,12 @@ def cosine_topk_blas(
                 .reshape(len(ids), -1)
                 .astype(np.float64, copy=False)
             )
-            cn = np.sqrt(np.einsum("ij,ij->i", cm, cm))
-            # (m, n) block similarity in one BLAS call
-            sims = np.round((qm @ cm.T) / np.outer(qn, cn), 6)
-            for qi in range(m):
-                s = sims[qi]
-                keep = ids != q_ids[qi]
-                s_all = np.concatenate((best_s[qi], s[keep]))
-                i_all = np.concatenate((best_i[qi], ids[keep]))
-                if len(s_all) > k:
-                    # top-k by (score desc, id asc): lexsort is stable,
-                    # primary key last
-                    order = np.lexsort((i_all, -s_all))[:k]
-                    s_all, i_all = s_all[order], i_all[order]
-                best_s[qi], best_i[qi] = s_all, i_all
+            buf_i.append(ids)
+            buf_c.append(cm)
+            buffered += len(ids)
+            if buffered >= 16384:
+                _flush()
+        _flush()
         kept = [qi for qi in range(m) if len(best_i[qi])]
         if kept:
             yield pa.RecordBatch.from_arrays(
