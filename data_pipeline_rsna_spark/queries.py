@@ -822,7 +822,7 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-sized driver collect (aggregate pushdown reads parquet
     # footer stats), embedded as a literal so the scan plan stays a
     # single narrow explode with no join node.
-    stride = 1 + docs.agg(F.max("doc_id")).first()[0]
+    stride = 1 + (docs.agg(F.max("doc_id")).first()[0] or 0)
     # single expr string: same plan as the Column-tree form, built in 2
     # gateway calls instead of ~40 (plan construction is serving latency)
     keep = (
@@ -1020,7 +1020,7 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_corpus(spark, sf_dir)
     docs = tables.load(spark, sf_dir, "documents")
-    stride = 1 + docs.agg(F.max("doc_id")).first()[0]
+    stride = 1 + (docs.agg(F.max("doc_id")).first()[0] or 0)
     seed = docs.filter(F.col("doc_id") == 7)
     mega = seed.select(
         F.explode(F.sequence(F.lit(0), F.lit(149))).alias("_i"), "text"
@@ -9464,9 +9464,9 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     corpus = _planted_corpus(spark, sf_dir)
-    stride = 1 + tables.load(spark, sf_dir, "documents").agg(
+    stride = 1 + (tables.load(spark, sf_dir, "documents").agg(
         F.max("doc_id")
-    ).first()[0]
+    ).first()[0] or 0)
     existing = corpus.filter(F.col("doc_id") < stride)
     batch = corpus.filter(F.col("doc_id") >= stride)
     # the persisted index, built once per corpus life, read thereafter
