@@ -54,6 +54,18 @@ def get_spark(
             "false",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime SMJ -> shuffled-hash conversion: when the build
+        # side's largest post-shuffle partition fits this threshold,
+        # AQE swaps the sort-merge join for a hash join (skips both
+        # sides' sorts; SHJ spills since 3.1 so the bound is a cost
+        # knob, not a correctness cliff). Measured round 9: the sf10
+        # lineitem x filtered-orders join 9.9 -> 8.5 s. Broadcast
+        # decisions and bucketed (exchange-free) joins are untouched —
+        # the rule only rewrites real shuffle joins at runtime sizes.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         # --- shuffle sizing ---
         .config(
             "spark.sql.shuffle.partitions",
