@@ -995,6 +995,13 @@ def encode_j2k_gray(arr: np.ndarray, levels: int = 2,
         # one precinct per resolution (PPx=PPy=15) covers <= 2^15
         raise ValueError("images beyond 32768 px/side unsupported "
                          "(single-precinct codestream layout)")
+    if h * w > (1 << 26):
+        # mirror of the decoder's allocation bound: encode and decode
+        # must accept the SAME domain, or the documented bit-exact
+        # roundtrip contract breaks for large-but-legitimate images
+        raise ValueError(
+            f"image {w}x{h} exceeds 2^26-sample encode bound"
+        )
     levels = max(0, min(int(levels), 32))
 
     samples = arr.astype(np.int64)
@@ -1193,6 +1200,12 @@ def encode_j2k_gray_lossy(arr: np.ndarray, levels: int = 2,
     if h > 32768 or w > 32768:
         raise ValueError("images beyond 32768 px/side unsupported "
                          "(single-precinct codestream layout)")
+    if h * w > (1 << 26):
+        # mirror of the decoder's allocation bound (same domain as
+        # decode_j2k, see encode_j2k_gray)
+        raise ValueError(
+            f"image {w}x{h} exceeds 2^26-sample encode bound"
+        )
     levels = max(0, min(int(levels), 32))
 
     samples = arr.astype(np.float64)

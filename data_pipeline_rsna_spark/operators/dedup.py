@@ -282,23 +282,42 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("_capped", F.col("_members") > max_bucket)
             .drop("_rn", "_members")
         )
+    if max_bucket is None:
+        lhs = bands.select(
+            "band", "band_hash", F.col(id_col).alias("doc_a"),
+        )
+        rhs = bands.select(
+            "band", "band_hash", F.col(id_col).alias("doc_b"),
+        )
+        pairs = lhs.join(rhs, ["band", "band_hash"]).filter(
+            F.col("doc_a") < F.col("doc_b")
+        )
+        return pairs.groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_shared_bands")
+        )
+    # capped form: BOTH sides project the same (band, band_hash, id,
+    # _capped) columns so the two join inputs stay byte-identical plan
+    # subtrees and the signature pipeline's exchange is reused exactly
+    # like the uncapped form (pre-r10 only lhs carried _capped, so
+    # column pruning de-synchronized the subtrees and the window rank
+    # ran twice). The aggregate consumes BOTH flags — they are equal
+    # (the bucket is the SAME bucket on both sides of the equi-join),
+    # so the OR is semantics-preserving, and keeping _capped_b live
+    # stops Catalyst pruning it back out of rhs.
     lhs = bands.select(
         "band", "band_hash", F.col(id_col).alias("doc_a"),
-        *(["_capped"] if max_bucket is not None else []),
+        F.col("_capped").alias("_capped_a"),
     )
     rhs = bands.select(
         "band", "band_hash", F.col(id_col).alias("doc_b"),
+        F.col("_capped").alias("_capped_b"),
     )
     pairs = lhs.join(rhs, ["band", "band_hash"]).filter(
         F.col("doc_a") < F.col("doc_b")
     )
-    if max_bucket is None:
-        return pairs.groupBy("doc_a", "doc_b").agg(
-            F.count("*").alias("n_shared_bands")
-        )
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("n_shared_bands"),
-        F.max("_capped").alias("capped"),
+        F.max(F.col("_capped_a") | F.col("_capped_b")).alias("capped"),
     )
 
 
@@ -356,34 +375,47 @@ def minhash_lsh_candidates_collapsed(
     )
     # one representative per distinct word sequence; drop classes too
     # short to shingle (the uncollapsed pipeline's size(_ws) filter).
-    # persist() the CLASS table only — k rows (one per distinct text),
-    # metadata-sized next to the corpus — so its four consumers (reps,
-    # rep_to_ck twice, the members semi-join) compute the aggregation
-    # once. The corpus-sized mem0 is deliberately NOT checkpointed or
-    # cached (round 9: the old eager localCheckpoint materialized the
-    # full corpus + word arrays — a 100 TB write-amplification hazard
-    # and two blocking jobs at any scale); its repeated consumers all
-    # shuffle by _ck, so Spark's exchange reuse computes the scan +
-    # hash once per shuffle shape instead.
+    # Round 10: NOTHING is persisted — r9 persisted this class table
+    # WITH full distinct texts, which (a) leaked a session-lifetime
+    # cache entry per invocation (never unpersisted) and (b) at a
+    # distinct ratio just under the adaptive 0.7 routing threshold
+    # held ~70% of the corpus text volume in the block manager. The
+    # table is now text-free (_ck 32B + _g 8B per class) and
+    # lineage-only: both consumers (the members join and the reps
+    # join below) embed the IDENTICAL aggregate subtree, so Spark's
+    # exchange reuse computes the corpus scan + hash + shuffle once
+    # and only the k-row final HashAggregate re-runs per consumer —
+    # over map-side partially-aggregated shuffle rows, i.e. ~k rows,
+    # not the corpus. Rep text is re-derived by one extra
+    # exchange-reuse-fed corpus-side join instead of being persisted:
+    # one extra scan traded for zero cached text at any scale.
     groups = (
         mem0.groupBy("_ck")
         .agg(
             F.min("_id").alias("_g"),
-            F.first("_text").alias("_text"),
             F.first(F.size("_ws")).alias("_nw"),
         )
         .filter(F.col("_nw") >= shingle_n)
-        .persist()
+        .select("_ck", "_g")
     )
     # members carry their class REP id directly (round 9: keying by
     # _g instead of _ck removes the two rep_to_ck mapping joins from
     # the critical path — rep_pairs already speaks rep ids)
     members = mem0.select("_ck", "_id").join(
-        groups.select("_ck", "_g"), "_ck"
+        groups, "_ck"
     ).select("_g", "_id")
-    # signature + band pipeline over reps only
-    reps = groups.select(F.col("_g").alias(id_col),
-                         F.col("_text").alias(text_col))
+    # signature + band pipeline over reps only. The rep's text row is
+    # the _id == _g member; ANY in-class text works (the class key is
+    # injective on the lowered token stream, so every member yields
+    # the same signature) — the min-id row just makes it
+    # deterministic.
+    reps = (
+        mem0.select("_ck", "_id", "_text")
+        .join(groups, "_ck")
+        .filter(F.col("_id") == F.col("_g"))
+        .select(F.col("_g").alias(id_col),
+                F.col("_text").alias(text_col))
+    )
     rep_pairs = minhash_lsh_candidates(
         reps, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         rows_per_band=rows_per_band, shingle_n=shingle_n,
@@ -424,6 +456,8 @@ def minhash_lsh_candidates_adaptive(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     collapse_below: float = 0.7,
+    distinct_ratio_hint: float | None = None,
+    probe_rows: int = 65536,
 ) -> DataFrame:
     """MinHash-LSH candidates with a stats-driven form choice — the
     decision a cost-based optimizer makes from table statistics,
@@ -439,21 +473,35 @@ def minhash_lsh_candidates_adaptive(
       pays for itself when classes are big (measured ~0.9 s cheaper
       at sf0.1 where 92% of texts are unique).
 
-    The probe is count + approx_count_distinct (HLL, ±2%) over the
-    injective class key — a single narrow aggregate returning one row;
-    its estimate affects COST only, never the answer: both forms are
-    pair-for-pair identical (pinned in tests and by the shared oracle
-    SQL)."""
-    keyed = docs.selectExpr(
-        f"md5(array_join(split(lower(`{text_col}`), '\\\\s+'), ' ')) "
-        "AS _ck"
-    )
-    row = keyed.agg(
-        F.count("*").alias("n"),
-        F.approx_count_distinct("_ck").alias("k"),
-    ).first()
-    n = row["n"] or 1
-    ratio = (row["k"] or 1) / n
+    ``distinct_ratio_hint`` is the table-statistics fast path: when
+    the caller already knows the distinct-text ratio (catalog stats, a
+    previous run, corpus provenance), NO probe job runs at all — the
+    analogue of a cost-based optimizer reading ANALYZE output instead
+    of scanning.
+
+    Without a hint the probe is the exact distinct ratio of the class
+    keys of a ``probe_rows``-row prefix, fetched with ``take`` —
+    CollectLimit scans partitions INCREMENTALLY starting from one, so
+    at any corpus size the probe reads ~one input split, never the
+    table (round 10: the r9 probe scanned and md5-keyed the ENTIRE
+    corpus just to pick a form — a full extra 100 TB pass spent on a
+    routing decision; the 0.7 threshold is coarse enough that a
+    64 k-row estimate decides it). Only 32-byte digests reach the
+    driver (~2 MB at the default ``probe_rows``), never text. A prefix
+    is not a uniform sample — layout-clustered duplicates can bias the
+    estimate — but the estimate affects COST only, never the answer:
+    both forms are pair-for-pair identical (pinned in tests and by the
+    shared oracle SQL), so the worst a biased probe costs is the other
+    form's runtime."""
+    if distinct_ratio_hint is not None:
+        ratio = float(distinct_ratio_hint)
+    else:
+        digests = docs.selectExpr(
+            f"md5(array_join(split(lower(`{text_col}`), '\\\\s+'), ' ')) "
+            "AS _ck"
+        ).take(int(probe_rows))
+        n = len(digests) or 1
+        ratio = len({r[0] for r in digests}) / n
     if ratio < collapse_below:
         return minhash_lsh_candidates_collapsed(
             docs, id_col=id_col, text_col=text_col,

@@ -287,12 +287,26 @@ def cosine_topk_blas(
             # here; float→double widening is value-exact, so scores
             # match the JVM-cast fold path bit-for-bit (measured
             # 0.73 → 0.52 s on the 200k×64 sf10 corpus)
-            cm = (
-                batch.column(1)
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(len(ids), -1)
-                .astype(np.float64, copy=False)
+            vec_arr = batch.column(1)
+            if vec_arr.null_count:
+                # flatten() silently DROPS null slots, shifting every
+                # later vector onto the wrong neighbor id — fail loud
+                raise ValueError(
+                    f"{vec_arr.null_count} null embedding vector(s) "
+                    "in corpus batch; similarity scoring requires a "
+                    "non-null vector per row"
+                )
+            flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+            d = qm.shape[1]
+            if flat.size != len(ids) * d:
+                # ragged lists can still reshape cleanly when totals
+                # divide evenly — verify the exact expected length
+                raise ValueError(
+                    f"ragged embedding vectors: {flat.size} values "
+                    f"for {len(ids)} rows of dim {d}"
+                )
+            cm = flat.reshape(len(ids), d).astype(
+                np.float64, copy=False
             )
             buf_i.append(ids)
             buf_c.append(cm)

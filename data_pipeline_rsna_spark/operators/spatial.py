@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import lineage_cut
+
 
 def synth_points(
     df: DataFrame,
@@ -217,8 +219,20 @@ def nearest_neighbor(points: DataFrame, cell: int | None = None,
     resolved_parts: list[DataFrame] = []
     remaining = points
     rounds_log: list[int] = []
+    n_rem = points.count()  # one metadata agg to seed the round ledger
     for rnd in range(max(1, max_rounds)):
-        best = _grid_best(remaining, points, cell)
+        # lineage_cut (eager): ONE job runs this round's grid join and
+        # pins its per-probe best rows; `resolved`, the next round's
+        # anti-join, and the final union all read those blocks instead
+        # of re-running the join lineage. (Pre-r10 the per-round
+        # remaining.count() re-executed every prior round's grid join,
+        # the common fully-resolved-in-round-1 case computed the grid
+        # join twice more at evaluation, and pathological inputs paid
+        # O(rounds²) joins.) Blocks are sliver-sized — ≤ |remaining|
+        # rows of (id, dist_sq, id) — shrink geometrically per round,
+        # and die with the returned plan; nothing enters the session
+        # cache manager.
+        best = lineage_cut(_grid_best(remaining, points, cell))
         resolved = best.filter(
             F.col("best.dist_sq") <= cell * cell
         ).select(
@@ -230,7 +244,9 @@ def nearest_neighbor(points: DataFrame, cell: int | None = None,
         remaining = remaining.join(
             resolved.select("id"), "id", "left_anti"
         )
-        n_rem = remaining.count()  # metadata-sized escalation probe
+        # escalation ledger from the pinned blocks (a count over the
+        # checkpointed sliver), never a lineage re-execution
+        n_rem -= resolved.count()
         rounds_log.append(n_rem)
         if n_rem == 0:
             break

@@ -824,3 +824,42 @@ def test_minhash_adaptive_picks_form_by_duplication(spark):
         c = sorted((r.doc_a, r.doc_b, r.n_shared_bands) for r in
                    dedup.minhash_lsh_candidates_collapsed(docs).collect())
         assert a == b == c
+
+
+def test_minhash_capped_pair_join_reuses_signature_exchange(spark):
+    """ADVICE r9: the capped form's _capped column must not
+    de-synchronize the two join subtrees — both sides project the same
+    columns, so the signature pipeline's exchange is reused in the
+    capped form exactly like the uncapped one."""
+    docs = spark.createDataFrame(
+        [(i, f"variant {i % 2} of a sufficiently long boilerplate "
+             "sentence for shingling") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_candidates(docs, max_bucket=4)
+    out.collect()  # finalize the AQE plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_minhash_adaptive_hint_skips_probe(spark):
+    """distinct_ratio_hint is the table-statistics fast path: the form
+    is chosen without any probe job, and both hinted routes return the
+    same pairs as the probed route."""
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate body of words number {i % 4} here "
+             "padded long enough to shingle") for i in range(40)],
+        "doc_id long, text string",
+    )
+    probed = {
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in dedup.minhash_lsh_candidates_adaptive(docs).collect()
+    }
+    for hint in (0.05, 0.95):  # force collapsed / force direct
+        hinted = {
+            (r.doc_a, r.doc_b, r.n_shared_bands)
+            for r in dedup.minhash_lsh_candidates_adaptive(
+                docs, distinct_ratio_hint=hint
+            ).collect()
+        }
+        assert hinted == probed

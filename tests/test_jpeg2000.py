@@ -450,3 +450,19 @@ def test_lossy_mutated_streams_raise_valueerror_never_crash():
         except ValueError:
             muts += 1
     assert muts > 0  # mutations actually exercised the error paths
+
+
+# ---------------------------------------------------------------------------
+# encode/decode domain symmetry (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_decode_accept_same_sample_domain():
+    """Encode and decode must accept the SAME domain: the decoder's
+    2^26-sample allocation bound is mirrored by both encoders, so no
+    legitimate image encodes to a stream its own decoder rejects."""
+    too_big = np.zeros((8192 + 1, 8192), dtype=np.uint8)  # > 2^26 samples
+    with pytest.raises(ValueError, match="2\\^26-sample encode bound"):
+        J.encode_j2k_gray(too_big)
+    with pytest.raises(ValueError, match="2\\^26-sample encode bound"):
+        J.encode_j2k_gray_lossy(too_big)

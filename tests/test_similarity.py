@@ -448,3 +448,32 @@ def test_centroid_drift_hand_computed(spark):
     # sa*nb - sb*na per dim0: (4e6*2 - 6e6*2) = -4e6 -> squared 16e12
     assert int(r1.l2sq_num) == (4 * 10 ** 6) ** 2
     assert r1.l2_micro == 1_000_000
+
+
+def test_blas_rejects_null_corpus_vector(spark):
+    """ADVICE r9: Arrow flatten() silently DROPS null list slots, which
+    would score misaligned vectors against wrong neighbor ids — the
+    scorer must fail loud instead."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        sim.cosine_topk_blas(emb, q, k=2).collect()
+
+
+def test_blas_rejects_ragged_vectors(spark):
+    """Ragged lengths whose total divides evenly would reshape cleanly
+    into garbage; the exact-length check must reject them."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0, 1.0]), (2, [0.0, 1.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="ragged embedding"):
+        sim.cosine_topk_blas(emb, q, k=2).collect()
