@@ -661,6 +661,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared per-row product: feeds both sum_disc_price and (via
         # one more multiply) sum_charge
         "cents * (100 - disc_pct) AS c4",
+        # the triple product cents*(100-disc)*(100+tax) <= ~1.1e11
+        # fits int64 per row; only its SUM can overflow. Round 10:
+        # sum it as two int64 streams (v div 1e6, v % 1e6) inside
+        # whole-stage codegen and reassemble in DECIMAL over the 4
+        # output groups — Spark's sum over DECIMAL(38,0) leaves the
+        # compact-long representation (precision > 18) and pays a
+        # BigDecimal per row, measured +0.38 s of the 1.68 s sf10 agg
+        # (hi/lo form: 1.34 s, bit-identical output). Exactness bound:
+        # sum(v % 1e6) <= 1e6·N overflows int64 only past N ≈ 9.2e12
+        # rows per group ≈ 900 TB of lineitem; past that, widen the
+        # split modulus toward sqrt(max v) ≈ 3.3e5 (bound ~2.8e13) or
+        # revert to the decimal form.
+        "cents * (100 - disc_pct) * (100 + tax_pct) AS v",
     )
     return c.groupBy("l_returnflag", "l_linestatus").agg(
         F.expr("CAST(sum(qty) AS BIGINT)").alias("sum_qty"),
@@ -671,8 +684,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(c4) AS DOUBLE) / 10000.0"
         ).alias("sum_disc_price"),
         F.expr(
-            "CAST(sum(CAST(c4 AS DECIMAL(38,0))"
-            " * (100 + tax_pct)) AS DOUBLE) / 1000000.0"
+            "CAST(CAST(CAST(sum(v div 1000000) AS DECIMAL(38,0))"
+            " * 1000000 + sum(v % 1000000) AS DOUBLE)"
+            " / 1000000.0 AS DOUBLE)"
         ).alias("sum_charge"),
         F.expr(
             "CAST((1000000 * sum(qty)) div count(*) AS BIGINT)"

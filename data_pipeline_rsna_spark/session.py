@@ -80,6 +80,14 @@ def get_spark(
         # query's shuffle+floor cost. At 100 TB input is thousands of
         # files and split count is file-count bound anyway. Measured,
         # not assumed (SCALING.md round 8).
+        # Round 10 refinement: that result holds for LOW-compression
+        # tables (events: 40 B numeric rows). Text tables compress ~33:1
+        # and Spark sizes splits by ON-DISK bytes, so a 148 MB-decoded
+        # documents scan arrived as 4.5 MB on disk = TWO tasks. The
+        # fix is per-table, not session-wide: tables._tune_scan_splits
+        # lowers the split confs to the row-group floor for registered
+        # fan-out text tables (decoded-size-aware splits; dedup_exact
+        # sf10 2.16 s -> ~1.0 s). The session default stays 128 MB.
         # --- scan-level aggregate pushdown ---
         # MIN/MAX/COUNT with no filter answer from parquet footer stats
         # instead of scanning row groups — exact (parquet stats are

@@ -78,3 +78,49 @@ def test_orders_ntz_dates_normalize(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
     assert dict(orders.dtypes)["o_orderdate"] == "timestamp"
     assert dict(li.dtypes)["l_shipdate"] == "timestamp"
+
+
+def test_tune_scan_splits_lowers_split_size_for_compressed_text(
+    spark, tmp_path
+):
+    """Round 10: a multi-row-group, highly-compressed text file must
+    lower the session split size so the scan parallelizes by row group
+    (Spark's on-disk-byte sizing would hand 33:1-compressed text to
+    1-2 tasks)."""
+    text = pa.array(["lorem ipsum dolor " * 50] * 40000)
+    t = pa.table({"doc_id": pa.array(range(40000), pa.int64()),
+                  "text": text})
+    p = tmp_path / "documents.parquet"
+    pq.write_table(t, str(p), row_group_size=5000, compression="zstd")
+    assert pq.ParquetFile(str(p)).metadata.num_row_groups >= 4
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        tables._tune_scan_splits(spark, str(p))
+        new_mpb = int(
+            str(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes")).rstrip("bB")
+        )
+        assert new_mpb < 134217728
+        # splits now reach the row-group floor (or cores, if smaller)
+        df = spark.read.parquet(str(p))
+        want = min(
+            pq.ParquetFile(str(p)).metadata.num_row_groups,
+            spark.sparkContext.defaultParallelism,
+        )
+        assert df.rdd.getNumPartitions() >= want
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_ocb)
+
+
+def test_tune_scan_splits_noop_on_single_row_group(spark, tmp_path):
+    """A single-row-group file cannot scan-parallelize: the tuner must
+    leave the session confs alone (the sf<=0.1 regime)."""
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array(["short text"] * 100)})
+    p = tmp_path / "documents.parquet"
+    pq.write_table(t, str(p))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    tables._tune_scan_splits(spark, str(p))
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == old
