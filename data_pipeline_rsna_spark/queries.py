@@ -20,6 +20,7 @@ Cross-engine determinism rules (every query obeys these):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -831,6 +832,54 @@ _SHINGLES_SQL = f"""
 """
 
 
+_STRIDE_CACHE: dict[str, int] = {}
+
+
+def _corpus_stride(spark: SparkSession, sf_dir: str) -> int:
+    """``1 + max(doc_id)`` of the documents table — the plant offset.
+
+    Round 10: read the parquet footer statistics DIRECTLY (pyarrow,
+    driver-side, memoized per directory) instead of running a Spark
+    aggregate job. int64 min/max column statistics are exact, so this
+    is the same answer with zero jobs — the aggregate-pushdown job it
+    replaces still cost one full scheduling round (~0.15 s) per corpus
+    query at any SF, pure floor. Falls back to the Spark agg when any
+    row group lacks statistics."""
+    import pathlib
+
+    key = os.path.realpath(sf_dir)
+    hit = _STRIDE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mx: int | None = None
+    try:
+        import pyarrow.parquet as pq
+
+        p = pathlib.Path(sf_dir) / "documents.parquet"
+        files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+        if not files:
+            raise FileNotFoundError(str(p))
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            j = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "doc_id"
+            )
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(j).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("row group without doc_id stats")
+                mx = st.max if mx is None else max(mx, st.max)
+    except Exception:
+        mx = None
+    if mx is None:
+        docs = tables.load(spark, sf_dir, "documents")
+        mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    val = 1 + int(mx)
+    _STRIDE_CACHE[key] = val
+    return val
+
+
 def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan, not a 3-branch union of the same parquet: each row emits
     # itself plus (for 1-in-10 ids) a planted exact or near duplicate —
@@ -840,11 +889,11 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # #2): stride = 1 + max(doc_id), exact copies at +2*stride, near
     # copies at +stride — the three id ranges are disjoint at ANY
     # replication factor, unlike the old fixed +100000/+200000 which
-    # collided with replicated ids at sf10. The max() is a
-    # metadata-sized driver collect (aggregate pushdown reads parquet
-    # footer stats), embedded as a literal so the scan plan stays a
-    # single narrow explode with no join node.
-    stride = 1 + (docs.agg(F.max("doc_id")).first()[0] or 0)
+    # collided with replicated ids at sf10. The max() comes from parquet
+    # footer statistics (driver-side, zero jobs, memoized — round 10),
+    # embedded as a literal so the scan plan stays a single narrow
+    # explode with no join node.
+    stride = _corpus_stride(spark, sf_dir)
     # single expr string: same plan as the Column-tree form, built in 2
     # gateway calls instead of ~40 (plan construction is serving latency)
     keep = (
@@ -1042,7 +1091,7 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_corpus(spark, sf_dir)
     docs = tables.load(spark, sf_dir, "documents")
-    stride = 1 + (docs.agg(F.max("doc_id")).first()[0] or 0)
+    stride = _corpus_stride(spark, sf_dir)
     seed = docs.filter(F.col("doc_id") == 7)
     mega = seed.select(
         F.explode(F.sequence(F.lit(0), F.lit(149))).alias("_i"), "text"
@@ -9486,9 +9535,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     corpus = _planted_corpus(spark, sf_dir)
-    stride = 1 + (tables.load(spark, sf_dir, "documents").agg(
-        F.max("doc_id")
-    ).first()[0] or 0)
+    stride = _corpus_stride(spark, sf_dir)
     existing = corpus.filter(F.col("doc_id") < stride)
     batch = corpus.filter(F.col("doc_id") >= stride)
     # the persisted index, built once per corpus life, read thereafter
