@@ -863,3 +863,36 @@ def test_minhash_adaptive_hint_skips_probe(spark):
             ).collect()
         }
         assert hinted == probed
+
+
+def test_minhash_adaptive_probe_memoized(spark):
+    """The probe ratio memoizes by semantic plan hash (catalog-stats
+    semantics): probing the same corpus expression twice performs no
+    second take() — asserted via the cache dict — and the cached route
+    returns identical pairs."""
+    docs = spark.createDataFrame(
+        [(i, f"one more body of shingle-able words variant {i} here "
+             "padded out to length") for i in range(30)],
+        "doc_id long, text string",
+    )
+    dedup._PROBE_RATIO_CACHE.clear()
+    first = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates_adaptive(docs).collect()
+    }
+    assert len(dedup._PROBE_RATIO_CACHE) == 1
+    cached_ratio = next(iter(dedup._PROBE_RATIO_CACHE.values()))
+    # poison the cache: if the second call re-probed, it would
+    # overwrite; if it reads the cache, the poisoned value routes to
+    # the collapsed form — both forms are output-identical, so this
+    # only proves the read path, never changes the answer
+    for k in dedup._PROBE_RATIO_CACHE:
+        dedup._PROBE_RATIO_CACHE[k] = 0.0
+    second = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates_adaptive(docs).collect()
+    }
+    assert dedup._PROBE_RATIO_CACHE[k] == 0.0  # not re-probed
+    assert second == first
+    dedup._PROBE_RATIO_CACHE.clear()
+    assert cached_ratio > 0.7  # 30 distinct texts: direct route

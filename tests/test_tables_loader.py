@@ -124,3 +124,21 @@ def test_tune_scan_splits_noop_on_single_row_group(spark, tmp_path):
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     tables._tune_scan_splits(spark, str(p))
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == old
+
+
+def test_corpus_stride_footer_equals_spark_agg(spark, tmp_path):
+    """_corpus_stride's footer-statistics path must equal the Spark
+    aggregate it replaced, across multiple row groups and files."""
+    from data_pipeline_rsna_spark import queries as q
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    ids = list(range(1000, 4000, 7))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(["w " * 5] * len(ids))})
+    pq.write_table(t, str(d / "documents.parquet"), row_group_size=100)
+    got = q._corpus_stride(spark, str(d))
+    assert got == 1 + max(ids)
+    # memoized: a second call with a deleted file still answers
+    (d / "documents.parquet").unlink()
+    assert q._corpus_stride(spark, str(d)) == 1 + max(ids)
