@@ -98,19 +98,30 @@ def _lineitem_as_raw_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     than projecting inside a narrow (single-row-group) scan task. Filters
     on patientId still push through the RepartitionByExpression.
 
-    Width = defaultParallelism/2 (min 8), NOT spark.sql.shuffle.partitions:
-    the shuffle-partition knob is sized for post-agg row counts (small at
-    low SF), but this stage is CPU-bound on the full pre-agg fact table —
-    under-parallelizing it idles cores. Half the cores, not all of them:
-    the cast chain is memory-bandwidth-bound, and on a 32-core box the
-    measured whole-query medians are 0.82 s at 16-way vs 1.02 s at 8-way
-    vs 1.86 s at 32-way — past bandwidth saturation extra tasks only add
-    scheduling + collect_list buffer pressure. The later
-    groupBy(patient_id) still plans no second exchange: hash clustering
-    on the same key satisfies the agg's required distribution at any
-    partition count."""
+    Width scales with the DATA, not just the machine (round 10), and
+    never uses spark.sql.shuffle.partitions (that knob is sized for
+    post-agg row counts, small at low SF, while this stage is CPU-bound
+    on the full pre-agg fact table). Measured on a 32-core box:
+
+    - sf0.1 (600 k rows): 16-way 0.82 s vs 32-way 1.86 s — at small
+      data the cast chain saturates memory bandwidth and extra tasks
+      only add scheduling + collect_list buffer pressure (round 8);
+    - sf10 (60 M rows): 16-way 24.1 s vs 32-way 13.9 s vs 64-way
+      17.4 s — at real data volume the stage is CPU-bound and half
+      the cores idle half the work (round 10).
+
+    So: half the cores as the floor, one extra task per ~32 MB of
+    source beyond that, capped at cluster parallelism. The size comes
+    from the optimizer's relation statistics (driver-side, no job).
+    The later groupBy(patient_id) still plans no second exchange: hash
+    clustering on the same key satisfies the agg's required
+    distribution at any partition count."""
     li = tables.load(spark, sf_dir, "lineitem")
-    n_parts = max(8, spark.sparkContext.defaultParallelism // 2)
+    cores = spark.sparkContext.defaultParallelism
+    size = int(
+        li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_parts = max(8, min(cores, max(cores // 2, size // (32 << 20))))
     li = li.repartition(n_parts, F.col("l_orderkey").cast("string"))
     # expr strings: same plan, fewer py4j round trips per construction
     return li.selectExpr(
