@@ -134,11 +134,20 @@ def _tune_scan_splits(spark: SparkSession, path: str) -> None:
     layouts live. Footer metadata only (pyarrow, driver-side, no job;
     ≤8 footers sampled and extrapolated), mirroring events_ts_kind.
 
-    The conf keys are session-global and read at physical planning
-    time, so this acts as a catalog-level layout hint: last loaded
-    fan-out table wins. Only ``documents``-class tables (FANOUT_TABLES)
-    trigger it, and only to LOWER split size — never to coarsen another
-    table's scan.
+    The conf key is session-global and read at physical planning time.
+    Crucially, ONLY ``openCostInBytes`` is lowered — never
+    ``maxPartitionBytes``. Spark's split formula is
+    ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores))``:
+    the ``totalBytes/cores`` term already adapts split size per TABLE,
+    so a big low-compression table (lineitem: 1.4 GB → 43 MB/core)
+    keeps its sizing no matter what this sets — the ONLY thing that
+    serializes a small-on-disk compressed text scan is the 4 MB
+    openCost floor. (The first r10 draft lowered maxPartitionBytes
+    session-wide; at sf10 that shattered every LATER lineitem scan
+    into ~1500 sub-MB tasks — measured as inflated three-way/pricing
+    rows in the same bench JVM. Lowering the floor instead is
+    per-table-safe by construction.) Only ``documents``-class tables
+    (FANOUT_TABLES) trigger the check.
     """
     import pathlib
 
@@ -160,14 +169,11 @@ def _tune_scan_splits(spark: SparkSession, path: str) -> None:
     if want <= 1:
         return  # single row group: splitting cannot help
     desired = max(disk_total // want, 64 * 1024)
-    cur = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    cur = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     cur_bytes = int(str(cur).lower().rstrip("b"))
     if desired >= cur_bytes:
-        return  # default sizing already reaches `want` splits
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(desired))
-    spark.conf.set(
-        "spark.sql.files.openCostInBytes", str(max(desired // 4, 16 * 1024))
-    )
+        return  # the current floor already allows `want` splits
+    spark.conf.set("spark.sql.files.openCostInBytes", str(desired))
 
 
 def _normalize_temporal(df: DataFrame) -> DataFrame:

@@ -87,7 +87,13 @@ def test_tune_scan_splits_lowers_split_size_for_compressed_text(
     lower the session split size so the scan parallelizes by row group
     (Spark's on-disk-byte sizing would hand 33:1-compressed text to
     1-2 tasks)."""
-    text = pa.array(["lorem ipsum dolor " * 50] * 40000)
+    # distinct-ish text per row: compressible enough to exercise the
+    # ratio skew, but not so degenerate that the tuner's 64 KB
+    # open-cost floor caps the split count below the row-group floor
+    text = pa.array(
+        [" ".join(format(i * 2654435761 + j, "x") for j in range(60))
+         for i in range(40000)]
+    )
     t = pa.table({"doc_id": pa.array(range(40000), pa.int64()),
                   "text": text})
     p = tmp_path / "documents.parquet"
@@ -97,11 +103,17 @@ def test_tune_scan_splits_lowers_split_size_for_compressed_text(
     old_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
     try:
         tables._tune_scan_splits(spark, str(p))
-        new_mpb = int(
-            str(spark.conf.get(
-                "spark.sql.files.maxPartitionBytes")).rstrip("bB")
+        # ONLY the open-cost floor moves; maxPartitionBytes is never
+        # touched (lowering it session-wide shattered every later
+        # big-table scan into sub-MB tasks — the r10 poisoning bug)
+        assert (
+            spark.conf.get("spark.sql.files.maxPartitionBytes") == old_mpb
         )
-        assert new_mpb < 134217728
+        new_ocb = int(
+            str(spark.conf.get(
+                "spark.sql.files.openCostInBytes")).rstrip("bB")
+        )
+        assert new_ocb < 4194304
         # splits now reach the row-group floor (or cores, if smaller)
         df = spark.read.parquet(str(p))
         want = min(
@@ -121,9 +133,11 @@ def test_tune_scan_splits_noop_on_single_row_group(spark, tmp_path):
                   "text": pa.array(["short text"] * 100)})
     p = tmp_path / "documents.parquet"
     pq.write_table(t, str(p))
-    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
     tables._tune_scan_splits(spark, str(p))
-    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == old
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == old_mpb
+    assert spark.conf.get("spark.sql.files.openCostInBytes") == old_ocb
 
 
 def test_corpus_stride_footer_equals_spark_agg(spark, tmp_path):
