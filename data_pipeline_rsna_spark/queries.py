@@ -370,6 +370,79 @@ def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "three_way_lookup_join_bucketed",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    doc="The 100 TB deployment form of three_way_lookup_join (VERDICT r9 "
+    "#3): lineitem+orders land bucketed+sorted by orderkey at layout "
+    "time (sinks/bucketed.py), so the dominant join is EXCHANGE-FREE - "
+    "the planner zips pre-clustered, pre-sorted bucket-file pairs with "
+    "no shuffle and no sort on either side (plan pinned in "
+    "test_bucketing: zero orderkey hashpartitioning). The one-time "
+    "layout shuffle is paid on first invocation per (session, sf_dir) "
+    "and amortized across every subsequent orderkey join; measured at "
+    "sf10: 5.76 s shuffled vs 2.31 s bucketed after a 17.5 s layout "
+    "write (BASELINE.md round-10). Same oracle as the shuffled form: "
+    "layout must never change the answer.",
+    tags=("relational", "scale"),
+)
+def q_three_way_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from .sinks.bucketed import write_bucketed
+
+    sfx = hashlib.md5(
+        os.path.realpath(sf_dir).encode()
+    ).hexdigest()[:8]
+    li_t, o_t = f"li_bkt_{sfx}", f"orders_bkt_{sfx}"
+    n_buckets = 16
+    for table, src_cols, key in (
+        (li_t, ("l_orderkey", "l_extendedprice", "l_discount"),
+         "l_orderkey"),
+        (o_t, ("o_orderkey", "o_custkey", "o_orderstatus"), "o_orderkey"),
+    ):
+        if not spark.catalog.tableExists(table):
+            src = "lineitem" if table == li_t else "orders"
+            write_bucketed(
+                tables.load(spark, sf_dir, src).select(*src_cols),
+                table, key, n_buckets,
+            )
+    li = spark.table(li_t)
+    orders = spark.table(o_t).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_custkey")
+    cust = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = tables.load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " AS DOUBLE) / 10000.0"
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 _BOXES_FROM_LINEITEM_SQL = f"""
     SELECT patient_id, x, y, width, height,
            row_number() OVER (PARTITION BY patient_id ORDER BY x, y, width, height) AS box_id

@@ -235,3 +235,19 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     assert sorted(
         r.v for r in back.filter("day = 'd2'").collect()
     ) == [100, 101, 102]
+
+
+def test_three_way_bucketed_query_plan_and_values(spark, sf_dir):
+    """The registered bucketed three-way: orderkey join exchange-free
+    (zero hashpartitioning on either orderkey; bucket scan visible),
+    values identical to the shuffled form."""
+    from data_pipeline_rsna_spark.queries import REGISTRY
+
+    b = REGISTRY["three_way_lookup_join_bucketed"].spark_fn(spark, sf_dir)
+    rows_b = {tuple(r) for r in b.collect()}
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan
+    a = REGISTRY["three_way_lookup_join"].spark_fn(spark, sf_dir)
+    assert {tuple(r) for r in a.collect()} == rows_b
