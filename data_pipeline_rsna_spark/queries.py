@@ -408,6 +408,13 @@ def q_three_way_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:8]
     li_t, o_t = f"li_bkt_{sfx}", f"orders_bkt_{sfx}"
     n_buckets = 16
+    # external-table path INSIDE the repo (gitignored .tmp/): the
+    # managed-table default is ./spark-warehouse relative to the
+    # DRIVER's cwd, which an embedding harness may run anywhere
+    layout_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "bucketed",
+    )
     for table, src_cols, key in (
         (li_t, ("l_orderkey", "l_extendedprice", "l_discount"),
          "l_orderkey"),
@@ -418,6 +425,7 @@ def q_three_way_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_bucketed(
                 tables.load(spark, sf_dir, src).select(*src_cols),
                 table, key, n_buckets,
+                path=os.path.join(layout_root, table),
             )
     li = spark.table(li_t)
     orders = spark.table(o_t).filter(
