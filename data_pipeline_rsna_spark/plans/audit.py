@@ -26,6 +26,8 @@ class PlanReport:
     n_shuffle_exchanges: int = 0
     n_broadcast_hash_joins: int = 0
     n_sort_merge_joins: int = 0
+    n_cartesian_products: int = 0
+    n_bnl_joins: int = 0
     wholestage_codegen_ids: list[int] = field(default_factory=list)
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
@@ -57,12 +59,82 @@ def plan_report(df: DataFrame) -> PlanReport:
     rep.n_sort_merge_joins = len(
         re.findall(r"^\(\d+\) SortMergeJoin", text, re.M)
     )
+    # quadratic join strategies — the 100 TB cliff edges. A
+    # CartesianProduct is |L|×|R| work and shuffle; a
+    # BroadcastNestedLoopJoin re-scans the broadcast side per row.
+    # Legitimate uses in this engine are broadcast SINGLETONS only
+    # (a 1-row aggregate joined to every row), which the planner
+    # emits as BNLJ — the registry-wide audit therefore reports
+    # these as a column that must stay 0 for non-singleton plans
+    # and the singleton uses are whitelisted by name (VERDICT r10 #2).
+    rep.n_cartesian_products = len(
+        re.findall(r"^\(\d+\) CartesianProduct", text, re.M)
+    )
+    rep.n_bnl_joins = len(
+        re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", text, re.M)
+    )
     rep.wholestage_codegen_ids = [
         int(m) for m in re.findall(r"\[codegen id : (\d+)\]", text)
     ]
     rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
     rep.read_schemas = re.findall(r"ReadSchema: ([^\n]*)", text)
     return rep
+
+
+def unbounded_nested_loop_joins(df: DataFrame,
+                                row_bound: int = 65536) -> list[str]:
+    """Return a description of every join in the OPTIMIZED logical plan
+    that would execute as a quadratic nested-loop strategy WITHOUT a
+    statically row-bounded side — the 100 TB cliff edge the registry
+    audit must keep at zero.
+
+    A BroadcastNestedLoopJoin is legitimate exactly when one side's
+    ``maxRows`` is statically known and small: a global aggregate
+    (maxRows=1 singleton — the engine's scalar-stats joins), a LIMIT,
+    or a literal LocalRelation dim. Then the join is |big| × O(bound)
+    — linear work with a constant factor. A nested-loop join where
+    NEITHER side is bounded is |L|×|R| and melts at scale, no matter
+    how it got past the planner. Walks the logical Join nodes (plus
+    nested subqueries) via py4j; returns [] when the plan is safe."""
+    qe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+    bad: list[str] = []
+
+    def max_rows(node) -> int | None:
+        opt = node.maxRows()
+        return int(opt.get()) if opt.isDefined() else None
+
+    def has_equi_condition(node) -> bool:
+        # ExtractEquiJoinKeys-lite: a Join with an equality conjunct
+        # (EqualTo " = " or null-safe EqualNullSafe " <=> ", the form
+        # INTERSECT/EXCEPT rewrites produce) plans as hash/sort-merge,
+        # not nested-loop. Checked loosely via the Catalyst string form
+        # "(a#1 = b#2)" / "(a#1 <=> b#2)".
+        cond = node.condition()
+        if not cond.isDefined():
+            return False
+        s = cond.get().toString()
+        return " = " in s or " <=> " in s
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Join":
+            if not has_equi_condition(node):
+                sides = [max_rows(node.left()), max_rows(node.right())]
+                if not any(m is not None and m <= row_bound
+                           for m in sides):
+                    bad.append(
+                        f"non-equi join with unbounded sides "
+                        f"(maxRows={sides}): "
+                        f"{node.simpleStringWithNodeId()}"
+                    )
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
+
+    walk(qe.optimizedPlan())
+    return bad
 
 
 def assert_filter_pushed(df: DataFrame, fragment: str) -> PlanReport:

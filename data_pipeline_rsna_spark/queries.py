@@ -50,6 +50,27 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Queries whose spark_fn EXECUTES work at construction time (streaming
+# replays, sink-writing pipelines): static plan capture would re-run
+# them, so plan audits list and skip these — their behavior is covered
+# by tests, not by plan shape. Shared by tools/plan_audit.py and
+# tests/test_plans.py (round 11: single source of truth).
+EXECUTING_QUERIES = frozenset({
+    "events_hourly_streaming",
+    "events_session_finalizer_streaming",
+    "events_session_streaming",
+    "events_stateful_running_totals",
+    "events_attribution_streaming",
+    "json_sink_roundtrip",
+    "rsna_pipeline_counts",
+    "events_dedup_streaming",
+    "events_attribution_outer_streaming",
+    "events_attribution_full_outer_streaming",
+    "events_fingerprint_streaming",
+    "events_stream_static_enrich",
+    "text_quality_gate_streaming",
+})
+
 
 def register(
     name: str,
@@ -391,7 +412,9 @@ def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the planner zips pre-clustered, pre-sorted bucket-file pairs with "
     "no shuffle and no sort on either side (plan pinned in "
     "test_bucketing: zero orderkey hashpartitioning). The one-time "
-    "layout shuffle is paid on first invocation per (session, sf_dir) "
+    "layout shuffle is paid ONCE PER DISK LAYOUT (round 11: fresh "
+    "sessions re-register the existing files instead of re-writing; "
+    "concurrent writers resolve by atomic rename) "
     "and amortized across every subsequent orderkey join; measured at "
     "sf10: 5.76 s shuffled vs 2.31 s bucketed after a 17.5 s layout "
     "write (BASELINE.md round-10). Same oracle as the shuffled form: "
@@ -401,7 +424,7 @@ def q_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_three_way_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
-    from .sinks.bucketed import write_bucketed
+    from .sinks.bucketed import ensure_bucketed_layout
 
     sfx = hashlib.md5(
         os.path.realpath(sf_dir).encode()
@@ -410,23 +433,28 @@ def q_three_way_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = 16
     # external-table path INSIDE the repo (gitignored .tmp/): the
     # managed-table default is ./spark-warehouse relative to the
-    # DRIVER's cwd, which an embedding harness may run anywhere
+    # DRIVER's cwd, which an embedding harness may run anywhere.
+    # ensure_bucketed_layout makes the write once-per-DISK, not
+    # once-per-session: a fresh session re-registers the existing
+    # layout instead of re-paying the 17.5 s (sf10) shuffle-write, two
+    # concurrent applications resolve by atomic rename, and the layout
+    # root is growth-capped (VERDICT r10 #4, ADVICE r10).
     layout_root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".tmp", "bucketed",
     )
-    for table, src_cols, key in (
-        (li_t, ("l_orderkey", "l_extendedprice", "l_discount"),
-         "l_orderkey"),
-        (o_t, ("o_orderkey", "o_custkey", "o_orderstatus"), "o_orderkey"),
+    for table, src, src_cols, key in (
+        (li_t, "lineitem",
+         ("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey"),
+        (o_t, "orders",
+         ("o_orderkey", "o_custkey", "o_orderstatus"), "o_orderkey"),
     ):
-        if not spark.catalog.tableExists(table):
-            src = "lineitem" if table == li_t else "orders"
-            write_bucketed(
-                tables.load(spark, sf_dir, src).select(*src_cols),
-                table, key, n_buckets,
-                path=os.path.join(layout_root, table),
-            )
+        ensure_bucketed_layout(
+            spark, table, key, n_buckets,
+            path=os.path.join(layout_root, table),
+            df_fn=lambda src=src, src_cols=src_cols: tables.load(
+                spark, sf_dir, src).select(*src_cols),
+        )
     li = spark.table(li_t)
     orders = spark.table(o_t).filter(
         F.col("o_orderstatus") == "F"
@@ -924,14 +952,39 @@ _SHINGLES_SQL = f"""
 """
 
 
-_STRIDE_CACHE: dict[str, int] = {}
+_STRIDE_CACHE: dict[tuple, int] = {}
+
+
+def _stride_cache_key(sf_dir: str) -> tuple:
+    """Cache key for :func:`_corpus_stride`: realpath PLUS a content
+    fingerprint (name/size/mtime of every documents part file). The
+    stride is correctness-bearing — it keeps the planted-duplicate id
+    ranges disjoint — so a long-lived process that regenerates testdata
+    at the same path must NOT serve a stale value (round 11, ADVICE
+    r10: the old realpath-only key could silently reintroduce the r9
+    id-collision bug). Stat-only: no file reads, no Spark job."""
+    import pathlib
+
+    root = os.path.realpath(sf_dir)
+    p = pathlib.Path(root) / "documents.parquet"
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    fp = []
+    for f in files:
+        try:
+            st = f.stat()
+            fp.append((f.name, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fp.append((f.name, -1, -1))
+    return (root, tuple(fp))
 
 
 def _corpus_stride(spark: SparkSession, sf_dir: str) -> int:
     """``1 + max(doc_id)`` of the documents table — the plant offset.
 
     Round 10: read the parquet footer statistics DIRECTLY (pyarrow,
-    driver-side, memoized per directory) instead of running a Spark
+    driver-side, memoized per directory CONTENT — the key includes a
+    name/size/mtime fingerprint so regenerated testdata at the same
+    path invalidates the entry) instead of running a Spark
     aggregate job. int64 min/max column statistics are exact, so this
     is the same answer with zero jobs — the aggregate-pushdown job it
     replaces still cost one full scheduling round (~0.15 s) per corpus
@@ -939,7 +992,7 @@ def _corpus_stride(spark: SparkSession, sf_dir: str) -> int:
     row group lacks statistics."""
     import pathlib
 
-    key = os.path.realpath(sf_dir)
+    key = _stride_cache_key(sf_dir)
     hit = _STRIDE_CACHE.get(key)
     if hit is not None:
         return hit

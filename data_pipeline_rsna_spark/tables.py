@@ -16,6 +16,7 @@ callers decide what to persist).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -134,7 +135,19 @@ def _tune_scan_splits(spark: SparkSession, path: str) -> None:
     layouts live. Footer metadata only (pyarrow, driver-side, no job;
     ≤8 footers sampled and extrapolated), mirroring events_ts_kind.
 
-    The conf key is session-global and read at physical planning time.
+    The conf key is session-global and read at physical planning time,
+    and planning happens per ACTION, not per read — a query mixing a
+    documents scan with a lineitem scan plans both under one conf
+    value, so true per-read scoping is impossible (verified: pyspark
+    4.1.2 ignores `openCostInBytes`/`maxPartitionBytes` as
+    DataFrameReader options). Accepted contract (round 11): the tuner
+    is non-monotone — each FANOUT-table load sets the floor to
+    ``min(needed, session baseline)`` and RESTORES the baseline when
+    the table doesn't need a lowered floor, so the last fanout load
+    wins and nothing ratchets permanently; between fanout loads the
+    lowered floor is visible to other scans, whose split sizing it can
+    only shrink padding for (the ``totalBytes/cores`` term, not this
+    floor, drives big-table splits — see below).
     Crucially, ONLY ``openCostInBytes`` is lowered — never
     ``maxPartitionBytes``. Spark's split formula is
     ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores))``:
@@ -169,11 +182,57 @@ def _tune_scan_splits(spark: SparkSession, path: str) -> None:
     if want <= 1:
         return  # single row group: splitting cannot help
     desired = max(disk_total // want, 64 * 1024)
-    cur = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-    cur_bytes = int(str(cur).lower().rstrip("b"))
-    if desired >= cur_bytes:
-        return  # the current floor already allows `want` splits
+    baseline = _open_cost_baseline(spark)
+    if baseline is None:
+        return  # un-parseable user setting: leave the session alone
+    if desired >= baseline:
+        # this table does not need a lowered floor — RESTORE the
+        # session baseline rather than leaving a previous table's
+        # lower value in place (round 11: the first version only ever
+        # lowered, a monotone ratchet that silently re-partitioned
+        # every later scan in the session; ADVICE r10)
+        spark.conf.set("spark.sql.files.openCostInBytes", str(baseline))
+        return
     spark.conf.set("spark.sql.files.openCostInBytes", str(desired))
+
+
+# first-seen openCostInBytes per application — the value the tuner
+# restores to when a table does not need a lowered floor. Keyed by
+# applicationId so a new session re-reads the user's own setting.
+_OPEN_COST_BASELINE: dict[str, int | None] = {}
+
+
+def _open_cost_baseline(spark: SparkSession) -> int | None:
+    app = spark.sparkContext.applicationId
+    if app not in _OPEN_COST_BASELINE:
+        cur = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        _OPEN_COST_BASELINE[app] = _parse_size_bytes(cur)
+    return _OPEN_COST_BASELINE[app]
+
+
+_SIZE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_size_bytes(value: object) -> int | None:
+    """Parse a Spark byte-size conf value ('4194304', '4m', '4MB',
+    '1g') into bytes, mirroring JavaUtils.byteStringAsBytes (binary
+    multiples, case-insensitive, bare number = bytes). Returns None on
+    anything un-parseable instead of raising — the tuner is an
+    optimization and must never break ``tables.load`` because a user
+    set the conf with a suffix (round 11, ADVICE r10: the old
+    ``int(str(v).rstrip('b'))`` raised ValueError on '4m')."""
+    s = str(value).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", s)
+    if not m or m.group(2) not in _SIZE_SUFFIXES:
+        return None
+    return int(m.group(1)) * _SIZE_SUFFIXES[m.group(2)]
 
 
 def _normalize_temporal(df: DataFrame) -> DataFrame:

@@ -7,6 +7,8 @@ one shape at a time."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -140,6 +142,103 @@ def test_tune_scan_splits_noop_on_single_row_group(spark, tmp_path):
     assert spark.conf.get("spark.sql.files.openCostInBytes") == old_ocb
 
 
+def test_parse_size_bytes():
+    """Spark accepts unit-suffixed byte confs ('4m', '4MB', '1g'); the
+    tuner's parser must handle every form Spark does and return None
+    (skip tuning) on garbage instead of raising (ADVICE r10)."""
+    p = tables._parse_size_bytes
+    assert p("4194304") == 4194304
+    assert p("4194304b") == 4194304
+    assert p("4m") == 4 * 1024 * 1024
+    assert p("4MB") == 4 * 1024 * 1024
+    assert p(" 4 mb ") == 4 * 1024 * 1024
+    assert p("1g") == 1 << 30
+    assert p("2k") == 2048
+    assert p(4194304) == 4194304
+    assert p("four megs") is None
+    assert p("4.5m") is None
+    assert p("") is None
+
+
+def _write_incompressible(path, n_rows=16000, row_group_size=2000):
+    """A multi-row-group parquet whose text defeats compression, so the
+    tuner's desired split size lands ABOVE a lowered floor."""
+    rng = np.random.default_rng(7)
+    text = pa.array(
+        [rng.bytes(120).hex() for _ in range(n_rows)]
+    )
+    t = pa.table({"doc_id": pa.array(range(n_rows), pa.int64()),
+                  "text": text})
+    pq.write_table(t, str(path), row_group_size=row_group_size,
+                   compression="zstd")
+
+
+def test_tune_scan_splits_suffixed_conf_does_not_raise(spark, tmp_path):
+    """A session where openCostInBytes was set with a unit suffix
+    ('4m') must not break tables.load: the tuner parses it and tunes
+    normally (ADVICE r10: int(str(v).rstrip('b')) raised ValueError)."""
+    text = pa.array(["word " * 200] * 20000)
+    t = pa.table({"doc_id": pa.array(range(20000), pa.int64()),
+                  "text": text})
+    p = tmp_path / "documents.parquet"
+    pq.write_table(t, str(p), row_group_size=2500, compression="zstd")
+    old_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+    app = spark.sparkContext.applicationId
+    old_baseline = tables._OPEN_COST_BASELINE.pop(app, None)
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", "4m")
+        tables._tune_scan_splits(spark, str(p))  # must not raise
+        new = tables._parse_size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes"))
+        assert new is not None and new < 4 * 1024 * 1024
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_ocb)
+        if old_baseline is not None:
+            tables._OPEN_COST_BASELINE[app] = old_baseline
+        else:
+            tables._OPEN_COST_BASELINE.pop(app, None)
+
+
+def test_tune_scan_splits_restores_baseline_no_ratchet(spark, tmp_path):
+    """The tuner is non-monotone: after a compressed table lowers the
+    open-cost floor, tuning a table that does NOT need a lowered floor
+    restores the session baseline — the lowered value must not ratchet
+    across unrelated later loads (ADVICE r10)."""
+    compressed = tmp_path / "docs_compressed.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(20000), pa.int64()),
+                  "text": pa.array(["word " * 200] * 20000)}),
+        str(compressed), row_group_size=2500, compression="zstd",
+    )
+    incompressible = tmp_path / "docs_random.parquet"
+    _write_incompressible(incompressible)
+    old_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+    app = spark.sparkContext.applicationId
+    old_baseline = tables._OPEN_COST_BASELINE.pop(app, None)
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+        tables._tune_scan_splits(spark, str(compressed))
+        lowered = tables._parse_size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes"))
+        assert lowered < 131072
+        # sanity: the incompressible fixture's desired split size is
+        # at or above the baseline, so this load must restore it
+        want = min(
+            pq.ParquetFile(str(incompressible)).metadata.num_row_groups,
+            spark.sparkContext.defaultParallelism,
+        )
+        assert os.path.getsize(incompressible) // want >= 131072
+        tables._tune_scan_splits(spark, str(incompressible))
+        assert spark.conf.get(
+            "spark.sql.files.openCostInBytes") == "131072"
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_ocb)
+        if old_baseline is not None:
+            tables._OPEN_COST_BASELINE[app] = old_baseline
+        else:
+            tables._OPEN_COST_BASELINE.pop(app, None)
+
+
 def test_corpus_stride_footer_equals_spark_agg(spark, tmp_path):
     """_corpus_stride's footer-statistics path must equal the Spark
     aggregate it replaced, across multiple row groups and files."""
@@ -153,6 +252,15 @@ def test_corpus_stride_footer_equals_spark_agg(spark, tmp_path):
     pq.write_table(t, str(d / "documents.parquet"), row_group_size=100)
     got = q._corpus_stride(spark, str(d))
     assert got == 1 + max(ids)
-    # memoized: a second call with a deleted file still answers
-    (d / "documents.parquet").unlink()
+    # memoized: the same content answers from cache (same key)
     assert q._corpus_stride(spark, str(d)) == 1 + max(ids)
+    # regenerated data at the SAME path must invalidate the cache —
+    # the stride is correctness-bearing (planted-id disjointness), so
+    # a stale value would reintroduce the r9 id-collision bug
+    ids2 = list(range(0, 9000, 11))
+    t2 = pa.table({"doc_id": pa.array(ids2, pa.int64()),
+                   "text": pa.array(["w " * 5] * len(ids2))})
+    pq.write_table(t2, str(d / "documents.parquet"), row_group_size=200)
+    os.utime(d / "documents.parquet")  # ensure mtime moves even on
+    # coarse-granularity filesystems
+    assert q._corpus_stride(spark, str(d)) == 1 + max(ids2)
