@@ -37,7 +37,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # offset by _ROTATION_ROUND), so the driver's independent gate
 # progressively re-verifies all ~300 queries across rounds instead of
 # the same 50 forever. Bump _ROTATION_ROUND by 1 each round.
-_ROTATION_ROUND = 10
+_ROTATION_ROUND = 11
 _DRIVER_WINDOW = 50
 
 _CHECK_WINDOW_PRIORITY = [

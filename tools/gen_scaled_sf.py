@@ -20,6 +20,14 @@ as TPC-H itself. Deterministic: pure SQL over the source parquet, no
 randomness. Output lives under the repo (``.localdata/``), never in the
 read-only /root/testdata.
 
+Round 11 (VERDICT r10 #3): replicated tables land as a DIRECTORY of
+one part file per copy (``{table}.parquet/part-{copy:05d}.parquet``)
+instead of one monolithic file. Real ingestion produces many files —
+the single-file layout gave sf10 documents a 5-row-group scan floor
+that dominated dedup_exact's residual and made the fixture
+unrepresentative of any production table. Spark reads the directory
+transparently; DuckDB consumers glob ``{table}.parquet/*.parquet``.
+
 Usage: python tools/gen_scaled_sf.py [src_dir] [dst_dir] [factor]
        (defaults: /root/testdata/sf0.1 .localdata/sf1 10)
 """
