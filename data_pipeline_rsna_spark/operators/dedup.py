@@ -499,14 +499,23 @@ def _stratified_distinct_ratio(
             paths, key=lambda s: hashlib.md5(s.encode()).hexdigest()
         )[:max_files]
     per_file = max(256, probe_rows // max(len(paths), 1))
-    # per-file ratios weighted by the file's TOTAL row count (footer
-    # metadata): files differ in size, so pooling raw samples would
-    # let a small all-unique file outvote a huge all-duplicate one.
-    # Cross-file duplicates count as distinct per file — a mild
-    # OVER-estimate of the ratio, i.e. it can only err toward the
-    # direct (collapse-free) form; cost-only either way.
+    # Two estimates, combined by min():
+    # - WEIGHTED per-file ratio (each file's sample ratio weighted by
+    #   its footer row count): robust to unequal file sizes — a small
+    #   all-unique file can't outvote a huge all-duplicate one — but
+    #   BLIND to cross-file duplication (a corpus replicated file-by-
+    #   file looks all-distinct per file: measured at sf10, that
+    #   mis-route cost 96 s direct vs ~10 s collapsed).
+    # - POOLED ratio over all sampled rows (one global seen-set):
+    #   sees cross-file duplicates, but size-biased.
+    # min() is the right combiner because the COSTS are asymmetric:
+    # wrongly choosing collapsed on a unique corpus wastes ~1 s of
+    # collapse machinery; wrongly choosing direct on a dup-heavy
+    # corpus is a ~10× blowup. Still cost-only either way.
     w_total = 0
     acc = 0.0
+    pooled: set = set()
+    pooled_n = 0
     for p in paths:
         try:
             pf = pq.ParquetFile(p)
@@ -533,9 +542,11 @@ def _stratified_distinct_ratio(
             continue
         acc += w * (len(seen) / n)
         w_total += w
+        pooled |= seen
+        pooled_n += n
     if w_total == 0:
         return None
-    return acc / w_total
+    return min(acc / w_total, len(pooled) / pooled_n)
 
 
 def minhash_lsh_candidates_adaptive(

@@ -27,9 +27,10 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        p = f"{sf_dir}/{t}.parquet"
+        glob = p + "/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
         )
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -89,7 +89,9 @@ def main() -> int:
         con.execute("SET temp_directory=''")
     for t in TABLE_NAMES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
+            + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet")
+               else "')")
         )
 
     qs = entrymod.queries()

@@ -68,6 +68,8 @@ def main() -> None:
     con = duckdb.connect()
     con.execute("SET preserve_insertion_order=false")
 
+    import shutil
+
     for table, keys in OFFSET_KEYS.items():
         src_pq = f"{src}/{table}.parquet"
         dst_pq = f"{dst}/{table}.parquet"
@@ -85,25 +87,36 @@ def main() -> None:
             ).fetchone()[0]
             for k in keys
         }
-        select_cols = []
-        for (name, _dtype, *_rest) in con.execute(
-            f"DESCRIBE SELECT * FROM '{src_pq}'"
-        ).fetchall():
-            if name in strides:
-                select_cols.append(
-                    f"({name} + c.copy * {strides[name]}) AS {name}"
-                )
-            else:
-                select_cols.append(name)
-        sql = f"""
-            COPY (
-              SELECT {', '.join(select_cols)}
-              FROM '{src_pq}', (SELECT unnest(range({factor})) AS copy) c
-            ) TO '{dst_pq}' (FORMAT PARQUET, ROW_GROUP_SIZE 122880)
-        """
-        con.execute(sql)
-        n = con.execute(f"SELECT count(*) FROM '{dst_pq}'").fetchone()[0]
-        print(f"{table}: {n} rows ({factor}x, offset keys: {keys})")
+        # one part file per copy: the realistic many-file layout every
+        # real ingestion produces (and the shape Spark's default split
+        # sizing is designed around)
+        if os.path.isdir(dst_pq):
+            shutil.rmtree(dst_pq)
+        elif os.path.exists(dst_pq):
+            os.remove(dst_pq)
+        os.makedirs(dst_pq)
+        for copy in range(factor):
+            select_cols = []
+            for (name, _dtype, *_rest) in con.execute(
+                f"DESCRIBE SELECT * FROM '{src_pq}'"
+            ).fetchall():
+                if name in strides:
+                    select_cols.append(
+                        f"({name} + {copy} * {strides[name]}) AS {name}"
+                    )
+                else:
+                    select_cols.append(name)
+            con.execute(f"""
+                COPY (
+                  SELECT {', '.join(select_cols)} FROM '{src_pq}'
+                ) TO '{dst_pq}/part-{copy:05d}.parquet'
+                (FORMAT PARQUET, ROW_GROUP_SIZE 122880)
+            """)
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst_pq}/*.parquet'"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows ({factor}x, {factor} part files, "
+              f"offset keys: {keys})")
 
 
 if __name__ == "__main__":
