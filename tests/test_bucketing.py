@@ -349,3 +349,60 @@ def test_bucketed_layout_prune_root(tmp_path):
     layouts = [d for d in left if d.startswith("layout_")]
     assert len(layouts) == bkt._MAX_LAYOUT_DIRS
     assert "layout_00" not in layouts and "layout_01" not in layouts
+
+
+def test_bucketed_layout_rename_race_adopts_winner(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The concurrent-writer branch: a builder that loses the atomic
+    rename (another application installed a complete layout at `path`
+    between its existence check and its rename) must adopt the
+    winner's files — delete its own build, register the existing
+    layout, and report built=False. Simulated by blinding the
+    pre-build spec check once, so the code builds against a path that
+    already holds a complete layout."""
+    import os
+
+    from data_pipeline_rsna_spark import tables
+    from data_pipeline_rsna_spark.sinks import bucketed as bkt
+
+    path = str(tmp_path / "layouts" / "li_race")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def df_fn():
+        return tables.load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+
+    spark.sql("DROP TABLE IF EXISTS `lc_li_race`")
+    assert bkt.ensure_bucketed_layout(
+        spark, "lc_li_race", "l_orderkey", 8, path, df_fn
+    ) is True  # the "winner" installs the layout
+    winner_files = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+    }
+    spark.sql("DROP TABLE `lc_li_race`")
+
+    real_read_spec = bkt._read_spec
+    calls = {"n": 0}
+
+    def blind_once(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # pre-build check: pretend nothing is there
+        return real_read_spec(p)
+
+    monkeypatch.setattr(bkt, "_read_spec", blind_once)
+    built = bkt.ensure_bucketed_layout(
+        spark, "lc_li_race", "l_orderkey", 8, path, df_fn
+    )
+    assert built is False  # lost the rename, adopted the winner
+    assert winner_files == {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+    }  # winner's files untouched, loser's build gone
+    assert not [d for d in os.listdir(os.path.dirname(path))
+                if ".tmp-" in d]  # loser cleaned up its build dir
+    assert spark.table("lc_li_race").count() > 0
+    spark.sql("DROP TABLE IF EXISTS `lc_li_race`")

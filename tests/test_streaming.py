@@ -819,3 +819,17 @@ def test_srm_monitor_stream_equals_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_run_bounded_restores_shuffle_partitions(spark, sf_dir):
+    """The bounded replay's state-partition override is scoped to the
+    stream drive: the session's shuffle-partition setting must be
+    exactly what it was before, even though the stream ran at 8."""
+    from data_pipeline_rsna_spark.streaming import events_stream as es
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = es.run_bounded(
+        es.hourly_type_agg_stream(es.read_events_stream(spark, sf_dir))
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
