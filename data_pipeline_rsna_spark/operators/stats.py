@@ -32,15 +32,20 @@ from ..lineage import lineage_cut
 
 from .relational import grouped_running_sum
 
-# Truncated-Poisson(1) CDF thresholds in 2^60 units (the range of a
-# 15-hex-digit md5 slice): P(X=k) = e^-1/k! for k<4, remainder mass on
-# k=4. Shared verbatim by the Spark CASE chain and the DuckDB oracle —
-# integer compares, no float CDF evaluation at query time.
-POISSON1_T = (
-    424136118829305344,
-    848272237658610688,
-    1060340297073263360,
-    1131029650211480960,
+# Truncated-Poisson(1) CDF thresholds in 2^28 units (the range of a
+# 7-hex md5 slice): P(X=k) = e^-1/k! for k<4, remainder mass on k=4.
+# Decimal-derived, exactly rounded; shared verbatim by the Spark CASE
+# chain and the DuckDB oracle — integer compares, no float CDF
+# evaluation at query time. One 32-hex md5 digest carries FOUR
+# independent 28-bit draws, so B replicates cost ceil(B/4) digests per
+# row instead of B — hashing is the hot path's dominant cost and drops
+# 4× (quantization error at 2^-28 is ~4e-9 per weight class, orders of
+# magnitude below bootstrap noise at any n).
+POISSON1_T28 = (
+    98751886,
+    197503771,
+    246879714,
+    263338361,
 )
 
 
@@ -292,38 +297,74 @@ def bootstrap_means(
     Poisson(1)-distributed weight to each replicate, which converges to
     the classical bootstrap and needs no global state.
 
-    The weight is a pure function of (row key, replicate, salt): a
-    15-hex md5 slice compared against precomputed truncated-Poisson(1)
-    CDF thresholds in 2^60 units (``POISSON1_T``) — reproducible in any
-    engine with md5, identical under retries, repartitioning, and
-    subsetting. Returns one row per replicate: (b, n_eff, mean_cents);
-    the spread of the B means IS the sampling distribution (quantile it
-    driver-side or in a follow-up 32-row agg).
+    The weight is a pure function of (row key, replicate, salt): the
+    replicate's 7-hex (28-bit) slice of ``md5(key|salt|group)`` —
+    group = replicate DIV 4, slice = replicate MOD 4 — compared against
+    precomputed truncated-Poisson(1) CDF thresholds in 2^28 units
+    (``POISSON1_T28``). Reproducible in any engine with md5, identical
+    under retries, repartitioning, and subsetting. One digest carries
+    FOUR replicate draws (¼ the hashing of a digest per (row,
+    replicate)), and the draw is compared AS the hex substring —
+    fixed-width lowercase hex orders lexicographically exactly as the
+    integer it spells, so no radix parse runs per draw. Returns one
+    row per replicate: (b, n_eff, mean_cents); the spread of the B
+    means IS the sampling distribution (quantile it driver-side or in
+    a follow-up B-row agg).
 
     Cost: the ×B explode never materializes off-heap — it feeds a
     map-side-combined groupBy(b), so the shuffle carries B×partitions
     partial rows, not B×n. B is the knob: 32 replicates ≈ ±1 decile
-    accuracy on the CI endpoints, cheap to raise.
+    accuracy on the CI endpoints, cheap to raise. Measured sf0.1
+    lineitem (600 k rows × 32 replicates, 32-core box): r10 form
+    16.4 s → 2.1 s (grouped digests ~flat on their own at unchanged
+    width; the stage widening and the parse-free compare carry it).
     """
-    t0, t1, t2, t3 = POISSON1_T
-    rep = df.select(
-        key_expr.cast("string").alias("_k"), cents(value_col).alias("cents")
-    ).select(
-        "_k",
-        "cents",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(n_replicates - 1))
-        ).alias("b"),
+    # fixed-width lowercase hex compares lexicographically identically
+    # to numerically ('0'-'9' < 'a'-'f'), so the draw never leaves
+    # string form: no conv() radix parse per (row, replicate) — the
+    # draw count is B×n, 4× the digest count, and dropping the parse
+    # is worth ~30% end-to-end (measured sf0.1: 3.0 → 2.1 s)
+    h0, h1, h2, h3 = (format(t, "07x") for t in POISSON1_T28)
+    groups = (n_replicates + 3) // 4
+    base = df.select(
+        key_expr.cast("string").alias("_k"),
+        cents(value_col).alias("cents"),
     )
-    u = F.expr(
-        f"CAST(conv(substr(md5(concat_ws('|', _k, '{salt}',"
-        " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    # The hash stage is CPU-bound at ceil(B/4) digests per input row
+    # and, unwidened, pipelines inside the scan's few splits (sf0.1:
+    # 3 splits on 32 cores — 16.4 s). Widen with the DATA (labels
+    # idiom): half the cores as the floor, one task per ~32 MB of
+    # (input × digest-groups) work, capped at cluster parallelism —
+    # and only when the input is narrower than that (a 100 TB scan is
+    # already wider than the cluster; re-shuffling it would be the
+    # bottleneck, not the fix). The shuffle moves only (key, cents).
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    size = int(
+        base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
+    want = max(cores // 2, min(cores, size * groups // (32 << 20)))
+    if base.rdd.getNumPartitions() < want:
+        base = base.repartition(want)
+    # one md5 per (row, group) — the inner transform binds the digest
+    # once, then slices four 28-bit draws from it; flatten+explode
+    # yields (b, u) pairs without re-hashing per replicate
+    draws = (
+        "explode(flatten(transform("
+        f"transform(sequence(0, {groups - 1}), g -> "
+        f"md5(concat_ws('|', _k, '{salt}', CAST(g AS STRING)))), "
+        "(d, g) -> transform(sequence(0, 3), j -> "
+        "struct(g * 4 + j AS b, substr(d, j * 7 + 1, 7) AS h)"
+        ")))) AS s"
+    )
+    rep = base.selectExpr("cents", draws).select("cents", "s.b", "s.h")
+    if n_replicates % 4:
+        rep = rep.filter(F.col("b") < n_replicates)
     w = (
-        F.when(u < t0, 0)
-        .when(u < t1, 1)
-        .when(u < t2, 2)
-        .when(u < t3, 3)
+        F.when(F.col("h") < h0, 0)
+        .when(F.col("h") < h1, 1)
+        .when(F.col("h") < h2, 2)
+        .when(F.col("h") < h3, 3)
         .otherwise(4)
     )
     return (

@@ -10802,22 +10802,27 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bootstrap_mean_ci",
     oracle="""
-    WITH r AS (
+    WITH d AS (
         SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-               CAST(('0x' || substr(md5(
-                   CAST(l_orderkey AS VARCHAR) || '|' ||
+               gg.g AS g,
+               md5(CAST(l_orderkey AS VARCHAR) || '|' ||
                    CAST(l_linenumber AS VARCHAR) || '|boot|' ||
-                   CAST(bb.b AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS u,
-               bb.b AS b
+                   CAST(gg.g AS VARCHAR)) AS dig
         FROM lineitem
-        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g) gg
+    ),
+    r AS (
+        SELECT cents, g * 4 + jj.j AS b,
+               substr(dig, jj.j * 7 + 1, 7) AS h
+        FROM d
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj
     ),
     w AS (
         SELECT b, cents,
-               CASE WHEN u < 424136118829305344 THEN 0
-                    WHEN u < 848272237658610688 THEN 1
-                    WHEN u < 1060340297073263360 THEN 2
-                    WHEN u < 1131029650211480960 THEN 3
+               CASE WHEN h < '5e2d58e' THEN 0
+                    WHEN h < 'bc5ab1b' THEN 1
+                    WHEN h < 'eb715e2' THEN 2
+                    WHEN h < 'fb23979' THEN 3
                     ELSE 4 END AS w
         FROM r
     )
@@ -10829,11 +10834,15 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic resample replicates in ONE pass — each row "
     "contributes truncated-Poisson(1) weight to each replicate, the "
     "weight a pure md5 function of (row key, replicate) compared "
-    "against precomputed CDF thresholds in 2^60 units, reproducible in "
-    "any engine and stable under retries/repartitioning. The explode "
-    "feeds a map-side-combined groupBy(b), so the shuffle carries "
-    "B x partitions partial rows, never B x n. The spread of the 32 "
-    "means IS the sampling distribution of the estimator.",
+    "against precomputed CDF thresholds in 2^28 units — one digest "
+    "carries four 28-bit replicate draws (4x less hashing), and the "
+    "draw is compared as the fixed-width hex substring itself (no "
+    "radix parse per draw; lexicographic = numeric order) — "
+    "reproducible in any engine and stable under retries/"
+    "repartitioning. The explode feeds a map-side-combined groupBy(b), "
+    "so the shuffle carries B x partitions partial rows, never B x n. "
+    "The spread of the 32 means IS the sampling distribution of the "
+    "estimator.",
     tags=("stats", "sampling"),
 )
 def q_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:

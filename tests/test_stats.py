@@ -188,13 +188,15 @@ def test_bootstrap_weights_match_python_md5_reference(spark):
     md5 evaluation yields — per replicate, for arbitrary keys."""
     import hashlib
 
-    from data_pipeline_rsna_spark.operators.stats import POISSON1_T
+    from data_pipeline_rsna_spark.operators.stats import POISSON1_T28
 
     def w_of(key: str, b: int) -> int:
-        u = int(
-            hashlib.md5(f"{key}|boot|{b}".encode()).hexdigest()[:15], 16
-        )
-        for k, t in enumerate(POISSON1_T):
+        # one digest per group of four replicates; replicate b reads
+        # the (b mod 4)-th 7-hex (28-bit) slice of md5(key|salt|b//4)
+        dig = hashlib.md5(f"{key}|boot|{b // 4}".encode()).hexdigest()
+        j = b % 4
+        u = int(dig[j * 7 : j * 7 + 7], 16)
+        for k, t in enumerate(POISSON1_T28):
             if u < t:
                 return k
         return 4
@@ -204,13 +206,17 @@ def test_bootstrap_weights_match_python_md5_reference(spark):
         [(k, (i + 1) * 1.0) for i, k in enumerate(keys)],
         "k string, value double",
     )
+    # 6 replicates: spans a digest-group boundary (b=4,5 read the
+    # second digest) AND a partial group (6 % 4 != 0 exercises the
+    # b < n_replicates trim)
     got = {
         r.b: (r.n_eff, r.mean_cents)
         for r in st.bootstrap_means(
-            df, F.col("k"), n_replicates=4
+            df, F.col("k"), n_replicates=6
         ).collect()
     }
-    for b in range(4):
+    assert sorted(got) == list(range(6))
+    for b in range(6):
         ws = [w_of(k, b) for k in keys]
         n_eff = sum(ws)
         cents = [(i + 1) * 100 for i in range(50)]
