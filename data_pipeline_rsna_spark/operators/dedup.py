@@ -1328,6 +1328,18 @@ def prefix_filter_jaccard_pairs(
                 )
                 * (_tn + _td)
                 >= (F.col("a._n") + F.col("b._n")) * _tn
+            )
+            # distinct-sets bound: the join is over DISTINCT token
+            # sets (identical sets collapsed upstream), so two sets of
+            # EQUAL size n overlap in at most n−1 tokens and can reach
+            # J ≥ t only if (n−1)/(n+1) ≥ t — at t=0.95 that needs
+            # n ≥ 39, wiping the equal-small-size candidate class that
+            # dominates low-vocab corpora (driver corpus at sf0.1:
+            # 989k → 670k distinct candidates). Unequal sizes are
+            # already banded by the length filter above.
+            & (
+                (F.col("a._n") != F.col("b._n"))
+                | ((F.col("a._n") - 1) * _td >= _tn * (F.col("a._n") + 1))
             ),
         )
         .select(F.col("a._g").alias("_ga"), F.col("b._g").alias("_gb"))
@@ -1438,10 +1450,11 @@ def tfidf_cosine_pairs(
     Plan shape: tf/df/norm/mw are four map-side-combined aggregations;
     the per-doc running bound is a window PARTITIONED BY DOC (state =
     one doc's vocabulary, never a global sort); the candidate join is
-    bucket-local per indexed term; verification joins candidate pairs
-    back to full postings (shuffles scale with candidates, which the
-    prefix bound caps — at threshold 1−ε only genuine near-dups
-    survive pruning).
+    bucket-local per indexed term with a pair-level ℓ² cross bound
+    (see inline note) pruning collisions in the join itself;
+    verification joins candidate pairs back to full postings (shuffles
+    scale with candidates, which the prefix bound caps — at threshold
+    1−ε only genuine near-dups survive pruning).
 
     OUTPUT-OPTIMAL on duplicate-heavy corpora (round 7, the
     prefix_filter_jaccard_pairs move): identical token MULTISETS
@@ -1607,12 +1620,24 @@ def tfidf_cosine_pairs(
             f"_total - _cum_prev >= {t} - {eps} AND "
             f"1.0 - _cumsq_prev >= {t * t} - {eps}"
         )
-    ).select("_d", "_term").transform(lineage_cut, eager=True)
-    ia = indexed.selectExpr("_d AS doc_a", "_term")
-    ib = indexed.selectExpr("_d AS doc_b", "_term")
+    ).select("_d", "_term", "_cumsq_prev").transform(
+        lineage_cut, eager=True
+    )
+    ia = indexed.selectExpr("_d AS doc_a", "_term", "_cumsq_prev AS _qa")
+    ib = indexed.selectExpr("_d AS doc_b", "_term", "_cumsq_prev AS _qb")
+    # Pair-level ℓ² cross bound (L2AP family), sound because each doc
+    # indexes a PREFIX of its globally-ordered vocab: at a pair's
+    # FIRST shared indexed term t0, every shared term of the pair lies
+    # in both suffixes-from-t0 (a shared term before t0 would be
+    # indexed in both — prefix property — contradicting minimality),
+    # so Cauchy–Schwarz gives cos ≤ √((1−Σ_prefix û_a²)(1−Σ_prefix
+    # û_b²)). A colliding row may be dropped whenever the product
+    # fails: the qualifying pair's t0 row always passes. Measured on
+    # the driver corpus at sf0.1: 409k → 276k candidates.
     cand = (
         ia.join(ib, "_term")
         .filter("doc_a < doc_b")
+        .filter(F.expr(f"(1.0 - _qa) * (1.0 - _qb) >= {t * t} - {eps}"))
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -1622,7 +1647,11 @@ def tfidf_cosine_pairs(
     # ≤ ~1e12 for real documents; ANSI mode turns a true overflow into
     # a loud error, never a silent wrap) — decimal(38,0) arithmetic in
     # this hot aggregate measured 2.5x slower; the overflow-proof
-    # decimal form survives in the threshold compare below
+    # decimal form survives in the threshold compare below. (A
+    # map<term,w>-vector merge per pair was measured and REJECTED:
+    # Spark map lookups are linear scans, so map_zip_with on two
+    # ~50-term string-keyed maps is O(|a|·|b|) string compares per
+    # pair — 13.7 s vs this fan-out's 4.3 s on the sf0.1 corpus.)
     dots = (
         cand.join(pa, "doc_a")
         .join(pb, ["doc_b", "_term"])
