@@ -311,13 +311,17 @@ def bootstrap_means(
     means IS the sampling distribution (quantile it driver-side or in
     a follow-up B-row agg).
 
-    Cost: the ×B explode never materializes off-heap — it feeds a
-    map-side-combined groupBy(b), so the shuffle carries B×partitions
-    partial rows, not B×n. B is the knob: 32 replicates ≈ ±1 decile
-    accuracy on the CI endpoints, cheap to raise. Measured sf0.1
-    lineitem (600 k rows × 32 replicates, 32-core box): r10 form
-    16.4 s → 2.1 s (grouped digests ~flat on their own at unchanged
-    width; the stage widening and the parse-free compare carry it).
+    Cost: no ×B row explosion exists anywhere — rows fan out only
+    ×ceil(B/4) (one per digest group), each feeding eight accumulators
+    (Σw, Σw·cents per slice) in one map-side-combined aggregate whose
+    shuffle carries ceil(B/4)×partitions partial rows; the B-row
+    result is an unpivot of that. B is the knob: 32 replicates ≈ ±1
+    decile accuracy on the CI endpoints, cheap to raise. Measured
+    lineitem × 32 replicates on a 32-core box: sf0.1 (600 k rows)
+    16.4 s (r10 form) → 2.1 s; sf10 (60 M rows) 60 s — the remaining
+    wall is JVM md5-expression throughput (DuckDB's C md5 runs the
+    identical oracle in 8.7 s; a numpy-vectorized single-block md5
+    over mapInArrow is the known next cut if this becomes a headline).
     """
     # fixed-width lowercase hex compares lexicographically identically
     # to numerically ('0'-'9' < 'a'-'f'), so the draw never leaves
@@ -346,41 +350,57 @@ def bootstrap_means(
     want = max(cores // 2, min(cores, size * groups // (32 << 20)))
     if base.rdd.getNumPartitions() < want:
         base = base.repartition(want)
-    # one md5 per (row, group) — the inner transform binds the digest
-    # once, then slices four 28-bit draws from it; flatten+explode
-    # yields (b, u) pairs without re-hashing per replicate
-    draws = (
-        "explode(flatten(transform("
-        f"transform(sequence(0, {groups - 1}), g -> "
-        f"md5(concat_ws('|', _k, '{salt}', CAST(g AS STRING)))), "
-        "(d, g) -> transform(sequence(0, 3), j -> "
-        "struct(g * 4 + j AS b, substr(d, j * 7 + 1, 7) AS h)"
-        ")))) AS s"
+    # one md5 per (row, group): explode only the ×ceil(B/4) group
+    # index (ints — never an array of structs), bind the digest ONCE
+    # per row via a single-element-array lambda (a bare alias would be
+    # inlined 8× by the CASE chains below), and slice the four weights
+    # into one small int array. The ×B row explosion never exists:
+    # each (row, group) row feeds EIGHT accumulators (Σw, Σw·cents per
+    # slice), so the aggregate sees ceil(B/4)·n rows and emits
+    # ceil(B/4) rows that unpivot to B. Measured sf10 (60 M rows):
+    # 87 s → 60 s vs the flatten-struct explode form — the per-row
+    # array-of-struct churn and the B×n generate were ~30% at scale.
+    case = (
+        f"CASE WHEN s < '{h0}' THEN 0 WHEN s < '{h1}' THEN 1 "
+        f"WHEN s < '{h2}' THEN 2 WHEN s < '{h3}' THEN 3 ELSE 4 END"
+    ).replace("s <", "substr(d, j * 7 + 1, 7) <")
+    ws = (
+        "transform(array(md5(concat_ws('|', _k, '"
+        + salt
+        + "', CAST(_g AS STRING)))), "
+        "d -> transform(sequence(0, 3), j -> " + case + "))[0] AS _ws"
     )
-    rep = base.selectExpr("cents", draws).select("cents", "s.b", "s.h")
-    if n_replicates % 4:
-        rep = rep.filter(F.col("b") < n_replicates)
-    w = (
-        F.when(F.col("h") < h0, 0)
-        .when(F.col("h") < h1, 1)
-        .when(F.col("h") < h2, 2)
-        .when(F.col("h") < h3, 3)
-        .otherwise(4)
+    rep = base.select(
+        "_k",
+        "cents",
+        F.expr(f"explode(sequence(0, {groups - 1}))").alias("_g"),
+    ).selectExpr("cents", "_g", ws)
+    aggs = []
+    for j in range(4):
+        aggs.append(
+            F.sum(F.expr(f"element_at(_ws, {j + 1})")).alias(f"n{j}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"element_at(_ws, {j + 1}) * cents")).alias(
+                f"s{j}"
+            )
+        )
+    stacked = (
+        rep.groupBy("_g")
+        .agg(*aggs)
+        .selectExpr(
+            "_g",
+            "stack(4, 0, n0, s0, 1, n1, s1, 2, n2, s2, 3, n3, s3) "
+            "AS (_j, n_eff, sum_cents)",
+        )
     )
     return (
-        rep.withColumn("w", w)
-        .groupBy("b")
-        .agg(
-            F.sum("w").alias("n_eff"),
-            F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
-        )
-        .select(
-            "b",
+        stacked.selectExpr(
+            "_g * 4 + _j AS b",
             "n_eff",
-            F.expr("CAST(sum_cents DIV n_eff AS BIGINT)").alias(
-                "mean_cents"
-            ),
+            "CAST(sum_cents DIV n_eff AS BIGINT) AS mean_cents",
         )
+        .filter(F.col("b") < n_replicates)
     )
 
 
