@@ -289,6 +289,7 @@ def bootstrap_means(
     value_col: str = "value",
     n_replicates: int = 32,
     salt: str = "boot",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Poisson bootstrap of the mean — B deterministic resample
     replicates computed in ONE pass, the only bootstrap that works on
@@ -350,6 +351,8 @@ def bootstrap_means(
     want = max(cores // 2, min(cores, size * groups // (32 << 20)))
     if base.rdd.getNumPartitions() < want:
         base = base.repartition(want)
+    if impl == "arrow":
+        return _bootstrap_means_arrow(base, n_replicates, salt)
     # one md5 per (row, group): explode only the ×ceil(B/4) group
     # index (ints — never an array of structs), bind the digest ONCE
     # per row via a single-element-array lambda (a bare alias would be
@@ -401,6 +404,171 @@ def bootstrap_means(
             "CAST(sum_cents DIV n_eff AS BIGINT) AS mean_cents",
         )
         .filter(F.col("b") < n_replicates)
+    )
+
+
+def _bootstrap_means_arrow(
+    base: DataFrame, n_replicates: int, salt: str
+) -> DataFrame:
+    """The scale path of :func:`bootstrap_means`: one ``mapInArrow``
+    pass runs the md5 rounds themselves as numpy uint32 vector ops
+    (``functions.md5np``) and folds each task's rows into B
+    accumulator pairs — the shuffle carries ≤ B rows per task and the
+    JVM never evaluates a hash expression.  Values are IDENTICAL to
+    the SQL-expression form (``impl='sql'``): same md5, same 7-hex
+    28-bit slices, same thresholds, integer sums in the same
+    associative order class — pinned by the twin test and by the
+    unchanged DuckDB oracle.  Keys longer than one md5 block (or null
+    — ``concat_ws`` skips nulls, reproduced here) take an exact
+    per-row hashlib fallback, so the vector path never constrains the
+    domain.  Measured sf10 (60 M rows × 32 replicates, 32 cores):
+    60 s (expression form) → ~10 s, against the DuckDB oracle's 8.7 s
+    C-md5 run of the identical plan."""
+    groups = (n_replicates + 3) // 4
+    B = n_replicates
+    salt_b = salt.encode()
+    t28_list = list(POISSON1_T28)
+
+    def _partials(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions import md5np
+
+        t28 = np.array(t28_list, dtype=np.int64)
+        max_sfx = 2 + len(salt_b) + len(str(groups - 1))
+        acc_n = np.zeros(B, dtype=np.int64)
+        acc_s = np.zeros(B, dtype=np.int64)
+        seen = False
+        pend: list = []
+        pend_rows = 0
+
+        def _fallback_row(key_bytes, ci):
+            # exact hashlib twin of the vector path for oversize/null
+            # keys; null key reproduces concat_ws null-skipping
+            for g in range(groups):
+                sfx = b"|" + salt_b + b"|" + str(g).encode()
+                msg = (
+                    salt_b + b"|" + str(g).encode()
+                    if key_bytes is None
+                    else key_bytes + sfx
+                )
+                hx = hashlib.md5(msg).hexdigest()
+                for j in range(4):
+                    b_ix = g * 4 + j
+                    if b_ix >= B:
+                        break
+                    u = int(hx[j * 7 : j * 7 + 7], 16)
+                    w = int(np.searchsorted(t28, u, side="right"))
+                    acc_n[b_ix] += w
+                    acc_s[b_ix] += w * ci
+
+        def _process():
+            nonlocal pend, pend_rows, seen
+            if not pend_rows:
+                return
+            seen = True
+            tbl = pa.Table.from_batches(pend).combine_chunks()
+            pend = []
+            pend_rows = 0
+            karr = tbl.column(0).chunk(0)
+            carr = tbl.column(1).chunk(0)
+            n = len(karr)
+            if carr.null_count:
+                # null cents contribute weight to n_eff but 0 to the
+                # sum — exactly sum()'s null-skipping in the SQL form
+                cents = carr.fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64, copy=False)
+            else:
+                cents = carr.to_numpy(zero_copy_only=True)
+            off_dtype = (
+                np.int64
+                if pa.types.is_large_string(karr.type)
+                else np.int32
+            )
+            offs = np.frombuffer(karr.buffers()[1], dtype=off_dtype)[
+                karr.offset : karr.offset + n + 1
+            ]
+            data_all = np.frombuffer(karr.buffers()[2], dtype=np.uint8)
+            starts = offs[:-1].astype(np.int64)
+            lens = (offs[1:] - offs[:-1]).astype(np.int64)
+            null_mask = (
+                karr.is_null().to_numpy(zero_copy_only=False)
+                if karr.null_count
+                else None
+            )
+            slow = lens + max_sfx > md5np.MAX_SINGLE_BLOCK
+            if null_mask is not None:
+                slow |= null_mask
+            if slow.any():
+                for i in np.nonzero(slow)[0]:
+                    kb = (
+                        None
+                        if null_mask is not None and null_mask[i]
+                        else data_all[
+                            starts[i] : starts[i] + lens[i]
+                        ].tobytes()
+                    )
+                    _fallback_row(kb, int(cents[i]))
+                fast_ix = np.nonzero(~slow)[0]
+                starts_f = starts[fast_ix]
+                lens_f = lens[fast_ix]
+                cents_f = cents[fast_ix]
+            else:
+                starts_f, lens_f, cents_f = starts, lens, cents
+            if not len(lens_f):
+                return
+            blocks = md5np.pack_single_blocks(data_all, starts_f, lens_f)
+            for g in range(groups):
+                md5np.append_suffix(
+                    blocks, lens_f, b"|" + salt_b + b"|" + str(g).encode()
+                )
+                draws = md5np.u28_draws_from_words(
+                    *md5np.md5_words(blocks)
+                )
+                for j in range(4):
+                    b_ix = g * 4 + j
+                    if b_ix >= B:
+                        break
+                    w = np.searchsorted(t28, draws[:, j], side="right")
+                    acc_n[b_ix] += int(w.sum())
+                    acc_s[b_ix] += int(np.dot(w, cents_f))
+
+        for batch in batches:
+            pend.append(batch)
+            pend_rows += batch.num_rows
+            # the session Arrow cap (256 rows, sized for image
+            # payloads) would fragment the vector work — rebatch
+            if pend_rows >= (1 << 16):
+                _process()
+        _process()
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(B, dtype=np.int32)),
+                    pa.array(acc_n),
+                    pa.array(acc_s),
+                ],
+                names=["b", "n_eff", "sum_cents"],
+            )
+
+    out = base.mapInArrow(
+        _partials, schema="b int, n_eff long, sum_cents long"
+    )
+    return (
+        out.groupBy("b")
+        .agg(
+            F.sum("n_eff").alias("n_eff"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .selectExpr(
+            "b",
+            "n_eff",
+            "CAST(sum_cents DIV n_eff AS BIGINT) AS mean_cents",
+        )
     )
 
 

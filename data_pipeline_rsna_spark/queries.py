@@ -10839,10 +10839,12 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "draw is compared as the fixed-width hex substring itself (no "
     "radix parse per draw; lexicographic = numeric order) — "
     "reproducible in any engine and stable under retries/"
-    "repartitioning. The explode feeds a map-side-combined groupBy(b), "
-    "so the shuffle carries B x partitions partial rows, never B x n. "
-    "The spread of the 32 means IS the sampling distribution of the "
-    "estimator.",
+    "repartitioning. The default impl runs the md5 rounds as numpy "
+    "uint32 vector ops in one mapInArrow pass (functions/md5np.py) "
+    "and folds each task into B accumulator pairs - <= B rows shuffle "
+    "per task, never B x n anywhere; the SQL-expression twin "
+    "(impl='sql') is pinned value-identical in tests. The spread of "
+    "the 32 means IS the sampling distribution of the estimator.",
     tags=("stats", "sampling"),
 )
 def q_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:

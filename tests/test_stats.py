@@ -588,3 +588,34 @@ def test_t_closeness_sparse_class_counts_skipped_buckets(spark):
     assert out["gap"].t_ppm == (8 * 1_000_000) // (4 * 8 * 3)
     # full (nc=4): cum_cb=[1,2,3], terms 4+0+4 = 8
     assert int(out["full"].emd_num) == 8
+
+
+def test_bootstrap_arrow_and_sql_twins_match(spark):
+    """The mapInArrow vector-md5 path and the SQL-expression path must
+    produce identical replicate tables — including null keys
+    (concat_ws skips them), empty-string keys, unicode keys, and keys
+    past the single-block limit (hashlib fallback)."""
+    rows = (
+        [(None, 10.0), ("", 7.0), ("κλειδί-μακρύ", 3.25)]
+        + [("k" * 80 + str(i), float(i)) for i in range(5)]
+        + [(f"key{i}", float(i) * 1.5) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "k string, value double")
+    a = sorted(
+        map(
+            tuple,
+            st.bootstrap_means(
+                df, F.col("k"), n_replicates=6, impl="arrow"
+            ).collect(),
+        )
+    )
+    s = sorted(
+        map(
+            tuple,
+            st.bootstrap_means(
+                df, F.col("k"), n_replicates=6, impl="sql"
+            ).collect(),
+        )
+    )
+    assert a == s
+    assert len(a) == 6
