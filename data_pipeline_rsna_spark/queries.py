@@ -3923,10 +3923,23 @@ def q_skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    # ONE percentile aggregate with an array of fractions: each exact
+    # percentile() buffers the whole group's values independently, so
+    # three scalar calls triple the buffer build/merge (measured
+    # 3.6-4.3 s -> 1.7-2.1 s at sf0.1, identical values)
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+            ).alias("_p")
+        )
+        .selectExpr(
+            "returnflag",
+            "round(_p[0], 4) AS p50",
+            "round(_p[1], 4) AS p90",
+            "round(_p[2], 4) AS p99",
+        )
     )
 
 
@@ -3961,9 +3974,20 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winsorized_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    # one array-fraction percentile buffer, not two (see
+    # q_exact_percentiles — each scalar call buffers the group anew)
+    bounds = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.05D, 0.95D))"
+            ).alias("_p")
+        )
+        .selectExpr(
+            "l_returnflag",
+            "round(_p[0], 4) AS lo",
+            "round(_p[1], 4) AS hi",
+        )
     )
     j = li.join(F.broadcast(bounds), "l_returnflag")
     return j.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
@@ -7148,9 +7172,18 @@ def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.select(
         "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
-    q = v.groupBy("event_type").agg(
-        F.expr("CAST(4 * percentile(cents, 0.25) AS BIGINT)").alias("q1x4"),
-        F.expr("CAST(4 * percentile(cents, 0.75) AS BIGINT)").alias("q3x4"),
+    # one array-fraction percentile buffer, not two (see
+    # q_exact_percentiles)
+    q = (
+        v.groupBy("event_type")
+        .agg(
+            F.expr("percentile(cents, array(0.25D, 0.75D))").alias("_p")
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(4 * _p[0] AS BIGINT) AS q1x4",
+            "CAST(4 * _p[1] AS BIGINT) AS q3x4",
+        )
     )
     lo = 2 * F.col("q1x4") - 3 * (F.col("q3x4") - F.col("q1x4"))
     hi = 2 * F.col("q3x4") + 3 * (F.col("q3x4") - F.col("q1x4"))
