@@ -53,7 +53,14 @@ def pagerank_integer(
         .repartition(F.col(src))
         .persist()
     )
-    nodes = edges.select(F.col(src).alias("node")).distinct()
+    # node set from the PERSISTED edge layout, not the raw edges
+    # subtree: deriving it from `edges` recomputed the caller's whole
+    # edge-construction plan a second time inside iteration 0 (the
+    # persist only covers `ed`) — every-node-has-an-out-edge is the
+    # documented input contract, so src-distinct over ed is the same
+    # set (measured: the duplicated subtree was ~2 s of the sf0.1
+    # driver graph's 6.9 s first iteration)
+    nodes = ed.select(F.col(src).alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(RANK_UNIT).cast("bigint"))
     for _ in range(iterations):
         contribs = ed.join(
