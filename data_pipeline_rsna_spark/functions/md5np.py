@@ -92,15 +92,17 @@ def pack_single_blocks(
         return blocks
     total = int(lens.sum())
     if total:
-        lens32 = lens.astype(np.int32, copy=False)
+        # int32 index math is the measured fast path; fall back to
+        # int64 when a (public-API) caller hands a batch whose flat
+        # block index would overflow 2^31 (n·64 or total bytes)
+        idt = np.int32 if n * 64 < 2**31 and total < 2**31 else np.int64
+        lens_i = lens.astype(idt, copy=False)
         base = (
-            np.arange(n, dtype=np.int32) * np.int32(64)
-            - np.cumsum(lens32, dtype=np.int32)
-            + lens32
+            np.arange(n, dtype=idt) * idt(64)
+            - np.cumsum(lens_i, dtype=idt)
+            + lens_i
         )
-        flat_idx = np.repeat(base, lens) + np.arange(
-            total, dtype=np.int32
-        )
+        flat_idx = np.repeat(base, lens) + np.arange(total, dtype=idt)
         if starts[0] == 0 and (np.diff(starts) == lens[:-1]).all():
             src = data[:total]  # contiguous (the Arrow buffer case)
         else:

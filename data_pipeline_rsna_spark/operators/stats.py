@@ -319,10 +319,12 @@ def bootstrap_means(
     result is an unpivot of that. B is the knob: 32 replicates ≈ ±1
     decile accuracy on the CI endpoints, cheap to raise. Measured
     lineitem × 32 replicates on a 32-core box: sf0.1 (600 k rows)
-    16.4 s (r10 form) → 2.1 s; sf10 (60 M rows) 60 s — the remaining
-    wall is JVM md5-expression throughput (DuckDB's C md5 runs the
-    identical oracle in 8.7 s; a numpy-vectorized single-block md5
-    over mapInArrow is the known next cut if this becomes a headline).
+    16.4 s (r10 form) → 2.1 s; sf10 (60 M rows) 60 s for this
+    expression form, whose wall is JVM md5-expression throughput —
+    which is why ``impl='arrow'`` (the default) runs the rounds as
+    numpy vector ops instead: 19 s at sf10, boundary-bound (see
+    :func:`_bootstrap_means_arrow`).  This form stays as the
+    bit-identical differential twin and the no-Python fallback.
     """
     # fixed-width lowercase hex compares lexicographically identically
     # to numerically ('0'-'9' < 'a'-'f'), so the draw never leaves
@@ -422,8 +424,13 @@ def _bootstrap_means_arrow(
     — ``concat_ws`` skips nulls, reproduced here) take an exact
     per-row hashlib fallback, so the vector path never constrains the
     domain.  Measured sf10 (60 M rows × 32 replicates, 32 cores):
-    60 s (expression form) → ~10 s, against the DuckDB oracle's 8.7 s
-    C-md5 run of the identical plan."""
+    60 s (expression form) → 19 s, against the DuckDB oracle's 8.7 s
+    C-md5 run of the identical plan.  The residual is the Arrow
+    boundary itself, not hashing: an IDENTITY mapInArrow over the
+    same (key, cents) projection measures 17 s on this box (6.5 s for
+    two long columns — string keys roughly double it), so the hash
+    work rides nearly free and further cuts mean moving fewer bytes
+    across the boundary, not faster md5."""
     groups = (n_replicates + 3) // 4
     B = n_replicates
     salt_b = salt.encode()
