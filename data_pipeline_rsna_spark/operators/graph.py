@@ -62,7 +62,7 @@ def pagerank_integer(
     # driver graph's 6.9 s first iteration)
     nodes = ed.select(F.col(src).alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(RANK_UNIT).cast("bigint"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = ed.join(
             ranks.withColumnRenamed("node", src), src
         ).select(
@@ -75,7 +75,14 @@ def pagerank_integer(
                 + F.expr(f"{damping_millis} * sum(_c) DIV 1000")
             ).alias("rank")
         )
-        ranks = ranks.transform(lineage_cut, eager=False)
+        # final round EAGER so the unpersist below is safe under ANY
+        # config: with lazy cuts on a non-AQE cluster, unpersisting
+        # before the first action would recompute the edge subtree
+        # once per iteration (AQE only happens to materialize lazy
+        # localCheckpoints at build time; don't rely on it)
+        ranks = ranks.transform(
+            lineage_cut, eager=(i == iterations - 1)
+        )
     ed.unpersist()
     return ranks
 
@@ -153,6 +160,10 @@ def bfs_hops(
             break
         visited = visited.unionByName(new).transform(lineage_cut, eager=True)
         frontier = new.select("node")
+    # every round's cut is EAGER, so nothing downstream re-reads ed —
+    # release it instead of leaking one cached edge layout per call
+    # into a long-lived session (OPSBENCH runs 305 queries in one JVM)
+    ed.unpersist()
     return visited
 
 
