@@ -331,6 +331,14 @@ def bootstrap_means(
     # string form: no conv() radix parse per (row, replicate) — the
     # draw count is B×n, 4× the digest count, and dropping the parse
     # is worth ~30% end-to-end (measured sf0.1: 3.0 → 2.1 s)
+    if "'" in salt or "\\" in salt:
+        # the SQL twin interpolates the salt into expression strings;
+        # a quote/backslash would silently change (or break) the hash
+        # domain there while the arrow path accepted it — refuse the
+        # divergence up front for both impls
+        raise ValueError(
+            "bootstrap_means salt must not contain quotes/backslashes"
+        )
     h0, h1, h2, h3 = (format(t, "07x") for t in POISSON1_T28)
     groups = (n_replicates + 3) // 4
     base = df.select(

@@ -619,3 +619,11 @@ def test_bootstrap_arrow_and_sql_twins_match(spark):
     )
     assert a == s
     assert len(a) == 6
+
+
+def test_bootstrap_rejects_sql_breaking_salt(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", 1.0)], "k string, value double")
+    with pytest.raises(ValueError):
+        st.bootstrap_means(df, F.col("k"), salt="o'boot")
