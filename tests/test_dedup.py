@@ -1028,3 +1028,29 @@ def test_stratified_probe_sees_cross_file_duplication(spark, tmp_path):
     docs = spark.read.parquet(str(d))
     est = dedup._stratified_distinct_ratio(docs, "text", 4096)
     assert est is not None and est < 0.7  # routes to collapsed
+
+
+def test_prefix_filter_equal_size_bound_keeps_boundary_pair(spark):
+    """The distinct-sets equal-size candidate bound ((n-1)/(n+1) >= t)
+    must be non-strict: two size-3 sets sharing 2 tokens have
+    J = 2/4 = 0.5, exactly (n-1)/(n+1) at n=3 - at t=0.5 the pair
+    must survive the bound AND the verify; a size-2 analogue
+    (J = 1/3 < 0.5) must not appear."""
+    from data_pipeline_rsna_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b d"),   # J with 1 = 2/4 = 0.5 exactly
+            (3, "x y"),
+            (4, "x z"),     # J with 3 = 1/3 < 0.5
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): 0.5}
