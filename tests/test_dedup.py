@@ -1054,3 +1054,65 @@ def test_prefix_filter_equal_size_bound_keeps_boundary_pair(spark):
         ).collect()
     }
     assert got == {(1, 2): 0.5}
+
+
+def test_tfidf_cross_bound_keeps_partial_overlap_pairs(spark):
+    """Recall of the L2AP candidate cross bound below the exact-copy
+    regime: at t = 1/2 the corpus's partial-overlap pairs (shared
+    prefix shingles, distinct tails) must match the exact python
+    rederivation pair-for-pair — a cosine-just-above-threshold
+    survivor cannot be pruned by (1-q_a)(1-q_b) >= t^2."""
+    import math
+    from collections import Counter
+
+    base = (
+        "red fox jumps over the lazy dog tonight and then it sleeps "
+        "near the barn"
+    )
+    rows = [
+        (1, base + " quietly always"),
+        (2, base + " loudly always"),
+        (3, base + " quietly never"),
+        (4, "completely different words appear here now for padding body"),
+        (5, "another unrelated pile of tokens to thicken document frequency"),
+        (6, base + " quietly always"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cosine_ppm
+        for r in dedup.tfidf_cosine_pairs(
+            docs, threshold_num=1, threshold_den=2, shingle_n=3
+        ).collect()
+    }
+
+    def sh(text):
+        ws = text.lower().split()
+        return [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+
+    tf = {d: Counter(sh(t)) for d, t in rows}
+    dfc = Counter(term for c in tf.values() for term in c)
+    n = len(rows)
+    lnn = round(math.log(n) * 1000)
+    w = {
+        d: {
+            term: c * (lnn - round(math.log(dfc[term]) * 1000))
+            for term, c in cnt.items()
+            if c * (lnn - round(math.log(dfc[term]) * 1000)) > 0
+        }
+        for d, cnt in tf.items()
+    }
+    n2 = {d: sum(x * x for x in ws_.values()) for d, ws_ in w.items()}
+    want = {}
+    for a in tf:
+        for b in tf:
+            if a >= b or not n2.get(a) or not n2.get(b):
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+            if 4 * dot * dot >= 1 * n2[a] * n2[b]:
+                want[(a, b)] = math.floor(
+                    1_000_000 * dot / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+                )
+    assert got == want
+    # the test only means something if partial-overlap pairs survive
+    partial = [p for p, ppm in want.items() if ppm < 999_999]
+    assert partial, "corpus must contain sub-identical qualifying pairs"
