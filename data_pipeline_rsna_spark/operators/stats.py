@@ -331,6 +331,8 @@ def bootstrap_means(
     # string form: no conv() radix parse per (row, replicate) — the
     # draw count is B×n, 4× the digest count, and dropping the parse
     # is worth ~30% end-to-end (measured sf0.1: 3.0 → 2.1 s)
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"bootstrap_means impl must be arrow|sql, got {impl!r}")
     if "'" in salt or "\\" in salt:
         # the SQL twin interpolates the salt into expression strings;
         # a quote/backslash would silently change (or break) the hash

@@ -627,3 +627,11 @@ def test_bootstrap_rejects_sql_breaking_salt(spark):
     df = spark.createDataFrame([("k", 1.0)], "k string, value double")
     with pytest.raises(ValueError):
         st.bootstrap_means(df, F.col("k"), salt="o'boot")
+
+
+def test_bootstrap_rejects_unknown_impl(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", 1.0)], "k string, value double")
+    with pytest.raises(ValueError):
+        st.bootstrap_means(df, F.col("k"), impl="Arrow")
