@@ -35,8 +35,6 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from ..sinks.tfrecord import _masked_crc
-
 # batch bounds: flush a RecordBatch at either limit so tiny records
 # batch well and huge records don't accumulate
 _BATCH_ROWS = 512
@@ -49,35 +47,81 @@ class _ShardFile(InputPartition):
 
 
 def iter_tfrecord_frames(path: str):
-    """Stream (record_index, payload) from one shard, verifying CRCs."""
+    """Stream (record_index, payload) from one shard, verifying CRCs.
+
+    Verification is CHUNKED through the lockstep batch CRC kernel
+    (sinks.tfrecord.masked_crc_batch): the scalar per-byte python CRC
+    was the scan's dominant cost.  A chunk's payloads are yielded only
+    after the whole chunk verifies; errors carry the same messages
+    (first offending record index) as the old per-record walk."""
+    import numpy as np
+
+    from ..sinks.tfrecord import masked_crc_batch
+
     with open(path, "rb") as f:
-        idx = 0
-        while True:
-            header = f.read(8)
-            if not header:
-                return
-            if len(header) != 8:
-                raise ValueError(f"truncated TFRecord header: {path}")
-            (length,) = struct.unpack("<Q", header)
-            hcrc_raw = f.read(4)
-            if len(hcrc_raw) != 4:
-                raise ValueError(f"truncated TFRecord length crc: {path}")
-            if struct.unpack("<I", hcrc_raw)[0] != _masked_crc(header):
+        buf = f.read()
+    data = np.frombuffer(buf, dtype=np.uint8)
+    total = len(buf)
+    pos = 0
+    idx = 0
+    chunk: list[tuple[int, int]] = []  # payload (start, len)
+    hcrcs: list[int] = []
+    pcrcs: list[int] = []
+
+    def _verify_and_yield():
+        first = idx - len(chunk)
+        starts = np.array([s for s, _ in chunk], dtype=np.int64)
+        lens = np.array([ln for _, ln in chunk], dtype=np.int64)
+        got_h = masked_crc_batch(
+            data, starts - np.int64(12), np.full(len(chunk), 8, np.int64)
+        )
+        bad = np.nonzero(got_h != np.array(hcrcs, np.uint32))[0]
+        if len(bad):
+            raise ValueError(
+                f"corrupt TFRecord length crc: {path} record "
+                f"{first + int(bad[0])}"
+            )
+        got_p = masked_crc_batch(data, starts, lens)
+        bad = np.nonzero(got_p != np.array(pcrcs, np.uint32))[0]
+        if len(bad):
+            raise ValueError(
+                f"corrupt TFRecord payload crc: {path} record "
+                f"{first + int(bad[0])}"
+            )
+        for k, (s, ln) in enumerate(chunk):
+            yield first + k, buf[s : s + ln]
+
+    while pos < total:
+        if total - pos < 8:
+            raise ValueError(f"truncated TFRecord header: {path}")
+        (length,) = struct.unpack_from("<Q", buf, pos)
+        if total - pos < 12:
+            raise ValueError(f"truncated TFRecord length crc: {path}")
+        hcrc = struct.unpack_from("<I", buf, pos + 8)[0]
+        if total - pos < 16 + length:
+            # Batch verification hasn't run yet, but a flipped bit in
+            # the 8-byte length field also reads as "truncated" — check
+            # THIS header's CRC scalar-side so corruption is reported
+            # as corruption (the old per-record walk's behavior).
+            from ..sinks.tfrecord import _masked_crc
+
+            if _masked_crc(buf[pos : pos + 8]) != hcrc:
                 raise ValueError(
                     f"corrupt TFRecord length crc: {path} record {idx}"
                 )
-            payload = f.read(length)
-            if len(payload) != length:
+            if total - pos < 12 + length:
                 raise ValueError(f"truncated TFRecord payload: {path}")
-            pcrc_raw = f.read(4)
-            if len(pcrc_raw) != 4:
-                raise ValueError(f"truncated TFRecord payload crc: {path}")
-            if struct.unpack("<I", pcrc_raw)[0] != _masked_crc(payload):
-                raise ValueError(
-                    f"corrupt TFRecord payload crc: {path} record {idx}"
-                )
-            yield idx, payload
-            idx += 1
+            raise ValueError(f"truncated TFRecord payload crc: {path}")
+        hcrcs.append(hcrc)
+        pcrcs.append(struct.unpack_from("<I", buf, pos + 12 + length)[0])
+        chunk.append((pos + 12, length))
+        pos += 16 + length
+        idx += 1
+        if len(chunk) >= 4096:
+            yield from _verify_and_yield()
+            chunk, hcrcs, pcrcs = [], [], []
+    if chunk:
+        yield from _verify_and_yield()
 
 
 def _list_shards(path: str) -> list[str]:

@@ -178,3 +178,66 @@ def test_tfrecord_source_glob_and_single_file(spark, tmp_path):
     assert tfs.scan_tfrecords(spark, out + "/*.tfrecord").count() == 10
     one = tfs.scan_tfrecords(spark, files[0])
     assert one.select("path").distinct().count() == 1
+
+
+def test_crc32c_batch_parity_and_edges():
+    """Lockstep batch CRC must be bit-identical to the scalar loop for
+    empty, 1-byte, boundary-straddling (4095/4096/4097), and
+    past-threshold (scalar-fallback) records, masked and unmasked."""
+    import random
+
+    import numpy as np
+
+    from data_pipeline_rsna_spark.sinks import tfrecord as tfr
+
+    rng = random.Random(99)
+    msgs = [
+        b"",
+        b"\x00",
+        bytes(rng.getrandbits(8) for _ in range(4095)),
+        bytes(rng.getrandbits(8) for _ in range(4096)),
+        bytes(rng.getrandbits(8) for _ in range(4097)),
+        bytes(rng.getrandbits(8) for _ in range(9000)),
+    ] + [
+        bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 700)))
+        for _ in range(300)
+    ]
+    data = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    got = tfr.crc32c_batch(data, starts, lens)
+    gotm = tfr.masked_crc_batch(data, starts, lens)
+    for i, m in enumerate(msgs):
+        assert int(got[i]) == tfr.crc32c(m), i
+        assert int(gotm[i]) == tfr._masked_crc(m), i
+
+
+def test_batch_framed_shard_is_bytewise_scalar_framed():
+    """write path's batch framing must produce the exact bytes of the
+    scalar frame_record per record (headers, both masked CRCs,
+    payload)."""
+    from data_pipeline_rsna_spark.sinks import tfrecord as tfr
+
+    payloads = [b"abc", b"", b"x" * 500, bytes(range(256))]
+    import numpy as np
+    import struct
+
+    data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    pcrc = tfr.masked_crc_batch(data, starts, lens)
+    headers = b"".join(struct.pack("<Q", int(ln)) for ln in lens)
+    hbuf = np.frombuffer(headers, dtype=np.uint8)
+    hcrc = tfr.masked_crc_batch(
+        hbuf,
+        np.arange(len(payloads), dtype=np.int64) * 8,
+        np.full(len(payloads), 8, dtype=np.int64),
+    )
+    for i, p in enumerate(payloads):
+        framed = (
+            headers[i * 8 : i * 8 + 8]
+            + struct.pack("<I", int(hcrc[i]))
+            + p
+            + struct.pack("<I", int(pcrc[i]))
+        )
+        assert framed == tfr.frame_record(p), i
