@@ -44,14 +44,21 @@ def get_spark(
         # --- adaptive execution: re-plan with runtime statistics ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce to the 64 MB advisory target rather than stopping at
-        # default parallelism (Spark's own production recommendation):
-        # post-agg shuffles far smaller than cores×64MB collapse to few
-        # tasks instead of scheduling 32 near-empty ones; at full scale
-        # the advisory size keeps partitions plentiful automatically
+        # parallelismFirst=true (Spark's default): coalesce no further
+        # than default parallelism. Round 8 set this to false (coalesce
+        # to the 64 MB advisory target) to avoid scheduling near-empty
+        # tasks; round 11 re-measured both across 14 queries at sf0.1
+        # and false LOST 7 s of 26 (CPU-bound mid-pipeline shuffles —
+        # distinct aggs over fan-outs, n-gram explodes, cogroup — were
+        # coalesced to a handful of tasks because their on-disk shuffle
+        # bytes compress far below 64 MB/core, serializing the CPU
+        # work; near-empty-task overhead is bounded by floor_s ≈ 0.03).
+        # No query measured worse under true. At cluster scale large
+        # shuffles exceed cores×64 MB either way, so this only affects
+        # the small-shuffle regime where parallelism matters more.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
+            "true",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime SMJ -> shuffled-hash conversion: when the build
