@@ -72,6 +72,25 @@ EXECUTING_QUERIES = frozenset({
 })
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit.
+
+    The sink-roundtrip queries return LAZY plans over files they just
+    wrote, so the files must outlive the function (the driver collects
+    later) — but without cleanup every gate/bench invocation leaks a
+    directory into /tmp. atexit keeps the files alive for the whole
+    process (any number of re-executions of the returned plan) and
+    reclaims them when the process ends.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def register(
     name: str,
     oracle: str | None,
@@ -3449,8 +3468,6 @@ def q_image_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("core", "sink"),
 )
 def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from .sinks import json_sink
     from pyspark.sql import types as T
 
@@ -3459,7 +3476,7 @@ def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("string").alias("patient_id"),
         "o_orderpriority",
     )
-    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/ann"
+    path = _scratch_dir("json_roundtrip_") + "/ann"
     json_sink.write_json(ann, path, num_files=4)
     schema = T.StructType(
         [
@@ -3494,13 +3511,11 @@ def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sink", "source", "multimodal"),
 )
 def q_tfrecord_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from .sinks import tfrecord as tfr
     from .sources import tfrecord_source as tfs
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    out = tempfile.mkdtemp(prefix="tfrec_roundtrip_") + "/shards"
+    out = _scratch_dir("tfrec_roundtrip_") + "/shards"
     tfr.write_tfrecord_shards(
         docs,
         out,
@@ -4358,6 +4373,11 @@ def q_rsna_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_train = _count_shards(sorted(_glob.glob(f"{out}/train/*.tfrecord")))
     n_val = _count_shards(sorted(_glob.glob(f"{out}/val/*.tfrecord")))
+    # the shard files only exist to be CRC-verified and counted back;
+    # drop them now or every gate/bench invocation leaks ~80 MB of /tmp
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     labels = _lineitem_as_raw_labels(spark, sf_dir).filter(
         F.col("patientId").cast("bigint") % 101 == 0
     )
@@ -8305,13 +8325,11 @@ def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("core", "sink"),
 )
 def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from .sources import formats
 
     orders = tables.load(spark, sf_dir, "orders")
     sample = orders.filter(F.col("o_orderkey") % 25 == 0)
-    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/orders"
+    path = _scratch_dir("orc_roundtrip_") + "/orders"
     formats.write_table(sample, path, "orc")
     back = formats.read_table(spark, path, "orc", sample.schema)
     return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(

@@ -20,3 +20,46 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     sharded.compact_parquet(spark, src, dst2, target_mb=1, order_col="id")
     back = spark.read.parquet(dst2)
     assert back.count() == 10_000
+
+
+def test_scratch_dir_registers_atexit_cleanup(monkeypatch):
+    """_scratch_dir must defer removal to interpreter exit: the dir
+    exists after the call (lazy roundtrip plans re-read it), and the
+    registered atexit callback removes exactly that dir."""
+    import os
+
+    from data_pipeline_rsna_spark import queries as q
+
+    registered = []
+    monkeypatch.setattr(
+        q, "_scratch_dir", q._scratch_dir
+    )  # no-op; keeps the real function under test
+    import atexit as _atexit
+
+    orig_register = _atexit.register
+    monkeypatch.setattr(
+        _atexit, "register", lambda *a, **k: registered.append(a)
+        or orig_register(*a, **k)
+    )
+    path = q._scratch_dir("scratch_test_")
+    assert os.path.isdir(path)
+    assert any(a[1] == path for a in registered if len(a) > 1)
+    # run the captured callback now instead of at exit
+    fn, target = registered[-1][0], registered[-1][1]
+    fn(target, ignore_errors=True)
+    assert not os.path.exists(path)
+
+
+def test_rsna_pipeline_counts_cleans_its_shards(spark):
+    """The E2E counts query counts the written shards eagerly and must
+    not leak its /tmp shard directory (one ~80 MB dir per invocation
+    otherwise)."""
+    import glob as g
+
+    import __spark_entry__ as e
+
+    before = set(g.glob("/tmp/rsna_e2e_*"))
+    df = e.queries()["rsna_pipeline_counts"](spark, "/root/testdata/sf0.001")
+    assert df.count() >= 1
+    after = set(g.glob("/tmp/rsna_e2e_*"))
+    assert after - before == set()
