@@ -770,7 +770,7 @@ def audio_features(clips: DataFrame) -> DataFrame:
 
 
 # stage op-name → pixel-kernel sequence, mirroring the geometry chains in
-# augmentation._apply_op_chain (same stage vocabulary)
+# augmentation._op_chain_exprs (same stage vocabulary)
 STAGE_KERNEL_CHAINS = {
     "shift_image": ("shift",),
     "shift_bbox": ("shift",),
