@@ -320,73 +320,166 @@ def frame_record(payload: bytes) -> bytes:
     )
 
 
-def _walk_frames(buf: bytes):
-    """One pass over a shard's bytes: frame spans + batch-verified
-    CRCs (headers and payloads each go through ``masked_crc_batch`` —
-    the scalar per-byte loop was the dominant cost of every
-    read/count/scan path).  Returns (starts, lens) of the payloads;
-    raises AssertionError on any corrupt frame, same contract as the
-    old sequential walk."""
+class TFRecordCorrupt(Exception):
+    """Raised by ``iter_verified_frames``. ``kind`` is one of
+    ``length crc`` / ``payload crc`` / ``truncated header`` /
+    ``truncated length crc`` / ``truncated payload`` /
+    ``truncated payload crc``; ``record`` is the FIRST offending
+    record index for the two crc kinds, None for truncations."""
+
+    def __init__(self, kind: str, record: int | None = None):
+        self.kind = kind
+        self.record = record
+        super().__init__(
+            kind if record is None else f"{kind} record {record}"
+        )
+
+
+def _corrupt_to_assert(exc: TFRecordCorrupt) -> AssertionError:
+    msg = exc.kind if exc.kind.startswith("truncated") else (
+        f"corrupt {exc.kind}"
+    )
+    return AssertionError(msg)
+
+
+def iter_verified_frames(path: str, with_payloads: bool = True,
+                         max_chunk_records: int = 4096,
+                         max_chunk_bytes: int = 16 << 20,
+                         read_block: int = 8 << 20):
+    """Stream ``(record_index, payload)`` from one shard with BOUNDED
+    memory: frames parse incrementally from a sliding buffer (never
+    the whole file — one task must not hold a whole shard), and CRCs
+    verify through the lockstep batch kernel one chunk at a time; a
+    chunk's payloads yield only after the whole chunk verifies.
+
+    This is the single frame-walk shared by the sink-side readers and
+    the Spark DataSource scan (the two parallel walkers it replaced
+    had already drifted in error shape).
+
+    Corruption always names the FIRST offending record: a flipped bit
+    in a length field misframes every later parse, so on any apparent
+    truncation the accumulated chunk is batch-verified FIRST (the
+    corrupt header is in it, at a correctly-derived offset) and the
+    current header is CRC-checked scalar-side before a truncation is
+    reported. ``with_payloads=False`` skips the per-record byte copy
+    for count-only callers."""
     import numpy as np
 
-    spans: list[tuple[int, int]] = []
-    hcrcs: list[int] = []
-    pcrcs: list[int] = []
-    pos = 0
-    total = len(buf)
-    while pos < total:
-        assert total - pos >= 12, "truncated header"
-        (length,) = struct.unpack_from("<Q", buf, pos)
-        (hcrc,) = struct.unpack_from("<I", buf, pos + 8)
-        if total - pos < 16 + length:
-            # A flipped bit in the length field reads as truncation;
-            # check this header's CRC before trusting the parse.
-            assert _masked_crc(buf[pos : pos + 8]) == hcrc, (
-                "corrupt length crc"
+    with open(path, "rb") as f:
+        buf = bytearray()
+        pos = 0          # parse offset within buf
+        idx = 0          # absolute index of the next frame
+        spans: list[tuple[int, int]] = []   # payload (start, len)
+        hcrcs: list[int] = []
+        pcrcs: list[int] = []
+        chunk_bytes = 0
+        eof = False
+
+        def _verified():
+            """Batch-verify the accumulated chunk, return its
+            (index, payload) pairs, reset chunk state."""
+            nonlocal spans, hcrcs, pcrcs, chunk_bytes
+            if not spans:
+                return []
+            data = np.frombuffer(buf, dtype=np.uint8)
+            starts = np.array([s for s, _ in spans], dtype=np.int64)
+            lens = np.array([ln for _, ln in spans], dtype=np.int64)
+            first = idx - len(spans)
+            got_h = masked_crc_batch(
+                data, starts - np.int64(12),
+                np.full(len(spans), 8, np.int64),
             )
-            raise AssertionError("truncated payload")
-        spans.append((pos + 12, length))
-        hcrcs.append(hcrc)
-        (pcrc,) = struct.unpack_from("<I", buf, pos + 12 + length)
-        pcrcs.append(pcrc)
-        pos += 16 + length
-    if not spans:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    data = np.frombuffer(buf, dtype=np.uint8)
-    starts = np.array([s for s, _ in spans], dtype=np.int64)
-    lens = np.array([ln for _, ln in spans], dtype=np.int64)
-    want_h = masked_crc_batch(
-        data, starts - np.int64(12), np.full(len(spans), 8, np.int64)
-    )
-    assert (want_h == np.array(hcrcs, np.uint32)).all(), (
-        "corrupt length crc"
-    )
-    want_p = masked_crc_batch(data, starts, lens)
-    assert (want_p == np.array(pcrcs, np.uint32)).all(), (
-        "corrupt payload crc"
-    )
-    return starts, lens
+            bad = np.nonzero(got_h != np.array(hcrcs, np.uint32))[0]
+            if len(bad):
+                raise TFRecordCorrupt("length crc", first + int(bad[0]))
+            got_p = masked_crc_batch(data, starts, lens)
+            bad = np.nonzero(got_p != np.array(pcrcs, np.uint32))[0]
+            if len(bad):
+                raise TFRecordCorrupt(
+                    "payload crc", first + int(bad[0])
+                )
+            out = [
+                (
+                    first + k,
+                    bytes(buf[s : s + ln]) if with_payloads else None,
+                )
+                for k, (s, ln) in enumerate(spans)
+            ]
+            spans, hcrcs, pcrcs, chunk_bytes = [], [], [], 0
+            return out
+
+        while True:
+            avail = len(buf) - pos
+            if avail < 12:
+                if not eof:
+                    block = f.read(read_block)
+                    if block:
+                        buf += block
+                        continue
+                    eof = True
+                if avail == 0:
+                    yield from _verified()
+                    return
+                yield from _verified()
+                raise TFRecordCorrupt(
+                    "truncated header" if avail < 8
+                    else "truncated length crc"
+                )
+            length, hcrc = struct.unpack_from("<QI", buf, pos)
+            if avail < 16 + length:
+                if not eof:
+                    block = f.read(read_block)
+                    if block:
+                        buf += block
+                        continue
+                    eof = True
+                if avail < 16 + length:
+                    yield from _verified()
+                    if _masked_crc(bytes(buf[pos : pos + 8])) != hcrc:
+                        raise TFRecordCorrupt("length crc", idx)
+                    raise TFRecordCorrupt(
+                        "truncated payload" if avail < 12 + length
+                        else "truncated payload crc"
+                    )
+                continue
+            pcrcs.append(
+                struct.unpack_from("<I", buf, pos + 12 + length)[0]
+            )
+            hcrcs.append(hcrc)
+            spans.append((pos + 12, length))
+            chunk_bytes += length
+            pos += 16 + length
+            idx += 1
+            if (
+                len(spans) >= max_chunk_records
+                or chunk_bytes >= max_chunk_bytes
+            ):
+                yield from _verified()
+                del buf[:pos]
+                pos = 0
 
 
 def read_tfrecords(path: str) -> list[bytes]:
-    """Frame-level reader (verifies CRCs) — the test-side ground truth."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    starts, lens = _walk_frames(buf)
-    return [
-        buf[int(s) : int(s) + int(ln)] for s, ln in zip(starts, lens)
-    ]
+    """Frame-level reader (verifies CRCs) — the test-side ground
+    truth. Raises AssertionError on any corrupt frame (same contract
+    as the original sequential walk)."""
+    try:
+        return [p for _, p in iter_verified_frames(path)]
+    except TFRecordCorrupt as exc:
+        raise _corrupt_to_assert(exc) from exc
 
 
 def count_tfrecords(path: str) -> int:
-    """CRC-verified record count of one shard file — the frame walk of
-    ``read_tfrecords`` without materializing payload lists. Runs on
+    """Count (and CRC-verify) the records in one shard file: exactly
+    ``read_tfrecords`` without materializing payload bytes. Runs on
     executors for distributed shard verification (see
     queries.rsna_pipeline_counts)."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    starts, _ = _walk_frames(buf)
-    return len(starts)
+    try:
+        return sum(
+            1 for _ in iter_verified_frames(path, with_payloads=False)
+        )
+    except TFRecordCorrupt as exc:
+        raise _corrupt_to_assert(exc) from exc
 
 
 def write_tfrecord_shards(df, out_dir: str, num_shards: int,

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import glob as _glob
 import os
-import struct
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -49,79 +48,24 @@ class _ShardFile(InputPartition):
 def iter_tfrecord_frames(path: str):
     """Stream (record_index, payload) from one shard, verifying CRCs.
 
-    Verification is CHUNKED through the lockstep batch CRC kernel
-    (sinks.tfrecord.masked_crc_batch): the scalar per-byte python CRC
-    was the scan's dominant cost.  A chunk's payloads are yielded only
-    after the whole chunk verifies; errors carry the same messages
-    (first offending record index) as the old per-record walk."""
-    import numpy as np
+    Thin wrapper over ``sinks.tfrecord.iter_verified_frames`` — the
+    bounded-memory sliding-buffer walk with lockstep batch CRC — that
+    re-raises ``TFRecordCorrupt`` in this source's ValueError shape
+    (message carries the path, and the first offending record index
+    for crc failures)."""
+    from ..sinks.tfrecord import TFRecordCorrupt, iter_verified_frames
 
-    from ..sinks.tfrecord import masked_crc_batch
-
-    with open(path, "rb") as f:
-        buf = f.read()
-    data = np.frombuffer(buf, dtype=np.uint8)
-    total = len(buf)
-    pos = 0
-    idx = 0
-    chunk: list[tuple[int, int]] = []  # payload (start, len)
-    hcrcs: list[int] = []
-    pcrcs: list[int] = []
-
-    def _verify_and_yield():
-        first = idx - len(chunk)
-        starts = np.array([s for s, _ in chunk], dtype=np.int64)
-        lens = np.array([ln for _, ln in chunk], dtype=np.int64)
-        got_h = masked_crc_batch(
-            data, starts - np.int64(12), np.full(len(chunk), 8, np.int64)
-        )
-        bad = np.nonzero(got_h != np.array(hcrcs, np.uint32))[0]
-        if len(bad):
+    try:
+        yield from iter_verified_frames(path)
+    except TFRecordCorrupt as exc:
+        if exc.kind.startswith("truncated"):
             raise ValueError(
-                f"corrupt TFRecord length crc: {path} record "
-                f"{first + int(bad[0])}"
-            )
-        got_p = masked_crc_batch(data, starts, lens)
-        bad = np.nonzero(got_p != np.array(pcrcs, np.uint32))[0]
-        if len(bad):
-            raise ValueError(
-                f"corrupt TFRecord payload crc: {path} record "
-                f"{first + int(bad[0])}"
-            )
-        for k, (s, ln) in enumerate(chunk):
-            yield first + k, buf[s : s + ln]
-
-    while pos < total:
-        if total - pos < 8:
-            raise ValueError(f"truncated TFRecord header: {path}")
-        (length,) = struct.unpack_from("<Q", buf, pos)
-        if total - pos < 12:
-            raise ValueError(f"truncated TFRecord length crc: {path}")
-        hcrc = struct.unpack_from("<I", buf, pos + 8)[0]
-        if total - pos < 16 + length:
-            # Batch verification hasn't run yet, but a flipped bit in
-            # the 8-byte length field also reads as "truncated" — check
-            # THIS header's CRC scalar-side so corruption is reported
-            # as corruption (the old per-record walk's behavior).
-            from ..sinks.tfrecord import _masked_crc
-
-            if _masked_crc(buf[pos : pos + 8]) != hcrc:
-                raise ValueError(
-                    f"corrupt TFRecord length crc: {path} record {idx}"
-                )
-            if total - pos < 12 + length:
-                raise ValueError(f"truncated TFRecord payload: {path}")
-            raise ValueError(f"truncated TFRecord payload crc: {path}")
-        hcrcs.append(hcrc)
-        pcrcs.append(struct.unpack_from("<I", buf, pos + 12 + length)[0])
-        chunk.append((pos + 12, length))
-        pos += 16 + length
-        idx += 1
-        if len(chunk) >= 4096:
-            yield from _verify_and_yield()
-            chunk, hcrcs, pcrcs = [], [], []
-    if chunk:
-        yield from _verify_and_yield()
+                f"{exc.kind.replace('truncated ', 'truncated TFRecord ')}"
+                f": {path}"
+            ) from exc
+        raise ValueError(
+            f"corrupt TFRecord {exc.kind}: {path} record {exc.record}"
+        ) from exc
 
 
 def _list_shards(path: str) -> list[str]:

@@ -31,9 +31,6 @@ def test_scratch_dir_registers_atexit_cleanup(monkeypatch):
     from data_pipeline_rsna_spark import queries as q
 
     registered = []
-    monkeypatch.setattr(
-        q, "_scratch_dir", q._scratch_dir
-    )  # no-op; keeps the real function under test
     import atexit as _atexit
 
     orig_register = _atexit.register
@@ -55,11 +52,14 @@ def test_rsna_pipeline_counts_cleans_its_shards(spark):
     not leak its /tmp shard directory (one ~80 MB dir per invocation
     otherwise)."""
     import glob as g
+    import os
+    import tempfile
 
     import __spark_entry__ as e
 
-    before = set(g.glob("/tmp/rsna_e2e_*"))
+    pattern = os.path.join(tempfile.gettempdir(), "rsna_e2e_*")
+    before = set(g.glob(pattern))
     df = e.queries()["rsna_pipeline_counts"](spark, "/root/testdata/sf0.001")
     assert df.count() >= 1
-    after = set(g.glob("/tmp/rsna_e2e_*"))
+    after = set(g.glob(pattern))
     assert after - before == set()

@@ -241,3 +241,66 @@ def test_batch_framed_shard_is_bytewise_scalar_framed():
             + struct.pack("<I", int(pcrc[i]))
         )
         assert framed == tfr.frame_record(p), i
+
+
+def test_corrupt_length_field_names_first_offending_record():
+    """A flipped bit in a LENGTH field misframes every later parse;
+    the walker must still name the record whose header is corrupt (by
+    batch-verifying the accumulated chunk before reporting any
+    truncation), never a misframed index or a bare 'truncated'."""
+    import os
+    import struct
+    import tempfile
+
+    import pytest
+
+    from data_pipeline_rsna_spark.sinks import tfrecord as tfr
+
+    payloads = [bytes([i]) * (20 + i) for i in range(30)]
+    blob = b"".join(tfr.frame_record(p) for p in payloads)
+    # offset of record 10's 8-byte length header
+    off = sum(16 + len(p) for p in payloads[:10])
+    for delta in (-7, +5):  # shrink and grow the parsed length
+        bad = bytearray(blob)
+        (orig,) = struct.unpack_from("<Q", bad, off)
+        struct.pack_into("<Q", bad, off, orig + delta)
+        fd, path = tempfile.mkstemp(suffix=".tfrecord")
+        os.write(fd, bytes(bad))
+        os.close(fd)
+        try:
+            with pytest.raises(tfr.TFRecordCorrupt) as ei:
+                list(tfr.iter_verified_frames(path))
+            assert ei.value.kind == "length crc"
+            assert ei.value.record == 10
+        finally:
+            os.unlink(path)
+
+
+def test_iter_verified_frames_is_streaming_and_chunked():
+    """The walker must hold a BOUNDED buffer, not the file: with a
+    small read_block and chunk caps, records yield progressively and
+    every payload round-trips across block/chunk boundaries."""
+    import os
+    import tempfile
+
+    from data_pipeline_rsna_spark.sinks import tfrecord as tfr
+
+    payloads = [bytes([i % 251]) * (50 + (i * 37) % 300)
+                for i in range(500)]
+    blob = b"".join(tfr.frame_record(p) for p in payloads)
+    fd, path = tempfile.mkstemp(suffix=".tfrecord")
+    os.write(fd, blob)
+    os.close(fd)
+    try:
+        got = list(
+            tfr.iter_verified_frames(
+                path, max_chunk_records=64,
+                max_chunk_bytes=4096, read_block=1024,
+            )
+        )
+        assert [i for i, _ in got] == list(range(500))
+        assert [p for _, p in got] == payloads
+        # count path: same walk, no payload copies
+        assert tfr.count_tfrecords(path) == 500
+    finally:
+        os.unlink(path)
