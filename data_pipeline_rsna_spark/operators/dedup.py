@@ -481,8 +481,9 @@ def _stratified_distinct_ratio(
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in
         return None
-    uris = [u for u in docs.inputFiles() if u.endswith(".parquet")]
-    if not uris or len(uris) != len(docs.inputFiles()):
+    all_uris = docs.inputFiles()
+    uris = [u for u in all_uris if u.endswith(".parquet")]
+    if not uris or len(uris) != len(all_uris):
         return None
     paths = []
     for u in uris:
@@ -525,13 +526,21 @@ def _stratified_distinct_ratio(
             if nrg == 0:
                 continue
             rg = int(hashlib.md5(p.encode()).hexdigest(), 16) % nrg
-            col = pf.read_row_group(rg, columns=[text_col]).column(0)
+            # slice BEFORE to_pylist: a production row group can hold
+            # ~1M long strings and only per_file of them are used —
+            # materializing the full column as Python objects was a
+            # driver memory/time spike per probed file (r11 review)
+            col = (
+                pf.read_row_group(rg, columns=[text_col])
+                .column(0)
+                .slice(0, per_file)
+            )
             w = pf.metadata.num_rows
         except Exception:  # unreadable/corrupt: let the probe decide
             return None
         seen: set = set()
         n = 0
-        for t in col.to_pylist()[:per_file]:
+        for t in col.to_pylist():
             if t is None:
                 continue
             seen.add(hashlib.md5(

@@ -459,6 +459,7 @@ def _bootstrap_means_arrow(
         acc_n = np.zeros(B, dtype=np.int64)
         acc_s = np.zeros(B, dtype=np.int64)
         seen = False
+        nn_cents = 0  # rows with NON-null cents (see yield below)
         pend: list = []
         pend_rows = 0
 
@@ -483,7 +484,7 @@ def _bootstrap_means_arrow(
                     acc_s[b_ix] += w * ci
 
         def _process():
-            nonlocal pend, pend_rows, seen
+            nonlocal pend, pend_rows, seen, nn_cents
             if not pend_rows:
                 return
             seen = True
@@ -493,6 +494,7 @@ def _bootstrap_means_arrow(
             karr = tbl.column(0).chunk(0)
             carr = tbl.column(1).chunk(0)
             n = len(karr)
+            nn_cents += n - carr.null_count
             if carr.null_count:
                 # null cents contribute weight to n_eff but 0 to the
                 # sum — exactly sum()'s null-skipping in the SQL form
@@ -568,23 +570,33 @@ def _bootstrap_means_arrow(
                     pa.array(np.arange(B, dtype=np.int32)),
                     pa.array(acc_n),
                     pa.array(acc_s),
+                    pa.array(
+                        np.full(B, nn_cents, dtype=np.int64)
+                    ),
                 ],
-                names=["b", "n_eff", "sum_cents"],
+                names=["b", "n_eff", "sum_cents", "n_cents"],
             )
 
     out = base.mapInArrow(
-        _partials, schema="b int, n_eff long, sum_cents long"
+        _partials, schema="b int, n_eff long, sum_cents long, n_cents long"
     )
+    # sum(w*cents) in the SQL twin is NULL exactly when NO row has a
+    # non-null cents (sum() over an all-NULL term list); fill_null(0)
+    # in the vector path would otherwise turn that into mean 0 —
+    # n_cents carries the non-null row count so the degenerate case
+    # stays value-identical to the SQL form (r11 review).
     return (
         out.groupBy("b")
         .agg(
             F.sum("n_eff").alias("n_eff"),
             F.sum("sum_cents").alias("sum_cents"),
+            F.sum("n_cents").alias("n_cents"),
         )
         .selectExpr(
             "b",
             "n_eff",
-            "CAST(sum_cents DIV n_eff AS BIGINT) AS mean_cents",
+            "CAST(CASE WHEN n_cents = 0 THEN NULL "
+            "ELSE sum_cents DIV n_eff END AS BIGINT) AS mean_cents",
         )
     )
 

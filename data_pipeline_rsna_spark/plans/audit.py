@@ -104,16 +104,28 @@ def unbounded_nested_loop_joins(df: DataFrame,
         return int(opt.get()) if opt.isDefined() else None
 
     def has_equi_condition(node) -> bool:
-        # ExtractEquiJoinKeys-lite: a Join with an equality conjunct
-        # (EqualTo " = " or null-safe EqualNullSafe " <=> ", the form
-        # INTERSECT/EXCEPT rewrites produce) plans as hash/sort-merge,
-        # not nested-loop. Checked loosely via the Catalyst string form
-        # "(a#1 = b#2)" / "(a#1 <=> b#2)".
+        # ExtractEquiJoinKeys-lite: a Join plans as hash/sort-merge
+        # (not nested-loop) when some TOP-LEVEL AND-conjunct of its
+        # condition is an equality (EqualTo, or the EqualNullSafe form
+        # INTERSECT/EXCEPT rewrites produce). Walk the expression tree
+        # through And nodes only — a substring test on the condition
+        # string would also accept "(a = b) OR (c = d)", which has NO
+        # extractable key and stays a nested-loop join (r11 review:
+        # that was exactly the audit's blind spot).
         cond = node.condition()
         if not cond.isDefined():
             return False
-        s = cond.get().toString()
-        return " = " in s or " <=> " in s
+        stack = [cond.get()]
+        while stack:
+            e = stack.pop()
+            cls = e.getClass().getSimpleName()
+            if cls in ("EqualTo", "EqualNullSafe"):
+                return True
+            if cls == "And":
+                kids = e.children()
+                for i in range(kids.size()):
+                    stack.append(kids.apply(i))
+        return False
 
     def walk(node) -> None:
         if node.getClass().getSimpleName() == "Join":

@@ -69,7 +69,14 @@ EXECUTING_QUERIES = frozenset({
     "events_fingerprint_streaming",
     "events_stream_static_enrich",
     "text_quality_gate_streaming",
+    "events_srm_streaming",
+    "events_slo_burn_streaming",
+    "orc_sink_roundtrip",
+    "tfrecord_scan_roundtrip",
 })
+
+# the set above is easy to let drift as queries are added; pin it
+# against a source grep in tests/test_plans.py::test_executing_set_complete
 
 
 def _scratch_dir(prefix: str) -> str:

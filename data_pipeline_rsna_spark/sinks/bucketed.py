@@ -133,7 +133,14 @@ def _prune_layout_root(root: str) -> None:
         except OSError:
             continue
     done.sort(reverse=True)
-    for _, p in done[_MAX_LAYOUT_DIRS:]:
+    for mtime, p in done[_MAX_LAYOUT_DIRS:]:
+        # age grace: a layout touched recently may be registered (and
+        # mid-read) in ANOTHER application's catalog, which this
+        # process cannot inspect — never delete it out from under a
+        # live reader. Same-session deletions are healed by tier-1's
+        # on-disk re-validation in ensure_bucketed_layout.
+        if now - mtime <= _STALE_TMP_SECONDS:
+            continue
         shutil.rmtree(p, ignore_errors=True)
 
 
@@ -169,7 +176,16 @@ def ensure_bucketed_layout(
        directly, racing overwrite-vs-read on live bucket files).
     """
     if spark.catalog.tableExists(table):
-        return False
+        # re-validate against disk: the catalog entry is session state,
+        # but the files can disappear under it (another application's
+        # prune, manual cleanup). A registered table over a missing or
+        # mismatched layout would fail at scan time with a
+        # FileNotFound — drop it and fall through to rebuild instead.
+        spec = _read_spec(path)
+        wanted = {"key": key, "n_buckets": int(n_buckets)}
+        if spec and {k: spec.get(k) for k in wanted} == wanted:
+            return False
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     _prune_layout_root(os.path.dirname(path))
     spec = _read_spec(path)
     wanted = {"key": key, "n_buckets": int(n_buckets)}

@@ -164,7 +164,6 @@ def run_bounded_to_parquet(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark = agg.sparkSession
     has_parts = os.path.isdir(out_dir) and any(
         f.endswith(".parquet")
         for _root, _dirs, files in os.walk(out_dir)

@@ -167,9 +167,23 @@ def _tune_scan_splits(spark: SparkSession, path: str) -> None:
     import pyarrow.parquet as pq
 
     p = pathlib.Path(path)
+    baseline = _open_cost_baseline(spark)
+    if baseline is None:
+        return  # un-parseable user setting: leave the session alone
+
+    def _restore():
+        # every this-table-needs-no-lowering exit RESTORES the session
+        # baseline rather than leaving a previous table's lower value
+        # in place (round 11: the first version only ever lowered, a
+        # monotone ratchet that silently re-partitioned every later
+        # scan in the session — and its first fix restored on only ONE
+        # of the three early exits; ADVICE r10 + r11 review)
+        spark.conf.set("spark.sql.files.openCostInBytes", str(baseline))
+
     files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
     files = [f for f in files if f.is_file()]
     if not files:
+        _restore()
         return
     sample = files[:8]
     rg = 0
@@ -180,18 +194,11 @@ def _tune_scan_splits(spark: SparkSession, path: str) -> None:
     cores = spark.sparkContext.defaultParallelism
     want = min(rg_total, cores)
     if want <= 1:
-        return  # single row group: splitting cannot help
+        _restore()  # single row group: splitting cannot help
+        return
     desired = max(disk_total // want, 64 * 1024)
-    baseline = _open_cost_baseline(spark)
-    if baseline is None:
-        return  # un-parseable user setting: leave the session alone
     if desired >= baseline:
-        # this table does not need a lowered floor — RESTORE the
-        # session baseline rather than leaving a previous table's
-        # lower value in place (round 11: the first version only ever
-        # lowered, a monotone ratchet that silently re-partitioned
-        # every later scan in the session; ADVICE r10)
-        spark.conf.set("spark.sql.files.openCostInBytes", str(baseline))
+        _restore()
         return
     spark.conf.set("spark.sql.files.openCostInBytes", str(desired))
 

@@ -337,11 +337,14 @@ def test_bucketed_layout_prune_root(tmp_path):
     os.utime(os.path.join(root, "t1.tmp-app1"),
              (time.time() - 2 * 86400,) * 2)
     os.makedirs(os.path.join(root, "t2.tmp-app2"))
-    # cap + 2 completed layouts with strictly increasing mtimes
+    # cap + 2 completed layouts with strictly increasing mtimes, all
+    # OLDER than the age grace (recently-touched layouts may be
+    # registered in another application's catalog and are never
+    # deleted out from under a live reader — r11 review)
     for i in range(bkt._MAX_LAYOUT_DIRS + 2):
         d = os.path.join(root, f"layout_{i:02d}")
         os.makedirs(d)
-        os.utime(d, (time.time() - 3600 + i,) * 2)
+        os.utime(d, (time.time() - 3 * 86400 + i,) * 2)
     bkt._prune_layout_root(root)
     left = sorted(os.listdir(root))
     assert "t1.tmp-app1" not in left  # stale build removed
@@ -349,6 +352,12 @@ def test_bucketed_layout_prune_root(tmp_path):
     layouts = [d for d in left if d.startswith("layout_")]
     assert len(layouts) == bkt._MAX_LAYOUT_DIRS
     assert "layout_00" not in layouts and "layout_01" not in layouts
+    # age grace: a RECENT over-cap layout survives pruning even though
+    # the count exceeds the cap
+    recent = os.path.join(root, "layout_recent")
+    os.makedirs(recent)
+    bkt._prune_layout_root(root)
+    assert "layout_recent" in os.listdir(root)
 
 
 def test_bucketed_layout_rename_race_adopts_winner(

@@ -474,6 +474,23 @@ BOUNDED_NONEQUI_OK = {
     "lakehouse_file_skipping_stats": "interval join on file-footer ranges",
     "sketch_histogram_quantiles": "bucket-boundary search (≤ n_buckets)",
     "text_vocab_coverage": "rank ≤ k threshold join (|k-list| rows)",
+    # NOT(a = b) self-pair exclusion joins in the brute-force exact
+    # top-k baselines and their eval harnesses: one side is a
+    # LITERAL-bounded query sample (vec_id < k filters, certification
+    # slivers) that Catalyst's maxRows cannot see through a Filter.
+    # The brute-force form is the mandated exact baseline; each has a
+    # separately registered scale path (IVF/SRP/PQ/grid). These were
+    # invisible to the audit until r11 replaced the ' = '-substring
+    # equi-detection with a conjunct-tree walk.
+    "similarity_recall_eval": "brute ground truth, query sample vec_id<5",
+    "similarity_topk_fold": "brute exact baseline, bounded query sample",
+    "similarity_pq_topk": "PQ eval vs brute truth, bounded query sample",
+    "similarity_truncated_dim_recall":
+        "4 brute truths (one per dim), bounded query sample",
+    "embedding_knn_label_accuracy":
+        "kNN eval vs brute truth, bounded query sample",
+    "spatial_nearest_neighbor":
+        "brute fallback only for the uncertifiable grid sliver",
 }
 
 
@@ -510,3 +527,57 @@ def test_registry_no_cartesians(spark, sf_dir):
         "allowlist entries no longer needed (query now bounded "
         f"statically — remove them): {sorted(stale_allowlist)}"
     )
+
+
+def test_executing_set_complete():
+    """EXECUTING_QUERIES must cover every registered query whose
+    spark_fn executes work at construction (streaming replays, sink
+    writers, scratch-dir allocators): a missing entry makes the plan
+    audit silently replay that work and audit the wrong plan (the r11
+    review found four that had drifted out of the set)."""
+    import inspect
+    import re
+
+    from data_pipeline_rsna_spark.queries import (
+        EXECUTING_QUERIES,
+        REGISTRY,
+    )
+
+    markers = (
+        "run_bounded", "write_tfrecord_shards", "write_json",
+        "mkdtemp", "_scratch_dir", "run_rsna_pipeline", "write_table",
+    )
+    missing = []
+    for name, spec in REGISTRY.items():
+        src = inspect.getsource(spec.spark_fn)
+        if any(re.search(rf"\b{m}\(", src) for m in markers):
+            if name not in EXECUTING_QUERIES:
+                missing.append(name)
+    assert not missing, (
+        "queries executing work at construction but absent from "
+        f"EXECUTING_QUERIES: {sorted(missing)}"
+    )
+
+
+def test_or_of_equalities_join_flagged_unbounded(spark):
+    """"ON a.x = b.x OR a.y = b.y" has NO extractable equi key — it
+    plans nested-loop with |L|x|R| work — and must be flagged by
+    unbounded_nested_loop_joins even though its condition string
+    contains ' = ' (the substring form waived exactly this case)."""
+    left = spark.range(200_000).selectExpr("id AS x", "id AS y")
+    right = spark.range(200_000).selectExpr("id AS x2", "id AS y2")
+    j = left.join(
+        right,
+        (left.x == right.x2) | (left.y == right.y2),
+    )
+    from data_pipeline_rsna_spark.plans import audit
+
+    assert audit.unbounded_nested_loop_joins(j), (
+        "OR-of-equalities nested-loop join must be flagged"
+    )
+    # sanity: a plain equi join is NOT flagged
+    ok = left.join(right, left.x == right.x2)
+    assert audit.unbounded_nested_loop_joins(ok) == []
+    # and an AND-wrapped equi conjunct with a range term is fine too
+    ok2 = left.join(right, (left.x == right.x2) & (left.y < right.y2))
+    assert audit.unbounded_nested_loop_joins(ok2) == []

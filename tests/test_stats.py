@@ -621,6 +621,32 @@ def test_bootstrap_arrow_and_sql_twins_match(spark):
     assert len(a) == 6
 
 
+def test_bootstrap_twins_match_on_null_values(spark):
+    """Degenerate but legal inputs: some/all NULL values. With ALL
+    values null the SQL form's sum(w*cents) is NULL, so mean_cents
+    must be NULL — the arrow path's fill_null(0) must not turn it
+    into 0 (r11 review); with MIXED nulls both paths must agree on
+    the null-skipping mean."""
+    for rows in (
+        [(f"key{i}", None) for i in range(50)],
+        [(f"key{i}", None if i % 3 else float(i)) for i in range(50)],
+    ):
+        df = spark.createDataFrame(rows, "k string, value double")
+        a = sorted(map(tuple, st.bootstrap_means(
+            df, F.col("k"), n_replicates=4, impl="arrow").collect()))
+        s = sorted(map(tuple, st.bootstrap_means(
+            df, F.col("k"), n_replicates=4, impl="sql").collect()))
+        assert a == s
+    # the all-null case really is NULL, not 0
+    df = spark.createDataFrame(
+        [("k1", None), ("k2", None)], "k string, value double"
+    )
+    out = st.bootstrap_means(
+        df, F.col("k"), n_replicates=4, impl="arrow"
+    ).collect()
+    assert all(r["mean_cents"] is None for r in out)
+
+
 def test_bootstrap_rejects_sql_breaking_salt(spark):
     import pytest
 

@@ -130,16 +130,24 @@ def test_tune_scan_splits_lowers_split_size_for_compressed_text(
 
 def test_tune_scan_splits_noop_on_single_row_group(spark, tmp_path):
     """A single-row-group file cannot scan-parallelize: the tuner must
-    leave the session confs alone (the sf<=0.1 regime)."""
+    not LOWER anything for it — and must RESTORE the session baseline
+    if a previous table had lowered the open-cost floor (r11 review:
+    the first restore fix covered only one of the three early exits,
+    so a single-row-group load could inherit a prior table's floor)."""
     t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
                   "text": pa.array(["short text"] * 100)})
     p = tmp_path / "documents.parquet"
     pq.write_table(t, str(p))
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    old_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+    baseline = tables._open_cost_baseline(spark)
+    # simulate a prior fanout table having lowered the floor
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
     tables._tune_scan_splits(spark, str(p))
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == old_mpb
-    assert spark.conf.get("spark.sql.files.openCostInBytes") == old_ocb
+    assert (
+        spark.conf.get("spark.sql.files.openCostInBytes")
+        == str(baseline)
+    )
 
 
 def test_parse_size_bytes():
