@@ -103,25 +103,53 @@ def unbounded_nested_loop_joins(df: DataFrame,
         opt = node.maxRows()
         return int(opt.get()) if opt.isDefined() else None
 
+    def _side(expr, left_out, right_out) -> str | None:
+        # which join side can evaluate this expression: "L"/"R" when
+        # ALL its attribute references come from that side's output
+        # (Catalyst's canEvaluate), else None (mixed or no refs)
+        it = expr.references().iterator()
+        side = ""
+        while it.hasNext():
+            a = it.next()
+            if left_out.contains(a):
+                s = "L"
+            elif right_out.contains(a):
+                s = "R"
+            else:
+                return None
+            if side and s != side:
+                return None
+            side = s
+        return side or None
+
     def has_equi_condition(node) -> bool:
         # ExtractEquiJoinKeys-lite: a Join plans as hash/sort-merge
-        # (not nested-loop) when some TOP-LEVEL AND-conjunct of its
-        # condition is an equality (EqualTo, or the EqualNullSafe form
-        # INTERSECT/EXCEPT rewrites produce). Walk the expression tree
-        # through And nodes only — a substring test on the condition
-        # string would also accept "(a = b) OR (c = d)", which has NO
-        # extractable key and stays a nested-loop join (r11 review:
-        # that was exactly the audit's blind spot).
+        # (not nested-loop) when some TOP-LEVEL AND-conjunct is an
+        # equality (EqualTo / EqualNullSafe) whose two children each
+        # evaluate against OPPOSITE join sides. Both halves matter:
+        # a substring test on the condition string accepted
+        # "(a = b) OR (c = d)" (no extractable key), and a bare
+        # conjunct-class test accepted same-side equalities like
+        # "left.a = left.b AND left.c < right.d" in an outer join —
+        # both plan nested-loop (r11 review, both verified live).
         cond = node.condition()
         if not cond.isDefined():
             return False
+        left_out = node.left().outputSet()
+        right_out = node.right().outputSet()
         stack = [cond.get()]
         while stack:
             e = stack.pop()
             cls = e.getClass().getSimpleName()
             if cls in ("EqualTo", "EqualNullSafe"):
-                return True
-            if cls == "And":
+                kids = e.children()
+                sides = {
+                    _side(kids.apply(0), left_out, right_out),
+                    _side(kids.apply(1), left_out, right_out),
+                }
+                if sides == {"L", "R"}:
+                    return True
+            elif cls == "And":
                 kids = e.children()
                 for i in range(kids.size()):
                     stack.append(kids.apply(i))

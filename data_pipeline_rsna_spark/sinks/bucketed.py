@@ -77,6 +77,11 @@ _SPEC_FILE = "_BUCKET_SPEC.json"
 # stale in-progress build dirs older than this are removed at ensure
 # time (a crashed writer's leftovers)
 _STALE_TMP_SECONDS = 24 * 3600
+# live-reader grace for completed layouts: an over-cap layout younger
+# than this is never pruned (it may be registered mid-read in another
+# application's catalog). Deliberately separate from the crashed-build
+# policy above — tuning tmp cleanup must not change reader safety.
+_PRUNE_GRACE_SECONDS = 3600
 # demo-lifecycle growth cap: keep this many layout dirs per layout
 # root, oldest-deleted-first (each sf_dir hash contributes two)
 _MAX_LAYOUT_DIRS = 16
@@ -139,7 +144,7 @@ def _prune_layout_root(root: str) -> None:
         # process cannot inspect — never delete it out from under a
         # live reader. Same-session deletions are healed by tier-1's
         # on-disk re-validation in ensure_bucketed_layout.
-        if now - mtime <= _STALE_TMP_SECONDS:
+        if now - mtime <= _PRUNE_GRACE_SECONDS:
             continue
         shutil.rmtree(p, ignore_errors=True)
 
@@ -175,21 +180,20 @@ def ensure_bucketed_layout(
        (the r10 version had both ``overwrite``-writing ``path``
        directly, racing overwrite-vs-read on live bucket files).
     """
+    spec = _read_spec(path)
+    wanted = {"key": key, "n_buckets": int(n_buckets)}
+    on_disk_ok = bool(spec) and {k: spec.get(k) for k in wanted} == wanted
     if spark.catalog.tableExists(table):
         # re-validate against disk: the catalog entry is session state,
         # but the files can disappear under it (another application's
         # prune, manual cleanup). A registered table over a missing or
         # mismatched layout would fail at scan time with a
         # FileNotFound — drop it and fall through to rebuild instead.
-        spec = _read_spec(path)
-        wanted = {"key": key, "n_buckets": int(n_buckets)}
-        if spec and {k: spec.get(k) for k in wanted} == wanted:
+        if on_disk_ok:
             return False
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     _prune_layout_root(os.path.dirname(path))
-    spec = _read_spec(path)
-    wanted = {"key": key, "n_buckets": int(n_buckets)}
-    if spec and {k: spec.get(k) for k in wanted} == wanted:
+    if on_disk_ok:
         _register_external_bucketed(spark, table, path, spec)
         return False
     df = df_fn()

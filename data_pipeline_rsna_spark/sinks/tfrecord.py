@@ -427,21 +427,35 @@ def iter_verified_frames(path: str, with_payloads: bool = True,
                 )
             length, hcrc = struct.unpack_from("<QI", buf, pos)
             if avail < 16 + length:
+                # before buffering past the normal chunk size for one
+                # frame, vet the 8-byte header scalar-side: a grown
+                # corrupted length field would otherwise make this
+                # loop swallow the rest of the shard into memory
+                # (violating the bounded-memory contract) before the
+                # corruption is finally reported at EOF. A GENUINE
+                # giant record has a valid header CRC and still
+                # buffers in full — that is its honest cost.
+                if (
+                    length > max_chunk_bytes
+                    and _masked_crc(bytes(buf[pos : pos + 8])) != hcrc
+                ):
+                    yield from _verified()
+                    raise TFRecordCorrupt("length crc", idx)
                 if not eof:
                     block = f.read(read_block)
                     if block:
                         buf += block
                         continue
                     eof = True
-                if avail < 16 + length:
-                    yield from _verified()
-                    if _masked_crc(bytes(buf[pos : pos + 8])) != hcrc:
-                        raise TFRecordCorrupt("length crc", idx)
-                    raise TFRecordCorrupt(
-                        "truncated payload" if avail < 12 + length
-                        else "truncated payload crc"
-                    )
-                continue
+                # at EOF the frame still does not fit: either this
+                # header is corrupt, or the file is truncated
+                yield from _verified()
+                if _masked_crc(bytes(buf[pos : pos + 8])) != hcrc:
+                    raise TFRecordCorrupt("length crc", idx)
+                raise TFRecordCorrupt(
+                    "truncated payload" if avail < 12 + length
+                    else "truncated payload crc"
+                )
             pcrcs.append(
                 struct.unpack_from("<I", buf, pos + 12 + length)[0]
             )

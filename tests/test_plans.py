@@ -581,3 +581,22 @@ def test_or_of_equalities_join_flagged_unbounded(spark):
     # and an AND-wrapped equi conjunct with a range term is fine too
     ok2 = left.join(right, (left.x == right.x2) & (left.y < right.y2))
     assert audit.unbounded_nested_loop_joins(ok2) == []
+
+
+def test_same_side_equality_join_flagged_unbounded(spark):
+    """"ON left.a = left.b AND left.c < right.d" (outer join, so the
+    same-side equality cannot be pushed below the join) has no CROSS-
+    side key: it plans nested-loop and must be flagged — a conjunct-
+    class check without the opposite-sides test waived it."""
+    left = spark.range(200_000).selectExpr(
+        "id AS a", "id AS b2", "id AS c"
+    )
+    right = spark.range(200_000).selectExpr("id AS d")
+    j = left.join(
+        right, (left.a == left.b2) & (left.c < right.d), "left"
+    )
+    from data_pipeline_rsna_spark.plans import audit
+
+    assert audit.unbounded_nested_loop_joins(j), (
+        "same-side-equality nested-loop join must be flagged"
+    )

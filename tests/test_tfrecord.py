@@ -260,7 +260,10 @@ def test_corrupt_length_field_names_first_offending_record():
     blob = b"".join(tfr.frame_record(p) for p in payloads)
     # offset of record 10's 8-byte length header
     off = sum(16 + len(p) for p in payloads[:10])
-    for delta in (-7, +5):  # shrink and grow the parsed length
+    # shrink, grow, and grow-past-chunk-bound (the last is caught by
+    # the pre-buffering header check — a giant corrupted length must
+    # not make the walker swallow the rest of the file into memory)
+    for delta in (-7, +5, 1 << 40):
         bad = bytearray(blob)
         (orig,) = struct.unpack_from("<Q", bad, off)
         struct.pack_into("<Q", bad, off, orig + delta)
