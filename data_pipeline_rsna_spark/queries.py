@@ -3259,10 +3259,24 @@ def q_augmentation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "patient_id", "x", "y", "width", "height"
     )
     out = aug.augment(patients, boxes)
-    return out.groupBy("stage").agg(
+    # Two-level exact aggregation (round 11, guide §2.3): the direct
+    # two-countDistinct form plans an Expand ×3 — every fan-out row is
+    # tripled (63M → 190M at sf0.1) before the partial aggregate. Level
+    # 1 groups by (stage, patient_id, image_id) — the REAL synthesized
+    # id strings, so the id-uniqueness invariant is still computed from
+    # the ids themselves — and because image_id embeds patient_id, the
+    # level-1 group count per stage IS countDistinct(image_id) and
+    # sum(_c) IS count(*). Level 2 keeps one countDistinct(patient_id),
+    # a single distinct group = no Expand anywhere. Values pinned
+    # identical by the shared oracle; measured 63M-row fan-out at
+    # sf0.1: ~9.8-13 s → ~6.5-7.9 s warm (Expand 1 → 0 in the plan).
+    lvl1 = out.groupBy("stage", "patient_id", "image_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return lvl1.groupBy("stage").agg(
         F.countDistinct("patient_id").alias("n_patients"),
-        F.countDistinct("image_id").alias("n_images"),
-        F.count("*").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("_c").alias("n_rows"),
     )
 
 

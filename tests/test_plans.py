@@ -39,6 +39,19 @@ def test_pricing_summary_single_shuffle(spark, sf_dir):
     assert rep.n_shuffle_exchanges <= 2, rep.text
 
 
+def test_augmentation_dag_counts_no_expand(spark, sf_dir):
+    """Round-11 optimization pin: the two-level aggregation keeps the
+    multi-countDistinct Expand out of the plan — the direct form
+    tripled every fan-out row (63M → 190M at sf0.1) before the partial
+    aggregate. Exactness rests on image_id embedding patient_id (the
+    concat_ws('-', patient_id, ...) prefix), so per stage the level-1
+    group count IS countDistinct(image_id); values are pinned by the
+    shared oracle SQL."""
+    df = REGISTRY["augmentation_dag_counts"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+
+
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
     df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
