@@ -37,7 +37,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # offset by _ROTATION_ROUND), so the driver's independent gate
 # progressively re-verifies all ~300 queries across rounds instead of
 # the same 50 forever. Bump _ROTATION_ROUND by 1 each round.
-_ROTATION_ROUND = 11
+_ROTATION_ROUND = 12
 _DRIVER_WINDOW = 50
 
 _CHECK_WINDOW_PRIORITY = [
@@ -79,6 +79,10 @@ _CHECK_WINDOW_PRIORITY = [
     "events_hourly_agg",        # X5
     "events_hourly_streaming",  # X6
     "pricing_summary",          # X8
+    # failed the driver's value hash in round 11 (decimal-output /
+    # rounding divergence, fixed in round 12): pinned so it STAYS in
+    # the checked window until the driver confirms the fix.
+    "privacy_t_closeness",
 ]
 
 

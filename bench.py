@@ -106,18 +106,18 @@ def main() -> None:
     # query, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Floor-regime scan cache (sf<=0.25 only): persist the star tables
-    # in memory during warmup so timed runs measure the query, not
-    # re-decoding the same sub-20MB parquet files seven times. This is
-    # the warehouse hot-table cache — the same steady state DuckDB's
-    # warm-cache median protocol measures (its buffer pool holds the
-    # decoded pages across repeats). The logical plans are unchanged;
-    # only the leaf scan becomes InMemoryRelation. At sf>=1 the cache is
-    # OFF: scan+decode is honest proportional work there (and a blanket
-    # table cache is exactly what SCALING.md says never to do at real
-    # scale). BENCH_TABLE_CACHE=0 disables for A/B measurement.
+    # Scan protocol (round 12: UNCACHED is the default). Rounds 6-11
+    # persisted the star tables in memory during warmup at sf<=0.25
+    # ("warm-table-cache protocol", argued as parity with DuckDB's warm
+    # buffer pool) — but that hides parquet decode from every timed
+    # run, making §6 scan-path work invisible at the graded SF, and a
+    # blanket table cache is exactly what SCALING.md says never to do
+    # at real scale. The primary protocol now computes every timed run
+    # from the parquet inputs (OS page cache warm, decode paid);
+    # BENCH_TABLE_CACHE=1 reproduces the round-6..11 cached protocol as
+    # a secondary like-for-like line for cross-round comparisons.
     table_cache = bool(
-        small_sf and os.environ.get("BENCH_TABLE_CACHE", "1") != "0"
+        small_sf and os.environ.get("BENCH_TABLE_CACHE", "0") == "1"
     )
     if table_cache:
         from data_pipeline_rsna_spark import tables as _tables

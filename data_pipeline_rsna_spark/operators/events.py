@@ -588,9 +588,14 @@ def acf_lags(
         .selectExpr(
             "lag",
             "n_pairs",
-            "CAST(n_pairs * _sxy - _sx * _sy AS DECIMAL(38,0)) AS corr_num",
-            "CAST(n_pairs * _sxx - _sx * _sx AS DECIMAL(38,0)) AS var_x",
-            "CAST(n_pairs * _syy - _sy * _sy AS DECIMAL(38,0)) AS var_y",
+            # decimal(38,0) arithmetic, BIGINT output: the series is
+            # period-count-bound so the statistics stay ~1e14 here; an
+            # integral output crosses the engine/driver boundary as a
+            # plain int, where DECIMAL(38,0) fetches as python Decimal
+            # in some DuckDB versions and int in others (r12 fix)
+            "CAST(n_pairs * _sxy - _sx * _sy AS BIGINT) AS corr_num",
+            "CAST(n_pairs * _sxx - _sx * _sx AS BIGINT) AS var_x",
+            "CAST(n_pairs * _syy - _sy * _sy AS BIGINT) AS var_y",
         )
     )
 
@@ -861,10 +866,14 @@ def burstiness_fano(
             "n_events",
             "active_minutes",
             "_span AS span_minutes",
-            # decimal: M·Σc² passes int64 when minutes × counts² do
-            "CAST(floor((CAST(_span AS DECIMAL(38,0)) * _ssq "
-            "- CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000 "
-            "/ (CAST(_span AS DECIMAL(38,0)) * n_events)) AS BIGINT) "
+            # decimal: M·Σc² passes int64 when minutes × counts² do.
+            # Integral `div`, not floor(/): exact truncation on both
+            # engines at every rounding boundary (numerator >= 0 by
+            # Cauchy-Schwarz: span·Σc² >= (Σc)², so div == floor); the
+            # decimal `/` form rounded HALF_UP at scale 6 first (r12)
+            "CAST(((CAST(_span AS DECIMAL(38,0)) * _ssq "
+            "- CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000) "
+            "div (CAST(_span AS DECIMAL(38,0)) * n_events) AS BIGINT) "
             "AS fano_ppm",
         )
     )

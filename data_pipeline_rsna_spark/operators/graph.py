@@ -262,9 +262,14 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .alias("_sxx"),
     ).selectExpr(
         "n_ends",
-        "CAST(n_ends * (2 * _sxy) - _s * _s AS DECIMAL(38,0)) AS corr_num",
-        "CAST(n_ends * _sxx - _s * _s AS DECIMAL(38,0)) AS var_x",
-        "CAST(n_ends * _sxx - _s * _s AS DECIMAL(38,0)) AS var_y",
+        # decimal(38,0) arithmetic, BIGINT output: the sums are degree-
+        # bound (~3e6 at sf0.1, ~E·d̄² growth); an integral output
+        # crosses the engine/driver boundary as a plain int, where
+        # DECIMAL(38,0) fetches as python Decimal in some DuckDB
+        # versions and int in others (r12 fix)
+        "CAST(n_ends * (2 * _sxy) - _s * _s AS BIGINT) AS corr_num",
+        "CAST(n_ends * _sxx - _s * _s AS BIGINT) AS var_x",
+        "CAST(n_ends * _sxx - _s * _s AS BIGINT) AS var_y",
     )
 
 

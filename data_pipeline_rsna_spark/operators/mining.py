@@ -208,9 +208,12 @@ def cooccurrence_similarity(
             "CAST(floor(1000000 * CAST(co AS DOUBLE) / "
             "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) "
             "AS BIGINT) AS cosine_ppm",
-            # decimal(38,0) with explicit floor: 1e6·co·N overflows
-            # int64 once baskets pass ~10^12 basket-item rows
-            "CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * co * _nb) / "
-            "(CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT) AS lift_ppm",
+            # decimal(38,0): 1e6·co·N overflows int64 once baskets pass
+            # ~10^12 basket-item rows. Integral `div`, not floor(/):
+            # Spark decimal division rounds HALF_UP at the result scale
+            # before a floor(), diverging from the oracle's truncating
+            # integer division within 5e-7 of an integer (r12 fix).
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * co * _nb) div "
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_ppm",
         )
     )

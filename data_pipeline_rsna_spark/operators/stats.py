@@ -1008,10 +1008,15 @@ def cohens_kappa(
         "n",
         "agree",
         "CAST(agree * 1000000 DIV n AS BIGINT) AS po_ppm",
+        # decimal(38,0) arithmetic, BIGINT output: kappa_num/den are
+        # <= n² (n = co-annotated items, ~3e6 at sf0.1 -> ~1e13); an
+        # integral output crosses the engine/driver boundary as a plain
+        # int, where DECIMAL(38,0) fetches as python Decimal in some
+        # DuckDB versions and int in others (r12 fix)
         "CAST(CAST(n AS DECIMAL(38,0)) * agree - pe_num "
-        "AS DECIMAL(38,0)) AS kappa_num",
+        "AS BIGINT) AS kappa_num",
         "CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num "
-        "AS DECIMAL(38,0)) AS kappa_den",
+        "AS BIGINT) AS kappa_den",
     )
 
 
@@ -1498,19 +1503,20 @@ def neyman_allocation(
     total = per.agg(
         F.sum(F.col("w_micro").cast("decimal(38,0)")).alias("_t")
     )
-    # share arithmetic in decimal(38,0) with explicit floor: 1e6·w
-    # overflows int64 once weights pass ~9e12 (a few TB of cents²),
-    # and decimal division would otherwise round HALF_UP where DuckDB's
-    # // truncates
+    # share arithmetic in decimal(38,0): 1e6·w overflows int64 once
+    # weights pass ~9e12 (a few TB of cents²). Integral `div`, not
+    # floor(/): Spark decimal division rounds HALF_UP at the result
+    # scale before a floor(), diverging from DuckDB's truncating //
+    # within 5e-7 of an integer (r12 fix)
     return per.crossJoin(F.broadcast(total)).selectExpr(
         "stratum",
         "n_rows",
         "w_micro",
         # all-constant strata -> total weight 0 -> NULL allocation
-        "CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * 1000000) / "
-        "nullif(_t, 0)) AS BIGINT) AS alloc_ppm",
-        f"CAST(floor((CAST(w_micro AS DECIMAL(38,0)) * {sample_n}) / "
-        "nullif(_t, 0)) AS BIGINT) AS alloc_n",
+        "CAST((CAST(w_micro AS DECIMAL(38,0)) * 1000000) div "
+        "nullif(_t, 0) AS BIGINT) AS alloc_ppm",
+        f"CAST((CAST(w_micro AS DECIMAL(38,0)) * {sample_n}) div "
+        "nullif(_t, 0) AS BIGINT) AS alloc_n",
     )
 
 
@@ -1745,9 +1751,21 @@ def t_closeness(
         .selectExpr(
             *qi_cols,
             "class_size",
-            "CAST(_num AS DECIMAL(38,0)) AS emd_num",
-            "CAST(floor(_num * 1000000 / "
-            f"(CAST(class_size AS DECIMAL(38,0)) * _n * {n_buckets - 1})) "
+            # BIGINT, not DECIMAL(38,0): emd_num <= (B-1)*N*N_c fits int64
+            # through ~sf1000, and an integral output column crosses every
+            # engine/driver boundary as a plain int — a DECIMAL(38,0)
+            # column is fetched as python Decimal by some DuckDB versions
+            # and int by others, which breaks a type-sensitive value hash
+            # even when the numbers are identical (round-12 driver fix).
+            "CAST(_num AS BIGINT) AS emd_num",
+            # Integral `div`, not floor(decimal `/`): Spark decimal
+            # division rounds HALF_UP at the result scale BEFORE the
+            # floor, so a quotient within 5e-7 below an integer floors to
+            # that integer; the oracle's integer division truncates.
+            # `div` is exact at every rounding boundary (num >= 0 here,
+            # so truncation == floor).
+            "CAST((_num * 1000000) div "
+            f"(CAST(class_size AS DECIMAL(38,0)) * _n * {n_buckets - 1}) "
             "AS BIGINT) AS t_ppm",
         )
     )

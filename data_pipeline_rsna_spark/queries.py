@@ -6743,8 +6743,8 @@ def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n,
-           CAST(n * stv - st * sv AS DECIMAL(38,0)) AS slope_num,
-           CAST(n * stt - st * st AS DECIMAL(38,0)) AS slope_den
+           CAST(n * stv - st * sv AS BIGINT) AS slope_num,
+           CAST(n * stt - st * st AS BIGINT) AS slope_den
     FROM s
     """,
     doc="Per-type OLS trend of event value (cents) over time (epoch "
@@ -6775,11 +6775,17 @@ def q_events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
+        # accumulation stays decimal(38,0); the OUTPUT is bigint — the
+        # values are ~2e11 at sf0.1 (7 decades of int64 headroom through
+        # sf1000), and an integral column crosses every engine/driver
+        # boundary as a plain python int, where DECIMAL(38,0) is fetched
+        # as Decimal by some DuckDB versions and int by others (r12 fix,
+        # same class as privacy_t_closeness)
         (F.col("n") * F.col("stv") - F.col("st") * F.col("sv"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("slope_num"),
         (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("slope_den"),
     )
 
@@ -7342,15 +7348,15 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * y)
                     AS DECIMAL(38,0))
                 - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(y)
-                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS corr_num,
+                    AS DECIMAL(38,0)) AS BIGINT) AS corr_num,
            CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * x)
                     AS DECIMAL(38,0))
                 - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(x)
-                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_x,
+                    AS DECIMAL(38,0)) AS BIGINT) AS var_x,
            CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(y * y)
                     AS DECIMAL(38,0))
                 - CAST(sum(y) AS DECIMAL(38,0)) * CAST(sum(y)
-                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_y
+                    AS DECIMAL(38,0)) AS BIGINT) AS var_y
     FROM pairs
     """,
     doc="Lag-1 autocorrelation of the daily revenue series as EXACT "
@@ -7385,14 +7391,19 @@ def q_events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n_pairs",
+        # decimal(38,0) arithmetic, BIGINT output: values are ~1e14 at
+        # sf0.1 (daily-sum pairs are day-count-bound, not row-bound), and
+        # an integral column crosses the engine/driver boundary as a
+        # plain int — DECIMAL(38,0) fetches as python Decimal in some
+        # DuckDB versions and int in others (r12 fix)
         (dec(F.col("n_pairs")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy")))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("corr_num"),
         (dec(F.col("n_pairs")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx")))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("var_x"),
         (dec(F.col("n_pairs")) * dec(F.col("syy")) - dec(F.col("sy")) * dec(F.col("sy")))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("var_y"),
     )
 
@@ -9396,8 +9407,8 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     )
     SELECT CAST(n AS BIGINT) AS vocab_n,
-           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-           CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
     FROM s
     """,
     doc="X4 Zipf rank-frequency diagnostic: OLS slope of ln(freq) over "
@@ -9463,11 +9474,17 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").cast("bigint").alias("vocab_n"),
+        # decimal(38,0) accumulation, BIGINT output: the statistics are
+        # vocabulary-bound (~7e14 here, and the log-compressed x/y keep
+        # them ~V·(1e6·lnV)² — int64-safe for any realistic vocab); an
+        # integral output column crosses the engine/driver boundary as
+        # a plain int, where DECIMAL(38,0) fetches as python Decimal in
+        # some DuckDB versions and int in others (r12 fix)
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("slope_num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("slope_den"),
     )
 
@@ -12892,9 +12909,9 @@ def q_drift_ks_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n, agree,
            CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
            CAST(CAST(n AS DECIMAL(38,0)) * agree - pe_num
-                AS DECIMAL(38,0)) AS kappa_num,
+                AS BIGINT) AS kappa_num,
            CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num
-                AS DECIMAL(38,0)) AS kappa_den
+                AS BIGINT) AS kappa_den
     FROM t CROSS JOIN pe
     """,
     doc="X8+ inter-annotator agreement (Cohen's kappa) between two "
@@ -13314,19 +13331,19 @@ def q_feature_target_encoding_oof(
                     * (2 * CAST(sum(deg_u * deg_v) AS DECIMAL(38,0)))
                 - CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
                     * CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
-                AS DECIMAL(38,0)) AS corr_num,
+                AS BIGINT) AS corr_num,
            CAST(CAST(2 * count(*) AS DECIMAL(38,0))
                     * CAST(sum(deg_u * deg_u + deg_v * deg_v)
                         AS DECIMAL(38,0))
                 - CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
                     * CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
-                AS DECIMAL(38,0)) AS var_x,
+                AS BIGINT) AS var_x,
            CAST(CAST(2 * count(*) AS DECIMAL(38,0))
                     * CAST(sum(deg_u * deg_u + deg_v * deg_v)
                         AS DECIMAL(38,0))
                 - CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
                     * CAST(sum(deg_u + deg_v) AS DECIMAL(38,0))
-                AS DECIMAL(38,0)) AS var_y
+                AS BIGINT) AS var_y
     FROM p
     """,
     doc="X8+ degree assortativity of the brand co-purchase graph "
@@ -13381,15 +13398,15 @@ def q_graph_degree_assortativity(
            CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * y)
                     AS DECIMAL(38,0))
                 - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(y)
-                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS corr_num,
+                    AS DECIMAL(38,0)) AS BIGINT) AS corr_num,
            CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * x)
                     AS DECIMAL(38,0))
                 - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(x)
-                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_x,
+                    AS DECIMAL(38,0)) AS BIGINT) AS var_x,
            CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(y * y)
                     AS DECIMAL(38,0))
                 - CAST(sum(y) AS DECIMAL(38,0)) * CAST(sum(y)
-                    AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS var_y
+                    AS DECIMAL(38,0)) AS BIGINT) AS var_y
     FROM pairs GROUP BY lag
     """,
     doc="X5+ autocorrelation function of the daily revenue series, "
@@ -15308,9 +15325,9 @@ def q_orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c) AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS active_minutes,
            sp AS span_minutes,
-           CAST(floor((CAST(sp AS HUGEINT) * sum(c * c)
-                       - CAST(sum(c) AS HUGEINT) * sum(c)) * 1000000
-                      / (CAST(sp AS HUGEINT) * sum(c))) AS BIGINT)
+           CAST(((CAST(sp AS HUGEINT) * sum(c * c)
+                  - CAST(sum(c) AS HUGEINT) * sum(c)) * 1000000)
+                // (CAST(sp AS HUGEINT) * sum(c)) AS BIGINT)
                AS fano_ppm
     FROM per_min CROSS JOIN span
     GROUP BY event_type, sp
@@ -15509,11 +15526,11 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(nc) AS BIGINT) AS class_size,
            CAST(sum(abs(CAST(cum_cb AS HUGEINT) * n
                         - CAST(cum_b AS HUGEINT) * nc))
-                AS DECIMAL(38,0)) AS emd_num,
-           CAST(floor(CAST(sum(abs(CAST(cum_cb AS HUGEINT) * n
-                                   - CAST(cum_b AS HUGEINT) * nc))
-                           AS HUGEINT) * 1000000
-                      / (CAST(max(nc) AS HUGEINT) * max(n) * 9))
+                AS BIGINT) AS emd_num,
+           CAST(CAST(sum(abs(CAST(cum_cb AS HUGEINT) * n
+                             - CAST(cum_b AS HUGEINT) * nc))
+                     AS HUGEINT) * 1000000
+                // (CAST(max(nc) AS HUGEINT) * max(n) * 9)
                AS BIGINT) AS t_ppm
     FROM cums
     WHERE b < 9

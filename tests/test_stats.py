@@ -590,6 +590,36 @@ def test_t_closeness_sparse_class_counts_skipped_buckets(spark):
     assert int(out["full"].emd_num) == 8
 
 
+def test_t_closeness_division_rounding_boundary(spark):
+    """t_ppm must TRUNCATE, exactly, even when the quotient sits within
+    5e-7 below an integer (round-12 driver fix): Spark decimal division
+    rounds HALF_UP at the result scale (6) BEFORE a floor(), so
+    floor(num*1e6 / den) bumped such a quotient up by 1 while the
+    oracle's integer division truncates. Constructed input: one
+    singleton class whose EMD numerator satisfies
+    num * 1e6 === -1 (mod N), i.e. the quotient is (k+1) - 1/N with
+    1/N < 5e-7 — the exact boundary. The integral `div` form returns k.
+    Also pins the BIGINT (python int) output types the driver's value
+    hash compares across engines."""
+    n_total = 2_000_003  # odd, not divisible by 5 -> 1e6 invertible mod N
+    inv = pow(1_000_000, -1, n_total)
+    # bucket-0 global count = inv: ids < inv get v=0.0 (bucket 0), the
+    # rest v=0.01 (bucket 1); id 0 is the singleton class 'a' in bucket 0
+    df = spark.range(n_total).selectExpr(
+        "CASE WHEN id = 0 THEN 'a' ELSE 'b' END AS qi",
+        f"CASE WHEN id < {inv} THEN 0.0 ELSE 0.01 END AS v",
+    )
+    out = {r.qi: r for r in st.t_closeness(df, ["qi"], "v", n_buckets=2).collect()}
+    a = out["a"]
+    num = n_total - inv  # |1*N - inv*1| for the singleton class
+    # the constructed input really is at the rounding boundary
+    assert (num * 1_000_000) % n_total == n_total - 1
+    assert a.emd_num == num
+    assert a.t_ppm == (num * 1_000_000) // n_total  # truncated, not +1
+    # integral python types on the Spark side (what the driver hashes)
+    assert isinstance(a.emd_num, int) and isinstance(a.t_ppm, int)
+
+
 def test_bootstrap_arrow_and_sql_twins_match(spark):
     """The mapInArrow vector-md5 path and the SQL-expression path must
     produce identical replicate tables — including null keys

@@ -20,6 +20,7 @@ and including NAME, for restarting a long run after such a failure.
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -55,6 +56,17 @@ def _canon_cell(v):
         return f"bool:{v}"
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, decimal.Decimal):
+        # TYPE-TAGGED, deliberately stricter than plain str(): a
+        # DECIMAL output column is fetched as python Decimal by some
+        # engine versions and as int by others, and a type-sensitive
+        # driver hash treats those as different even when the digits
+        # match (privacy_t_closeness failed the round-11 driver gate
+        # exactly this way while this gate's str() folded them equal).
+        # Tagging makes the local gate at least as strict: an
+        # oracle-paired query that emits Decimal on one side and int
+        # on the other now FAILS here.
+        return f"dec:{v}"
     return str(v)
 
 
