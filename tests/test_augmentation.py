@@ -21,6 +21,7 @@ def tiny(spark):
     return patients, boxes
 
 
+@pytest.mark.slow
 def test_fanout_invariants(tiny):
     patients, boxes = tiny
     out = aug.augment(patients, boxes).cache()

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_pipeline_rsna_spark.functions import bloom
+import pytest
 
 
 def test_no_false_negatives_and_bounded_fpp(spark):
@@ -30,6 +31,7 @@ def test_no_false_negatives_and_bounded_fpp(spark):
     assert fp / 2000 < 0.05, fp  # sized for 1%; 5% bound kills regressions
 
 
+@pytest.mark.slow
 def test_probe_matches_build_positions(spark):
     """Single-key filters: the probe must accept exactly the built key
     (build and probe share the _position expression; this pins that

@@ -103,6 +103,7 @@ def test_bucketed_join_matches_shuffled_join(spark, sf_dir, bucketed_tables):
     assert (got["n"], got["dot"]) == (want["n"], want["dot"])
 
 
+@pytest.mark.slow
 def test_incremental_manifest_processes_each_file_once(spark, tmp_path):
     """Two files -> first run processes both; re-run processes nothing;
     a third file arriving is the only thing the next run touches, and

@@ -118,6 +118,7 @@ except ImportError:  # pragma: no cover - hypothesis always present here
     pass
 
 
+@pytest.mark.slow
 def test_spark_codec_roundtrip_preserves_pixels(spark):
     from data_pipeline_rsna_spark.operators import multimodal as mm
 

@@ -21,6 +21,7 @@ def docs(spark):
     return spark.createDataFrame(DOCS, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_exact_dedup(docs):
     groups = dedup.exact_dedup_groups(docs).filter(F.col("n_copies") > 1).collect()
     assert len(groups) == 1
@@ -29,6 +30,7 @@ def test_exact_dedup(docs):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
 
 
+@pytest.mark.slow
 def test_minhash_finds_planted_pairs(docs):
     pairs = {
         (r.doc_a, r.doc_b)
@@ -39,6 +41,7 @@ def test_minhash_finds_planted_pairs(docs):
     assert not any({a, b} == {4, 5} for a, b in pairs)  # unrelated not paired
 
 
+@pytest.mark.slow
 def test_simhash_blocking_equals_bruteforce(docs):
     sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     brute = {
@@ -122,6 +125,7 @@ def test_minhash_mega_bucket_guard_bounds_pairs(spark):
     assert "capped" not in dedup.minhash_lsh_candidates(docs).columns
 
 
+@pytest.mark.slow
 def test_image_dhash_invariant_to_brightness_twins(spark):
     """dHash groups a brightness-shifted twin with its source (order-
     preserving pixel transform, no saturation at mod-200), while the
@@ -175,6 +179,7 @@ def test_incremental_matches_index_docs_with_higher_ids(spark):
     assert 6 not in got
 
 
+@pytest.mark.slow
 def test_incremental_matches_against_persisted_index(spark, tmp_path):
     """The documented ingest shape end-to-end: the band index WRITTEN
     partitionBy(band) to parquet and read back must yield the same
@@ -300,6 +305,7 @@ def _spans_reference(docs, window=5, min_count=2):
     return out
 
 
+@pytest.mark.slow
 def test_duplicate_spans_matches_reference_on_random_corpora(spark):
     """Differential test on low-vocabulary random corpora (tiny vocab
     forces genuine cross-doc window collisions in every example)."""
@@ -397,6 +403,7 @@ def _removal_reference(docs, window=5, min_count=2):
     return out
 
 
+@pytest.mark.slow
 def test_remove_duplicate_spans_matches_reference(spark):
     import random
 
@@ -445,6 +452,7 @@ def test_lsh_bucket_histogram_accounts_all_docs(spark):
         assert any(r.bucket_size >= 2 for r in rows), band
 
 
+@pytest.mark.slow
 def test_prefix_filter_jaccard_equals_full_inverted_index(spark):
     """Prefix-filter blocking must lose NOTHING: on a corpus with
     planted high-overlap pairs, the result equals the brute-force
@@ -482,6 +490,7 @@ def test_prefix_filter_jaccard_equals_full_inverted_index(spark):
     assert (1, 2) in got and got[(1, 2)][1] == 1.0
 
 
+@pytest.mark.slow
 def test_tfidf_cosine_pairs_brute_force_parity(spark):
     """Exact python rederivation (weights, norms, threshold, ppm) on a
     small corpus with one planted near-copy and one unrelated doc."""
@@ -541,6 +550,7 @@ def test_tfidf_cosine_pairs_brute_force_parity(spark):
     assert not any(3 in p for p in got)  # unrelated doc pairs with no one
 
 
+@pytest.mark.slow
 def test_tfidf_cosine_pairs_partition_invariant(spark):
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon w{i % 4} z{i % 3}")
@@ -583,6 +593,7 @@ def test_prefix_filter_identical_set_collapse(spark):
     assert len(out) == 6
 
 
+@pytest.mark.slow
 def test_pair_expansion_distributed_no_pair_array(spark):
     """Round-8 scale contract (VERDICT r7 #1): member-pair expansion is a
     streamed self-join, never a per-row pair array — the physical plan of
@@ -628,6 +639,7 @@ def test_prefix_filter_max_class_caps_mega_duplicate_class(spark):
     assert all(r.doc_b == n for r in cross)
 
 
+@pytest.mark.slow
 def test_max_class_large_enough_matches_uncapped(spark):
     """max_class >= every class size must reproduce the uncapped output
     exactly, with capped=False everywhere (both operators)."""
@@ -691,6 +703,7 @@ def test_tfidf_collapse_key_injective_on_control_char_tokens(spark):
     assert out == []
 
 
+@pytest.mark.slow
 def test_minhash_collapsed_equals_uncollapsed(spark):
     """minhash_lsh_candidates_collapsed must reproduce the uncollapsed
     candidate set PAIR-FOR-PAIR (ids and n_shared_bands): identical
@@ -799,6 +812,7 @@ def test_planted_corpus_ids_unique_at_any_replication(spark, tmp_path):
     assert base_max == n_base
 
 
+@pytest.mark.slow
 def test_minhash_adaptive_picks_form_by_duplication(spark):
     """The adaptive headline: mostly-unique corpus routes to the direct
     form, heavy-dup corpus to collapse-first — and BOTH give exactly
@@ -842,6 +856,7 @@ def test_minhash_capped_pair_join_reuses_signature_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+@pytest.mark.slow
 def test_minhash_adaptive_hint_skips_probe(spark):
     """distinct_ratio_hint is the table-statistics fast path: the form
     is chosen without any probe job, and both hinted routes return the

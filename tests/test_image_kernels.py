@@ -73,6 +73,7 @@ def test_seeded_rng_deterministic():
     assert not np.array_equal(a, c)
 
 
+@pytest.mark.slow
 def test_resize_nearest_exact(spark):
     from data_pipeline_rsna_spark.operators import multimodal as mm
     import numpy as np
@@ -88,6 +89,7 @@ def test_resize_nearest_exact(spark):
     assert (arr == full[::2, ::2]).all()
 
 
+@pytest.mark.slow
 def test_frame_sampling_offsets(spark):
     from data_pipeline_rsna_spark.operators import multimodal as mm
     import numpy as np
@@ -115,6 +117,7 @@ def test_audio_features_known_values(spark):
         assert feats[cid].zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())
 
 
+@pytest.mark.slow
 def test_stage_chain_composes_kernels(spark):
     from data_pipeline_rsna_spark.operators import multimodal as mm
     import numpy as np
@@ -128,6 +131,7 @@ def test_stage_chain_composes_kernels(spark):
             assert arr.size == 12 * 12  # shape preserved through the chain
 
 
+@pytest.mark.slow
 def test_stage_chain_deterministic(spark):
     from data_pipeline_rsna_spark.operators import multimodal as mm
 
@@ -402,6 +406,7 @@ def test_audio_frame_features_consistent_with_clip_totals(spark):
                for c in by_clip)
 
 
+@pytest.mark.slow
 def test_hist_equalize_uniform_and_constant_images(spark):
     import numpy as np
 

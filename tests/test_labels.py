@@ -30,6 +30,7 @@ def raw(spark):
     )
 
 
+@pytest.mark.slow
 def test_typed_projection_truncates(raw):
     rows = {r.patient_id: r for r in L.typed_labels(raw).collect()}
     assert rows["p1"].x in (264, 562)

@@ -11,8 +11,10 @@ import glob
 
 from data_pipeline_rsna_spark.pipelines import run_rsna_pipeline
 from data_pipeline_rsna_spark.sinks import tfrecord as tfr
+import pytest
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(spark, tmp_path):
     rows = []
     # 4 positive patients with 2 boxes each, 6 negatives

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from data_pipeline_rsna_spark import tables
 from data_pipeline_rsna_spark.plans import audit
 from data_pipeline_rsna_spark.queries import REGISTRY
+import pytest
 
 
 def test_three_way_join_broadcasts_dims_and_pushes_filter(spark, sf_dir):
@@ -507,6 +508,7 @@ BOUNDED_NONEQUI_OK = {
 }
 
 
+@pytest.mark.slow
 def test_registry_no_cartesians(spark, sf_dir):
     """Every registered query's optimized plan must contain ZERO
     CartesianProduct nodes, and every non-equi (nested-loop-strategy)

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_pipeline_rsna_spark.operators import relational as rel
+import pytest
 
 
 def test_deterministic_split_golden(spark):
@@ -330,6 +331,7 @@ def test_deterministic_split_numeric_no_shuffle_matches_rank(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_exact_kth_smallest_beyond_double_precision(spark):
     """Keys past 2^53 — where double arithmetic cannot represent
     adjacent longs — must still resolve exactly (the DIV bucketing is

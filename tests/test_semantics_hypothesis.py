@@ -13,6 +13,11 @@ from hypothesis import strategies as st
 
 from data_pipeline_rsna_spark.functions import scalars as sc
 
+import pytest
+
+# whole-module slow tier: brute-force/hypothesis parity checks
+pytestmark = pytest.mark.slow
+
 # int32 domain: box coordinates live here; beyond it Spark's ANSI mode
 # (correctly) raises CAST_OVERFLOW where CPython would silently widen
 _floats = st.floats(

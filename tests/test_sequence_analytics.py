@@ -7,6 +7,7 @@ import datetime
 from pyspark.sql import functions as F
 
 from data_pipeline_rsna_spark.operators import events as ev_ops
+import pytest
 
 EV_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -74,6 +75,7 @@ def test_state_intervals_runs(spark):
     assert rows[1]["start_us"] == rows[1]["end_us"] == base + 20_000_000
 
 
+@pytest.mark.slow
 def test_state_intervals_tie_broken_on_event_id(spark):
     t0 = datetime.datetime(2024, 1, 1)
     # two events at the SAME timestamp: event_id order decides the runs
@@ -90,6 +92,7 @@ def test_state_intervals_tie_broken_on_event_id(spark):
     assert [r["event_type"] for r in rows] == ["a", "b"]
 
 
+@pytest.mark.slow
 def test_transition_matrix_counts_and_ppm(spark):
     t0 = datetime.datetime(2024, 1, 1)
 
@@ -133,6 +136,7 @@ def test_transition_matrix_no_cross_user_leak(spark):
     assert ev_ops.transition_matrix(df).count() == 0
 
 
+@pytest.mark.slow
 def test_ohlc_bars_hand_computed(spark):
     t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
 
@@ -202,6 +206,7 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert got[1] == 7.0 and got[2] is None
 
 
+@pytest.mark.slow
 def test_acf_lags_matches_numpy_pearson(spark):
     """Per-lag rational stats must reproduce numpy's Pearson r for a
     deterministic series at every lag, and n_pairs = T - lag."""

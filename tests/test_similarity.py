@@ -9,6 +9,7 @@ from data_pipeline_rsna_spark import tables
 from data_pipeline_rsna_spark.operators import similarity as sim
 
 
+@pytest.mark.slow
 def test_cosine_topk_identical_vector(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
@@ -70,6 +71,7 @@ def test_cosine_topk_blas_tie_break_across_batches(spark):
     assert all(r.cosine == 1.0 for r in got)
 
 
+@pytest.mark.slow
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -416,6 +418,7 @@ def test_centered_norm_outliers_planted(spark):
     assert int(out[1].score) == 10_400_000**2 + 10_000_000**2
 
 
+@pytest.mark.slow
 def test_centered_norm_outliers_partition_invariance(spark):
     rows = [(i, [float(i % 7) / 3, float((i * 13) % 5) - 2.0])
             for i in range(40)]

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 from data_pipeline_rsna_spark import tables
 from data_pipeline_rsna_spark.operators import similarity as sim
 from data_pipeline_rsna_spark.streaming import similarity_stream as ss
+import pytest
 
 
+@pytest.mark.slow
 def test_streamed_topk_matches_batch_kernel(spark, sf_dir, tmp_path):
     corpus = tables.load(spark, sf_dir, "embeddings")
     staged = str(tmp_path / "query_batches")
@@ -51,6 +53,7 @@ def test_streamed_topk_matches_batch_kernel(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_dedup_ingest_matches_batch(spark, sf_dir, tmp_path):
     """The streaming ingest gate must flag exactly what the batch
     incremental matcher flags for the same arrivals (within-batch

@@ -1,3 +1,5 @@
+import pytest
+
 
 
 def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
@@ -47,6 +49,7 @@ def test_scratch_dir_registers_atexit_cleanup(monkeypatch):
     assert not os.path.exists(path)
 
 
+@pytest.mark.slow
 def test_rsna_pipeline_counts_cleans_its_shards(spark):
     """The E2E counts query counts the written shards eagerly and must
     not leak its /tmp shard directory (one ~80 MB dir per invocation

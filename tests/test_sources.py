@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_rsna_spark.sinks import json_sink
 from data_pipeline_rsna_spark.sources import readers
+import pytest
 
 
 def test_labels_csv_reader(spark, tmp_path):
@@ -23,6 +24,7 @@ def test_labels_csv_reader(spark, tmp_path):
     assert rows["p2"].x is None
 
 
+@pytest.mark.slow
 def test_json_sink_scan_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [("p1", [[1, 2, 3, 4], [5, 6, 7, 8]]), ("p2", [])],
@@ -192,6 +194,7 @@ def test_orc_sink_source_roundtrip(spark, sf_dir, tmp_path):
     assert key(back) == key(li)
 
 
+@pytest.mark.slow
 def test_multiformat_typed_roundtrip(spark, sf_dir, tmp_path):
     """write_table -> read_table must be value-identical for every
     format, including sub-second timestamps, NULLs vs empty strings,
@@ -255,6 +258,7 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     assert rows[5] == (10, 50)
 
 
+@pytest.mark.slow
 def test_python_datasource_partitioned_and_deterministic(spark):
     from pyspark.sql import functions as F
 

@@ -36,6 +36,7 @@ def _brute(df, radius):
     )
 
 
+@pytest.mark.slow
 def test_grid_equals_brute_force(pts):
     got = sorted(map(tuple, spatial.radius_join(pts, 100).collect()))
     want = sorted(map(tuple, _brute(pts, 100).collect()))
@@ -80,12 +81,14 @@ def _nn_brute(df):
     )
 
 
+@pytest.mark.slow
 def test_nearest_neighbor_matches_brute_force(pts):
     got = sorted(map(tuple, spatial.nearest_neighbor(pts, 100).collect()))
     want = sorted(map(tuple, _nn_brute(pts).collect()))
     assert got == want
 
 
+@pytest.mark.slow
 def test_nearest_neighbor_fallback_only_sparse(spark):
     # every point isolated far beyond the cell bound: the grid tier
     # certifies NOTHING, the brute-force tier must answer all of them
@@ -123,6 +126,7 @@ def test_auto_cell_matches_brute_force_and_tracks_density(spark):
     assert 1 <= c_dense < c_small
 
 
+@pytest.mark.slow
 def test_nearest_neighbor_adversarial_sparse_halo(spark):
     """VERDICT r8 #6: a dense core (which shrinks auto_cell's
     uniform-density estimate) surrounded by a sparse halo whose 3x3
@@ -162,6 +166,7 @@ def test_nearest_neighbor_adversarial_sparse_halo(spark):
     )
 
 
+@pytest.mark.slow
 def test_nearest_neighbor_all_isolated_points_still_exact(spark):
     """Worst case: EVERY point isolated (uniform supersparse grid with
     spacing far above auto_cell's estimate is impossible under uniform

@@ -7,6 +7,7 @@ import math
 from pyspark.sql import functions as F
 
 from data_pipeline_rsna_spark.operators import stats as st
+import pytest
 
 
 def test_ks_two_sample_hand_check(spark):
@@ -295,6 +296,7 @@ def test_cusum_changepoint_planted_shift(spark):
     assert (r.changepoint_at, r.cusum_max_scaled) == (5, 250)
 
 
+@pytest.mark.slow
 def test_cusum_changepoint_partition_invariance(spark):
     """Same answer at 1 and 7 input partitions (two-phase prefix sum)."""
     rows = [(t, (t * 37) % 11) for t in range(1, 40)]
@@ -590,6 +592,7 @@ def test_t_closeness_sparse_class_counts_skipped_buckets(spark):
     assert int(out["full"].emd_num) == 8
 
 
+@pytest.mark.slow
 def test_t_closeness_division_rounding_boundary(spark):
     """t_ppm must TRUNCATE, exactly, even when the quotient sits within
     5e-7 below an integer (round-12 driver fix): Spark decimal division

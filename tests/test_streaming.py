@@ -5,6 +5,7 @@ from __future__ import annotations
 from data_pipeline_rsna_spark import tables
 from data_pipeline_rsna_spark.operators import events as ev
 from data_pipeline_rsna_spark.streaming import events_stream as es
+import pytest
 
 
 def _key(rows):
@@ -424,6 +425,7 @@ def test_memory_microharness_agrees_with_parquet_harness(spark, sf_dir):
     assert _key(via_parquet.collect()) == _key(via_memory.collect())
 
 
+@pytest.mark.slow
 def test_session_finalizer_timeout_and_cross_batch_state(spark, sf_dir, tmp_path):
     """The event-time-timeout sessionizer must (a) emit inner sessions
     immediately, (b) hold each user's trailing session open until the
@@ -541,6 +543,7 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     assert k(agg(got).collect()) == k(agg(events).collect())
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows_and_accounts_them(spark, tmp_path):
     """Append-mode windowed agg with a 10-minute watermark: a row
     arriving after its window's watermark horizon must be EXCLUDED from

@@ -60,6 +60,64 @@ def test_write_tfrecord_shards(spark, tmp_path):
     assert b"name" in some and b"rec-" in some
 
 
+def test_write_tfrecord_shards_empty_shards(spark, tmp_path):
+    """num_shards > rows: every shard file must still exist (the
+    -of-%05d contract), the empty ones as valid zero-record TFRecord
+    files — pins the Arrow writer running for EMPTY partitions too
+    (round 12: the pickled-Row foreachPartition ingress became
+    mapInArrow; an Arrow writer that skips empty partitions would
+    silently break the shard-count contract)."""
+    df = spark.range(3).selectExpr("id")
+    out = str(tmp_path / "eshards")
+    tfr.write_tfrecord_shards(df, out, 6, lambda r: {"id": [r["id"]]})
+    files = sorted(glob.glob(f"{out}/*.tfrecord"))
+    assert len(files) == 6
+    counts = [len(tfr.read_tfrecords(f)) for f in files]
+    assert sum(counts) == 3
+
+
+def test_write_tfrecord_shards_row_facade(spark, tmp_path):
+    """to_features sees attribute access, item access, array columns
+    as lists, and bytes-exact framing — the full surface the pickled
+    Row used to provide (round 12 Arrow ingress)."""
+    df = spark.range(5).selectExpr(
+        "id",
+        "cast(id as double) as score",
+        "array(cast(id as double), 2.5) as vec",
+        "concat('nm-', id) as name",
+    )
+    out = str(tmp_path / "fshards")
+
+    def to_features(row):
+        return {
+            "id": [int(row.id)],              # attribute access
+            "score": [float(row["score"])],   # item access
+            "vec": list(row.vec),             # array column -> list
+            "name": [row.name],               # str
+        }
+
+    tfr.write_tfrecord_shards(df, out, 2, to_features)
+    payloads = []
+    for f in sorted(glob.glob(f"{out}/*.tfrecord")):
+        payloads.extend(tfr.read_tfrecords(f))
+    got = sorted(
+        tuple(
+            (k, tuple(v)) for k, v in sorted(tfr.decode_example(p).items())
+        )
+        for p in payloads
+    )
+    want = sorted(
+        (
+            ("id", (i,)),
+            ("name", (f"nm-{i}".encode(),)),
+            ("score", (float(i),)),
+            ("vec", (float(i), 2.5)),
+        )
+        for i in range(5)
+    )
+    assert got == want
+
+
 def test_float_list_layout():
     enc = tfr._float_list([1.0])
     # field 1, wire 2, len 4, little-endian float 1.0
