@@ -28,7 +28,7 @@ from __future__ import annotations
 import hashlib
 from fractions import Fraction
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..lineage import lineage_cut
@@ -803,49 +803,56 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     """Cluster candidate pairs into duplicate groups: connected
     components by iterative min-label propagation.
 
-    Each round every node adopts the minimum label in its neighborhood;
-    convergence takes O(component diameter) rounds — near-dup clusters
-    are shallow (stars/cliques), so a handful. Each round is one
-    self-contained shuffle-join + aggregate; labels are
-    ``localCheckpoint``-ed so the plan doesn't grow with iterations
-    (the standard Spark iterative-algorithm pattern).
+    Each round every node adopts the minimum label over its
+    neighborhood INCLUDING ITSELF (the edge set carries a self-loop
+    per node), so one shuffle-join + one aggregate produce the new
+    labels directly — no second left-join back to the old labels
+    (round 12, guide §2.4: the least()/coalesce re-join per round was
+    a second shuffle of the label table). Convergence takes
+    O(component diameter) rounds — near-dup clusters are shallow
+    (stars/cliques), so a handful. Labels are lineage-cut each round
+    so the plan doesn't grow with iterations.
+
+    Convergence detection rides the cut's own materialization job via
+    ``observe()`` (round 12, guide §5: the per-round changed-count was
+    a second ACTION — a join of two label tables — per round): labels
+    are per-node non-increasing (the self-loop keeps the old label in
+    the min), so Σ component is strictly decreasing until the fixed
+    point and Σ-unchanged ⇔ no label changed. The sum accumulates in
+    decimal(38,0) — an int64 Σ over billions of 63-bit ids could wrap
+    and alias two different label states.
 
     Returns (node, component) where component = min node id reachable.
     """
     sym = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionByName(
         edges.selectExpr(f"{dst} AS u", f"{src} AS v")
-    ).distinct().persist()
+    ).distinct()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    sym = sym.unionByName(
+        nodes.selectExpr("node AS u", "node AS v")
+    ).persist()
+    _sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        nodes.withColumn("component", F.col("node"))
+        .observe(obs0, _sum)
         .transform(lineage_cut)
     )
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
-        neighbor_min = (
+        obs = Observation()
+        labels = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
-            )
+            .agg(F.min("component").alias("component"))
+            .select(F.col("u").alias("node"), "component")
+            .observe(obs, _sum)
             .transform(lineage_cut)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     return labels
 
