@@ -9243,12 +9243,23 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin it like the other wide pipelines instead of re-deriving the
     # gate+dedup subtree per branch
     s4 = dedup.exact_dedup(s3).persist()
+    # drops feeds TWO union branches (the s5 funnel count and s6's
+    # mixture input): without a cut the whole MinHash-LSH candidate
+    # pipeline — the funnel's heaviest subtree — runs twice (r12,
+    # guide §2.4). Eager cut, not lazy: both consumers sit in the ONE
+    # final union action and can schedule concurrently, so a lazy
+    # checkpoint could race both branches into computing the blocks;
+    # the rows are doc_id-only (metadata-sized at any corpus) and the
+    # blocks free with the result, never the session cache manager.
+    from .lineage import lineage_cut as _cut
+
     drops = (
         dedup.minhash_lsh_candidates(s4, num_hashes=12, rows_per_band=2,
                                      shingle_n=3)
         .filter(F.col("n_shared_bands") >= 3)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .transform(_cut, eager=True)
     )
     s5 = s4.join(drops, "doc_id", "left_anti")
     rates = {f"src{i}": [1.0, 0.75, 0.5, 0.25][i % 4] for i in range(20)}

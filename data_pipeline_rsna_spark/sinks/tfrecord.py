@@ -557,6 +557,8 @@ def write_tfrecord_shards(df, out_dir: str, num_shards: int,
     numpy kernel over ~8k-record chunks."""
     import os
 
+    from pyspark.sql import functions as F
+
     os.makedirs(out_dir, exist_ok=True)
     cols = list(df.columns)
 
@@ -589,15 +591,18 @@ def write_tfrecord_shards(df, out_dir: str, num_shards: int,
                     yield from _flush()
         yield from _flush()
 
-    # round-robin the framed blobs into exactly num_shards balanced
-    # writer partitions (the old code skipped this when the input
-    # happened to arrive in num_shards partitions — keeping input skew
-    # in the shard sizes; an unconditional repartition is one blob
-    # shuffle and guarantees balanced shards)
+    # shuffle the framed blobs into exactly num_shards writer
+    # partitions, HASH-partitioned on the blob bytes: content-keyed,
+    # so retried/speculated tasks reproduce the same record→shard
+    # assignment (guide §2.5 — no rand()-derived keys), and unlike a
+    # DataFrame round-robin repartition it pays no
+    # sortBeforeRepartition local sort of the blobs. Distinct records
+    # hash ~uniformly, so shards balance for real data (a degenerate
+    # all-identical-records input would co-locate; acceptable).
     framed = (
         df.select(cols)
         .mapInArrow(_encode_batches, "blob binary")
-        .repartition(num_shards)
+        .repartition(num_shards, F.xxhash64("blob"))
     )
 
     def _write_batches(batches):
